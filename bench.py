@@ -1,0 +1,76 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The headline metric is end-to-end wall seconds;
+pages/sec of the flagship ER pipeline is reported alongside (the
+BASELINE.json throughput target).
+
+Scaling evidence (north_rule): run twice —
+  SPARK_GRAFT_CPUS=8  python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare pages_per_sec; efficiency = (t8 / t32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entrymod
+    from spikex_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+
+    headline = [
+        "er_doc_clusters",
+        "er_doc_pairs",
+        "minhash_buckets",
+        "extract_normalize",
+        "blocking_keys",
+        "topk_orders",
+        "running_max_events",
+        "group_agg_events",
+        "semi_join_orders",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # warm the JVM/Arrow path once so timings measure the engine, not startup
+    qs["extract_normalize"](spark, sf_dir).count()
+
+    total = 0.0
+    for name in headline:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    er_secs = timings.get("er_doc_clusters", float("nan"))
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "er_pages_per_sec": round(n_docs / er_secs, 2) if er_secs else None,
+        "n_docs": n_docs,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

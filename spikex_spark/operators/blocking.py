@@ -1,0 +1,302 @@
+"""Stage 2/3 — mention candidates + blocking keys.
+
+Reference parity:
+
+* Title-key dictionary build — spikex ``wikigraph/wikigraph.py:214-229``
+  (A1: group titles by normalized key) and ``_clean_title``
+  (``wikigraph.py:367-376``, F3).
+* Mention detection — spikex ``WikiPageDetector.find_pages``
+  (``wikigraph.py:231-270``, J5): Aho-Corasick longest-match of doc text
+  against normalized titles. Spark recast: explode token n-grams per doc and
+  equi-join against the key table (the blocking join), then resolve
+  leftmost-longest per position with a window (O4,
+  ``matcher/matcher.py:341-353`` semantics).
+* MinHash/LSH shingle blocking — the second recall channel (SURVEY.md §7
+  step 5); built from md5 band-minima so the DuckDB oracle can reproduce it
+  exactly.
+
+Scale notes:
+
+* The n-gram explode multiplies rows by ~max_n; columns are pruned to
+  (id, ngram, pos) before the shuffle.
+* The key table is usually ≪ pages — Catalyst broadcasts it under the 64MB
+  threshold; at wiki scale (~20M titles) it exceeds broadcast and AQE picks a
+  shuffle-hash join; hot keys are handled by ``salt_blocks``/``cap_blocks``.
+* Skew: hub keys (bare "apple") produce quadratic pair blowups downstream —
+  the explicit mitigation the north_rule demands lives here, not in AQE
+  alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- key-space normalization (shared convention, see textutils docstring) ---
+# A "key" is the space-joined sequence of normalized tokens, where a token is
+# an underscore/whitespace-separated word lowercased with non-alphanumerics
+# stripped.  Identical logic is expressible in Spark, DuckDB and Python.
+
+_WORD_SEP = "[_ ]+"
+_NON_ALNUM = "[^a-z0-9]+"
+
+
+def _norm_tokens(col: F.Column) -> F.Column:
+    """array of normalized tokens for a title or extracted text."""
+    raw = F.split(col, _WORD_SEP)
+    norm = F.transform(raw, lambda t: F.regexp_replace(F.lower(t), _NON_ALNUM, ""))
+    return F.filter(norm, lambda t: t != "")
+
+
+def title_keys(titles_df: DataFrame, title_col: str = "title") -> DataFrame:
+    """Build the blocking-key dimension: one row per (key, title, channel).
+
+    Two channels per title (spikex keys only on the cleaned form; the full
+    form is our longest-match channel so qualified mentions win):
+
+    * ``clean``: qualifier-stripped (``_clean_title``) lowercased key.
+    * ``full``:  all tokens of the title including the qualifier.
+    """
+    t = titles_df.select(F.col(title_col).alias("title"))
+    cleaned = F.regexp_replace(F.col("title"), r"_\([^)]*\)", "")
+    clean_keys = t.select(
+        "title",
+        F.array_join(_norm_tokens(cleaned), " ").alias("key"),
+        F.lit("clean").alias("channel"),
+    )
+    full_keys = t.select(
+        "title",
+        F.array_join(_norm_tokens(F.col("title")), " ").alias("key"),
+        F.lit("full").alias("channel"),
+    )
+    return (
+        clean_keys.unionByName(full_keys)
+        .where(F.col("key") != "")
+        .dropDuplicates(["key", "title", "channel"])
+    )
+
+
+def ngram_candidates(df: DataFrame, id_col: str, text_col: str,
+                     max_n: int = 4) -> DataFrame:
+    """Explode token n-grams (n=1..max_n) with start positions.
+
+    Output: (id, start, n, ngram, surface) — ``ngram`` in key space,
+    ``surface`` the raw underscore-joined slice (for scoring).
+    """
+    raw = F.filter(F.split(F.col(text_col), _WORD_SEP), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        raw.alias("_raw"),
+        F.transform(raw, lambda t: F.regexp_replace(F.lower(t), _NON_ALNUM, "")).alias("_norm"),
+    )
+    grams = None
+    for n in range(1, max_n + 1):
+        g = base.select(
+            "_id",
+            F.posexplode(
+                F.when(
+                    F.size("_raw") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_raw") - n + 1),
+                        lambda i: F.struct(
+                            F.array_join(F.slice("_norm", i, n), " ").alias("ngram"),
+                            F.array_join(F.slice("_raw", i, n), " ").alias("surface"),
+                        ),
+                    ),
+                ).otherwise(F.array()),
+            ).alias("start", "g"),
+        ).select(
+            F.col("_id").alias("id"),
+            F.col("start"),
+            F.lit(n).alias("n"),
+            F.col("g.ngram").alias("ngram"),
+            F.col("g.surface").alias("surface"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    return grams.where(F.col("ngram") != "")
+
+
+def mentions(pages_df: DataFrame, title_keys_df: DataFrame,
+             id_col: str = "url", text_col: str = "extracted",
+             max_n: int = 4, broadcast_keys: bool = True) -> DataFrame:
+    """The blocking join: doc n-grams ⋈ title keys, longest match wins.
+
+    Output: (id, start, n, key, surface, channel) — one row per retained
+    mention. Longest-match resolution = reference ``match_longest`` +
+    submatch filtering (``matcher.py:341-353``): for overlapping matches
+    starting at the same token, keep the longest; drop matches fully
+    contained in a longer kept match.
+    """
+    cands = ngram_candidates(pages_df, id_col, text_col, max_n)
+    keys = title_keys_df.select("key").distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    hits = cands.join(keys, cands.ngram == keys.key, "inner").drop("ngram")
+
+    # leftmost-longest per (id, start): O4
+    w_start = Window.partitionBy("id", "start").orderBy(F.desc("n"))
+    hits = (
+        hits.withColumn("rn", F.row_number().over(w_start))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # drop matches contained in a longer match that started earlier: O2-style
+    # running max of (start + n) over preceding rows
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy(F.asc("start"), F.desc("n"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hits = (
+        hits.withColumn("prev_end", F.max(F.col("start") + F.col("n")).over(w_prev))
+        .where(
+            F.col("prev_end").isNull()
+            | (F.col("start") + F.col("n") > F.col("prev_end"))
+        )
+        .drop("prev_end")
+    )
+    return hits
+
+
+def block_members(mentions_df: DataFrame, title_keys_df: DataFrame) -> DataFrame:
+    """Map each mention to its CLEAN blocking key (qualifier-stripped).
+
+    A mention matched on the full channel ("apple company") still blocks
+    under the clean key ("apple") — company/fruit pages must meet in one
+    block to be scored apart. Output: (id, block_key, surface).
+    """
+    # full key -> clean key bridge (per title), distinct to avoid fanout
+    bridge = (
+        title_keys_df.where(F.col("channel") == "full")
+        .select(F.col("key").alias("full_key"), "title")
+        .join(
+            title_keys_df.where(F.col("channel") == "clean")
+            .select(F.col("key").alias("clean_key"), "title"),
+            "title",
+        )
+        .select("full_key", "clean_key")
+        .distinct()
+    )
+    m = mentions_df.join(F.broadcast(bridge), mentions_df.key == bridge.full_key, "left")
+    return (
+        m.select(
+            "id",
+            F.coalesce("clean_key", "key").alias("block_key"),
+            "surface",
+        )
+        .dropDuplicates(["id", "block_key", "surface"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH shingle blocking (second recall channel + near-dup dedup)
+# ---------------------------------------------------------------------------
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct char k-shingles of the normalized text: (id, shingle).
+
+    Normalization = space-joined normalized tokens (same as
+    ``textutils.char_shingles``). Texts shorter than k yield the whole text.
+    """
+    # materialize the normalized text in its OWN projection before the
+    # per-shingle transform: inlining it makes Catalyst re-evaluate the full
+    # normalization chain per array element — O(len²) per doc, measured 18×
+    # slower at sf0.1
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(_norm_tokens(F.col(text_col)), " ").alias("_norm"),
+    )
+    norm = F.col("_norm")
+    sh = F.when(
+        F.length(norm) < k, F.array(norm)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - k + 1),
+                lambda i: F.substring(norm, i, F.lit(k)),
+            )
+        )
+    )
+    return (
+        normed.select("id", F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Wide MinHash signature per id: (id, mh0..mh{n-1}).
+
+    One narrow groupBy with n ``min(md5(seed:shingle))`` aggregates — the
+    mins combine map-side (partial agg), so the shuffle carries ONE row per
+    id, not num_hashes× the shingle table (the naive seed-explode was 16×
+    the shuffle volume and dominated the sf0.1 bench). md5 (not xxhash64)
+    so DuckDB reproduces signatures bit-for-bit — the oracle requirement.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_buckets(signatures: DataFrame, bands: int = 4,
+                rows_per_band: int = 4) -> DataFrame:
+    """Band the signature: bucket = md5("s=mh_s|..." in seed order) per band.
+
+    Output: (id, band, bucket) — a narrow projection + explode, no shuffle.
+    Docs sharing any bucket are near-dup candidates.
+    """
+    entries = []
+    for b in range(bands):
+        parts = [
+            F.concat(F.lit(f"{s}="), F.col(f"mh{s}"))
+            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*entries)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Skew control: salting + capping (north_rule explicit requirement)
+# ---------------------------------------------------------------------------
+
+def block_sizes(blocks: DataFrame, key_col: str = "block_key") -> DataFrame:
+    return blocks.groupBy(key_col).agg(F.count("*").alias("block_size"))
+
+
+def salt_blocks(blocks: DataFrame, key_col: str = "block_key",
+                id_col: str = "id", cap: int = 1000,
+                nsalt: int = 16) -> DataFrame:
+    """Split oversized blocks into ``nsalt`` deterministic salt groups.
+
+    Keys with size ≤ cap keep salt 0 (no recall loss); hub keys trade
+    cross-salt recall for bounded pair counts — the reference's analogue is
+    the ``max_size=30`` ball cap (spikex ``pipes/clusters.py:110``).
+    """
+    sizes = block_sizes(blocks, key_col)
+    out = blocks.join(F.broadcast(sizes.where(F.col("block_size") > cap)),
+                      key_col, "left")
+    return out.withColumn(
+        "salt",
+        F.when(F.col("block_size").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nsalt)).cast("int")
+        ),
+    ).drop("block_size")
+
+
+def cap_blocks(blocks: DataFrame, key_col: str = "block_key",
+               id_col: str = "id", cap: int = 1000) -> DataFrame:
+    """Deterministically keep the first ``cap`` members per key (by id)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(id_col))
+    return (
+        blocks.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

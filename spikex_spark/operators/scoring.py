@@ -1,0 +1,107 @@
+"""Stage 5 — vectorized pairwise similarity scoring.
+
+Reference parity: spikex scores candidate neighbors with cosine similarity
+over chunk embeddings (``pipes/clusters.py:111``); the north_rule replaces
+that with Jaro-Winkler / Levenshtein + token-Jaccard over mention strings.
+
+Three scorers, composable:
+
+* ``levenshtein_sim`` — native Spark ``levenshtein()`` (JVM, codegen).
+* ``token_jaccard``   — native array ops (``array_intersect`` sizes).
+* ``jaro_winkler``    — the one Python hot spot: a scalar ``pandas_udf``
+  (Arrow batches), implementation calibrated byte-exactly to DuckDB's
+  ``jaro_winkler_similarity`` (see textutils; verified on 3000 random
+  pairs) so the oracle can reproduce scores to the last ulp.
+
+``score_pairs`` combines them: 0.5·JW(norm_a, norm_b) + 0.5·Jaccard(tokens).
+Scores are rounded to 6 decimals before comparison/thresholding so the
+Spark↔DuckDB value-hash is stable.
+
+Scale notes: scoring is a narrow map over the pair table — no shuffle; the
+JW pandas_udf processes Arrow batches (~10k rows) with a tight Python loop;
+at 100 TB this stage is embarrassingly parallel and bounded by pair count,
+which salting/capping already bounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..textutils import jaro_winkler as _jw_py
+
+_NON_ALNUM = "[^a-z0-9]+"
+
+
+# NB: return type is a DataType object, not a DDL string — string parsing at
+# import time would require an active SparkSession.
+@pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler (DuckDB-exact, see textutils.jaro_winkler)."""
+    return pd.Series(
+        [
+            _jw_py(x, y) if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )
+
+
+def _norm(col: Column) -> Column:
+    """Mention normalization for scoring: lowercase, punct runs → single
+    space, trim — shared convention with the DuckDB oracle."""
+    return F.trim(F.regexp_replace(F.lower(col), _NON_ALNUM, " "))
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), _NON_ALNUM), lambda t: t != "")
+
+
+def token_jaccard_arrays(ta: Column, tb: Column) -> Column:
+    """Jaccard over PRE-DISTINCT token array columns (the fast path —
+    precompute the arrays per doc, not per pair)."""
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return (
+        F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
+        .when(union == 0, F.lit(0.0))
+        .otherwise(inter.cast("double") / union.cast("double"))
+    )
+
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    return token_jaccard_arrays(F.array_distinct(_tokens(a)), F.array_distinct(_tokens(b)))
+
+
+def levenshtein_sim(a: Column, b: Column) -> Column:
+    """1 - lev/maxlen, native (JVM)."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(a, b).cast("double") / mx.cast("double")
+    )
+
+
+def score_pairs(pairs: DataFrame, a_col: str = "surface_a",
+                b_col: str = "surface_b", jw_weight: float = 0.5) -> DataFrame:
+    """Append norm forms + component scores + the combined ``score``."""
+    na, nb = _norm(F.col(a_col)), _norm(F.col(b_col))
+    out = (
+        pairs.withColumn("_na", na)
+        .withColumn("_nb", nb)
+        .withColumn("jw", F.round(jaro_winkler_udf(F.col("_na"), F.col("_nb")), 6))
+        .withColumn("jacc", F.round(token_jaccard(F.col(a_col), F.col(b_col)), 6))
+    )
+    combined = F.round(
+        F.lit(jw_weight) * F.col("jw") + F.lit(1.0 - jw_weight) * F.col("jacc"), 6
+    )
+    return out.withColumn("score", combined).drop("_na", "_nb")
+
+
+def match_edges(scored: DataFrame, threshold: float = 0.75) -> DataFrame:
+    """Pairs above threshold become edges for the clustering stage."""
+    return scored.where(F.col("score") >= threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
+    )

@@ -1,0 +1,166 @@
+"""End-to-end ER pipeline: extract → block → pair → score → cluster.
+
+The flagship query (BASELINE.json north_rule). Composable: every stage is a
+``DataFrame -> DataFrame`` transform, so Catalyst sees ONE logical plan and
+can push filters/pruning across stage boundaries; the only Python stages are
+the byte-identical extractor and the Jaro-Winkler scorer (both Arrow).
+
+Two entry points:
+
+* ``resolve_entities``   — title-key blocking over a `pages`-shaped table
+  (url, text, ...) against a `titles` dimension; the reference-parity path.
+* ``resolve_documents``  — self-contained blocking (token-key + optional
+  MinHash/LSH channel) for a generic documents table with no title
+  dimension; used by the driver correctness gate over
+  /root/testdata documents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .extract import extract_stage
+from .operators import blocking as B
+from .operators import cc as CC
+from .operators import pairs as P
+from .operators import scoring as S
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    threshold: float = 0.75
+    jw_weight: float = 0.5
+    max_ngram: int = 4
+    block_cap: int = 10_000
+    nsalt: int = 16
+    use_arrow_extract: bool = True
+
+
+def resolve_entities(pages: DataFrame, titles: DataFrame,
+                     cfg: ERConfig = ERConfig(),
+                     id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(url, cluster_id, block_key, surface) — entity clusters over pages."""
+    extracted = extract_stage(pages.select(id_col, text_col), text_col)
+    keys = B.title_keys(titles)
+    ments = B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
+                       max_n=cfg.max_ngram)
+    blocks = B.block_members(ments, keys)
+    blocks = B.salt_blocks(blocks, cap=cfg.block_cap, nsalt=cfg.nsalt)
+    pairs = P.candidate_pairs(blocks, salted=True)
+    scored = S.score_pairs(pairs, jw_weight=cfg.jw_weight)
+    edges = S.match_edges(scored, cfg.threshold)
+    assign = CC.cluster_assignments(edges, pages.select(F.col(id_col).alias("id")))
+    best = blocks.groupBy("id").agg(
+        F.min("block_key").alias("block_key"), F.min("surface").alias("surface")
+    )
+    return (
+        assign.join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col), "cluster_id", "block_key", "surface"
+        )
+    )
+
+
+def doc_candidate_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_k: int = 5, num_hashes: int = 16,
+                        bands: int = 4) -> DataFrame:
+    """MinHash/LSH near-dup candidate pairs over a generic documents table.
+
+    (id_a, id_b) distinct pairs sharing ≥1 LSH bucket. Every step is
+    reproducible in ANSI SQL (md5-based minhash) for the DuckDB oracle.
+    """
+    sh = B.shingle_df(docs, id_col, text_col, k=shingle_k)
+    sig = B.minhash_signatures(sh, num_hashes=num_hashes)
+    buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
+    # materialize once: the self-join otherwise recomputes the whole
+    # shingle→minhash chain for BOTH sides (no ReusedExchange across the
+    # aliased projections; measured 2× at sf0.1). At cluster scale this is
+    # the stage-ledger checkpoint (write to parquet/Iceberg, read back).
+    buckets = buckets.localCheckpoint(eager=False)
+    left = buckets.select("band", "bucket", F.col("id").alias("id_a"))
+    right = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def doc_scored_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
+                     id_col: str = "doc_id", text_col: str = "text",
+                     norm_prefix: int = 64, score_digits: int = 6) -> DataFrame:
+    """Candidate pairs + combined similarity score.
+
+    JW runs on the first ``norm_prefix`` chars of the normalized text (JW is
+    quadratic per pair — bounding the operand keeps the scorer O(1) per pair
+    at 100 TB); token-Jaccard sees the full text.
+    """
+    pairs = doc_candidate_pairs(docs, cfg, id_col, text_col)
+    # precompute per-DOC scoring inputs once (token set + JW prefix), then
+    # join them to the pair table — computing them per-pair inlines the whole
+    # normalization chain into every pair row (measured 3-4× slower at sf0.1)
+    texts = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(S._tokens(F.col(text_col))).alias("toks"),
+        F.substring(S._norm(F.col(text_col)), 1, norm_prefix).alias("n64"),
+    )
+    p = (
+        pairs.join(
+            texts.withColumnsRenamed({"id": "id_a", "toks": "toks_a", "n64": "n64_a"}),
+            "id_a",
+        ).join(
+            texts.withColumnsRenamed({"id": "id_b", "toks": "toks_b", "n64": "n64_b"}),
+            "id_b",
+        )
+    )
+    # combine UNROUNDED components, round once — two-stage rounding lands on
+    # exact decimal halves (e.g. 0.5*(x+y) of 6-decimal values) where Spark
+    # (HALF_UP) and DuckDB disagree
+    scored = (
+        p.withColumn("_jw", S.jaro_winkler_udf(F.col("n64_a"), F.col("n64_b")))
+        .withColumn("_jacc", S.token_jaccard_arrays(F.col("toks_a"), F.col("toks_b")))
+        .withColumn(
+            "score",
+            F.round(F.lit(cfg.jw_weight) * F.col("_jw")
+                    + F.lit(1.0 - cfg.jw_weight) * F.col("_jacc"), score_digits),
+        )
+    )
+    return scored.select(
+        "id_a", "id_b",
+        F.round(F.col("_jw"), 6).alias("jw"),
+        F.round(F.col("_jacc"), 6).alias("jacc"),
+        "score",
+    )
+
+
+def resolve_documents(docs: DataFrame, cfg: ERConfig = ERConfig(),
+                      id_col: str = "doc_id", text_col: str = "text",
+                      threshold: float = 0.80) -> DataFrame:
+    """Flagship: (doc_id, cluster_id) near-dup clusters over documents."""
+    scored = doc_scored_pairs(docs, cfg, id_col, text_col)
+    edges = scored.where(F.col("score") >= threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    assign = CC.cluster_assignments(edges, docs.select(F.col(id_col).alias("id")))
+    return assign.select(F.col("id").alias(id_col), "cluster_id")
+
+
+def scored_pairs(pages: DataFrame, titles: DataFrame,
+                 cfg: ERConfig = ERConfig(),
+                 id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """The pairwise view (for the F1 gate): (id_a, id_b, block_key, score,
+    is_match). Gold pairs join on (id_a, id_b)."""
+    extracted = extract_stage(pages.select(id_col, text_col), text_col)
+    keys = B.title_keys(titles)
+    ments = B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
+                       max_n=cfg.max_ngram)
+    blocks = B.block_members(ments, keys)
+    blocks = B.salt_blocks(blocks, cap=cfg.block_cap, nsalt=cfg.nsalt)
+    pairs = P.candidate_pairs(blocks, salted=True)
+    scored = S.score_pairs(pairs, jw_weight=cfg.jw_weight)
+    return scored.withColumn("is_match", F.col("score") >= cfg.threshold)

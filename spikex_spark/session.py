@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing stands in for a multi-executor cluster; all scale knobs
+(AQE, skew-join handling, shuffle partitions, Arrow) are set the way a
+production submit would set them, so the plans we test are the plans we'd
+ship via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "spikex_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    * AQE on (runtime coalesce + skew-join splitting — the runtime half of
+      our skew strategy; the static half is explicit salting in blocking).
+    * Arrow on (every Python-side stage is an Arrow batch stage).
+    * Shuffle partitions sized to cores for local mode; a cluster submit
+      overrides via ``--conf`` (rule of thumb: 2-3x total cores, or
+      input_bytes / 128MB, whichever is larger).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    nshuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,176 @@
+"""Deterministic synthetic fixtures per FIXTURES.md.
+
+Generates the `pages` table (the BASELINE.json ``input_hint`` shape:
+url, warc_ts, html, text, lang), the `titles` dimension, `category_links`
+edges, and the `labeled_pairs` gold table used for the pairwise-F1 gate.
+
+Everything is seeded (`random.Random(seed)`) so tests and the oracle see
+byte-identical inputs across runs and across machines. Entity clusters are
+planted so that the transitive closure of positive pairs is consistent
+(cluster F1 and pairwise F1 agree — FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+from .textutils import norm_title_key
+
+# Entities: (canonical title, list of surface variants). Variants share the
+# normalized-title blocking key (qualifier-stripped, lowercased) so blocking
+# recall is 100% on gold pairs by construction.
+# Variants within a cluster are case/spacing renderings of the SAME canonical
+# title (token-identical after normalization), so a scorer combining
+# Jaro-Winkler + token-Jaccard separates them cleanly from the cross-entity
+# pairs that share a blocking key (Apple company vs fruit, Python language vs
+# snake) — those differ in qualifier tokens.
+_ENTITIES = [
+    ("Apple_(company)", ["Apple_(company)", "apple_(company)", "Apple_(COMPANY)"]),
+    ("Apple_(fruit)", ["Apple_(fruit)", "apple_(fruit)"]),
+    ("Python_(programming_language)", [
+        "Python_(programming_language)", "python_(programming_language)",
+        "Python_(Programming_Language)"]),
+    ("Python_(snake)", ["Python_(snake)", "python_(snake)"]),
+    ("New_York_City", ["New_York_City", "new_york_city", "New_York_city"]),
+    ("Machine_learning", ["Machine_learning", "machine_learning"]),
+    ("Apache_Spark", ["Apache_Spark", "apache_spark", "Apache_SPARK"]),
+    ("Entity_resolution", ["Entity_resolution", "entity_resolution"]),
+]
+
+_FILLER = (
+    "the of a in and to for with on by from page web site data text "
+    "record link graph match block score cluster node edge title"
+).split()
+
+_BOILERPLATE = (
+    "copyright notice all rights reserved terms of service privacy policy "
+    "cookie settings subscribe newsletter follow us contact about"
+)
+
+
+def gen_pages(n: int = 200, seed: int = 42) -> list[dict]:
+    """Rows: url, warc_ts, html, text, lang.
+
+    Plants: (a) entity clusters — several urls per entity, each rendered with
+    a different surface variant plus noise words; (b) a HUB key — many urls
+    mentioning the bare title "Apple" (skew exercise, FIXTURES.md §1);
+    (c) boilerplate near-duplicates across many urls.
+    """
+    rng = random.Random(seed)
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows = []
+    uid = 0
+
+    def emit(text: str, tag: str) -> None:
+        nonlocal uid
+        url = f"https://ex{uid % 7}.org/{tag}/{uid:06d}"
+        ts = t0 + timedelta(seconds=uid * 137)
+        rows.append({
+            "url": url,
+            "warc_ts": ts,
+            "html": (f"<html><body><p>{text}</p></body></html>").encode(),
+            "text": text,
+            "lang": "en" if uid % 11 else "de",
+        })
+        uid += 1
+
+    # (a) entity-cluster pages: ~60% of n
+    n_entity = max(len(_ENTITIES) * 2, int(n * 0.6))
+    for i in range(n_entity):
+        canon, variants = _ENTITIES[i % len(_ENTITIES)]
+        variant = variants[i % len(variants)]
+        mention = variant.replace("_", " ")
+        noise = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(8, 25)))
+        text = f"{noise} {mention} {rng.choice(_FILLER)} {noise[:30]}"
+        emit(text, f"ent{i % len(_ENTITIES)}")
+
+    # (b) hub pages: one hot blocking key ("apple" bare)
+    n_hub = max(10, int(n * 0.2))
+    for i in range(n_hub):
+        noise = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(5, 15)))
+        emit(f"Apple {noise}", "hub")
+
+    # (c) boilerplate near-duplicates
+    n_boiler = max(10, n - uid)
+    for i in range(n_boiler):
+        extra = rng.choice(_FILLER)
+        emit(f"{_BOILERPLATE} {extra}", "boiler")
+
+    return rows
+
+
+def gen_titles(seed: int = 42) -> list[dict]:
+    """`titles` dimension (FIXTURES.md §2) incl. a two-hop redirect chain."""
+    rows = []
+    pid = 100
+    for canon, variants in _ENTITIES:
+        rows.append({"pageid": pid, "title": canon, "kind": "page",
+                     "is_redirect": False, "redirect_to": None, "props": []})
+        canon_pid = pid
+        pid += 1
+        for v in variants:
+            if v == canon:
+                continue
+            rows.append({"pageid": pid, "title": v, "kind": "page",
+                         "is_redirect": True, "redirect_to": canon_pid,
+                         "props": []})
+            pid += 1
+    # two-hop redirect chain: A -> B -> Apple_(company)
+    rows.append({"pageid": pid, "title": "Apple_Computer", "kind": "page",
+                 "is_redirect": True, "redirect_to": pid + 1, "props": []})
+    rows.append({"pageid": pid + 1, "title": "Apple_Computer_Inc",
+                 "kind": "page", "is_redirect": True, "redirect_to": 100,
+                 "props": []})
+    pid += 2
+    # categories + hidden/noindex pages (filter F2 fixtures)
+    rows.append({"pageid": pid, "title": "Category:Companies",
+                 "kind": "category", "is_redirect": False,
+                 "redirect_to": None, "props": []})
+    rows.append({"pageid": pid + 1, "title": "Category:Fruits",
+                 "kind": "category", "is_redirect": False,
+                 "redirect_to": None, "props": []})
+    rows.append({"pageid": pid + 2, "title": "Hidden_page", "kind": "page",
+                 "is_redirect": False, "redirect_to": None,
+                 "props": ["hiddencat"]})
+    rows.append({"pageid": pid + 3, "title": "Apple", "kind": "disambiguation",
+                 "is_redirect": False, "redirect_to": None,
+                 "props": ["disambiguation"]})
+    return rows
+
+
+def gen_category_links(seed: int = 42) -> list[dict]:
+    """Edges (FIXTURES.md §3): page→category and subcat→category."""
+    titles = {r["title"]: r["pageid"] for r in gen_titles(seed)}
+    comp, fruit = titles["Category:Companies"], titles["Category:Fruits"]
+    return [
+        {"src": titles["Apple_(company)"], "dst": comp, "cl_type": "page"},
+        {"src": titles["Apache_Spark"], "dst": comp, "cl_type": "page"},
+        {"src": titles["Apple_(fruit)"], "dst": fruit, "cl_type": "page"},
+        {"src": fruit, "dst": comp, "cl_type": "subcat"},
+    ]
+
+
+def gen_labeled_pairs(n_pages: int = 200, seed: int = 42) -> list[dict]:
+    """Gold pairs (FIXTURES.md §4): all within-block pairs of entity pages,
+    labeled is_match = same planted entity. url_a < url_b."""
+    pages = gen_pages(n_pages, seed)
+    # recover the planted entity id from the url tag
+    by_key: dict[str, list[tuple[str, str]]] = {}
+    for i, row in enumerate(pages):
+        tag = row["url"].split("/")[3]
+        if not tag.startswith("ent"):
+            continue
+        ent_idx = int(tag[3:])
+        canon, variants = _ENTITIES[ent_idx]
+        key = norm_title_key(canon)
+        by_key.setdefault(key, []).append((row["url"], canon))
+    out = []
+    for key, members in sorted(by_key.items()):
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ua, ea), (ub, eb) = members[i], members[j]
+                out.append({"url_a": ua, "url_b": ub, "block_key": key,
+                            "is_match": ea == eb})
+    return out

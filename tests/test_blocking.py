@@ -1,0 +1,111 @@
+"""Blocking: title keys, mentions (longest match), salting/capping, MinHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spikex_spark import synth
+from spikex_spark.extract import extract_stage
+from spikex_spark.operators import blocking as B
+from spikex_spark.textutils import char_shingles, md5_hex
+
+
+def test_title_keys_channels(spark, titles_df):
+    keys = B.title_keys(titles_df).collect()
+    by_title = {}
+    for r in keys:
+        by_title.setdefault(r["title"], {})[r["channel"]] = r["key"]
+    assert by_title["Apple_(company)"]["clean"] == "apple"
+    assert by_title["Apple_(company)"]["full"] == "apple company"
+    assert by_title["New_York_City"]["clean"] == "new york city"
+    assert by_title["New_York_City"]["full"] == "new york city"
+
+
+def test_mentions_longest_match_wins(spark, titles_df):
+    pages = spark.createDataFrame(
+        [("u1", "I love Apple (company) products"),
+         ("u2", "plain Apple here"),
+         ("u3", "visited New York City today")],
+        ["url", "text"],
+    )
+    ext = extract_stage(pages)
+    keys = B.title_keys(titles_df)
+    m = B.mentions(ext, keys, id_col="url", text_col="extracted")
+    got = {(r["id"], r["surface"]) for r in m.collect()}
+    # u1: the 2-gram "Apple (company)" must win over the contained 1-gram
+    assert ("u1", "Apple (company)") in got
+    assert ("u1", "Apple") not in got
+    assert ("u2", "Apple") in got
+    assert ("u3", "New York City") in got
+
+
+def test_block_members_maps_full_to_clean_key(spark, titles_df):
+    pages = spark.createDataFrame(
+        [("u1", "Apple (company) news"), ("u2", "an Apple (fruit) pie")],
+        ["url", "text"],
+    )
+    ext = extract_stage(pages)
+    keys = B.title_keys(titles_df)
+    blocks = B.block_members(B.mentions(ext, keys, "url", "extracted"), keys)
+    got = {(r["id"], r["block_key"]) for r in blocks.collect()}
+    # both urls block under the CLEAN key "apple" (must meet to be scored)
+    assert ("u1", "apple") in got and ("u2", "apple") in got
+
+
+def test_salt_blocks_deterministic_and_capped(spark):
+    rows = [(f"id{i:03d}", "hot") for i in range(50)] + [("idX", "cold")]
+    blocks = spark.createDataFrame(rows, ["id", "block_key"])
+    salted = B.salt_blocks(blocks, cap=10, nsalt=4)
+    out = salted.collect()
+    hot_salts = {r["salt"] for r in out if r["block_key"] == "hot"}
+    cold_salts = {r["salt"] for r in out if r["block_key"] == "cold"}
+    assert len(hot_salts) > 1          # oversized block got split
+    assert cold_salts == {0}           # small block untouched
+    # deterministic: same input -> same salts
+    again = {(r["id"], r["salt"]) for r in B.salt_blocks(blocks, cap=10, nsalt=4).collect()}
+    assert again == {(r["id"], r["salt"]) for r in out}
+
+
+def test_cap_blocks(spark):
+    rows = [(f"id{i:03d}", "k") for i in range(20)]
+    blocks = spark.createDataFrame(rows, ["id", "block_key"])
+    capped = B.cap_blocks(blocks, cap=5)
+    got = sorted(r["id"] for r in capped.collect())
+    assert got == [f"id{i:03d}" for i in range(5)]  # deterministic first-5
+
+
+def test_shingles_match_pure_python(spark):
+    texts = [("d1", "Hello, World and hello again"), ("d2", "ab")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {}
+    for r in B.shingle_df(df, "doc_id", "text", k=5).collect():
+        got.setdefault(r["id"], set()).add(r["shingle"])
+    for did, text in texts:
+        assert got[did] == set(char_shingles(text, 5)), did
+
+
+def test_minhash_uses_portable_md5(spark):
+    df = spark.createDataFrame([("d1", "hello world")], ["doc_id", "text"])
+    sig = B.minhash_signatures(B.shingle_df(df, "doc_id", "text", 5), 4).collect()
+    sh = char_shingles("hello world", 5)
+    assert len(sig) == 1
+    for s_idx in range(4):
+        expected = min(md5_hex(f"{s_idx}:{s}") for s in sh)
+        assert sig[0][f"mh{s_idx}"] == expected
+
+
+def test_lsh_bucket_layout(spark):
+    df = spark.createDataFrame(
+        [("d1", "hello world wide web"), ("d2", "hello world wide web"),
+         ("d3", "completely different text")],
+        ["doc_id", "text"],
+    )
+    sig = B.minhash_signatures(B.shingle_df(df, "doc_id", "text", 5), 16)
+    buckets = B.lsh_buckets(sig, bands=4, rows_per_band=4)
+    rows = buckets.collect()
+    assert {r["band"] for r in rows} == {0, 1, 2, 3}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], set()).add((r["band"], r["bucket"]))
+    assert by_doc["d1"] == by_doc["d2"]          # identical docs collide
+    assert not (by_doc["d1"] & by_doc["d3"])     # different docs don't

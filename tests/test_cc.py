@@ -1,0 +1,65 @@
+"""Connected components vs a union-find oracle (G3, large/small-star)."""
+
+from __future__ import annotations
+
+import random
+
+from spikex_spark.operators.cc import cluster_assignments, connected_components
+
+
+def _union_find_oracle(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        mn = min(members)
+        for n in members:
+            out[n] = mn
+    return out
+
+
+def test_small_graphs(spark):
+    cases = {
+        "path": [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "cycle": [(1, 2), (2, 3), (3, 1), (7, 8)],
+        "star": [(5, 1), (5, 2), (5, 3), (5, 4)],
+        "self_loops": [(1, 1), (1, 2), (2, 2)],
+    }
+    for name, edges in cases.items():
+        nodes = sorted({u for e in edges for u in e})
+        gold = _union_find_oracle(edges, nodes)
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.id: r.component for r in connected_components(e).collect()}
+        # isolated-by-self-loop nodes are absent from CC output; compare on
+        # nodes that have at least one real edge
+        real = {u for a, b in edges if a != b for u in (a, b)}
+        assert got == {n: gold[n] for n in real}, name
+
+
+def test_random_graph_vs_union_find(spark):
+    rng = random.Random(99)
+    edges = [(rng.randint(0, 400), rng.randint(0, 400)) for _ in range(500)]
+    edges = [(u, v) for u, v in edges if u != v]
+    nodes = sorted({u for e in edges for u in e})
+    gold = _union_find_oracle(edges, nodes)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.component for r in connected_components(e).collect()}
+    assert got == gold
+
+
+def test_cluster_assignments_includes_singletons(spark):
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    ids = spark.createDataFrame([("a",), ("b",), ("z",)], ["id"])
+    got = {r.id: r.cluster_id for r in cluster_assignments(e, ids).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}

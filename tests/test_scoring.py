@@ -1,0 +1,41 @@
+"""Vectorized scoring: JW UDF vs pure fn, native jaccard/levenshtein."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spikex_spark.operators import scoring as S
+from spikex_spark.textutils import jaro_winkler, token_jaccard
+
+
+def test_jw_udf_matches_pure_function(spark):
+    pairs = [("apple company", "apple company"), ("apple inc", "apple (fruit)"),
+             ("martha", "marhta"), ("", ""), ("a", "b"),
+             ("new york city", "new york")]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = df.select("a", "b", S.jaro_winkler_udf("a", "b").alias("jw")).collect()
+    for r in got:
+        assert r["jw"] == pytest.approx(jaro_winkler(r["a"], r["b"]), abs=1e-12)
+
+
+def test_token_jaccard_native_matches_pure(spark):
+    pairs = [("a b c", "b c d"), ("", ""), ("x", ""), ("Apple, Inc!", "apple inc")]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = df.select("a", "b", S.token_jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    for r in got:
+        assert r["j"] == pytest.approx(token_jaccard(r["a"], r["b"]), abs=1e-12)
+
+
+def test_score_pairs_and_edges(spark):
+    pairs = spark.createDataFrame(
+        [("u1", "u2", "k", "Apple (company)", "apple (company)"),
+         ("u1", "u3", "k", "Apple (company)", "apple (fruit)")],
+        ["id_a", "id_b", "block_key", "surface_a", "surface_b"],
+    )
+    scored = S.score_pairs(pairs)
+    rows = {(r["id_a"], r["id_b"]): r["score"] for r in scored.collect()}
+    assert rows[("u1", "u2")] == 1.0
+    assert rows[("u1", "u3")] < 0.75
+    edges = S.match_edges(scored, 0.75).collect()
+    assert [(e["src"], e["dst"]) for e in edges] == [("u1", "u2")]
