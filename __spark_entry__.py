@@ -31,10 +31,15 @@ _SQL_NORM_WS = (
 )
 # scoring normalization (scoring._norm): non-alnum runs -> single space, trim
 _SQL_NORM_SCORE = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
-# token set for jaccard (textutils.tokenize)
+# token set for jaccard (textutils.tokenize) — distinct
 _SQL_TOKENS = (
     "list_distinct(list_filter(regexp_split_to_array(lower({col}),"
     " '[^a-z0-9]+'), t -> t <> ''))"
+)
+# token LIST (non-distinct) — lang-id hits / quality ratios count repeats
+_SQL_TOKENS_ALL = (
+    "list_filter(regexp_split_to_array(lower({col}),"
+    " '[^a-z0-9]+'), t -> t <> '')"
 )
 
 _SQL_SHINGLES = f"""
@@ -126,6 +131,288 @@ reach AS (
 )
 SELECT node AS doc_id, min(root) AS cluster_id
 FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / textstats / simsearch SQL mirrors
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS_EXPL = (
+    "SELECT doc_id AS id, unnest({toks}) AS token FROM documents"
+).format(toks=_SQL_TOKENS.format(col="text"))
+
+_SQL_SIMHASH = f"""
+WITH toks AS ({_SQL_TOKENS_EXPL}),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(token), 1, 15))::bigint AS h FROM toks
+),
+bits AS (
+  SELECT id, unnest(range(0, 60)) AS bit, h FROM hashed
+),
+votes AS (
+  SELECT id, bit, sum(((h >> bit) & 1) * 2 - 1) AS s
+  FROM bits GROUP BY id, bit
+)
+SELECT id AS doc_id,
+       sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY id
+"""
+
+_SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({_SQL_SIMHASH}),
+banded AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS bval
+  FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+_SQL_NGRAM_JACC = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')]
+    END) AS gram
+  FROM t
+),
+g AS (SELECT id, gram FROM grams WHERE gram <> ''),
+counts AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(i::double / (ca.n_grams + cb.n_grams - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.id = id_a
+JOIN counts cb ON cb.id = id_b
+WHERE round(i::double / (ca.n_grams + cb.n_grams - i), 6) >= 0.5
+"""
+
+_SQL_MINHASH_NEAR = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+buckets AS ({_SQL_BUCKETS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(i::double / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE round(i::double / (ca.n_sh + cb.n_sh - i), 6) >= 0.7
+"""
+
+
+def _sql_stopword_hits(lang_words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in lang_words) + "]"
+    return (f"len(list_filter({_SQL_TOKENS_ALL.format(col='text')},"
+            f" t -> list_contains({arr}, t)))")
+
+
+def _sql_lang_id() -> str:
+    from spikex_spark.operators.textstats import STOPWORDS
+    rows = ", ".join(
+        f"({_sql_stopword_hits(STOPWORDS[lang])}, '{lang}')"
+        for lang in sorted(STOPWORDS)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id AS id, h.hits, h.lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h.hits DESC, h.lang DESC) AS rn
+  FROM documents, LATERAL (
+    SELECT * FROM (VALUES {rows}) AS v(hits, lang)
+  ) h
+)
+SELECT id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess,
+       hits AS lang_hits
+FROM scored WHERE rn = 1
+"""
+
+
+def _sql_quality() -> str:
+    from spikex_spark.operators.textstats import STOPWORDS
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    toks = _SQL_TOKENS_ALL.format(col="text")
+    return f"""
+WITH f AS (
+  SELECT doc_id AS id, length(text) AS n_chars,
+         len({toks}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+           AS n_punct,
+         len(list_filter({toks}, t -> list_contains({en}, t))) AS n_sw
+  FROM documents
+)
+SELECT id, n_chars, n_tokens,
+  round(CASE WHEN n_chars > 0 THEN n_punct::double / n_chars ELSE 0.0 END, 6)
+    AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN n_sw::double / n_tokens ELSE 0.0 END, 6)
+    AS stopword_ratio,
+  round(0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (1 - CASE WHEN n_chars > 0 THEN n_punct::double / n_chars
+                        ELSE 0.0 END)
+      + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_sw::double / n_tokens
+                          ELSE 0.0 END) * 5, 1.0), 6) AS quality
+FROM f
+"""
+
+
+_SQL_TOKEN_COUNTS = """
+SELECT doc_id AS id,
+  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                  t -> t <> '')) AS ws_tokens,
+  (list_sum(list_transform(
+     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 t -> t <> ''),
+     t -> ceil(length(t) / 4.0)::int))
+   + length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')))
+    AS subword_est
+FROM documents
+"""
+
+_SQL_FINGERPRINT = (
+    "SELECT doc_id AS id, md5(array_to_string("
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> ''), ' ')) AS fp FROM documents"
+)
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(
+      list_dot_product(list_transform(q.embedding, x -> x::double),
+                       list_transform(c.embedding, x -> x::double))
+      / (sqrt(list_sum(list_transform(q.embedding, x -> x::double * x)))
+         * sqrt(list_sum(list_transform(c.embedding, x -> x::double * x)))),
+      4) AS cos
+  FROM embeddings c, q WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+_SQL_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id AS id, md5(text) AS text_hash FROM documents),
+canon AS (SELECT text_hash, min(id) AS canonical_id FROM h GROUP BY text_hash)
+SELECT h.id, canon.canonical_id, h.text_hash
+FROM h JOIN canon USING (text_hash)
+"""
+
+# spans derived deterministically from events — the O2/O3/O4 window fixtures
+_SQL_SPANS = """
+SELECT user_id AS doc, event_id,
+       floor(value * 10)::bigint AS start,
+       floor(value * 10)::bigint + (event_id % 50) + 1 AS "end"
+FROM events
+"""
+
+_SQL_DROP_CONTAINED = f"""
+WITH spans AS ({_SQL_SPANS}),
+w AS (
+  SELECT doc, event_id, start, "end",
+         max("end") OVER (PARTITION BY doc ORDER BY start ASC, "end" DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM spans
+)
+SELECT doc, event_id, start, "end" FROM w
+WHERE prev_max_end IS NULL OR "end" > prev_max_end
+"""
+
+_SQL_DHOP = """
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d1 AS (
+  SELECT DISTINCT dst AS id FROM und WHERE src = 'c1'
+),
+d2 AS (
+  SELECT DISTINCT u.dst AS id FROM d1 JOIN und u ON u.src = d1.id
+  WHERE u.dst <> 'c1' AND u.dst NOT IN (SELECT id FROM d1)
+)
+SELECT id, 1 AS dist FROM d1
+UNION ALL
+SELECT id, 2 AS dist FROM d2
+"""
+
+
+def _titles_values_sql() -> str:
+    """Inline the deterministic synth titles as a VALUES relation."""
+    from spikex_spark.synth import gen_titles
+    rows = []
+    for r in gen_titles():
+        rt = "NULL" if r["redirect_to"] is None else str(r["redirect_to"])
+        props = "[" + ", ".join(f"'{p}'" for p in r["props"]) + "]"
+        rows.append(
+            f"({r['pageid']}, '{r['title']}', '{r['kind']}',"
+            f" {str(r['is_redirect']).lower()}, {rt}, {props})"
+        )
+    return ("(SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(pageid, title, kind, is_redirect, redirect_to, props))")
+
+
+def _sql_redirects() -> str:
+    t = _titles_values_sql()
+    return f"""
+WITH titles AS (SELECT * FROM {t}),
+hop1 AS (
+  SELECT title, pageid,
+         CASE WHEN is_redirect THEN redirect_to ELSE pageid END AS resolved
+  FROM titles
+)
+SELECT h.title, h.pageid,
+       CASE WHEN t2.is_redirect AND t2.redirect_to IS NOT NULL
+            THEN t2.redirect_to ELSE h.resolved END AS resolved_pageid
+FROM hop1 h LEFT JOIN titles t2 ON t2.pageid = h.resolved
+"""
+
+
+def _sql_dedup_pages() -> str:
+    t = _titles_values_sql()
+    return f"""
+WITH titles AS (SELECT * FROM {t})
+SELECT pageid, title FROM titles p
+WHERE kind = 'page'
+  AND NOT EXISTS (SELECT 1 FROM titles r
+                  WHERE r.is_redirect AND r.title = p.title)
+  AND NOT EXISTS (SELECT 1 FROM titles d
+                  WHERE d.kind = 'disambiguation' AND d.title = p.title)
 """
 
 
@@ -247,6 +534,115 @@ def _q_group_collect_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import simhash
+    return simhash(_read(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import simhash_near_dups
+    return simhash_near_dups(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_jaccard=0.5
+    )
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import minhash_near_dups
+    return minhash_near_dups(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", min_jaccard=0.7
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import language_id
+    return language_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import quality_score
+    return quality_score(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import token_counts
+    return token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import fingerprint
+    return fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.simsearch import cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN variant — rows-only check (hyperplane constants live driver-side)
+    from spikex_spark.operators.simsearch import lsh_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=5)
+
+
+def _q_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.windows import drop_contained
+    ev = _read(spark, sf_dir, "events")
+    # floor() explicitly — Spark's double→long cast truncates while DuckDB's
+    # ::bigint rounds; floor is unambiguous on both
+    start = F.floor(F.col("value") * 10).cast("long")
+    spans = ev.select(
+        F.col("user_id").alias("doc"),
+        "event_id",
+        start.alias("start"),
+        (start + F.col("event_id") % 50 + 1).alias("end"),
+    )
+    return drop_contained(spans)
+
+
+def _q_dhop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import d_hop_neighbors
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    roots = spark.createDataFrame([("c1",)], ["id"])
+    return d_hop_neighbors(edges, roots, d=2, directed=False)
+
+
+def _q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.relational import resolve_redirects
+    from spikex_spark.synth import gen_titles
+    titles = spark.createDataFrame(gen_titles())
+    return resolve_redirects(titles)
+
+
+def _q_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.relational import dedup_pages
+    from spikex_spark.synth import gen_titles
+    titles = spark.createDataFrame(gen_titles())
+    return dedup_pages(titles).select("pageid", "title")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -261,6 +657,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_max_events": _q_running_max_events,
         "group_agg_events": _q_group_agg_events,
         "group_collect_titles": _q_group_collect_titles,
+        "dedup_exact": _q_dedup_exact,
+        "simhash_docs": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprints": _q_fingerprint,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "spans_drop_contained": _q_drop_contained,
+        "dhop_neighbors": _q_dhop,
+        "redirect_resolution": _q_redirects,
+        "dedup_pages_anti": _q_dedup_pages,
     }
 
 
@@ -309,6 +720,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',')"
             " AS names FROM nation GROUP BY n_regionkey"
         ),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "simhash_docs": _SQL_SIMHASH,
+        "simhash_near_dups": _SQL_SIMHASH_PAIRS,
+        "ngram_jaccard_pairs": _SQL_NGRAM_JACC,
+        "minhash_near_dups": _SQL_MINHASH_NEAR,
+        "lang_id": _sql_lang_id(),
+        "quality_scores": _sql_quality(),
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "fingerprints": _SQL_FINGERPRINT,
+        "ann_cosine_topk": _SQL_ANN_TOPK,
+        # ann_lsh_topk intentionally omitted — hyperplane constants are
+        # driver-side; the driver records a rows-only check
+        "spans_drop_contained": _SQL_DROP_CONTAINED,
+        "dhop_neighbors": _SQL_DHOP,
+        "redirect_resolution": _sql_redirects(),
+        "dedup_pages_anti": _sql_dedup_pages(),
     }
 
 

@@ -1,0 +1,214 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five channels, each a ``queries()`` entry with a DuckDB oracle:
+
+* exact        — md5(text) hash-groupBy; keep min id per hash.
+* minhash_lsh  — char-shingle MinHash banding (see blocking.py) → bucket
+  join → verified Jaccard; the 100 TB workhorse.
+* simhash      — 60-bit simhash over tokens (md5-derived per-token hashes,
+  portable to DuckDB); near-dup = same band + hamming ≤ k.
+* ngram_jaccard— token n-gram Jaccard via explode + join + group (exact
+  similarity, no approximation; quadratic within shared-gram groups).
+* embedding    — cosine near-dup over an embedding column (simsearch.py).
+
+Scale notes: every channel is explode → shuffle-on-key → partial-agg; the
+quadratic risk is always the bucket/gram group size, capped the same way as
+ER blocks (salt/cap in blocking.py). simhash band join is the cheapest
+recall channel at scale (4 exact-match joins, no per-pair verify until
+hamming check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import blocking as B
+
+# 60-bit hash from the first 15 hex chars of md5 — positive int64 in Spark,
+# DuckDB ('0x'||substr(md5(x),1,15))::bigint, Python int(md5[:15], 16).
+_HASH_BITS = 60
+
+
+def _md5_60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, canonical_id, text_hash): groups of byte-identical texts.
+
+    canonical = min id per hash. Rows with unique text keep themselves as
+    canonical — output covers ALL rows (dedup = filter id == canonical_id).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    canon = hashed.groupBy("text_hash").agg(F.min("id").alias("canonical_id"))
+    return hashed.join(canon, "text_hash").select("id", "canonical_id", "text_hash")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 60-bit simhash over the distinct token set.
+
+    bit b of simhash = 1 iff sum over tokens of (token_hash bit b ? +1 : -1)
+    > 0. Implemented as explode(tokens) × explode(bits) → groupBy — pure
+    Catalyst, portable to the DuckDB oracle bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+    hashed = toks.select("id", _md5_60(F.col("token")).alias("h"))
+    bits = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(_HASH_BITS - 1))).alias("bit"),
+        "h",
+    ).select(
+        "id", "bit",
+        # shiftright() needs a literal in the Python API; SQL form takes a col
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+    )
+    votes = bits.groupBy("id", "bit").agg(F.sum("v").alias("s"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """(id_a, id_b, hamming): pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation = equality on any of ``bands`` bit-bands (15 bits
+    each) — a near-dup within the hamming budget shares ≥1 exact band when
+    max_hamming < bands (pigeonhole). Verification = bit_count(xor).
+    """
+    sh = simhash(df, id_col, text_col)
+    width = _HASH_BITS // bands
+    banded = sh.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    left = banded.select("band", "bval", F.col("id").alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    right = banded.select("band", "bval", F.col("id").alias("id_b"),
+                          F.col("simhash").alias("sh_b"))
+    cands = (
+        left.join(right, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+    """(id_a, id_b, jaccard): EXACT token-n-gram Jaccard over pairs sharing
+    ≥1 gram. Shared-gram join generates candidates; group sizes are the
+    skew knob (cap with blocking.cap_blocks for hub grams)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "),
+                    )
+                ),
+            ).otherwise(F.array(F.array_join(toks, " "))),
+        ).alias("gram"),
+    ).where(F.col("gram") != "")
+    counts = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(counts.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
+        .join(counts.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      min_jaccard: float = 0.7, k: int = 5,
+                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(id_a, id_b, jaccard): LSH candidates verified with EXACT shingle
+    Jaccard (the candidate set is approximate, the reported scores exact)."""
+    sh = B.shingle_df(df, id_col, text_col, k=k)
+    sig = B.minhash_signatures(sh, num_hashes=num_hashes)
+    buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
+    buckets = buckets.localCheckpoint(eager=False)
+    cands = (
+        buckets.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(buckets.select("band", "bucket", F.col("id").alias("id_b")),
+              ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh = sh.localCheckpoint(eager=False)
+    inter = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingle": "shingle_b"}), "id_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(counts.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(counts.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference parity: spikex kNN = gensim ``most_similar`` (J7,
+``pipes/clusters.py:111``) — a full-scan cosine top-k. Two paths:
+
+* ``cosine_topk``      — brute-force: query rows × corpus, native
+  ``F.zip_with``/``F.aggregate`` dot products (JVM, no UDF), window top-k.
+  The correctness baseline; O(Q·N) — fine when Q is small or N is blocked.
+* ``lsh_cosine_topk``  — scale path: random-hyperplane signs (deterministic,
+  md5-seeded projections) bucket the corpus; candidates come from matching
+  buckets (multi-probe = all bands), then exact cosine re-rank. Sub-linear
+  candidate sets at 100 TB; recall tunable via bands×bits.
+
+Scores are computed in float64 from the float32 column (cast first so the
+DuckDB oracle — which must also cast — matches bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over array<double> columns; 0.0 when either norm is 0."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        _dot(a, b) / (na * nb)
+    )
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_digits: int = 4) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos) — brute-force top-k per query.
+
+    ``queries``: same schema as corpus (typically a filtered subset).
+    Self-matches excluded. The corpus side is the big side — Catalyst
+    broadcasts the (small) query side.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — stable across
+    sessions/machines (no RNG state, resumable)."""
+    import hashlib
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"hp:{bit}:{d}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def lsh_signs(df: DataFrame, dim: int, bits: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, sig): random-hyperplane sign signature (bits wide) per vector.
+
+    Computed as one numpy matmul per Arrow batch (N×dim @ dim×bits) inside a
+    pandas UDF — building the projection as 16 inline Catalyst aggregates
+    over 64-literal arrays was codegen-bound (~40s for 500 rows)."""
+    planes = np.array([_hyperplane(dim, b) for b in range(bits)]).T  # dim×bits
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())            # N×dim (float32 -> float64)
+        proj = m.astype(np.float64) @ planes      # N×bits
+        return pd.Series(((proj > 0).astype(np.int64) * weights).sum(axis=1))
+
+    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sig"))
+
+
+def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 5, bits: int = 16, bands: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int = 4) -> DataFrame:
+    """ANN top-k: candidates share ≥1 sign-band with the query, exact cosine
+    re-rank. Bands of bits//bands bits each; recall rises with bands."""
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, label: str) -> DataFrame:
+        s = lsh_signs(df, dim, bits, id_col, vec_col)
+        return s.select(
+            F.col("id").alias(label),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit(mask)).alias("bval"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(label, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+    cands = (
+        banded(corpus, "neighbor_id")
+        .join(F.broadcast(banded(queries, "query_id")), ["band", "bval"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

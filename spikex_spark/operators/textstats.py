@@ -1,0 +1,109 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Catalyst (whole-stage codegen) — no Python in the hot path:
+
+* language-ID: stopword-hit heuristic over a small inline lexicon.
+* quality score: length / punctuation-ratio / stopword-ratio features.
+* token counting: whitespace tokens + a BPE-ish subword regex estimate.
+* document fingerprint: md5 of the normalized text (content-defined id).
+
+Each has an exact DuckDB oracle (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lexicons (top function words) — enough to
+# separate the synthetic corpus langs; a real deployment swaps in fastText.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_guess, lang_hits): language with most stopword hits;
+    deterministic tie-break on language code; 'und' when zero hits."""
+    # materialize the token array once — inlining it makes Catalyst
+    # re-tokenize per language (see blocking.shingle_df note)
+    tokd = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks"))
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    return tokd.select(
+        "id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, n_tokens, punct_ratio, stopword_ratio, quality).
+
+    quality ∈ [0,1]: 0.4·length_ok + 0.3·(1-punct_ratio) + 0.3·stopword_sat,
+    the standard cheap pre-filter shape for web-corpus curation.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9 ]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("double")
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_sat = F.least(sw_ratio * 5, F.lit(1.0))
+    quality = F.round(0.4 * length_ok + 0.3 * (1 - punct_ratio) + 0.3 * sw_sat, 6)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws_tokens, subword_est): whitespace token count + a BPE-ish
+    estimate (alnum runs + each punct char counts as one subword;
+    long alnum runs split every 4 chars — the GPT-ish chars/4 heuristic)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, "[ \t\n\x0b\f\r]+"), lambda t: t != ""))
+    alnum_runs = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+    subword = F.aggregate(
+        alnum_runs,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 \t\n\x0b\f\r]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws.alias("ws_tokens"),
+        (subword + n_punct).alias("subword_est"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp): md5 of the word-normalized text — a content-defined doc id
+    stable under case/punctuation/whitespace noise."""
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.array_join(toks, " ")).alias("fp"),
+    )

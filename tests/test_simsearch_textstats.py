@@ -1,0 +1,88 @@
+"""Similarity search (brute force + LSH) and text-analysis operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spikex_spark.operators import simsearch as SS
+from spikex_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [0.0, 0.95, 0.05, 0.0]),  # close to 2
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_cosine_topk_bruteforce(spark, vectors):
+    q = vectors.where("vec_id = 0")
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           SS.cosine_topk(vectors, q, k=2).orderBy("rank").collect()]
+    assert got[0][0] == 1               # nearest is vec 1
+    assert len(got) == 2
+    # verify the cosine value itself
+    row = SS.cosine_topk(vectors, q, k=1, round_digits=6).collect()[0]
+    expected = 0.9 / (1.0 * math.sqrt(0.9**2 + 0.1**2))
+    assert row["cos"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_lsh_recall_against_bruteforce(spark, vectors):
+    q = vectors.where("vec_id < 2")
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          SS.cosine_topk(vectors, q, k=1).collect()}
+    ann = {(r["query_id"], r["neighbor_id"]) for r in
+           SS.lsh_cosine_topk(vectors, q, dim=4, k=1, bits=8, bands=4).collect()}
+    # top-1 must survive LSH at this density
+    assert bf <= ann or bf == ann
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog is in the house"),
+         (2, "der Hund und die Katze ist nicht ein Tier"),
+         (3, "xyzzy qwerty")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r["lang_guess"] for r in
+           TS.language_id(docs, "doc_id", "text").collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+def test_quality_score_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox is in the garden with all of the others and that is fine for everyone involved today"),
+         (2, "!!! ??? ***"),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in TS.quality_score(docs, "doc_id", "text").collect()}
+    assert got[1]["quality"] > got[2]["quality"]
+    assert got[2]["punct_ratio"] > 0.5
+    assert got[3]["n_tokens"] == 0 and got[3]["quality"] is not None
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame([(1, "hello world, abcdefgh!")], ["doc_id", "text"])
+    r = TS.token_counts(docs, "doc_id", "text").collect()[0]
+    assert r["ws_tokens"] == 3
+    # subwords: hello(2) world(2) abcdefgh(2) + ',' + '!' = 8
+    assert r["subword_est"] == 8
+
+
+def test_fingerprint_normalization_invariance(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO world?"),
+         (4, "different words")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r["fp"] for r in TS.fingerprint(docs, "doc_id", "text").collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
