@@ -643,6 +643,51 @@ def _q_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pages(titles).select("pageid", "title")
 
 
+def _q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.matcher.stage import regex_match_counts
+    docs = _read(spark, sf_dir, "documents")
+    return regex_match_counts(docs, r"\b[a-z]+e\b").select(
+        F.col("id").alias("doc_id"), "n_matches"
+    )
+
+
+def _q_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.matcher import compile_patterns
+    from spikex_spark.matcher.stage import match_patterns
+    docs = _read(spark, sf_dir, "documents")
+    spec = compile_patterns({
+        "SCAN_JOIN": [[{"LOWER": "scan"}, {"OP": "?"}, {"LOWER": "join"}]],
+        "NUMBERED": [[{"LIKE_NUM": True}]],
+        "LONGWORD": [[{"LENGTH": {">=": 9}}]],
+    })
+    return match_patterns(docs, spec).select(
+        F.col("id").alias("doc_id"), "key", "start", "end", "surface"
+    )
+
+
+def _q_abbreviations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.pipes.abbrs import abbr_stage
+    # deterministic abbr-bearing fixture (documents corpus has no acronyms)
+    rows = [
+        (1, "the World Health Organization (WHO) said so"),
+        (2, "we use machine learning (ML) and entity resolution (ER) daily"),
+        (3, "the HTTP hypertext transfer protocol HTTP remains king"),
+        (4, "no abbreviations in this one"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return abbr_stage(docs).select(
+        F.col("id").alias("doc_id"), "short", "long", "short_start", "long_start"
+    )
+
+
+def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.pipes.sents import sent_stage
+    docs = _read(spark, sf_dir, "documents")
+    return sent_stage(docs).select(
+        F.col("id").alias("doc_id"), "sent_idx", "start", "end"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -672,6 +717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
         "dedup_pages_anti": _q_dedup_pages,
+        "regex_match_counts": _q_regex_counts,
+        "matcher_matches": _q_matcher,
+        "abbreviations": _q_abbreviations,
+        "sentence_split": _q_sentences,
     }
 
 
@@ -736,6 +785,12 @@ def oracle_sql() -> dict[str, str]:
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
         "dedup_pages_anti": _sql_dedup_pages(),
+        "regex_match_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text,"
+            r" '\b[a-z]+e\b')) AS n_matches FROM documents"
+        ),
+        # matcher_matches / abbreviations / sentence_split: Python-engine
+        # pipes (no SQL equivalent) — driver records rows-only checks
     }
 
 

@@ -1,0 +1,126 @@
+"""Abbreviation + sentence pipes: reference test tables ported.
+
+Sources: /root/reference/tests/pipes/test_abbrs.py (parametrized long/short
+table), test_sents.py (6-sentence fixture).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spikex_spark.pipes.abbrs import (
+    abbr_stage,
+    extract_abbreviations,
+    find_abbreviation,
+    short_form_ok,
+)
+from spikex_spark.pipes.sents import sent_stage, split_sentences
+
+
+def _long(text, short):
+    inner = short.strip("()")
+    b = find_abbreviation(text, inner)
+    return None if b is None else text[b[0]:b[1]]
+
+
+@pytest.mark.parametrize("short", ["(asa)", "ASA", "(as-9a)", "(AS-9A)"])
+def test_acronyms_base(short):
+    text = "this is another short abbreviation"
+    assert _long(text, short).split() == text.split()[-3:]
+
+
+@pytest.mark.parametrize("short", ["(asa)", "ASA"])
+def test_acronyms_with_middle_words(short):
+    text = "this is another short in abbreviation"
+    assert _long(text, short).split() == text.split()[-4:]
+
+
+@pytest.mark.parametrize("short", ["(asa)", "ASA", "-- (ASA)"])
+def test_acronyms_bad_long_form(short):
+    assert _long("this is not our short abbreviation", short) is None
+
+
+@pytest.mark.parametrize("short", ["(afbrv)", "AFBRV", "TSO"])
+def test_acronyms_bad_short_form(short):
+    assert _long("this is a short abbreviation", short) is None
+
+
+@pytest.mark.parametrize("short", ["(abbrv)", "ABBRV", "(abb-9rv)"])
+def test_singleword_long_form(short):
+    assert _long("abbreviation", short) == "abbreviation"
+
+
+@pytest.mark.parametrize("short", ["(abbrn)", "ABBRN", "(abb-9rv)"])
+def test_multiword_long_form(short):
+    text = "more words are considered aaaabbreviation"
+    assert _long(text, short).split() == text.split()[-1:]
+
+
+@pytest.mark.parametrize(
+    "text,short,long",
+    [
+        ("this is my abbr (MA)", "MA", "my abbr"),
+        ("this is other abbr OA", "OA", "other abbr"),
+        ("this is TC (too cool)", "TC", "too cool"),
+    ],
+)
+def test_detection_single(text, short, long):
+    found = extract_abbreviations(text)
+    assert any(r["short"] == short and r["long"] == long for r in found), found
+
+
+def test_short_form_filter():
+    assert short_form_ok("ASA")
+    assert not short_form_ok("a")                    # too short
+    assert not short_form_ok("abcdefghijk")          # too long
+    assert not short_form_ok("12%$")                 # not alpha-led
+    assert not short_form_ok("9ab")                  # first char not alpha
+
+
+def test_reference_sentence_fixture():
+    sents = [
+        "This is a bullet list that we want to be a unique sentence:\n"
+        "\ta) the first bullet;\n\tb) the second bullet;\n"
+        "\tc) a bullet with nested bullets:\n"
+        "\t\t1) first nested bullet;\t\t2) second nested bullet."
+        "\td) last bullet.\n",
+        "Paragraph title ",
+        "The title was misformatted with the text. ",
+        "Now we try to split on abbreviations like Figs. 1 or Fig. 2. ",
+        "They can create confusion, like No.42 or eg. Num. 42 or U.S.; ",
+        "these are some cases, but there could it be more out there.",
+    ]
+    text = "".join(sents)
+    spans = split_sentences(text)
+    assert len(spans) == len(sents)
+    for (s, e), want in zip(spans, sents):
+        assert text[s:e] == want.strip()
+
+
+def test_simple_splits():
+    text = "Hello world. This is fine! Is it? Yes."
+    got = [text[s:e] for s, e in split_sentences(text)]
+    assert got[0] == "Hello world."
+    assert len(got) >= 3
+
+
+def test_abbr_stage_spark(spark):
+    docs = spark.createDataFrame(
+        [(1, "we use machine learning (ML) daily"),
+         (2, "nothing here"), (3, None)],
+        ["doc_id", "text"],
+    )
+    got = {(r["id"], r["short"], r["long"]) for r in abbr_stage(docs).collect()}
+    assert (1, "ML", "machine learning") in got
+    assert all(r[0] == 1 for r in got)
+
+
+def test_sent_stage_spark(spark):
+    docs = spark.createDataFrame(
+        [(1, "One sentence. Another one here."), (2, None)],
+        ["doc_id", "text"],
+    )
+    rows = sent_stage(docs).orderBy("sent_idx").collect()
+    assert [r["sentence"] for r in rows] == ["One sentence.", "Another one here."]
+    # offsets are real char offsets into the original text
+    assert rows[0]["start"] == 0 and rows[1]["end"] == 31
