@@ -688,6 +688,54 @@ def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window agg over the events table,
+    drained with availableNow — oracle = the equivalent batch SQL."""
+    from pyspark.sql import types as T
+
+    from spikex_spark.streaming.stream import run_to_memory
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    # file streams need a DIRECTORY source; stage the single parquet file
+    import hashlib as _hl
+    import shutil
+    from pathlib import Path
+    src = Path(f"{sf_dir}/events.parquet")
+    stage_dir = Path("/tmp/spikex_stream") / _hl.md5(str(src).encode()).hexdigest()
+    stage_dir.mkdir(parents=True, exist_ok=True)
+    dst = stage_dir / "events.parquet"
+    if not dst.exists():
+        shutil.copyfile(src, dst)
+    stream = spark.readStream.schema(schema).parquet(str(stage_dir))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    return run_to_memory(agg, "q_stream_windowed", mode="complete")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.multimodal import MEDIA_SCHEMA, decode_features, gen_media
+    media = spark.createDataFrame(gen_media(30), schema=MEDIA_SCHEMA)
+    feats = decode_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, v: a + v * v), 4).alias("feat_sq_norm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -721,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_matches": _q_matcher,
         "abbreviations": _q_abbreviations,
         "sentence_split": _q_sentences,
+        "stream_windowed_counts": _q_stream_windowed,
+        "media_features": _q_media_features,
     }
 
 
@@ -789,8 +839,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text,"
             r" '\b[a-z]+e\b')) AS n_matches FROM documents"
         ),
-        # matcher_matches / abbreviations / sentence_split: Python-engine
-        # pipes (no SQL equivalent) — driver records rows-only checks
+        # matcher_matches / abbreviations / sentence_split / media_features:
+        # Python-engine pipes (no SQL equivalent) — rows-only checks
+        "stream_windowed_counts": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+            " AS window_start, event_type, count(*) AS n,"
+            " round(sum(value), 4) AS sum_value"
+            " FROM events GROUP BY 1, 2"
+        ),
     }
 
 

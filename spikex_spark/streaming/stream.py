@@ -1,0 +1,86 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (SURVEY.md §2.9) — its only incremental path
+is the generator-based dump parse. This module makes the engine's stages
+Structured-Streaming-ready: every batch stage is a pure DataFrame transform,
+so the same functions compose behind ``readStream``. Provided here:
+
+* ``stream_pages``        — file-source stream over a pages/documents dir
+  (schema-pinned; no inference on streams).
+* ``windowed_mention_counts`` — event-time tumbling window + watermark agg
+  (late data bounded by the watermark).
+* ``streaming_dedup``     — stateful exact dedup via ``dropDuplicates``
+  within the watermark (the streaming face of dedup.exact_duplicates).
+* ``run_to_memory``       — test/bench harness: drain a stream into an
+  in-memory table and return the result.
+
+Scale notes: watermark bounds state; dedup state is keyed by content hash
+(uniform) so no skew; checkpointLocation gives exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def stream_pages(spark: SparkSession, path: str,
+                 schema: T.StructType = PAGES_SCHEMA,
+                 max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_mention_counts(stream: DataFrame, window: str = "1 hour",
+                            watermark: str = "2 hours",
+                            ts_col: str = "warc_ts",
+                            lang_col: str = "lang") -> DataFrame:
+    """Tumbling-window page counts per lang with late-data watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(lang_col))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(lang_col).alias("lang"),
+            "n_pages",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, ts_col: str = "warc_ts",
+                    text_col: str = "text",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Exact near-line dedup: first arrival per content hash wins; state
+    expires past the watermark."""
+    hashed = stream.withColumn("text_hash", F.md5(F.col(text_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicates(
+        ["text_hash"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  mode: str = "append") -> DataFrame:
+    """Drain all available input into an in-memory table (tests/bench)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

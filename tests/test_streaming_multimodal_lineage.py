@@ -1,0 +1,153 @@
+"""Streaming, multimodal plumbing, and the resumable lineage ledger."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- streaming ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    from spikex_spark import synth
+    from spikex_spark.streaming.stream import PAGES_SCHEMA
+
+    d = tmp_path_factory.mktemp("pages_stream")
+    df = spark.createDataFrame(synth.gen_pages(60), schema=PAGES_SCHEMA)
+    df.repartition(3).write.mode("overwrite").parquet(str(d / "pages"))
+    return str(d / "pages")
+
+
+def test_windowed_counts_match_batch(spark, pages_dir):
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        stream_pages,
+        windowed_mention_counts,
+    )
+
+    stream = stream_pages(spark, pages_dir)
+    assert stream.isStreaming
+    # complete mode: append would only emit windows already past the
+    # watermark, and a single availableNow drain never closes the last ones
+    got = run_to_memory(
+        windowed_mention_counts(stream, window="1 hour"), "win_counts",
+        mode="complete",
+    )
+    batch = (
+        spark.read.parquet(pages_dir)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
+    )
+    g = {(r["window_start"], r["lang"]): r["n_pages"] for r in got.collect()}
+    b = {(r["window_start"], r["lang"]): r["n_pages"] for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_streaming_dedup_first_wins(spark, pages_dir):
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        stream_pages,
+        streaming_dedup,
+    )
+
+    stream = stream_pages(spark, pages_dir)
+    got = run_to_memory(streaming_dedup(stream), "dedup_stream")
+    n_distinct = (
+        spark.read.parquet(pages_dir).select(F.md5("text")).distinct().count()
+    )
+    assert got.count() == n_distinct
+
+
+# --- multimodal --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    from spikex_spark.multimodal import MEDIA_SCHEMA, gen_media
+
+    return spark.createDataFrame(gen_media(21), schema=MEDIA_SCHEMA).cache()
+
+
+def test_decode_features_shape_and_determinism(spark, media_df):
+    from spikex_spark.multimodal import _fake_features, decode_features
+
+    rows = decode_features(media_df).collect()
+    assert len(rows) == 21
+    assert all(len(r["features"]) == 16 for r in rows)
+    payload = media_df.where("media_id = 0").collect()[0]["payload"]
+    got = dict((r["media_id"], r["features"]) for r in rows)[0]
+    assert got == pytest.approx(_fake_features(bytes(payload)), abs=1e-6)
+
+
+def test_resize_and_frame_sampling(spark, media_df):
+    from spikex_spark.multimodal import resize_images, sample_frames
+
+    resized = resize_images(media_df.where("kind = 'image'"), 32, 32).collect()
+    assert all(r["width"] == 32 and len(r["resized"]) == 16 for r in resized)
+
+    frames = sample_frames(media_df.where("kind = 'video'"), every_ms=1000)
+    per_media = {}
+    for r in frames.collect():
+        per_media.setdefault(r["media_id"], []).append(r["ts_ms"])
+    durations = {r["media_id"]: r["duration_ms"]
+                 for r in media_df.where("kind = 'video'").collect()}
+    for mid, ts_list in per_media.items():
+        assert len(ts_list) == durations[mid] // 1000
+        assert sorted(ts_list) == [i * 1000 for i in range(len(ts_list))]
+
+
+def test_decode_stub_raises_without_fake(spark, media_df, monkeypatch):
+    import os
+
+    from spikex_spark.multimodal import decode_features
+
+    monkeypatch.setitem(os.environ, "SPIKEX_SPARK_FAKE_DECODE", "0")
+    df = decode_features(media_df)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        df.collect()
+
+
+# --- lineage ledger ----------------------------------------------------------
+
+def test_run_stage_idempotent_resume(spark, tmp_path):
+    from spikex_spark.lineage import ledger_summary, run_stage
+
+    ledger = str(tmp_path / "ledger")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    out1 = run_stage(spark, ledger, "10_test", build, input_fingerprint="fp1")
+    assert out1.count() == 100 and calls["n"] == 1
+    # resume: same fingerprint -> no rebuild
+    out2 = run_stage(spark, ledger, "10_test", build, input_fingerprint="fp1")
+    assert out2.count() == 100 and calls["n"] == 1
+    # changed input -> rebuild
+    run_stage(spark, ledger, "10_test", build, input_fingerprint="fp2")
+    assert calls["n"] == 2
+    meta = ledger_summary(ledger)[0]
+    assert meta["status"] == "COMPLETE" and meta["rows"] == 100
+    assert sum(p["rows"] for p in meta["partitions"]) == 100
+
+
+def test_resumable_pipeline_matches_oneshot(spark, tmp_path):
+    from spikex_spark.lineage import ledger_summary, resolve_documents_resumable
+    from spikex_spark.pipeline import resolve_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ledger = str(tmp_path / "pipeline_ledger")
+    res = resolve_documents_resumable(spark, docs, ledger, fingerprint="sf0.001")
+    oneshot = resolve_documents(docs)
+    a = {(r["doc_id"], r["cluster_id"]) for r in res.collect()}
+    b = {(r["doc_id"], r["cluster_id"]) for r in oneshot.collect()}
+    assert a == b
+    stages = [m["stage"] for m in ledger_summary(ledger)]
+    assert stages == ["10_buckets", "20_pairs", "30_scores", "40_clusters"]
+    # resume path: rerun touches no stage (ledger short-circuit)
+    res2 = resolve_documents_resumable(spark, docs, ledger, fingerprint="sf0.001")
+    assert res2.count() == docs.count()
