@@ -61,20 +61,29 @@ _N_HASHES = 16
 _BANDS = 4
 _RPB = _N_HASHES // _BANDS
 
-_SQL_MINHASH = (
-    "WITH shingles AS (" + _SQL_SHINGLES + ")\nSELECT doc_id, "
-    + ", ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(_N_HASHES)
+
+def _minhash_sql() -> str:
+    from spikex_spark.operators.blocking import MINHASH_A, MINHASH_B, MINHASH_P
+    mins = ", ".join(
+        f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}) AS mh{s}"
+        for s in range(_N_HASHES)
     )
-    + " FROM shingles GROUP BY doc_id"
-)
+    return (
+        "WITH shingles AS (" + _SQL_SHINGLES + "),\n"
+        "hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::bigint"
+        " AS h FROM shingles)\n"
+        f"SELECT doc_id, {mins} FROM hashed GROUP BY doc_id"
+    )
+
+
+_SQL_MINHASH = _minhash_sql()
 
 _SQL_BUCKETS = (
     "WITH mh AS (" + _SQL_MINHASH + ")\n"
     + "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, md5("
         + " || '|' || ".join(
-            f"'{s}=' || mh{s}" for s in range(b * _RPB, (b + 1) * _RPB)
+            f"'{s}=' || mh{s}::varchar" for s in range(b * _RPB, (b + 1) * _RPB)
         )
         + ") AS bucket FROM mh"
         for b in range(_BANDS)
@@ -736,6 +745,29 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 (mean vector per group): per-label per-dimension mean
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("mean_val"))
+        .withColumn("pos", F.col("pos") + 1)
+    )
+
+
+def _q_ball_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G4 (radial ball clustering) per label group — Python semantics,
+    # rows-only check
+    from spikex_spark.pipes.clusters import cluster_stage
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "label", F.col("vec_id").cast("string").alias("key"), F.col("embedding").alias("vector")
+    )
+    return cluster_stage(emb, "label", min_score=0.65).select(
+        F.col("group").alias("label"), "cluster_id", "key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -771,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentences,
         "stream_windowed_counts": _q_stream_windowed,
         "media_features": _q_media_features,
+        "embedding_mean_per_label": _q_embedding_mean,
+        "ball_clusters": _q_ball_clusters,
     }
 
 
@@ -847,6 +881,12 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(value), 4) AS sum_value"
             " FROM events GROUP BY 1, 2"
         ),
+        "embedding_mean_per_label": (
+            "SELECT label, i AS pos, round(avg(embedding[i]), 6) AS mean_val"
+            " FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)"
+            " GROUP BY 1, 2"
+        ),
+        # ball_clusters: Python ball-mapper semantics — rows-only
     }
 
 

@@ -83,37 +83,36 @@ def ngram_candidates(df: DataFrame, id_col: str, text_col: str,
     Output: (id, start, n, ngram, surface) — ``ngram`` in key space,
     ``surface`` the raw underscore-joined slice (for scoring).
     """
+    # ONE projection + ONE explode for all n in 1..max_n — a per-n union
+    # re-scanned (and re-tokenized) the input max_n times; columns _raw/_norm
+    # are materialized first so the gram transform sees column refs, not the
+    # tokenization expression (see shingle_df note on inline re-evaluation)
     raw = F.filter(F.split(F.col(text_col), _WORD_SEP), lambda t: t != "")
     base = df.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias("id"),
         raw.alias("_raw"),
         F.transform(raw, lambda t: F.regexp_replace(F.lower(t), _NON_ALNUM, "")).alias("_norm"),
     )
-    grams = None
-    for n in range(1, max_n + 1):
-        g = base.select(
-            "_id",
-            F.posexplode(
-                F.when(
-                    F.size("_raw") >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_raw") - n + 1),
-                        lambda i: F.struct(
-                            F.array_join(F.slice("_norm", i, n), " ").alias("ngram"),
-                            F.array_join(F.slice("_raw", i, n), " ").alias("surface"),
-                        ),
-                    ),
-                ).otherwise(F.array()),
-            ).alias("start", "g"),
-        ).select(
-            F.col("_id").alias("id"),
-            F.col("start"),
-            F.lit(n).alias("n"),
-            F.col("g.ngram").alias("ngram"),
-            F.col("g.surface").alias("surface"),
+    rawc, normc = F.col("_raw"), F.col("_norm")
+    grams = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(rawc)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_n), F.size(rawc) - i + 1)),
+                lambda n: F.struct(
+                    i.alias("start"),
+                    n.alias("n"),
+                    F.array_join(F.slice(normc, i, n), " ").alias("ngram"),
+                    F.array_join(F.slice(rawc, i, n), " ").alias("surface"),
+                ),
+            ),
         )
-        grams = g if grams is None else grams.unionByName(g)
-    return grams.where(F.col("ngram") != "")
+    )
+    return (
+        base.select("id", F.explode(grams).alias("g"))
+        .select("id", "g.start", "g.n", "g.ngram", "g.surface")
+        .where(F.col("ngram") != "")
+    )
 
 
 def mentions(pages_df: DataFrame, title_keys_df: DataFrame,
@@ -133,21 +132,17 @@ def mentions(pages_df: DataFrame, title_keys_df: DataFrame,
         keys = F.broadcast(keys)
     hits = cands.join(keys, cands.ngram == keys.key, "inner").drop("ngram")
 
-    # leftmost-longest per (id, start): O4
-    w_start = Window.partitionBy("id", "start").orderBy(F.desc("n"))
-    hits = (
-        hits.withColumn("rn", F.row_number().over(w_start))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    # drop matches contained in a longer match that started earlier: O2-style
-    # running max of (start + n) over preceding rows
+    # ONE window pass by id does both O4 (same-start: keep longest) and O2
+    # (contained-span drop): in (start asc, n desc) scan order a row survives
+    # iff its end exceeds the running max end of ALL preceding rows — a
+    # shorter same-start row always fails that test against the longer one,
+    # so the separate per-(id,start) row_number shuffle is redundant.
     w_prev = (
         Window.partitionBy("id")
         .orderBy(F.asc("start"), F.desc("n"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    hits = (
+    return (
         hits.withColumn("prev_end", F.max(F.col("start") + F.col("n")).over(w_prev))
         .where(
             F.col("prev_end").isNull()
@@ -155,7 +150,86 @@ def mentions(pages_df: DataFrame, title_keys_df: DataFrame,
         )
         .drop("prev_end")
     )
-    return hits
+
+
+def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
+                       id_col: str = "url", text_col: str = "extracted",
+                       max_n: int = 4) -> DataFrame:
+    """Broadcast-dictionary mention detection (reference strategy (a):
+    the Aho-Corasick trie shipped into the matcher, ``wikigraph.py:231-270``).
+
+    The normalized key set rides the UDF closure (Spark broadcasts task
+    binaries; a spaCy-scale 20M-title set would use ``sc.broadcast``); each
+    doc is scanned once in Python per Arrow batch — no join, no window
+    shuffle, and identical output to ``mentions`` (the n-gram join path),
+    enforced by tests. Use the join path when the dictionary cannot be
+    broadcast.
+    """
+    import pandas as pd
+
+    # explicit broadcast: a closure-captured set is re-pickled and re-shipped
+    # with EVERY task (128 tasks × MBs of keys); a broadcast variable is
+    # fetched and unpickled once per worker process
+    sc = pages_df.sparkSession.sparkContext
+    bkeys = sc.broadcast(frozenset(keys))
+    out_schema = (
+        f"id {pages_df.schema[id_col].dataType.simpleString()},"
+        " start int, n int, surface string, key string"
+    )
+
+    def scan_doc(text: str, keyset):
+        raw = [t for t in _re_split(text) if t]
+        norm = [_norm_word(t) for t in raw]
+        matches = []
+        for i in range(len(raw)):
+            for n in range(min(max_n, len(raw) - i), 0, -1):
+                # NO empty-token filtering inside the gram — mirrors the join
+                # path's array_join over the unfiltered norm slice exactly
+                key = " ".join(norm[i:i + n])
+                if key and key in keyset:
+                    matches.append((i + 1, n, " ".join(raw[i:i + n]), key))
+        # same semantics as the O2/O4 window: (start asc, n desc) scan,
+        # keep iff end exceeds the running max end of ALL prior rows
+        matches.sort(key=lambda m: (m[0], -m[1]))
+        out = []
+        running = None
+        for start, n, surface, key in matches:
+            end = start + n
+            if running is None or end > running:
+                out.append((start, n, surface, key))
+            running = end if running is None else max(running, end)
+        return out
+
+    def run(batches):
+        keyset = bkeys.value
+        for pdf in batches:
+            rows = {"id": [], "start": [], "n": [], "surface": [], "key": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for start, n, surface, key in scan_doc(text, keyset):
+                    rows["id"].append(did)
+                    rows["start"].append(start)
+                    rows["n"].append(n)
+                    rows["surface"].append(surface)
+                    rows["key"].append(key)
+            yield pd.DataFrame(rows)
+
+    return pages_df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+import re as _re_mod
+
+_RE_WORD_SEP = _re_mod.compile(r"[_ ]+")
+_RE_NON_ALNUM_PY = _re_mod.compile(r"[^a-z0-9]+")
+
+
+def _re_split(text: str) -> list[str]:
+    return _RE_WORD_SEP.split(text)
+
+
+def _norm_word(t: str) -> str:
+    return _RE_NON_ALNUM_PY.sub("", t.lower())
 
 
 def block_members(mentions_df: DataFrame, title_keys_df: DataFrame) -> DataFrame:
@@ -223,20 +297,38 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFra
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """Wide MinHash signature per id: (id, mh0..mh{n-1}).
+# universal-hash constants for arithmetic MinHash: mh_i = (a_i·h + b_i) mod p
+# with h = first 8 md5 hex chars of the shingle (32-bit). ONE md5 per shingle
+# (the md5-per-seed variant cost 16× the hashing) and every operation is
+# portable integer arithmetic — DuckDB reproduces signatures bit-for-bit.
+MINHASH_P = 2_147_483_647  # 2^31 - 1; a_i·h + b_i < 2^52, safe under ANSI int64
+MINHASH_A = [999983, 999979, 999961, 999959, 999953, 999931, 999917, 999907,
+             999883, 999863, 999853, 999809, 999773, 999769, 999763, 999749]
+MINHASH_B = [15487469, 15487291, 15487103, 15486977, 15486869, 15486719,
+             15486481, 15486347, 15486173, 15485989, 15485867, 15485863,
+             15485857, 15485849, 15485843, 15485761]
 
-    One narrow groupBy with n ``min(md5(seed:shingle))`` aggregates — the
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Wide MinHash signature per id: (id, mh0..mh{n-1}) as longs.
+
+    One narrow groupBy with n ``min((a_i·h + b_i) mod p)`` aggregates — the
     mins combine map-side (partial agg), so the shuffle carries ONE row per
-    id, not num_hashes× the shingle table (the naive seed-explode was 16×
-    the shuffle volume and dominated the sf0.1 bench). md5 (not xxhash64)
-    so DuckDB reproduces signatures bit-for-bit — the oracle requirement.
+    id, not num_hashes× the shingle table.
     """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hashes supported")
+    hashed = shingles.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long").alias("_h"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(F.pmod(F.lit(MINHASH_A[s]) * F.col("_h") + F.lit(MINHASH_B[s]),
+                     F.lit(MINHASH_P))).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_buckets(signatures: DataFrame, bands: int = 4,
@@ -249,7 +341,7 @@ def lsh_buckets(signatures: DataFrame, bands: int = 4,
     entries = []
     for b in range(bands):
         parts = [
-            F.concat(F.lit(f"{s}="), F.col(f"mh{s}"))
+            F.concat(F.lit(f"{s}="), F.col(f"mh{s}").cast("string"))
             for s in range(b * rows_per_band, (b + 1) * rows_per_band)
         ]
         entries.append(

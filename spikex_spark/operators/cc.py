@@ -66,25 +66,77 @@ def _small_star(e: DataFrame) -> DataFrame:
     return _canon(linked)
 
 
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _driver_union_find(rows: list) -> list[tuple]:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the representative IS the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         small_graph_threshold: int = SMALL_GRAPH_EDGES) -> DataFrame:
     """Return (id, component) — component = min node id reachable.
 
+    Adaptive physical strategy: the match-edge graph after blocking+scoring
+    is usually TINY relative to the corpus (most pages are singletons), so
+    when the deduped edge count fits comfortably on the driver we run
+    union-find there in one job — large-star/small-star pays ~4 shuffles +
+    a checkpoint PER ROUND, which is pure overhead below millions of edges.
+    Above the threshold the O(log n)-round distributed algorithm runs.
     ``edges`` may use any orderable id type; isolated nodes don't appear
     (callers union them back with component = own id).
     """
+    spark = edges.sparkSession
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint()
+    n_edges = e.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], schema=e.select(
+            F.col("a").alias("id"), F.col("a").alias("component")).schema)
+    if n_edges <= small_graph_threshold:
+        # Arrow transfer (toPandas), NOT collect(): py4j row serialization of
+        # hundreds of thousands of rows is 30-60s and wildly variable
+        pdf = e.toPandas()
+        assignments = _driver_union_find(
+            list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+        )
+        return spark.createDataFrame(assignments, schema=e.select(
+            F.col("a").alias("id"), F.col("a").alias("component")).schema)
+    prev_sig = None
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # converged when edge sets are identical (both are canonical+distinct)
-        changed = (
-            e2.join(e, ["a", "b"], "left_anti").limit(1).count()
-            + e.join(e2, ["a", "b"], "left_anti").limit(1).count()
+        # convergence: (count, order-insensitive hash) fingerprint — one
+        # cheap agg instead of two anti-joins per round
+        sig = tuple(
+            e2.agg(
+                F.count("*"),
+                # decimal sum: int64 would overflow under ANSI mode
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+            ).collect()[0]
         )
         e = e2
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     # converged stars are rooted at the component MIN, so in canonical
     # (a < b) form the root is `a` and members are `b`
     members = e.select(F.col("b").alias("id"), F.col("a").alias("component"))

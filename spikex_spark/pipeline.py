@@ -37,6 +37,20 @@ class ERConfig:
     block_cap: int = 10_000
     nsalt: int = 16
     use_arrow_extract: bool = True
+    # dictionaries up to this many keys ship into the Arrow scan stage
+    # (reference broadcast-trie strategy); larger ones use the n-gram join
+    broadcast_keys_max: int = 2_000_000
+
+
+def _mentions(extracted: DataFrame, keys: DataFrame, cfg: ERConfig,
+              id_col: str) -> DataFrame:
+    distinct_keys = keys.select("key").distinct()
+    if distinct_keys.count() <= cfg.broadcast_keys_max:
+        keyset = [r["key"] for r in distinct_keys.collect()]
+        return B.mentions_broadcast(extracted, keyset, id_col=id_col,
+                                    text_col="extracted", max_n=cfg.max_ngram)
+    return B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
+                      max_n=cfg.max_ngram)
 
 
 def resolve_entities(pages: DataFrame, titles: DataFrame,
@@ -45,9 +59,12 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
     """(url, cluster_id, block_key, surface) — entity clusters over pages."""
     extracted = extract_stage(pages.select(id_col, text_col), text_col)
     keys = B.title_keys(titles)
-    ments = B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
-                       max_n=cfg.max_ngram)
+    ments = _mentions(extracted, keys, cfg, id_col)
     blocks = B.block_members(ments, keys)
+    # blocks feeds block_sizes, both sides of the pair self-join, and the
+    # surface lookup — checkpoint once instead of recomputing the whole
+    # extract→mention chain for each consumer (ledger write at cluster scale)
+    blocks = blocks.localCheckpoint()  # eager: lazy+AQE showed unstable re-plans
     blocks = B.salt_blocks(blocks, cap=cfg.block_cap, nsalt=cfg.nsalt)
     pairs = P.candidate_pairs(blocks, salted=True)
     scored = S.score_pairs(pairs, jw_weight=cfg.jw_weight)
@@ -80,7 +97,7 @@ def doc_candidate_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
     # shingle→minhash chain for BOTH sides (no ReusedExchange across the
     # aliased projections; measured 2× at sf0.1). At cluster scale this is
     # the stage-ledger checkpoint (write to parquet/Iceberg, read back).
-    buckets = buckets.localCheckpoint(eager=False)
+    buckets = buckets.localCheckpoint()
     left = buckets.select("band", "bucket", F.col("id").alias("id_a"))
     right = buckets.select("band", "bucket", F.col("id").alias("id_b"))
     return (
@@ -157,9 +174,8 @@ def scored_pairs(pages: DataFrame, titles: DataFrame,
     is_match). Gold pairs join on (id_a, id_b)."""
     extracted = extract_stage(pages.select(id_col, text_col), text_col)
     keys = B.title_keys(titles)
-    ments = B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
-                       max_n=cfg.max_ngram)
-    blocks = B.block_members(ments, keys)
+    ments = _mentions(extracted, keys, cfg, id_col)
+    blocks = B.block_members(ments, keys).localCheckpoint()
     blocks = B.salt_blocks(blocks, cap=cfg.block_cap, nsalt=cfg.nsalt)
     pairs = P.candidate_pairs(blocks, salted=True)
     scored = S.score_pairs(pairs, jw_weight=cfg.jw_weight)

@@ -43,7 +43,26 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only: the driver heap IS the executor memory;
+        # size it for 32 concurrent tasks with array-heavy rows
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/checkpoint scratch on tmpfs: the sandbox block device has
+        # slow, bursty writeback (load-avg spikes from flush kworkers) that
+        # made identical runs vary 16s-113s; on a real cluster this is the
+        # usual fast local SSD / NVMe scratch
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # shuffle-merge transferTo mmaps partition files — on tmpfs the
+        # concurrent map/unmap calls serialized in the kernel (80% sys time)
+        .config("spark.file.transferTo", "false")
+        # whole-stage codegen for the ER plan exceeds HotSpot's
+        # DontCompileHugeMethods bytecode limit, leaving the hot loop
+        # INTERPRETED (measured 150x CPU inflation, 1227s vs 8s for one
+        # stage); let the JIT compile huge generated methods
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:-DontCompileHugeMethods"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

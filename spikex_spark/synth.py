@@ -100,6 +100,50 @@ def gen_pages(n: int = 200, seed: int = 42) -> list[dict]:
     return rows
 
 
+def gen_pages_scaled(n: int = 100_000, seed: int = 42,
+                     pages_per_entity: int = 5, n_hub: int = 2000,
+                     n_boiler: int = 2000) -> tuple[list[tuple], list[tuple]]:
+    """Scaling-benchmark corpus: (pages, titles) with REALISTIC growth.
+
+    Unlike ``gen_pages`` (8 fixed entities whose clusters grow with n —
+    quadratic pair counts), here the ENTITY COUNT grows with n and cluster
+    size stays ~pages_per_entity, matching how a web corpus scales: pair and
+    edge counts are O(n), hub/boilerplate pages stay bounded. Returns plain
+    tuples (url, text) and (title rows) to keep 100k-row driver generation
+    cheap.
+    """
+    rng = random.Random(seed)
+    n_entity_pages = max(0, n - n_hub - n_boiler)
+    n_entities = max(1, n_entity_pages // pages_per_entity)
+    pages: list[tuple] = []
+    titles: list[tuple] = [(1, "Hub_topic", "page", False, None, [])]
+    uid = 0
+
+    def emit(text: str, tag: str) -> None:
+        nonlocal uid
+        pages.append((f"https://sc{uid % 13}.org/{tag}/{uid:08d}", text))
+        uid += 1
+
+    for e in range(n_entities):
+        canonical = f"Entity_{e:07d}_(kind{e % 7})"
+        titles.append((100 + e, canonical, "page", False, None, []))
+        mention = canonical.replace("_", " ")
+        variants = [mention, mention.lower(), mention.upper()]
+        for p in range(pages_per_entity):
+            if uid >= n_entity_pages:
+                break
+            noise = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(6, 18)))
+            emit(f"{noise} {variants[p % 3]} {rng.choice(_FILLER)}", f"e{e % 97}")
+    while uid < n_entity_pages:
+        emit(" ".join(rng.choice(_FILLER) for _ in range(10)), "pad")
+    for _ in range(min(n_hub, n - uid)):
+        noise = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(5, 12)))
+        emit(f"Hub topic {noise}", "hub")
+    while uid < n:
+        emit(f"{_BOILERPLATE} {rng.choice(_FILLER)}", "boiler")
+    return pages, titles
+
+
 def gen_titles(seed: int = 42) -> list[dict]:
     """`titles` dimension (FIXTURES.md §2) incl. a two-hop redirect chain."""
     rows = []

@@ -39,6 +39,21 @@ def test_mentions_longest_match_wins(spark, titles_df):
     assert ("u3", "New York City") in got
 
 
+def test_mentions_broadcast_equals_join_path(spark, pages_df, titles_df):
+    ext = extract_stage(pages_df.select("url", "text"))
+    keys = B.title_keys(titles_df)
+    join_path = {
+        (r["id"], r["start"], r["n"], r["surface"], r["key"])
+        for r in B.mentions(ext, keys, "url", "extracted").collect()
+    }
+    keyset = [r["key"] for r in keys.select("key").distinct().collect()]
+    udf_path = {
+        (r["id"], r["start"], r["n"], r["surface"], r["key"])
+        for r in B.mentions_broadcast(ext, keyset, "url", "extracted").collect()
+    }
+    assert join_path == udf_path and len(join_path) > 0
+
+
 def test_block_members_maps_full_to_clean_key(spark, titles_df):
     pages = spark.createDataFrame(
         [("u1", "Apple (company) news"), ("u2", "an Apple (fruit) pie")],
@@ -84,13 +99,17 @@ def test_shingles_match_pure_python(spark):
         assert got[did] == set(char_shingles(text, 5)), did
 
 
-def test_minhash_uses_portable_md5(spark):
+def test_minhash_uses_portable_arithmetic(spark):
     df = spark.createDataFrame([("d1", "hello world")], ["doc_id", "text"])
     sig = B.minhash_signatures(B.shingle_df(df, "doc_id", "text", 5), 4).collect()
     sh = char_shingles("hello world", 5)
     assert len(sig) == 1
+    hs = [int(md5_hex(s)[:8], 16) for s in sh]
     for s_idx in range(4):
-        expected = min(md5_hex(f"{s_idx}:{s}") for s in sh)
+        expected = min(
+            (B.MINHASH_A[s_idx] * h + B.MINHASH_B[s_idx]) % B.MINHASH_P
+            for h in hs
+        )
         assert sig[0][f"mh{s_idx}"] == expected
 
 

@@ -47,15 +47,30 @@ def test_small_graphs(spark):
         assert got == {n: gold[n] for n in real}, name
 
 
-def test_random_graph_vs_union_find(spark):
+def test_random_graph_vs_union_find_both_paths(spark):
     rng = random.Random(99)
     edges = [(rng.randint(0, 400), rng.randint(0, 400)) for _ in range(500)]
     edges = [(u, v) for u, v in edges if u != v]
     nodes = sorted({u for e in edges for u in e})
     gold = _union_find_oracle(edges, nodes)
     e = spark.createDataFrame(edges, ["src", "dst"])
+    # driver union-find fast path (default for small graphs)
     got = {r.id: r.component for r in connected_components(e).collect()}
     assert got == gold
+    # distributed large-star/small-star path (forced)
+    got_dist = {r.id: r.component for r in
+                connected_components(e, small_graph_threshold=0).collect()}
+    assert got_dist == gold
+
+
+def test_empty_edges(spark):
+    from pyspark.sql import types as T
+    e = spark.createDataFrame([], schema=T.StructType([
+        T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]))
+    assert connected_components(e).count() == 0
+    ids = spark.createDataFrame([(1,), (2,)], ["id"])
+    got = {r.id: r.cluster_id for r in cluster_assignments(e, ids).collect()}
+    assert got == {1: 1, 2: 2}
 
 
 def test_cluster_assignments_includes_singletons(spark):

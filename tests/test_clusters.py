@@ -1,0 +1,68 @@
+"""Ball clustering (ClusterX recast) — reference test shapes.
+
+Reference expects gray/black vs dog/cat to split into 2 clusters
+(tests/pipes/test_clusters.py:6-19). We use synthetic separable vectors in
+place of spaCy embeddings (same geometry: two tight groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spikex_spark.pipes.clusters import (
+    BallModel,
+    cluster_balls,
+    cluster_keys,
+    cluster_stage,
+)
+
+# two tight groups, clearly separated
+KEYS = ["gray", "black", "dog", "cat"]
+VECS = np.array([
+    [1.0, 0.9, 0.0, 0.1],
+    [0.9, 1.0, 0.1, 0.0],
+    [0.0, 0.1, 1.0, 0.9],
+    [0.1, 0.0, 0.9, 1.0],
+])
+
+
+def test_cluster_two_groups():
+    clusters = sorted(cluster_keys(KEYS, VECS, min_score=0.65), key=sorted)
+    assert len(clusters) == 2
+    assert sorted(map(tuple, clusters)) == [("black", "gray"), ("cat", "dog")]
+
+
+def test_cluster_balls_with_root():
+    model = BallModel(KEYS, VECS)
+    balls = cluster_balls(model, "gray", min_score=0.65)
+    assert {"gray", "black"} in balls
+
+
+def test_default_threshold_path():
+    model = BallModel(KEYS, VECS)
+    balls = cluster_balls(model, "dog")   # min_score derived from neighbors
+    assert balls and any("dog" in b for b in balls)
+
+
+def test_intruder_eviction():
+    keys = ["a", "b", "c", "x"]
+    vecs = np.array([
+        [1.0, 0.95, 0.9, 0.0],
+        [0.95, 1.0, 0.9, 0.0],
+        [0.9, 0.9, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    model = BallModel(keys, vecs)
+    assert model.doesnt_match(("a", "b", "x")) == "x"
+
+
+def test_cluster_stage_spark(spark):
+    rows = [("d1", k, [float(x) for x in v]) for k, v in zip(KEYS, VECS)]
+    rows += [("d2", "solo", [0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, ["doc", "key", "vector"])
+    got = {}
+    for r in cluster_stage(df, "doc", min_score=0.65).collect():
+        got.setdefault((r["group"], r["cluster_id"]), set()).add(r["key"])
+    d1 = [v for (g, _), v in got.items() if g == "d1"]
+    assert sorted(map(sorted, d1)) == [["black", "gray"], ["cat", "dog"]]

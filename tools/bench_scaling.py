@@ -1,0 +1,146 @@
+"""Two-parallelism-level scaling evidence (north_rule: N vs 4N executors).
+
+Runs the SAME job at two ``local[N]`` levels on the SAME deterministic input
+and reports throughput at both + scaling efficiency. Three workloads:
+
+* ``pipeline`` — end-to-end flagship ER (extract → block → score → cluster)
+  over the scaled synthetic pages corpus (gen_pages_scaled: entity count
+  grows with n, cluster size fixed — the realistic web-corpus shape).
+* ``scoring``  — the compute-bound pairwise-scoring kernel (Arrow JW UDF),
+  cache-resident: isolates CPU scaling from the sandbox's memory-bandwidth
+  ceiling.
+* ``machine``  — calibration: raw CPU (md5 loop) and memory bandwidth
+  (numpy stream) at both levels, so the report separates what the ENGINE
+  does from what the BOX can do.
+
+Usage: python tools/bench_scaling.py [n_low n_high] [--pages N] [--pairs N]
+Writes one JSON line per workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RUNNER = r"""
+import time, sys, json
+sys.path.insert(0, {repo!r})
+from spikex_spark.session import get_spark
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+workload, master, size = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = get_spark(master=master, app_name=f"scaling_{{workload}}")
+
+if workload == "pipeline":
+    from spikex_spark import synth
+    from spikex_spark.pipeline import resolve_entities, ERConfig
+    pages_rows, title_rows = synth.gen_pages_scaled(size, pages_per_entity=4)
+    pages = spark.createDataFrame(pages_rows, ["url", "text"]).repartition(128)
+    tschema = T.StructType([
+        T.StructField("pageid", T.LongType()), T.StructField("title", T.StringType()),
+        T.StructField("kind", T.StringType()), T.StructField("is_redirect", T.BooleanType()),
+        T.StructField("redirect_to", T.LongType()), T.StructField("props", T.ArrayType(T.StringType()))])
+    titles = spark.createDataFrame(title_rows, tschema)
+    pages.cache().count()
+    cfg = ERConfig(block_cap=500, nsalt=16)
+    def job():
+        resolve_entities(pages, titles, cfg).count()
+elif workload == "scoring":
+    from spikex_spark.operators.scoring import jaro_winkler_udf
+    df = (spark.range(size).repartition(64)
+          .withColumn("a", F.concat(F.lit("the entity record number "),
+                       (F.col("id") % 100000).cast("string"), F.lit(" with alpha beta gamma delta suffix")))
+          .withColumn("b", F.concat(F.lit("the entity recrod numbre "),
+                       ((F.col("id")+7) % 100000).cast("string"), F.lit(" with alpha beta gamma delat suffix"))))
+    df = df.localCheckpoint()
+    df.limit(max(size // 10, 1)).select(F.sum(jaro_winkler_udf("a","b"))).collect()  # warmup
+    def job():
+        df.select(F.sum(jaro_winkler_udf("a", "b"))).collect()
+else:
+    raise SystemExit(f"unknown workload {{workload}}")
+
+best = float("inf")
+for rep in range(3):
+    t0 = time.time(); job(); best = min(best, time.time() - t0)
+print(json.dumps({{"best_sec": round(best, 2)}}))
+spark.stop()
+"""
+
+
+def run_level(workload: str, master: str, size: int, repo: str) -> float:
+    code = RUNNER.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", code, workload, master, str(size)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)["best_sec"]
+
+
+def _md5burn(_):
+    import hashlib
+    h = b"x"
+    for _ in range(800000):
+        h = hashlib.md5(h).digest()
+    return 1
+
+
+def _stream(_):
+    import numpy as np
+    a = np.zeros(100_000_000 // 8)
+    for _ in range(5):
+        a = a * 1.000001 + 0.5
+    return 1
+
+
+def machine_calibration(n_low: int, n_high: int) -> dict:
+    import multiprocessing as mp
+
+    md5burn, stream = _md5burn, _stream
+    out = {}
+    for name, fn, per_task in (("cpu_md5", md5burn, 1), ("mem_stream", stream, 1)):
+        res = {}
+        for nproc in (n_low, n_high):
+            with mp.Pool(nproc) as p:
+                t0 = time.time()
+                p.map(fn, range(nproc * 2))
+                res[nproc] = round((nproc * 2) / (time.time() - t0), 2)
+        eff = round(res[n_high] / res[n_low] / (n_high / n_low), 3)
+        out[name] = {"throughput_per_level": res, "efficiency": eff}
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_low = int(args[0]) if args else 4
+    n_high = int(args[1]) if len(args) > 1 else 4 * n_low
+    pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "300000"))
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2000000"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    results = {"levels": [n_low, n_high], "machine": machine_calibration(n_low, n_high)}
+    for workload, size, unit in (("pipeline", pages, "pages"),
+                                 ("scoring", pairs, "pairs")):
+        t_low = run_level(workload, f"local[{n_low}]", size, repo)
+        t_high = run_level(workload, f"local[{n_high}]", size, repo)
+        eff = round((t_low / t_high) / (n_high / n_low), 3)
+        results[workload] = {
+            "size": size,
+            "unit": unit,
+            f"sec_local[{n_low}]": t_low,
+            f"sec_local[{n_high}]": t_high,
+            f"{unit}_per_sec_local[{n_low}]": round(size / t_low, 1),
+            f"{unit}_per_sec_local[{n_high}]": round(size / t_high, 1),
+            "scaling_efficiency": eff,
+        }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
