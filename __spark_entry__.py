@@ -768,6 +768,29 @@ def _q_ball_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_labelings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.pipes.labels import label_stage
+    docs = _read(spark, sf_dir, "documents")
+    labelings = [
+        ("QUERYOP", [[{"LOWER": {"IN": ["scan", "join", "sort", "filter"]}}]]),
+        ("DATAOBJ", [[{"LOWER": {"IN": ["table", "row", "column"]}},
+                      {"OP": "?"}]]),
+    ]
+    return label_stage(docs, labelings, only_longest=True).select(
+        F.col("id").alias("doc_id"), "start", "end", "label", "surface"
+    )
+
+
+def _q_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.pipes.phrases import phrase_stage
+    docs = _read(spark, sf_dir, "documents")
+    patterns = [[{"LOWER": {"IN": ["fast", "slow", "small", "big"]}, "OP": "+"},
+                 {"LOWER": {"IN": ["scan", "join", "query", "sort"]}}]]
+    return phrase_stage(docs, patterns).select(
+        F.col("id").alias("doc_id"), "start", "end", "surface"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -805,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "embedding_mean_per_label": _q_embedding_mean,
         "ball_clusters": _q_ball_clusters,
+        "labelings": _q_labelings,
+        "phrases": _q_phrases,
     }
 
 

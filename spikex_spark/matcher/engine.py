@@ -206,10 +206,42 @@ def match_doc(spec: CompiledSpec, tokens: list[dict]) -> list[tuple]:
 
 
 def simple_tokenize(text: str) -> list[dict]:
-    """Whitespace tokenizer producing token dicts with char offsets."""
+    """Whitespace tokenizer producing token dicts with char offsets.
+
+    (The reference matcher tests build docs from ``text.split()`` — this is
+    the parity tokenizer for the matcher API.)"""
     toks = []
     for m in re.finditer(r"\S+", text):
         toks.append({"ORTH": m.group(0), "idx": m.start()})
+    return toks
+
+
+_OPEN_PUNCT = set("([{\"'“‘")
+_CLOSE_PUNCT = set(")]}\"'.,;:!?”’")
+
+
+def punct_tokenize(text: str) -> list[dict]:
+    """spaCy-ish tokenizer: leading/trailing punctuation split into their own
+    tokens (``(abs)`` → ``(``, ``abs``, ``)``). Used by the label/abbr
+    pipes, whose reference tests run on spaCy tokenization."""
+    toks = []
+    for m in re.finditer(r"\S+", text):
+        chunk, base = m.group(0), m.start()
+        start, end = 0, len(chunk)
+        lead = []
+        while start < end and chunk[start] in _OPEN_PUNCT:
+            lead.append((chunk[start], base + start))
+            start += 1
+        trail = []
+        while end > start and chunk[end - 1] in _CLOSE_PUNCT:
+            trail.append((chunk[end - 1], base + end - 1))
+            end -= 1
+        for ch, idx in lead:
+            toks.append({"ORTH": ch, "idx": idx})
+        if end > start:
+            toks.append({"ORTH": chunk[start:end], "idx": base + start})
+        for ch, idx in reversed(trail):
+            toks.append({"ORTH": ch, "idx": idx})
     return toks
 
 

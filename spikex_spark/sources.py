@@ -1,0 +1,141 @@
+"""Sources: MySQL dump-line parsing as a distributed scan (S1/S2/F1/F4).
+
+Reference parity: spikex streams ``.sql.gz`` MySQL dumps and parses
+``INSERT INTO ... VALUES (...),(...);`` lines with a char-level state
+machine plus a multiprocessing pool (``wikigraph/dumptools.py:169-281``).
+Spark recast: ``spark.read.text`` over the dump + a ``mapInPandas`` parse —
+partition parallelism replaces the Pool, Arrow replaces the zlib-pickle
+shuttle.
+
+Row parsers mirror ``dumptools.py``:
+
+* page        (ns, pageid, title)       keep ns ∈ {0, 14}        (F1)
+* redirect    (pageid, target_title)    ns filter applied upstream
+* categorylinks (cl_from, cl_to, cl_type) keep type ∈ {page, subcat}
+* title unescape: ``\\'`` → ``'``, ``\\"`` → ``"``                (F4)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def split_insert_values(line: str) -> list[tuple]:
+    """Split one ``INSERT INTO ... VALUES (...),(...);`` line into tuples of
+    raw field strings — quote- and escape-aware char scan."""
+    lower = line.lstrip()
+    if not lower.upper().startswith("INSERT"):
+        return []
+    start = line.find("VALUES")
+    if start < 0:
+        return []
+    body = line[start + len("VALUES"):]
+    rows: list[tuple] = []
+    field: list[str] = []
+    row: list[str] = []
+    in_quote = False
+    escaped = False
+    depth = 0
+    for ch in body:
+        if depth == 0:
+            if ch == "(":
+                depth = 1
+                field, row = [], []
+            continue
+        if escaped:
+            field.append(ch)
+            escaped = False
+            continue
+        if ch == "\\" and in_quote:
+            field.append(ch)
+            escaped = True
+            continue
+        if ch == "'":
+            in_quote = not in_quote
+            field.append(ch)
+            continue
+        if in_quote:
+            field.append(ch)
+            continue
+        if ch == ",":
+            row.append("".join(field))
+            field = []
+            continue
+        if ch == ")":
+            row.append("".join(field))
+            rows.append(tuple(row))
+            depth = 0
+            continue
+        field.append(ch)
+    return rows
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == "'" and v[-1] == "'":
+        v = v[1:-1]
+    return v.replace("\\'", "'").replace('\\"', '"')
+
+
+def parse_page_row(row: tuple) -> tuple | None:
+    """(page_id, ns, title, ...) -> (ns, pageid, title); ns ∈ {0,14} only."""
+    try:
+        ns = int(row[1])
+        if ns not in (0, 14):
+            return None
+        return (ns, int(row[0]), _unquote(row[2]))
+    except (ValueError, IndexError):
+        return None
+
+
+def parse_redirect_row(row: tuple) -> tuple | None:
+    """(rd_from, rd_namespace, rd_title, ...) -> (pageid, target_title)."""
+    try:
+        ns = int(row[1])
+        if ns not in (0, 14):
+            return None
+        return (int(row[0]), _unquote(row[2]))
+    except (ValueError, IndexError):
+        return None
+
+
+def parse_categorylinks_row(row: tuple) -> tuple | None:
+    """(cl_from, cl_to, ..., cl_type) -> (cl_from, cl_to, cl_type)."""
+    try:
+        cl_type = _unquote(row[-1])
+        if cl_type not in ("page", "subcat"):
+            return None
+        return (int(row[0]), _unquote(row[1]), cl_type)
+    except (ValueError, IndexError):
+        return None
+
+
+_PARSERS = {
+    "page": (parse_page_row, "ns int, pageid long, title string"),
+    "redirect": (parse_redirect_row, "pageid long, target_title string"),
+    "categorylinks": (parse_categorylinks_row,
+                      "cl_from long, cl_to string, cl_type string"),
+}
+
+
+def read_wiki_dump(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Distributed dump scan: text lines → parsed rows (Arrow batches)."""
+    import pandas as pd
+
+    parse_fx, schema = _PARSERS[kind]
+    lines = spark.read.text(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in schema.split(",")]
+        for pdf in batches:
+            out: list[tuple] = []
+            for line in pdf["value"]:
+                for row in split_insert_values(line):
+                    parsed = parse_fx(row)
+                    if parsed is not None:
+                        out.append(parsed)
+            yield pd.DataFrame(out, columns=cols)
+
+    return lines.mapInPandas(run, schema=schema)
