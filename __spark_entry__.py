@@ -381,6 +381,77 @@ SELECT id, 2 AS dist FROM d2
 """
 
 
+# extra dictionary entries drawn from the documents corpus vocabulary so the
+# blocking join produces real matches at sf scale (multi-word keys exercise
+# the longest-match window)
+_EXTRA_MENTION_KEYS = [
+    "table", "window", "batch", "merge", "customer",
+    "hash join", "table scan", "sort merge", "query row",
+    "the fast key", "group query row data",
+]
+
+
+def _title_keys_values_sql() -> str:
+    """Distinct normalized title keys (clean+full channels) as VALUES."""
+    from spikex_spark.synth import gen_titles
+    from spikex_spark.textutils import clean_title
+
+    def norm_tokens(title: str) -> str:
+        import re as _re
+        toks = [_re.sub(r"[^a-z0-9]+", "", t.lower()) for t in _re.split(r"[_ ]+", title)]
+        return " ".join(t for t in toks if t)
+
+    keys = set(_EXTRA_MENTION_KEYS)
+    for r in gen_titles():
+        keys.add(norm_tokens(clean_title(r["title"])))
+        keys.add(norm_tokens(r["title"]))
+    keys.discard("")
+    rows = ", ".join(f"('{k}')" for k in sorted(keys))
+    return f"(SELECT * FROM (VALUES {rows}) AS t(key))"
+
+
+def _sql_mentions() -> str:
+    keys = _title_keys_values_sql()
+    return f"""
+WITH keys AS (SELECT * FROM {keys}),
+toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(
+      regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '_', 'g'), '[_ ]+'),
+      t -> t <> '') AS raw
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, raw,
+    list_transform(raw, t -> regexp_replace(lower(t), '[^a-z0-9]+', '', 'g'))
+      AS norm
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, unnest(flatten(list_transform(range(1, len(raw) + 1), i ->
+    list_transform(range(1, least(4, len(raw) - i + 1) + 1), n ->
+      {{'start': i, 'n': n,
+        'ngram': array_to_string(norm[i:i+n-1], ' '),
+        'surface': array_to_string(raw[i:i+n-1], ' ')}})))) AS g
+  FROM normed
+),
+hits AS (
+  SELECT doc_id, g['start']::int AS start, g['n']::int AS n,
+         g['surface'] AS surface, g['ngram'] AS key
+  FROM grams JOIN keys k ON g['ngram'] = k.key
+  WHERE g['ngram'] <> ''
+),
+w AS (
+  SELECT *, max(start + n) OVER (
+    PARTITION BY doc_id ORDER BY start ASC, n DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits
+)
+SELECT doc_id, start, n, surface, key FROM w
+WHERE prev_end IS NULL OR start + n > prev_end
+"""
+
+
 def _titles_values_sql() -> str:
     """Inline the deterministic synth titles as a VALUES relation."""
     from spikex_spark.synth import gen_titles
@@ -768,6 +839,24 @@ def _q_ball_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 blocking join (n-gram explode ⋈ title keys + longest-match window)
+    over documents with the synth title dictionary."""
+    from spikex_spark.extract import extract_native
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.synth import gen_titles
+    docs = extract_native(_read(spark, sf_dir, "documents"), "text", "extracted")
+    titles = spark.createDataFrame(gen_titles())
+    extra = spark.createDataFrame(
+        [(k, k, "clean") for k in _EXTRA_MENTION_KEYS],
+        ["key", "title", "channel"],
+    )
+    keys = B.title_keys(titles).unionByName(extra)
+    return B.mentions(docs, keys, id_col="doc_id", text_col="extracted").select(
+        F.col("id").alias("doc_id"), "start", "n", "surface", "key"
+    )
+
+
 def _q_labelings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipes.labels import label_stage
     docs = _read(spark, sf_dir, "documents")
@@ -830,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ball_clusters": _q_ball_clusters,
         "labelings": _q_labelings,
         "phrases": _q_phrases,
+        "mention_candidates": _q_mentions,
     }
 
 
@@ -912,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY 1, 2"
         ),
         # ball_clusters: Python ball-mapper semantics — rows-only
+        "mention_candidates": _sql_mentions(),
     }
 
 

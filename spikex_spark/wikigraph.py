@@ -1,0 +1,151 @@
+"""WikiGraph: the reference's ETL lifecycle as one DataFrame DAG (§3.1).
+
+Reference parity — ``wikigraph/wikigraph.py:273-310`` (``_make_graph_
+components``) recast declaratively:
+
+1. page-props hash agg per pageid (A2, ``:313-319``)
+2. pages scan: drop hiddencat/noindex, flag disambiguations (F2, ``:283-296``)
+3. category titles get the ``Category:`` prefix (``:297``)
+4. category-links semi-join against known pages/categories (J2, ``:343-364``)
+5. redirect resolution with one extra hop (J1, ``:322-340``)
+6. anti-join dedup: redirect sources + disambiguations out of pages
+   (J3, ``:300-306``)
+7. the edge DataFrame IS the graph (G1; no CSR needed)
+
+Queries (``get_categories`` / ``get_neighbors``) are d-hop frontier joins
+(G2) over the edge table — returned as DataFrames; ``.collect`` for the
+driver-side list API the reference exposes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.graph import d_hop_neighbors, undirected
+
+
+@dataclass
+class WikiGraph:
+    pages: DataFrame       # (pageid, title, kind) — deduped, visible
+    redirects: DataFrame   # (src_title, dst_pageid)
+    edges: DataFrame       # (src, dst) pageids: member -> category
+
+    def get_pageid(self, title: str) -> int | None:
+        row = self.pages.where(F.col("title") == title).select("pageid").take(1)
+        if row:
+            return row[0]["pageid"]
+        r = self.redirects.where(F.col("src_title") == title).take(1)
+        return r[0]["dst_pageid"] if r else None
+
+    def get_categories(self, title: str, distance: int = 1) -> DataFrame:
+        """Categories reachable within ``distance`` hops (directed)."""
+        pid = self.get_pageid(title)
+        spark = self.pages.sparkSession
+        roots = spark.createDataFrame([(pid,)], ["id"])
+        hop = d_hop_neighbors(self.edges, roots, d=distance, directed=True)
+        return (
+            hop.join(self.pages, hop.id == self.pages.pageid)
+            .where(F.col("kind") == "category")
+            .select("title", "dist")
+        )
+
+    def get_neighbors(self, title: str, distance: int = 1) -> DataFrame:
+        pid = self.get_pageid(title)
+        spark = self.pages.sparkSession
+        roots = spark.createDataFrame([(pid,)], ["id"])
+        hop = d_hop_neighbors(self.edges, roots, d=distance, directed=False)
+        return hop.join(self.pages, hop.id == self.pages.pageid).select(
+            "title", "dist"
+        )
+
+
+def build_wikigraph(pages_raw: DataFrame, pageprops: DataFrame,
+                    redirects_raw: DataFrame,
+                    categorylinks: DataFrame) -> WikiGraph:
+    """Inputs (dump-shaped, see ``sources.read_wiki_dump``):
+
+    * pages_raw:     (ns, pageid, title)        ns ∈ {0, 14}
+    * pageprops:     (pageid, prop)             hiddencat/noindex/disambiguation
+    * redirects_raw: (pageid, target_title)     source pageid → target title
+    * categorylinks: (cl_from, cl_to, cl_type)  target title WITHOUT prefix
+    """
+    props = pageprops.groupBy("pageid").agg(
+        F.collect_set("prop").alias("props")
+    )
+    pages = (
+        pages_raw.join(F.broadcast(props), "pageid", "left")
+        .withColumn("props", F.coalesce("props", F.array()))
+        .where(
+            ~F.array_contains("props", "hiddencat")
+            & ~F.array_contains("props", "noindex")
+        )
+        .withColumn(
+            "kind",
+            F.when(F.array_contains("props", "disambiguation"), "disambiguation")
+            .when(F.col("ns") == 14, "category")
+            .otherwise("page"),
+        )
+        .withColumn(
+            "title",
+            F.when(F.col("ns") == 14, F.concat(F.lit("Category:"), F.col("title")))
+            .otherwise(F.col("title")),
+        )
+        .select("pageid", "title", "kind")
+    )
+
+    # category links: cl_to is a category TITLE (no prefix); resolve to id
+    cats = pages.where(F.col("kind") == "category").select(
+        F.col("pageid").alias("cat_id"),
+        F.regexp_replace("title", "^Category:", "").alias("cat_title"),
+    )
+    member_ids = pages.select(F.col("pageid").alias("member_id"))
+    edges = (
+        categorylinks.join(F.broadcast(cats),
+                           categorylinks.cl_to == cats.cat_title)
+        .join(member_ids, categorylinks.cl_from == member_ids.member_id,
+              "left_semi")
+        .select(F.col("cl_from").alias("src"), F.col("cat_id").alias("dst"))
+        .distinct()
+    )
+
+    # redirects: source pageid -> source title (from raw pages), target title
+    # -> target pageid; one extra hop collapses redirect-of-redirect
+    src_titles = pages_raw.select(
+        F.col("pageid").alias("rid"),
+        F.when(F.col("ns") == 14, F.concat(F.lit("Category:"), F.col("title")))
+        .otherwise(F.col("title")).alias("src_title"),
+    )
+    tgt_ids = pages.select(F.col("title").alias("t"), F.col("pageid").alias("tid"))
+    red1 = (
+        redirects_raw.join(src_titles, redirects_raw.pageid == src_titles.rid)
+        .join(tgt_ids, redirects_raw.target_title == tgt_ids.t, "left")
+        .select("src_title", F.col("pageid").alias("src_id"),
+                F.col("tid").alias("dst_pageid"))
+    )
+    # extra hop: if dst is itself a redirect source, follow once
+    hop = red1.select(F.col("src_id").alias("h_src"),
+                      F.col("dst_pageid").alias("h_dst"))
+    redirects = (
+        red1.join(F.broadcast(hop), red1.dst_pageid == F.col("h_src"), "left")
+        .select(
+            "src_title",
+            "src_id",
+            F.coalesce("h_dst", "dst_pageid").alias("dst_pageid"),
+        )
+        .where(F.col("dst_pageid").isNotNull())
+    )
+
+    # dedup pages: drop redirect sources and disambiguations (J3)
+    red_src = redirects.select(F.col("src_id").alias("r"))
+    visible = (
+        pages.join(F.broadcast(red_src), pages.pageid == F.col("r"), "left_anti")
+        .where(F.col("kind") != "disambiguation")
+    )
+    return WikiGraph(
+        pages=visible,
+        redirects=redirects.select("src_title", "dst_pageid"),
+        edges=edges,
+    )
