@@ -452,6 +452,92 @@ WHERE prev_end IS NULL OR start + n > prev_end
 """
 
 
+def _bridge_values_sql() -> str:
+    """(full_key -> clean_key) VALUES bridge for block_members' mapping."""
+    from spikex_spark.synth import gen_titles
+    from spikex_spark.textutils import clean_title
+
+    def norm_tokens(title: str) -> str:
+        import re as _re
+        toks = [_re.sub(r"[^a-z0-9]+", "", t.lower()) for t in _re.split(r"[_ ]+", title)]
+        return " ".join(t for t in toks if t)
+
+    pairs = set()
+    for r in gen_titles():
+        full = norm_tokens(r["title"])
+        clean = norm_tokens(clean_title(r["title"])) or full
+        if full and clean:
+            pairs.add((full, clean))
+    rows = ", ".join(f"('{f}', '{c}')" for f, c in sorted(pairs))
+    return f"(SELECT * FROM (VALUES {rows}) AS t(full_key, clean_key))"
+
+
+def _sql_er_pages(kind: str) -> str:
+    """Full title-blocking ER over documents, mirrored in SQL.
+
+    kind = 'pairs' (id_a, id_b, score) or 'clusters' (doc_id, cluster_id).
+    Deterministic blocks: one MIN(surface) per (doc, clean block key).
+    """
+    mentions = _sql_mentions()
+    bridge = _bridge_values_sql()
+    norm = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+    toks = _SQL_TOKENS
+    base = f"""
+WITH RECURSIVE mentions AS ({mentions}),
+bridge AS (SELECT * FROM {bridge}),
+blocks AS (
+  SELECT doc_id AS id, coalesce(b.clean_key, m.key) AS block_key,
+         min(m.surface) AS surface
+  FROM mentions m LEFT JOIN bridge b ON m.key = b.full_key
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.surface AS surface_a, b.surface AS surface_b
+  FROM blocks a JOIN blocks b
+    ON a.block_key = b.block_key AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+    0.5 * jaro_winkler_similarity({norm.format(c='surface_a')},
+                                  {norm.format(c='surface_b')})
+    + 0.5 * (CASE
+        WHEN len({toks.format(col='surface_a')}) = 0
+             AND len({toks.format(col='surface_b')}) = 0 THEN 1.0
+        WHEN (len({toks.format(col='surface_a')})
+              + len({toks.format(col='surface_b')})
+              - len(list_intersect({toks.format(col='surface_a')},
+                                   {toks.format(col='surface_b')}))) = 0
+          THEN 0.0
+        ELSE len(list_intersect({toks.format(col='surface_a')},
+                                {toks.format(col='surface_b')}))::double
+             / (len({toks.format(col='surface_a')})
+                + len({toks.format(col='surface_b')})
+                - len(list_intersect({toks.format(col='surface_a')},
+                                     {toks.format(col='surface_b')})))
+      END) AS raw_score
+  FROM pairs
+)"""
+    if kind == "pairs":
+        return base + """
+SELECT id_a, id_b, round(raw_score, 4) AS score FROM scored
+"""
+    return base + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM scored
+  WHERE round(raw_score, 6) >= 0.75
+),
+ids AS (SELECT DISTINCT doc_id FROM documents),
+reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM ids
+  UNION
+  SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.root
+  FROM reach r JOIN edges e ON e.src = r.node OR e.dst = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def _titles_values_sql() -> str:
     """Inline the deterministic synth titles as a VALUES relation."""
     from spikex_spark.synth import gen_titles
@@ -857,6 +943,76 @@ def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_pages_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title-blocking ER over documents (Spark side of the SQL mirror):
+    deterministic blocks (min surface per doc+clean key), distinct
+    surface-pairs, raw-component scoring."""
+    from spikex_spark.extract import extract_native
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.operators import scoring as S
+    from spikex_spark.synth import gen_titles
+    docs = extract_native(_read(spark, sf_dir, "documents"), "text", "extracted")
+    titles = spark.createDataFrame(gen_titles())
+    extra = spark.createDataFrame(
+        [(k, k, "clean") for k in _EXTRA_MENTION_KEYS], ["key", "title", "channel"]
+    )
+    keys = B.title_keys(titles).unionByName(extra)
+    ments = B.mentions(docs, keys, id_col="doc_id", text_col="extracted")
+    bridge = (
+        keys.where(F.col("channel") == "full")
+        .select(F.col("key").alias("full_key"), "title")
+        .join(
+            keys.where(F.col("channel") == "clean")
+            .select(F.col("key").alias("clean_key"), "title"),
+            "title",
+        )
+        .select("full_key", "clean_key")
+        .distinct()
+    )
+    blocks = (
+        ments.join(F.broadcast(bridge), ments.key == bridge.full_key, "left")
+        .select(
+            "id", F.coalesce("clean_key", "key").alias("block_key"), "surface"
+        )
+        .groupBy("id", "block_key")
+        .agg(F.min("surface").alias("surface"))
+    )
+    left = blocks.select("block_key", F.col("id").alias("id_a"),
+                         F.col("surface").alias("surface_a"))
+    right = blocks.select("block_key", F.col("id").alias("id_b"),
+                          F.col("surface").alias("surface_b"))
+    pairs = (
+        left.join(right, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "surface_a", "surface_b")
+        .dropDuplicates(["id_a", "id_b", "surface_a", "surface_b"])
+    )
+    return pairs.withColumn(
+        "raw_score",
+        F.lit(0.5) * S.jaro_winkler_udf(S._norm(F.col("surface_a")),
+                                        S._norm(F.col("surface_b")))
+        + F.lit(0.5) * S.token_jaccard(F.col("surface_a"), F.col("surface_b")),
+    )
+
+
+def _q_er_pages_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _er_pages_scored(spark, sf_dir).select(
+        "id_a", "id_b", F.round("raw_score", 4).alias("score")
+    )
+
+
+def _q_er_pages_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators import cc as CC
+    scored = _er_pages_scored(spark, sf_dir)
+    edges = scored.where(F.round("raw_score", 6) >= 0.75).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    docs = _read(spark, sf_dir, "documents")
+    return CC.cluster_assignments(
+        edges, docs.select(F.col("doc_id").alias("id"))
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def _q_labelings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipes.labels import label_stage
     docs = _read(spark, sf_dir, "documents")
@@ -920,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelings": _q_labelings,
         "phrases": _q_phrases,
         "mention_candidates": _q_mentions,
+        "er_pages_pairs": _q_er_pages_pairs,
+        "er_pages_clusters": _q_er_pages_clusters,
     }
 
 
@@ -1003,6 +1161,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ball_clusters: Python ball-mapper semantics — rows-only
         "mention_candidates": _sql_mentions(),
+        "er_pages_pairs": _sql_er_pages("pairs"),
+        "er_pages_clusters": _sql_er_pages("clusters"),
     }
 
 

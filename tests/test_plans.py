@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, verified.
+
+Checks .explain output for: parquet filter/column pushdown, broadcast joins
+on dimension tables, map-side partial aggregation, and absence of
+whole-corpus Python row UDFs in native paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "lang" in plan
+    # column pruning: text (the wide column) must NOT be read
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_dimension_join_is_broadcast(spark):
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    q = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_semi_and_anti_join_operators(spark):
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    assert "LeftSemi" in _plan(semi)
+    assert "LeftAnti" in _plan(anti)
+
+
+def test_minhash_partial_aggregation(spark):
+    from spikex_spark.operators import blocking as B
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = B.minhash_signatures(B.shingle_df(docs, "doc_id", "text"), 4)
+    plan = _plan(sig)
+    # two HashAggregates around one exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_scored_pairs_broadcasts_small_side(spark):
+    from spikex_spark.operators import scoring as S
+    pairs = spark.createDataFrame(
+        [("a", "b", "k", "x y", "x z")],
+        ["id_a", "id_b", "block_key", "surface_a", "surface_b"],
+    )
+    assert "BroadcastHashJoin" in _plan(S.score_pairs(pairs))
+
+
+def test_extract_native_stays_jvm(spark):
+    from spikex_spark.extract import extract_native
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(extract_native(docs, "text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "regexp_replace" in _optimized(extract_native(docs, "text"))
