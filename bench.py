@@ -33,7 +33,15 @@ def main() -> None:
     headline = [
         "er_doc_clusters",
         "er_doc_pairs",
+        "er_pages_clusters",
+        "mention_candidates",
         "minhash_buckets",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "dedup_exact",
+        "ann_cosine_topk",
+        "lang_id",
+        "quality_scores",
         "extract_normalize",
         "blocking_keys",
         "topk_orders",
