@@ -164,7 +164,9 @@ votes AS (
   FROM bits GROUP BY id, bit
 )
 SELECT id AS doc_id,
-       sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash
+       -- DuckDB sum() widens to HUGEINT (decimal128 in Arrow); Spark emits
+       -- bigint — cast so the value-hash matches
+       sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END)::bigint AS simhash
 FROM votes GROUP BY id
 """
 
@@ -200,7 +202,13 @@ grams AS (
     END) AS gram
   FROM t
 ),
-g AS (SELECT id, gram FROM grams WHERE gram <> ''),
+g0 AS (SELECT id, gram FROM grams WHERE gram <> ''),
+-- skew guard (mirrors ngram_jaccard_pairs max_df=1000): drop hub grams
+-- (document frequency > 1000) from BOTH the candidate join and the counts
+g AS (
+  SELECT id, gram FROM g0
+  QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+),
 counts AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
@@ -302,7 +310,7 @@ SELECT doc_id AS id,
      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                  t -> t <> ''),
      t -> ceil(length(t) / 4.0)::int))
-   + length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')))
+   + length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')))::bigint
     AS subword_est
 FROM documents
 """
@@ -331,6 +339,60 @@ SELECT query_id, neighbor_id, rank, cos FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+def _sql_ann_lsh(dim: int = 64, bits: int = 16, bands: int = 4,
+                 k: int = 5) -> str:
+    """DuckDB mirror of simsearch.lsh_cosine_topk: the hyperplanes are
+    md5-derived (simsearch._hyperplane — no RNG state), so they inline as
+    literal lists; sign-band candidates, exact cosine re-rank."""
+    from spikex_spark.operators.simsearch import _hyperplane
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig_terms = []
+    for b in range(bits):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, b)) + "]"
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, {plane}) > 0"
+            f" THEN {1 << b}::bigint ELSE 0 END)"
+        )
+    sig_expr = "\n    + ".join(sig_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id,
+    {sig_expr} AS sig
+  FROM v
+),
+banded AS (
+  SELECT vec_id, b.band, (sig >> (b.band * {width})) & {mask} AS bval
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c
+    ON q.band = c.band AND q.bval = c.bval AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(
+      list_dot_product(qv.e, cv.e)
+      / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e))),
+      4) AS cos
+  FROM cands cd
+  JOIN v qv ON qv.vec_id = cd.query_id
+  JOIN v cv ON cv.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
 
 _SQL_DEDUP_EXACT = """
 WITH h AS (SELECT doc_id AS id, md5(text) AS text_hash FROM documents),
@@ -410,6 +472,33 @@ def _title_keys_values_sql() -> str:
     return f"(SELECT * FROM (VALUES {rows}) AS t(key))"
 
 
+def _sql_mentions_nested() -> str:
+    """Longest matches + nested sub-span re-matches (reference find_pages
+    sub-token-range combinations == key-matching n-grams strictly contained
+    in a kept span — see blocking.mentions_nested)."""
+    base = _sql_mentions()
+    # strip the trailing SELECT and extend the CTE chain
+    head, _, _ = base.rpartition("SELECT doc_id, start, n, surface, key FROM w")
+    return (
+        head
+        + """, kept AS (
+  SELECT doc_id, start, n, surface, key FROM w
+  WHERE prev_end IS NULL OR start + n > prev_end
+),
+nested AS (
+  SELECT DISTINCT h.doc_id, h.start, h.n, h.surface, h.key
+  FROM hits h JOIN kept t
+    ON h.doc_id = t.doc_id
+   AND h.start >= t.start AND h.start + h.n <= t.start + t.n
+   AND (h.start > t.start OR h.start + h.n < t.start + t.n)
+)
+SELECT doc_id, start, n, surface, key, false AS nested FROM kept
+UNION ALL
+SELECT doc_id, start, n, surface, key, true AS nested FROM nested
+"""
+    )
+
+
 def _sql_mentions() -> str:
     keys = _title_keys_values_sql()
     return f"""
@@ -485,11 +574,17 @@ def _sql_er_pages(kind: str) -> str:
     base = f"""
 WITH RECURSIVE mentions AS ({mentions}),
 bridge AS (SELECT * FROM {bridge}),
-blocks AS (
+blocks0 AS (
   SELECT doc_id AS id, coalesce(b.clean_key, m.key) AS block_key,
          min(m.surface) AS surface
   FROM mentions m LEFT JOIN bridge b ON m.key = b.full_key
   GROUP BY 1, 2
+),
+-- deterministic block cap (mirrors blocking.cap_blocks, cap=1000): hub
+-- blocking keys are quadratic pair bombs at scale
+blocks AS (
+  SELECT id, block_key, surface FROM blocks0
+  QUALIFY row_number() OVER (PARTITION BY block_key ORDER BY id) <= 1000
 ),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -758,7 +853,8 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ANN variant — rows-only check (hyperplane constants live driver-side)
+    # ANN LSH variant — md5-derived hyperplanes reproduce as literals in the
+    # DuckDB oracle (_sql_ann_lsh), same trick as the MinHash constants
     from spikex_spark.operators.simsearch import lsh_cosine_topk
     emb = _read(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=5)
@@ -943,10 +1039,44 @@ def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _er_pages_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+_ER_PAGES_BLOCK_CAP = 1000
+
+
+def _q_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 nested mode: longest matches + sub-span re-matches (reference
+    ``find_pages`` sub-token-range combinations)."""
+    from spikex_spark.extract import extract_native
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.synth import gen_titles
+    docs = extract_native(_read(spark, sf_dir, "documents"), "text", "extracted")
+    titles = spark.createDataFrame(gen_titles())
+    extra = spark.createDataFrame(
+        [(k, k, "clean") for k in _EXTRA_MENTION_KEYS],
+        ["key", "title", "channel"],
+    )
+    keys = B.title_keys(titles).unionByName(extra)
+    return B.mentions_nested(docs, keys, id_col="doc_id", text_col="extracted").select(
+        F.col("id").alias("doc_id"), "start", "n", "surface", "key", "nested"
+    )
+
+
+def _er_pages_scored(spark: SparkSession, sf_dir: str,
+                     min_score: float | None = None) -> DataFrame:
     """Title-blocking ER over documents (Spark side of the SQL mirror):
-    deterministic blocks (min surface per doc+clean key), distinct
-    surface-pairs, raw-component scoring."""
+    deterministic CAPPED blocks (min surface per doc+clean key, first
+    ``_ER_PAGES_BLOCK_CAP`` ids per key), distinct-surface scoring.
+
+    Surfaces repeat across pairs (every doc matching key "table" carries the
+    same surface), so JW+Jaccard run once per DISTINCT (surface_a, surface_b)
+    and broadcast-join back — the per-pair-row Python UDF was 85% of the
+    sf0.1 bench. The cap bounds hub blocking keys (a key matched by every doc
+    is a quadratic pair bomb at 100× scale); it is deterministic (row_number
+    by id) and mirrored in the DuckDB oracle's QUALIFY.
+
+    ``min_score``: when set, the distinct-surface score table is filtered
+    BEFORE the join-back, so non-matching pairs are never enumerated — the
+    clusters path needs edges only.
+    """
     from spikex_spark.extract import extract_native
     from spikex_spark.operators import blocking as B
     from spikex_spark.operators import scoring as S
@@ -977,6 +1107,11 @@ def _er_pages_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id", "block_key")
         .agg(F.min("surface").alias("surface"))
     )
+    blocks = B.cap_blocks(blocks, key_col="block_key", id_col="id",
+                          cap=_ER_PAGES_BLOCK_CAP)
+    # blocks feeds both sides of the self-join — materialize once instead of
+    # recomputing extract→mention→window→cap twice
+    blocks = blocks.localCheckpoint()
     left = blocks.select("block_key", F.col("id").alias("id_a"),
                          F.col("surface").alias("surface_a"))
     right = blocks.select("block_key", F.col("id").alias("id_b"),
@@ -987,12 +1122,16 @@ def _er_pages_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "surface_a", "surface_b")
         .dropDuplicates(["id_a", "id_b", "surface_a", "surface_b"])
     )
-    return pairs.withColumn(
+    uniq = pairs.select("surface_a", "surface_b").distinct()
+    scored_uniq = uniq.withColumn(
         "raw_score",
         F.lit(0.5) * S.jaro_winkler_udf(S._norm(F.col("surface_a")),
                                         S._norm(F.col("surface_b")))
         + F.lit(0.5) * S.token_jaccard(F.col("surface_a"), F.col("surface_b")),
     )
+    if min_score is not None:
+        scored_uniq = scored_uniq.where(F.round("raw_score", 6) >= min_score)
+    return pairs.join(F.broadcast(scored_uniq), ["surface_a", "surface_b"])
 
 
 def _q_er_pages_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,8 +1142,8 @@ def _q_er_pages_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_er_pages_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators import cc as CC
-    scored = _er_pages_scored(spark, sf_dir)
-    edges = scored.where(F.round("raw_score", 6) >= 0.75).select(
+    scored = _er_pages_scored(spark, sf_dir, min_score=0.75)
+    edges = scored.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     docs = _read(spark, sf_dir, "documents")
@@ -1076,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelings": _q_labelings,
         "phrases": _q_phrases,
         "mention_candidates": _q_mentions,
+        "mention_candidates_nested": _q_mentions_nested,
         "er_pages_pairs": _q_er_pages_pairs,
         "er_pages_clusters": _q_er_pages_clusters,
     }
@@ -1136,8 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,
         "ann_cosine_topk": _SQL_ANN_TOPK,
-        # ann_lsh_topk intentionally omitted — hyperplane constants are
-        # driver-side; the driver records a rows-only check
+        "ann_lsh_topk": _sql_ann_lsh(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
@@ -1161,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ball_clusters: Python ball-mapper semantics — rows-only
         "mention_candidates": _sql_mentions(),
+        "mention_candidates_nested": _sql_mentions_nested(),
         "er_pages_pairs": _sql_er_pages("pairs"),
         "er_pages_clusters": _sql_er_pages("clusters"),
     }

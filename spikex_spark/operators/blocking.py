@@ -115,28 +115,28 @@ def ngram_candidates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def mentions(pages_df: DataFrame, title_keys_df: DataFrame,
-             id_col: str = "url", text_col: str = "extracted",
-             max_n: int = 4, broadcast_keys: bool = True) -> DataFrame:
-    """The blocking join: doc n-grams ⋈ title keys, longest match wins.
-
-    Output: (id, start, n, key, surface, channel) — one row per retained
-    mention. Longest-match resolution = reference ``match_longest`` +
-    submatch filtering (``matcher.py:341-353``): for overlapping matches
-    starting at the same token, keep the longest; drop matches fully
-    contained in a longer kept match.
-    """
+def _mention_hits(pages_df: DataFrame, title_keys_df: DataFrame,
+                  id_col: str, text_col: str, max_n: int,
+                  broadcast_keys: bool) -> DataFrame:
+    """ALL key-matching n-grams (pre longest-match): (id, start, n, surface,
+    key)."""
     cands = ngram_candidates(pages_df, id_col, text_col, max_n)
     keys = title_keys_df.select("key").distinct()
     if broadcast_keys:
         keys = F.broadcast(keys)
-    hits = cands.join(keys, cands.ngram == keys.key, "inner").drop("ngram")
+    return cands.join(keys, cands.ngram == keys.key, "inner").drop("ngram")
 
-    # ONE window pass by id does both O4 (same-start: keep longest) and O2
-    # (contained-span drop): in (start asc, n desc) scan order a row survives
-    # iff its end exceeds the running max end of ALL preceding rows — a
-    # shorter same-start row always fails that test against the longer one,
-    # so the separate per-(id,start) row_number shuffle is redundant.
+
+def _keep_longest(hits: DataFrame) -> DataFrame:
+    """Longest-match resolution = reference ``match_longest`` + submatch
+    filtering (``matcher.py:341-353``).
+
+    ONE window pass by id does both O4 (same-start: keep longest) and O2
+    (contained-span drop): in (start asc, n desc) scan order a row survives
+    iff its end exceeds the running max end of ALL preceding rows — a
+    shorter same-start row always fails that test against the longer one,
+    so the separate per-(id,start) row_number shuffle is redundant.
+    """
     w_prev = (
         Window.partitionBy("id")
         .orderBy(F.asc("start"), F.desc("n"))
@@ -149,6 +149,66 @@ def mentions(pages_df: DataFrame, title_keys_df: DataFrame,
             | (F.col("start") + F.col("n") > F.col("prev_end"))
         )
         .drop("prev_end")
+    )
+
+
+def mentions(pages_df: DataFrame, title_keys_df: DataFrame,
+             id_col: str = "url", text_col: str = "extracted",
+             max_n: int = 4, broadcast_keys: bool = True) -> DataFrame:
+    """The blocking join: doc n-grams ⋈ title keys, longest match wins.
+
+    Output: (id, start, n, surface, key) — one row per retained mention.
+    """
+    hits = _mention_hits(pages_df, title_keys_df, id_col, text_col, max_n,
+                         broadcast_keys)
+    return _keep_longest(hits)
+
+
+def mentions_nested(pages_df: DataFrame, title_keys_df: DataFrame,
+                    id_col: str = "url", text_col: str = "extracted",
+                    max_n: int = 4, broadcast_keys: bool = True) -> DataFrame:
+    """Longest matches PLUS nested sub-span re-matches (reference
+    ``find_pages``, ``wikigraph/wikigraph.py:240-270``: after yielding each
+    longest match it re-runs the trie over every sub-token-range combination
+    of the match, deduped by char coords).
+
+    The union over all contiguous sub-ranges of a span of the trie's
+    longest-match output is exactly the set of key-matching n-grams STRICTLY
+    contained in that span (each such n-gram is returned by the sub-range
+    equal to itself), so the Spark recast is a containment join of the raw
+    hit table against the kept top-level spans — no per-combination rescan.
+
+    Output: (id, start, n, surface, key, nested) — nested=false rows are the
+    ``mentions`` output; nested=true rows are sub-span re-matches. A user
+    porting WikiPageX gets the reference's nested spans ("Apple Inc" /
+    "iPhone" inside "Apple Inc iPhone") back.
+    """
+    hits = _mention_hits(pages_df, title_keys_df, id_col, text_col, max_n,
+                         broadcast_keys)
+    # hits feeds the window pass AND the containment join — materialize once
+    hits = hits.localCheckpoint(eager=False)
+    kept = _keep_longest(hits)
+    top = kept.select(
+        F.col("id").alias("t_id"), F.col("start").alias("t_start"),
+        (F.col("start") + F.col("n")).alias("t_end"),
+    )
+    end = F.col("start") + F.col("n")
+    nested = (
+        hits.join(
+            top,
+            on=(
+                (F.col("id") == F.col("t_id"))
+                & (F.col("start") >= F.col("t_start"))
+                & (end <= F.col("t_end"))
+                # strictly contained: not coord-identical to the top span
+                & ((F.col("start") > F.col("t_start")) | (end < F.col("t_end")))
+            ),
+        )
+        .select("id", "start", "n", "surface", "key")
+        .distinct()
+    )
+    return kept.withColumn("nested", F.lit(False)).unionByName(
+        nested.withColumn("nested", F.lit(True))
     )
 
 

@@ -127,10 +127,15 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+                        n: int = 3, min_jaccard: float = 0.5,
+                        max_df: int = 1000) -> DataFrame:
     """(id_a, id_b, jaccard): EXACT token-n-gram Jaccard over pairs sharing
-    ≥1 gram. Shared-gram join generates candidates; group sizes are the
-    skew knob (cap with blocking.cap_blocks for hub grams)."""
+    ≥1 gram, computed over the RARE-GRAM profile: grams appearing in more
+    than ``max_df`` documents ("of the X" hub grams) are dropped from BOTH
+    the candidate join and the per-doc counts — the self-join is quadratic
+    per hub gram, so an uncapped run detonates at 100 TB. The skew guard is
+    ON by default and mirrored in the DuckDB oracle; ``max_df=None``
+    disables it. Jaccard stays exact w.r.t. the filtered gram sets."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
     )
@@ -148,6 +153,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             ).otherwise(F.array(F.array_join(toks, " "))),
         ).alias("gram"),
     ).where(F.col("gram") != "")
+    if max_df is not None:
+        # grams are pre-distinct per doc, so count(*) per gram IS document
+        # frequency; the hub-gram table is small (only grams OVER the cap)
+        # and broadcast-anti-joined away before the quadratic self-join
+        hub = (
+            grams.groupBy("gram").agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hub), "gram", "left_anti")
     counts = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     inter = (
         grams.alias("a")

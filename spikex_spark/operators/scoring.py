@@ -96,17 +96,21 @@ def score_pairs(pairs: DataFrame, a_col: str = "surface_a",
     """
     uniq = pairs.select(a_col, b_col).distinct()
     na, nb = _norm(F.col(a_col)), _norm(F.col(b_col))
+    # combine UNROUNDED components and round ONCE — two-stage rounding lands
+    # on exact decimal halves where Spark (HALF_UP) and DuckDB disagree (the
+    # hazard pipeline.doc_scored_pairs documents); jw/jacc stay as rounded
+    # display columns only
     scored_uniq = (
-        uniq.withColumn("_na", na)
-        .withColumn("_nb", nb)
-        .withColumn("jw", F.round(jaro_winkler_udf(F.col("_na"), F.col("_nb")), 6))
-        .withColumn("jacc", F.round(token_jaccard(F.col(a_col), F.col(b_col)), 6))
+        uniq.withColumn("_jw", jaro_winkler_udf(na, nb))
+        .withColumn("_jacc", token_jaccard(F.col(a_col), F.col(b_col)))
         .withColumn(
             "score",
-            F.round(F.lit(jw_weight) * F.col("jw")
-                    + F.lit(1.0 - jw_weight) * F.col("jacc"), 6),
+            F.round(F.lit(jw_weight) * F.col("_jw")
+                    + F.lit(1.0 - jw_weight) * F.col("_jacc"), 6),
         )
-        .drop("_na", "_nb")
+        .withColumn("jw", F.round(F.col("_jw"), 6))
+        .withColumn("jacc", F.round(F.col("_jacc"), 6))
+        .drop("_jw", "_jacc")
     )
     return pairs.join(F.broadcast(scored_uniq), [a_col, b_col])
 

@@ -44,11 +44,16 @@ class ERConfig:
 
 def _mentions(extracted: DataFrame, keys: DataFrame, cfg: ERConfig,
               id_col: str) -> DataFrame:
+    # ONE Arrow job decides the strategy AND loads the dictionary: pull at
+    # most max+1 keys via limit().toPandas() — py4j row collect() serialized
+    # up to 2M rows one at a time and needed a separate count() job first
+    # (the pathology operators/cc.py documents and avoids the same way)
     distinct_keys = keys.select("key").distinct()
-    if distinct_keys.count() <= cfg.broadcast_keys_max:
-        keyset = [r["key"] for r in distinct_keys.collect()]
-        return B.mentions_broadcast(extracted, keyset, id_col=id_col,
-                                    text_col="extracted", max_n=cfg.max_ngram)
+    head = distinct_keys.limit(cfg.broadcast_keys_max + 1).toPandas()
+    if len(head) <= cfg.broadcast_keys_max:
+        return B.mentions_broadcast(extracted, head["key"].tolist(),
+                                    id_col=id_col, text_col="extracted",
+                                    max_n=cfg.max_ngram)
     return B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
                       max_n=cfg.max_ngram)
 

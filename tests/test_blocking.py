@@ -39,6 +39,36 @@ def test_mentions_longest_match_wins(spark, titles_df):
     assert ("u3", "New York City") in got
 
 
+def test_mentions_nested_subspan_rematching(spark):
+    """Reference ``find_pages`` (wikigraph/wikigraph.py:240-270) re-matches
+    all sub-token-range combinations inside each longest match — golden
+    mirrors the reference test shape (tests/pipes/test_wikipages.py:4-8:
+    'the doctor' also yields nested 'the' + 'doctor')."""
+    pages = spark.createDataFrame(
+        [("u1", "the Apple Inc iPhone launch")], ["url", "text"]
+    )
+    keys = spark.createDataFrame(
+        [("apple inc iphone",), ("apple inc",), ("apple",), ("iphone",),
+         ("launch",)],
+        ["key"],
+    ).withColumn("title", F.col("key")).withColumn("channel", F.lit("clean"))
+    ext = extract_stage(pages)
+    m = B.mentions_nested(ext, keys, id_col="url", text_col="extracted")
+    got = {(r["surface"], r["nested"]) for r in m.collect()}
+    assert got == {
+        ("Apple Inc iPhone", False),   # longest match kept
+        ("launch", False),
+        ("Apple Inc", True),           # nested sub-spans re-matched
+        ("Apple", True),
+        ("iPhone", True),
+    }
+    # top-level rows alone == plain mentions() output
+    plain = {(r["surface"],) for r in
+             B.mentions(ext, keys, "url", "extracted").collect()}
+    tops = {(s,) for s, nested in got if not nested}
+    assert tops == plain
+
+
 def test_mentions_broadcast_equals_join_path(spark, pages_df, titles_df):
     ext = extract_stage(pages_df.select("url", "text"))
     keys = B.title_keys(titles_df)
