@@ -401,6 +401,333 @@ SELECT h.id, canon.canonical_id, h.text_hash
 FROM h JOIN canon USING (text_hash)
 """
 
+# ---------------------------------------------------------------------------
+# pipes-family SQL mirrors (matcher / labels / phrases / sents)
+#
+# The synthetic webtext corpus is lowercase [a-z ]-only (verified: zero rows
+# match '[^a-z ]'), so the Python matcher engine's observable semantics for
+# the CONTRACT patterns are exactly expressible over the token array: token i
+# of simple_tokenize == element i of the space-split list, and greedy
+# quantifier + leftmost-longest resolution reduce to closed forms derived in
+# each query's comment. These mirror the engine spec (matcher/engine.py),
+# not its implementation.
+# ---------------------------------------------------------------------------
+
+# shared token CTEs (1-based DuckDB list positions; spans emitted 0-based to
+# match the Python engine's token-index output)
+_SQL_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+"""
+
+_NUM_WORDS_SQL = (
+    "['zero','one','two','three','four','five','six','seven','eight','nine',"
+    "'ten','eleven','twelve','thirteen','fourteen','fifteen','sixteen',"
+    "'seventeen','eighteen','nineteen','twenty','thirty','forty','fifty',"
+    "'sixty','seventy','eighty','ninety','hundred','thousand','million',"
+    "'billion','trillion']"
+)
+
+# SCAN_JOIN [{LOWER scan},{OP ?},{LOWER join}]: greedy wildcard -> prefer the
+# 3-token span, else the 2-token span; leftmost-longest = min(start) per
+# (key, end). NUMBERED mirrors engine.like_num (strip commas + one dot /
+# fraction / number word); LONGWORD is LENGTH >= 9.
+_SQL_MATCHER = f"""
+WITH {_SQL_TOKS_CTE},
+raw AS (
+  SELECT doc_id, 'SCAN_JOIN' AS key, i - 1 AS start,
+         CASE WHEN i + 2 <= len(t) AND t[i + 2] = 'join' THEN i + 2
+              WHEN i + 1 <= len(t) AND t[i + 1] = 'join' THEN i + 1
+         END AS "end"
+  FROM pos WHERE t[i] = 'scan'
+  UNION ALL
+  SELECT doc_id, 'NUMBERED', i - 1, i FROM pos
+  WHERE regexp_full_match(replace(t[i], ',', ''),
+                          '([0-9]+\\.?[0-9]*|\\.[0-9]+)')
+     OR regexp_full_match(t[i], '[0-9]+/[0-9]+')
+     OR list_contains({_NUM_WORDS_SQL}, lower(t[i]))
+  UNION ALL
+  SELECT doc_id, 'LONGWORD', i - 1, i FROM pos WHERE length(t[i]) >= 9
+),
+best AS (
+  SELECT doc_id, key, min(start) AS start, "end"
+  FROM raw WHERE "end" IS NOT NULL
+  GROUP BY doc_id, key, "end"
+)
+SELECT b.doc_id, b.key, b.start, b."end",
+       array_to_string(tk.t[b.start + 1 : b."end"], ' ') AS surface
+FROM best b JOIN toks tk USING (doc_id)
+"""
+
+# QUERYOP = 1-token IN set; DATAOBJ = token IN set + greedy optional
+# wildcard (end = least(i+1, n) in 1-based terms). only_longest then runs
+# fix_overlabelings (pipes/labels.py:24-46): a span is DROPPED iff some
+# other span strictly contains it or tail-head-overlaps it; the FIRST such
+# conflict in (start asc, end desc) order, when it is a tail-head overlap,
+# emits the merged span carrying the later span's label.
+_SQL_LABELINGS = f"""
+WITH {_SQL_TOKS_CTE},
+raw AS (
+  SELECT doc_id, 'QUERYOP' AS label, i - 1 AS start, i AS "end"
+  FROM pos WHERE list_contains(['scan','join','sort','filter'], t[i])
+  UNION ALL
+  SELECT doc_id, 'DATAOBJ', i - 1, least(i + 1, len(t))
+  FROM pos WHERE list_contains(['table','row','column'], t[i])
+),
+spans AS (
+  SELECT doc_id, label, min(start) AS start, "end"
+  FROM raw GROUP BY doc_id, label, "end"
+),
+conf AS (
+  SELECT x.doc_id, x.start, x."end", x.label,
+         y.start AS ys, y."end" AS ye, y.label AS ylabel,
+         row_number() OVER (
+           PARTITION BY x.doc_id, x.start, x."end", x.label
+           ORDER BY y.start, y.start - y."end") AS rn
+  FROM spans x JOIN spans y
+    ON x.doc_id = y.doc_id
+   AND NOT (x.start = y.start AND x."end" = y."end" AND x.label = y.label)
+   AND ( (x.start > y.start AND x."end" <= y."end")
+      OR (x.start >= y.start AND x."end" < y."end")
+      OR (x.start < y.start AND x."end" > y.start AND x."end" < y."end")
+      OR (x.start > y.start AND x.start < y."end" AND x."end" > y."end") )
+),
+survivors AS (
+  SELECT s.doc_id, s.start, s."end", s.label FROM spans s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM conf c
+    WHERE c.doc_id = s.doc_id AND c.start = s.start
+      AND c."end" = s."end" AND c.label = s.label)
+),
+merged AS (
+  SELECT doc_id,
+         CASE WHEN start < ys THEN start ELSE ys END AS start,
+         CASE WHEN start < ys THEN ye ELSE "end" END AS "end",
+         CASE WHEN start < ys THEN ylabel ELSE label END AS label
+  FROM conf
+  WHERE rn = 1
+    AND ( (start < ys AND "end" > ys AND "end" < ye)
+       OR (start > ys AND start < ye AND "end" > ye) )
+),
+final AS (
+  SELECT DISTINCT doc_id, start, "end", label FROM (
+    SELECT * FROM survivors UNION ALL SELECT * FROM merged)
+)
+SELECT f.doc_id, f.start, f."end", f.label,
+       array_to_string(tk.t[f.start + 1 : f."end"], ' ') AS surface
+FROM final f JOIN toks tk USING (doc_id)
+"""
+
+# [{LOWER IN A, OP +},{LOWER IN B}] with A ∩ B = ∅: greedy '+' cannot
+# backtrack into B, so a match = maximal A-run + immediately-following B
+# token; leftmost-longest keeps the run start; maximal-run matches are
+# disjoint, so the consuming scan and overlap fix are no-ops.
+_SQL_PHRASES = f"""
+WITH {_SQL_TOKS_CTE},
+fl AS (
+  SELECT doc_id, i,
+         list_contains(['fast','slow','small','big'], t[i]) AS a,
+         list_contains(['scan','join','query','sort'], t[i]) AS b
+  FROM pos
+),
+marks AS (
+  SELECT doc_id, i, a, b,
+         CASE WHEN a AND NOT coalesce(
+             lag(a) OVER (PARTITION BY doc_id ORDER BY i), false)
+           THEN 1 ELSE 0 END AS run_start
+  FROM fl
+),
+runs AS (
+  SELECT doc_id, i, a, b,
+         sum(run_start) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marks
+),
+aruns AS (
+  SELECT doc_id, run_id, min(i) AS rs, max(i) AS re
+  FROM runs WHERE a GROUP BY doc_id, run_id
+),
+hits AS (
+  SELECT r.doc_id, r.rs - 1 AS start, r.re + 1 AS "end"
+  FROM aruns r JOIN runs nxt
+    ON nxt.doc_id = r.doc_id AND nxt.i = r.re + 1 AND nxt.b
+)
+SELECT h.doc_id, h.start, h."end",
+       array_to_string(tk.t[h.start + 1 : h."end"], ' ') AS surface
+FROM hits h JOIN toks tk USING (doc_id)
+"""
+
+# sentence fixtures: the reference SentX test text (sentence list lifted from
+# the reference suite, golden-asserted in tests/test_pipes.py::
+# test_reference_sentence_fixture) + a simple punctuation text. The corpus
+# itself is punctuation-free, so the boundary rules yield exactly one span
+# per doc there; the fixture rows pin the full rule set via the gate.
+_SENT_FIXTURES = [
+    (-1,
+     "This is a bullet list that we want to be a unique sentence:\n"
+     "\ta) the first bullet;\n\tb) the second bullet;\n"
+     "\tc) a bullet with nested bullets:\n"
+     "\t\t1) first nested bullet;\t\t2) second nested bullet."
+     "\td) last bullet.\n"
+     "Paragraph title "
+     "The title was misformatted with the text. "
+     "Now we try to split on abbreviations like Figs. 1 or Fig. 2. "
+     "They can create confusion, like No.42 or eg. Num. 42 or U.S.; "
+     "these are some cases, but there could it be more out there."),
+    (-2, "Hello world. This is fine! Is it? Yes."),
+]
+_SENT_GOLDEN = {
+    -1: [(0, 206), (207, 222), (223, 264), (265, 325), (326, 387),
+         (388, 447)],
+    -2: [(0, 12), (13, 26), (27, 33), (34, 38)],
+}
+
+
+def _sql_sentences() -> str:
+    vals = ", ".join(
+        f"({did}, {idx}, {s}, {e})"
+        for did, spans in _SENT_GOLDEN.items()
+        for idx, (s, e) in enumerate(spans)
+    )
+    return f"""
+SELECT doc_id, 0 AS sent_idx,
+       (length(text) - length(ltrim(text, ' ')))::int AS start,
+       length(rtrim(text, ' '))::int AS "end"
+FROM documents WHERE text IS NOT NULL AND trim(text, ' ') <> ''
+UNION ALL
+SELECT * FROM (VALUES {vals}) AS v(doc_id, sent_idx, start, "end")
+"""
+
+
+def _nb_fixture_rows() -> list[tuple[int, str, str, int]]:
+    from spikex_spark.pipes.nbmodel import gen_labeled_fragments
+    return gen_labeled_fragments(
+        [(t, _SENT_GOLDEN[did]) for did, t in _SENT_FIXTURES]
+    )
+
+
+def _sql_nb_train() -> str:
+    """Full SQL recomputation of the NB training pipeline: corpus stats,
+    feature extraction (nbmodel.nb_features), counting, add-0.1 smoothing,
+    normalization and priors (reference pipes/sents/nbmodel.py:76-107) —
+    only the labeled fragment rows and fixture texts are shared inputs."""
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+    texts = ", ".join(f"('{esc(t)}')" for _, t in _SENT_FIXTURES)
+    frags = ", ".join(
+        f"({fid}, '{esc(w1)}', '{esc(w2)}', {lab})"
+        for fid, w1, w2, lab in _nb_fixture_rows()
+    )
+    cap2 = ("(CASE WHEN regexp_full_match(substr(c2, 1, 1), '[A-Z]')"
+            " THEN 'True' ELSE 'False' END)")
+    return f"""
+WITH texts AS (SELECT * FROM (VALUES {texts}) AS t(text)),
+toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM texts
+),
+lw AS (SELECT tok AS word, count(*) AS cnt FROM toks
+       WHERE tok = lower(tok) GROUP BY tok),
+na AS (SELECT tok AS word, count(*) AS cnt FROM toks
+       WHERE NOT ends_with(tok, '.') GROUP BY tok),
+frags AS (SELECT * FROM (VALUES {frags}) AS f(frag_id, w1, w2, label)),
+d AS (
+  SELECT label,
+         regexp_replace(w1, '^.+?-', '') AS c1,
+         regexp_replace(w2, '-.+?$', '') AS c2
+  FROM frags
+),
+d2 AS (
+  SELECT label, c1, c2,
+         substr(c1, 1, greatest(length(c1) - 1, 0)) AS c1sd,
+         lower(c2) AS c2l,
+         regexp_full_match(replace(c1, '.', ''), '[a-zA-Z]+') AS alpha1,
+         regexp_full_match(replace(c2, '.', ''), '[a-zA-Z]+') AS alpha2
+  FROM d
+),
+d3 AS (
+  SELECT d2.*, lw.cnt AS lw_cnt, na.cnt AS na_cnt
+  FROM d2 LEFT JOIN lw ON lw.word = d2.c2l
+          LEFT JOIN na ON na.word = d2.c1sd
+),
+featlist AS (
+  SELECT label, unnest(list_filter([
+    'w1_' || c1,
+    'w2_' || c2,
+    'both_' || c1 || '_' || c2,
+    CASE WHEN alpha1 THEN 'w1length_'
+      || least(10, length(regexp_replace(c1, '\\W', '', 'g')))::varchar END,
+    CASE WHEN alpha1 THEN 'w1abbr_'
+      || floor(ln(1 + coalesce(na_cnt, 0)))::int::varchar END,
+    CASE WHEN alpha2 THEN 'w2cap_' || {cap2} END,
+    CASE WHEN alpha2 THEN 'w2lower_'
+      || floor(ln(1 + coalesce(lw_cnt, 0)))::int::varchar END,
+    CASE WHEN alpha2 THEN 'w1w2upper_' || c1 || '_' || {cap2} END
+  ], x -> x IS NOT NULL)) AS feat
+  FROM d3
+),
+counts AS (SELECT label, feat, count(*) AS cnt FROM featlist GROUP BY 1, 2),
+allf AS (SELECT DISTINCT feat FROM counts),
+labels AS (SELECT unnest([0, 1]) AS label),
+grid AS (SELECT l.label, f.feat FROM allf f CROSS JOIN labels l),
+sm AS (
+  SELECT g.label, g.feat, coalesce(c.cnt, 0) + 0.1::double AS sm
+  FROM grid g LEFT JOIN counts c ON c.label = g.label AND c.feat = g.feat
+),
+tot AS (SELECT label, sum(sm) AS total FROM sm GROUP BY label),
+grand AS (SELECT sum(total) AS g FROM tot)
+SELECT sm.label, sm.feat, round(sm.sm / t.total, 6) AS prob
+FROM sm JOIN tot t ON t.label = sm.label
+UNION ALL
+SELECT label, '<prior>' AS feat, round(total / g, 6) AS prob FROM tot, grand
+"""
+
+
+# Schwartz–Hearst golden over the deterministic fixture (hand-verified:
+# offsets index the fixture strings; long_start=-1 marks a short form whose
+# long form was seen at an earlier, unlinked position)
+_SQL_ABBREVIATIONS = """
+SELECT * FROM (VALUES
+  (1, 'WHO', 'World Health Organization', 31, 4),
+  (2, 'ML', 'machine learning', 25, 7),
+  (2, 'ER', 'entity resolution', 52, 33),
+  (3, 'HTTP', 'hypertext transfer protocol', 37, 9),
+  (3, 'HTTP', 'hypertext transfer protocol', 4, -1)
+) AS v(doc_id, short, long, short_start, long_start)
+"""
+
+# md5-seeded fake-decoder expectation (DuckDB md5() is VARCHAR-only, so the
+# binary payload hashing cannot run SQL-side): raw float64 fold values
+# pinned as literals, rounded in SQL exactly like the Spark query
+_MEDIA_GOLDEN = [
+    (0, 5.296473287278786), (1, 5.958928857930005), (2, 3.5605987212620676),
+    (3, 4.812474262409523), (4, 3.5932093463488854), (5, 4.93826631270349),
+    (6, 6.130429740995169), (7, 4.326369360554963), (8, 5.419833725318313),
+    (9, 6.017593017779291), (10, 4.544853539671749), (11, 4.059619545470923),
+    (12, 5.9587120320647955), (13, 3.6131116319447756),
+    (14, 5.6610653307288885), (15, 6.42038550414145), (16, 6.476669269613922),
+    (17, 5.347369118127972), (18, 5.322537060463219), (19, 3.5999670890159905),
+    (20, 6.224831267260015), (21, 4.810175435617566), (22, 6.339073130324948),
+    (23, 4.670693334192038), (24, 8.021481212165781), (25, 3.7522715642116964),
+    (26, 6.185100733302534), (27, 6.123390703462064), (28, 5.103378802770749),
+    (29, 6.669678943231702),
+]
+
+
+def _sql_media() -> str:
+    vals = ", ".join(f"({i}, {v!r})" for i, v in _MEDIA_GOLDEN)
+    return (
+        # v::double — a bare numeric literal parses as DECIMAL in DuckDB,
+        # which Arrow would surface as decimal128 instead of float64
+        "SELECT media_id, round(v::double, 4) AS feat_sq_norm FROM (VALUES "
+        + vals + ") AS t(media_id, v)"
+    )
+
+
 # spans derived deterministically from events — the O2/O3/O4 window fixtures
 _SQL_SPANS = """
 SELECT user_id AS doc, event_id,
@@ -944,9 +1271,30 @@ def _q_abbreviations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipes.sents import sent_stage
-    docs = _read(spark, sf_dir, "documents")
-    return sent_stage(docs).select(
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # corpus (punctuation-free -> one span per doc) + reference-derived
+    # fixture texts that exercise the full boundary rule set (_SENT_GOLDEN)
+    fix = spark.createDataFrame(_SENT_FIXTURES, ["doc_id", "text"])
+    return sent_stage(docs.unionByName(fix)).select(
         F.col("id").alias("doc_id"), "sent_idx", "start", "end"
+    )
+
+
+def _q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/X6 — Naive-Bayes sentence-model training as ONE hash aggregation
+    over labeled boundary fragments (reference pipes/sents/nbmodel.py:76-107),
+    stats + features + smoothing all in Catalyst."""
+    from spikex_spark.pipes import nbmodel as NB
+    frags = spark.createDataFrame(
+        _nb_fixture_rows(), ["frag_id", "w1", "w2", "label"]
+    )
+    stats_docs = spark.createDataFrame(
+        [(t,) for _, t in _SENT_FIXTURES], ["text"]
+    )
+    lw, na = NB.corpus_stats(stats_docs)
+    feats = NB.nb_features(frags, lw, na)
+    return NB.nb_train(feats).select(
+        "label", "feat", F.round("prob", 6).alias("prob")
     )
 
 
@@ -1208,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_matches": _q_matcher,
         "abbreviations": _q_abbreviations,
         "sentence_split": _q_sentences,
+        "nb_train_probs": _q_nb_train,
         "stream_windowed_counts": _q_stream_windowed,
         "media_features": _q_media_features,
         "embedding_mean_per_label": _q_embedding_mean,
@@ -1285,8 +1634,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text,"
             r" '\b[a-z]+e\b')) AS n_matches FROM documents"
         ),
-        # matcher_matches / abbreviations / sentence_split / media_features:
-        # Python-engine pipes (no SQL equivalent) — rows-only checks
+        "matcher_matches": _SQL_MATCHER,
+        "abbreviations": _SQL_ABBREVIATIONS,
+        "sentence_split": _sql_sentences(),
+        "labelings": _SQL_LABELINGS,
+        "phrases": _SQL_PHRASES,
+        "nb_train_probs": _sql_nb_train(),
+        "media_features": _sql_media(),
         "stream_windowed_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
             " AS window_start, event_type, count(*) AS n,"

@@ -1,0 +1,264 @@
+"""Naive-Bayes sentence-boundary model (SentX's NB layer recast).
+
+Reference parity: spikex ``pipes/sents/nbmodel.py`` (splitta lineage) —
+
+* features per boundary fragment (``nbmodel.py:117-157``): w1/w2/both,
+  w1length, w1abbr (log count of w1 sans period in training), w2cap,
+  w2lower (log count of w2 lowercased), w1w2upper;
+* train (``nbmodel.py:76-107``): count (label, feat) pairs, add-0.1
+  smoothing over the pooled feature space, per-label normalization, priors
+  = totals[label]/total;
+* classify (``nbmodel.py:56-74``): probs[label] = prior^4 · Π feats[label,
+  feat]; prediction = normalized probs[1].
+
+Spark recast: feature extraction is pure Catalyst (regex + conditional
+struct array + explode, with the two corpus-stat tables broadcast-joined
+in); training is ONE ``groupBy(label, feat).count()`` with map-side partial
+aggregation plus a tiny smoothing join — the shuffle carries one row per
+distinct (label, feat), never the fragment table. At 100 TB the fragment
+table is the big side and is touched exactly once.
+
+Classification is driver-side over the (small) trained model: the prob
+table rides a broadcast into the sentence-splitting UDF.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PRIOR_FEAT = "<prior>"
+SMOOTH = 0.1
+
+# ---------------------------------------------------------------------------
+# fragment word cleaning (reference fragment.py:41-46)
+# ---------------------------------------------------------------------------
+
+_RE_NUM = re.compile(r"[.,\d]*\d")
+_RE_JUNK = re.compile(r"[^a-zA-Z0-9,.;:<>\-'\/?!$% ]")
+
+
+def clean_word(t: str) -> str:
+    """Normalize numbers, discard ambiguous punctuation."""
+    t = _RE_NUM.sub("<NUM>", t)
+    t = _RE_JUNK.sub("", t)
+    return t.replace("--", " ")
+
+
+# ---------------------------------------------------------------------------
+# corpus stats (splitta get_stats protocol): lower_words = count of each
+# token observed lower-cased; non_abbrs = count of each cleaned token
+# observed WITHOUT a trailing period
+# ---------------------------------------------------------------------------
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """(lower_words, non_abbrs): (word, cnt) count tables from raw text."""
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    lower_words = (
+        toks.where(F.col("tok") == F.lower(F.col("tok")))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    non_abbrs = (
+        toks.where(~F.col("tok").endswith("."))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return lower_words, non_abbrs
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (Catalyst-only)
+# ---------------------------------------------------------------------------
+
+def _is_alpha_sans_dots(c: Column) -> Column:
+    return F.regexp_replace(c, r"\.", "").rlike("^[a-zA-Z]+$")
+
+
+def _log_count_str(cnt: Column) -> Column:
+    """str(int(math.log(1 + count))), count 0 when absent."""
+    n = F.coalesce(cnt, F.lit(0)).cast("double")
+    return F.floor(F.log(F.lit(1.0) + n)).cast("int").cast("string")
+
+
+def _pybool(c: Column) -> Column:
+    return F.when(c, F.lit("True")).otherwise(F.lit("False"))
+
+
+def nb_features(frags: DataFrame, lower_words: DataFrame,
+                non_abbrs: DataFrame, w1_col: str = "w1",
+                w2_col: str = "w2") -> DataFrame:
+    """Explode each fragment into (label, feat) rows, feat = name + '_' + val
+    (reference ``_get_features`` + the train loop's key concatenation).
+
+    ``frags``: (w1, w2, label, ...) with w1/w2 already ``clean_word``-ed.
+    The stat tables are small (vocabulary-sized) — broadcast left joins.
+    """
+    c1 = F.regexp_replace(F.col(w1_col), r"^.+?-", "")
+    c2 = F.regexp_replace(F.col(w2_col), r"-.+?$", "")
+    d = (
+        frags.withColumn("_c1", c1)
+        .withColumn("_c2", c2)
+        # join keys for the two log-count features
+        .withColumn("_c1_sans_dot", F.expr("substring(_c1, 1, length(_c1) - 1)"))
+        .withColumn("_c2_lower", F.lower("_c2"))
+    )
+    d = d.join(
+        F.broadcast(lower_words.withColumnsRenamed({"word": "_c2_lower", "cnt": "_lw_cnt"})),
+        "_c2_lower", "left",
+    ).join(
+        F.broadcast(non_abbrs.withColumnsRenamed({"word": "_c1_sans_dot", "cnt": "_na_cnt"})),
+        "_c1_sans_dot", "left",
+    )
+    c1c, c2c = F.col("_c1"), F.col("_c2")
+    len1 = F.least(
+        F.lit(10), F.length(F.regexp_replace(c1c, r"\W", ""))
+    ).cast("string")
+    alpha1, alpha2 = _is_alpha_sans_dots(c1c), _is_alpha_sans_dots(c2c)
+    cap2 = _pybool(F.substring(c2c, 1, 1).rlike("^[A-Z]$"))
+    feats = F.array(
+        F.concat(F.lit("w1_"), c1c),
+        F.concat(F.lit("w2_"), c2c),
+        F.concat(F.lit("both_"), c1c, F.lit("_"), c2c),
+        F.when(alpha1, F.concat(F.lit("w1length_"), len1)),
+        F.when(alpha1, F.concat(F.lit("w1abbr_"),
+                                _log_count_str(F.col("_na_cnt")))),
+        F.when(alpha2, F.concat(F.lit("w2cap_"), cap2)),
+        F.when(alpha2, F.concat(F.lit("w2lower_"),
+                                _log_count_str(F.col("_lw_cnt")))),
+        F.when(alpha2, F.concat(F.lit("w1w2upper_"), c1c, F.lit("_"), cap2)),
+    )
+    return d.select(
+        "label",
+        F.explode(F.filter(feats, lambda x: x.isNotNull())).alias("feat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training (A5): one hash aggregation + smoothing
+# ---------------------------------------------------------------------------
+
+def nb_train(features: DataFrame) -> DataFrame:
+    """(label, feat, prob): smoothed per-label feature probabilities plus the
+    two '<prior>' rows (reference ``train``, ``nbmodel.py:76-107``).
+
+    The fragment-scale work is the single ``groupBy(label, feat).count()``
+    (map-side combine); everything after operates on the distinct feature
+    space, which is vocabulary-sized.
+    """
+    spark = features.sparkSession
+    counts = features.groupBy("label", "feat").agg(F.count("*").alias("cnt"))
+    all_feats = counts.select("feat").distinct()
+    labels = spark.range(2).select(F.col("id").cast("int").alias("label"))
+    grid = all_feats.crossJoin(F.broadcast(labels))
+    joined = (
+        grid.join(counts, ["label", "feat"], "left")
+        .withColumn("sm", F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(SMOOTH))
+    )
+    totals = joined.groupBy("label").agg(F.sum("sm").alias("total"))
+    probs = (
+        joined.join(F.broadcast(totals), "label")
+        .select("label", "feat", (F.col("sm") / F.col("total")).alias("prob"))
+    )
+    grand = totals.agg(F.sum("total").alias("grand"))
+    priors = (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            "label", F.lit(PRIOR_FEAT).alias("feat"),
+            (F.col("total") / F.col("grand")).alias("prob"),
+        )
+    )
+    return probs.unionByName(priors)
+
+
+# ---------------------------------------------------------------------------
+# driver-side model + classification (X6/X7)
+# ---------------------------------------------------------------------------
+
+class NBParams:
+    """Trained model as a plain dict — small enough to broadcast into the
+    sentence UDF."""
+
+    def __init__(self, probs: dict[tuple[int, str], float],
+                 lower_words: dict[str, int], non_abbrs: dict[str, int]):
+        self.probs = probs
+        self.lower_words = lower_words
+        self.non_abbrs = non_abbrs
+
+    @classmethod
+    def from_frames(cls, trained: DataFrame, lower_words: DataFrame,
+                    non_abbrs: DataFrame) -> "NBParams":
+        pdf = trained.toPandas()
+        p = {(int(lab), feat): float(prob)
+             for lab, feat, prob in zip(pdf["label"], pdf["feat"], pdf["prob"])}
+        return cls(
+            p,
+            dict(zip(*(lower_words.toPandas()[c] for c in ("word", "cnt")))),
+            dict(zip(*(non_abbrs.toPandas()[c] for c in ("word", "cnt")))),
+        )
+
+    def features(self, w1: str, w2: str) -> dict[str, str]:
+        """Python mirror of ``nb_features`` for per-doc classification
+        (reference ``_get_features``)."""
+        c1 = re.sub(r"^.+?-", "", w1)
+        c2 = re.sub(r"-.+?$", "", w2)
+        feats = {"w1": c1, "w2": c2, "both": c1 + "_" + c2}
+        if c1.replace(".", "").isalpha() and c1.replace(".", ""):
+            feats["w1length"] = str(min(10, len(re.sub(r"\W", "", c1))))
+            feats["w1abbr"] = str(int(math.log(1 + self.non_abbrs.get(c1[:-1], 0))))
+        if c2.replace(".", "").isalpha() and c2.replace(".", ""):
+            feats["w2cap"] = str(c2[:1].isupper())
+            feats["w2lower"] = str(int(math.log(1 + self.lower_words.get(c2.lower(), 0))))
+            feats["w1w2upper"] = c1 + "_" + str(c2[:1].isupper())
+        return feats
+
+    def classify(self, w1: str, w2: str) -> float:
+        """P(boundary) for a fragment ending in w1 followed by w2
+        (reference ``classify_one``: prior^4 · Π feat probs, normalized)."""
+        probs = {lab: self.probs.get((lab, PRIOR_FEAT), 0.5) ** 4
+                 for lab in (0, 1)}
+        feats = self.features(w1, w2)
+        for lab in (0, 1):
+            for name, val in feats.items():
+                key = (lab, name + "_" + val)
+                if key in self.probs:
+                    probs[lab] *= self.probs[key]
+        total = probs[0] + probs[1]
+        return probs[1] / total if total else 0.5
+
+
+# ---------------------------------------------------------------------------
+# deterministic labeled fragments (training fixture)
+# ---------------------------------------------------------------------------
+
+def gen_labeled_fragments(texts_with_spans: list[tuple[str, list[tuple[int, int]]]]
+                          ) -> list[tuple[int, str, str, int]]:
+    """(frag_id, w1, w2, label) rows: every dot/!/?-bearing token is a
+    candidate boundary; label = 1 iff a golden sentence span ends at it.
+    w1 = cleaned candidate token, w2 = cleaned next token ('' at EOF).
+    """
+    out = []
+    fid = 0
+    for text, spans in texts_with_spans:
+        ends = {e for _, e in spans}
+        toks = list(re.finditer(r"\S+", text))
+        for i, m in enumerate(toks):
+            tok = m.group(0)
+            if not re.search(r"[.!?]", tok):
+                continue
+            w2 = toks[i + 1].group(0) if i + 1 < len(toks) else ""
+            out.append((
+                fid,
+                clean_word(tok),
+                clean_word(w2),
+                int(m.end() in ends),
+            ))
+            fid += 1
+    return out

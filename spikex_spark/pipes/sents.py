@@ -114,6 +114,32 @@ def split_sentences(text: str) -> list[tuple[int, int]]:
     return refined
 
 
+def split_sentences_nb(text: str, nb, thresh: float = 0.5) -> list[tuple[int, int]]:
+    """NB re-rank layer (reference SentX: every rule-candidate fragment is
+    classified by the Naive-Bayes model, ``sents/nbmodel.py:56-74``): a
+    dot/!/?-bearing token closes a sentence iff the model predicts
+    P(boundary) > ``thresh``. ``nb`` is an ``nbmodel.NBParams``."""
+    from .nbmodel import clean_word
+    tokens = list(_TOKEN.finditer(text))
+    bounds: list[int] = []
+    for i, m in enumerate(tokens):
+        tok = m.group(0)
+        core = tok.rstrip("\"')]")
+        if not (_ENDS_DOT.match(tok) or core.endswith(("!", "?"))):
+            continue
+        nxt = tokens[i + 1].group(0) if i + 1 < len(tokens) else ""
+        if nb.classify(clean_word(tok), clean_word(nxt)) > thresh:
+            bounds.append(i)
+    spans = []
+    start_tok = 0
+    for b in bounds:
+        spans.append((tokens[start_tok].start(), tokens[b].end()))
+        start_tok = b + 1
+    if start_tok < len(tokens):
+        spans.append((tokens[start_tok].start(), tokens[-1].end()))
+    return spans
+
+
 def sent_stage(df, id_col: str = "doc_id", text_col: str = "text"):
     """Spark stage: one row per sentence with char offsets."""
     import pandas as pd

@@ -29,20 +29,105 @@ from .operators.graph import d_hop_neighbors, undirected
 
 @dataclass
 class WikiGraph:
+    """Graph API mirroring the reference ``WikiGraph`` surface
+    (``wikigraph/wikigraph.py:99-149``: is_redirect / is_disambiguation /
+    is_category / pages / categories / redirect / get_page / get_pageid /
+    get_categories) over DataFrames.
+
+    Per-title lookups run a filtered ``take(1)`` — fine for the interactive
+    parity API; batch workloads join against ``pages``/``redirects``/
+    ``edges`` directly so Catalyst sees one plan.
+    """
+
     pages: DataFrame       # (pageid, title, kind) — deduped, visible
     redirects: DataFrame   # (src_title, dst_pageid)
     edges: DataFrame       # (src, dst) pageids: member -> category
+    all_pages: DataFrame | None = None  # incl. disambiguations + redirect srcs
+
+    def _catalog(self) -> DataFrame:
+        return self.all_pages if self.all_pages is not None else self.pages
 
     def get_pageid(self, title: str) -> int | None:
-        row = self.pages.where(F.col("title") == title).select("pageid").take(1)
-        if row:
-            return row[0]["pageid"]
+        """Reference ``get_pageid`` (:138-146): a redirect source resolves to
+        its TARGET pageid (the reference's _pages excludes redirect sources);
+        otherwise the catalog row (page/category/disambiguation)."""
         r = self.redirects.where(F.col("src_title") == title).take(1)
-        return r[0]["dst_pageid"] if r else None
+        if r:
+            return r[0]["dst_pageid"]
+        row = (
+            self._catalog().where(F.col("title") == title)
+            .select("pageid").take(1)
+        )
+        return row[0]["pageid"] if row else None
+
+    def get_page(self, pageid: int) -> str | None:
+        """Reference ``get_page`` (:131-137): pageid -> title, any kind."""
+        row = (
+            self._catalog().where(F.col("pageid") == pageid)
+            .select("title").take(1)
+        )
+        return row[0]["title"] if row else None
+
+    def is_redirect(self, title: str) -> bool:
+        """Reference ``is_redirect`` (:99-100)."""
+        return bool(
+            self.redirects.where(F.col("src_title") == title).take(1)
+        )
+
+    def is_category(self, title: str) -> bool:
+        """Reference ``is_category`` (:104-105)."""
+        return bool(
+            self._catalog()
+            .where((F.col("title") == title) & (F.col("kind") == "category"))
+            .take(1)
+        )
+
+    def is_disambiguation(self, title: str) -> bool:
+        """Reference ``is_disambiguation`` (:101-103): the REDIRECT-RESOLVED
+        title is a disambiguation page."""
+        resolved = self.redirect(title)
+        if resolved is None:
+            return False
+        return bool(
+            self._catalog()
+            .where((F.col("title") == resolved)
+                   & (F.col("kind") == "disambiguation"))
+            .take(1)
+        )
+
+    def redirect(self, title: str) -> str | None:
+        """Reference ``redirect`` (:119-129): follow a redirect source to its
+        target title; non-redirects return themselves."""
+        r = self.redirects.where(F.col("src_title") == title).take(1)
+        if not r:
+            return title
+        return self.get_page(r[0]["dst_pageid"])
+
+    def iter_pages(self, redirect: bool = False, disambi: bool = False):
+        """Reference ``pages()`` iterator (:106-113): article titles,
+        optionally + redirect sources + disambiguations."""
+        for r in self._catalog().where(F.col("kind") == "page") \
+                .select("title").toLocalIterator():
+            yield r["title"]
+        if redirect:
+            for r in self.redirects.select("src_title").toLocalIterator():
+                yield r["src_title"]
+        if disambi:
+            for r in self._catalog() \
+                    .where(F.col("kind") == "disambiguation") \
+                    .select("title").toLocalIterator():
+                yield r["title"]
+
+    def categories(self):
+        """Reference ``categories()`` iterator (:114-116)."""
+        for r in self._catalog().where(F.col("kind") == "category") \
+                .select("title").toLocalIterator():
+            yield r["title"]
 
     def get_categories(self, title: str, distance: int = 1) -> DataFrame:
-        """Categories reachable within ``distance`` hops (directed)."""
-        pid = self.get_pageid(title)
+        """Categories reachable within ``distance`` hops (directed); the
+        start title is redirect-resolved first (reference :147-155)."""
+        pid = self.get_pageid(self.redirect(title) or title)
         spark = self.pages.sparkSession
         roots = spark.createDataFrame([(pid,)], ["id"])
         hop = d_hop_neighbors(self.edges, roots, d=distance, directed=True)
@@ -148,4 +233,6 @@ def build_wikigraph(pages_raw: DataFrame, pageprops: DataFrame,
         pages=visible,
         redirects=redirects.select("src_title", "dst_pageid"),
         edges=edges,
+        # full catalog (incl. disambiguations) backs get_page/is_* parity
+        all_pages=pages,
     )

@@ -66,3 +66,22 @@ def test_cluster_stage_spark(spark):
         got.setdefault((r["group"], r["cluster_id"]), set()).add(r["key"])
     d1 = [v for (g, _), v in got.items() if g == "d1"]
     assert sorted(map(sorted, d1)) == [["black", "gray"], ["cat", "dog"]]
+
+
+def test_ball_clusters_content_golden(spark):
+    """Content-pinned golden for the driver's ball_clusters contract query
+    (rows-only at the gate — this pins VALUES, not just counts): cluster
+    assignments over the sf0.001 embeddings must be stable."""
+    import hashlib
+
+    import __spark_entry__ as E
+
+    df = E.queries()["ball_clusters"](spark, "/root/testdata/sf0.001")
+    rows = sorted(
+        (r["label"], r["cluster_id"], r["key"]) for r in df.collect()
+    )
+    h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+    assert len(rows) == 500
+    # every key assigned exactly once per label group
+    assert len({(lab, key) for lab, _, key in rows}) == len(rows)
+    assert h == "d7de1026feaa824f", h

@@ -124,3 +124,49 @@ def test_sent_stage_spark(spark):
     assert [r["sentence"] for r in rows] == ["One sentence.", "Another one here."]
     # offsets are real char offsets into the original text
     assert rows[0]["start"] == 0 and rows[1]["end"] == 31
+
+
+def test_nb_model_train_classify_and_split(spark):
+    """A5/X6/X7: NB boundary model — Spark-aggregated training (reference
+    pipes/sents/nbmodel.py:76-107), driver-side classify (:56-74), and the
+    NB re-rank splitting layer."""
+    from spikex_spark.pipes import nbmodel as NB
+    from spikex_spark.pipes.sents import split_sentences, split_sentences_nb
+
+    t1 = (
+        "Now we try to split on abbreviations like Figs. 1 or Fig. 2. "
+        "They can create confusion, like No.42 or eg. Num. 42 or U.S.; "
+        "these are some cases, but there could it be more out there."
+    )
+    t2 = "Hello world. This is fine! Is it? Yes."
+    spans1 = split_sentences(t1)
+    spans2 = split_sentences(t2)
+    frag_rows = NB.gen_labeled_fragments([(t1, spans1), (t2, spans2)])
+    labels = {lab for *_, lab in frag_rows}
+    assert labels == {0, 1}  # fixture has boundary AND non-boundary dots
+
+    frags = spark.createDataFrame(frag_rows, ["frag_id", "w1", "w2", "label"])
+    docs = spark.createDataFrame([(t1,), (t2,)], ["text"])
+    lw, na = NB.corpus_stats(docs)
+    trained = NB.nb_train(NB.nb_features(frags, lw, na))
+    rows = trained.collect()
+    # probabilities normalized per label over the pooled feature space
+    by_label = {}
+    for r in rows:
+        if r["feat"] != NB.PRIOR_FEAT:
+            by_label.setdefault(r["label"], 0.0)
+        else:
+            continue
+        by_label[r["label"]] += r["prob"]
+    for lab, s in by_label.items():
+        assert abs(s - 1.0) < 1e-9, (lab, s)
+    priors = {r["label"]: r["prob"] for r in rows if r["feat"] == NB.PRIOR_FEAT}
+    assert abs(sum(priors.values()) - 1.0) < 1e-9
+
+    model = NB.NBParams.from_frames(trained, lw, na)
+    # a training positive should outscore a training negative
+    pos = next(r for r in frag_rows if r[3] == 1)
+    neg = next(r for r in frag_rows if r[3] == 0)
+    assert model.classify(pos[1], pos[2]) > model.classify(neg[1], neg[2])
+    # NB layer reproduces the rules split on the clean text it was trained on
+    assert split_sentences_nb(t2, model) == spans2

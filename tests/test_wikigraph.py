@@ -89,3 +89,29 @@ def test_two_hop_categories(wg):
     assert ("Category:Apples", 1) in got
     assert ("Category:Fruits", 1) in got       # direct link from Apple
     assert ("Category:Amygdaloideae", 2) in got
+
+
+def test_api_parity_surface(wg):
+    """Reference WikiGraph surface (wikigraph/wikigraph.py:99-149):
+    is_redirect / is_category / is_disambiguation / redirect / get_page /
+    get_pageid / pages() / categories()."""
+    assert wg.is_redirect("Gala") and not wg.is_redirect("Apple")
+    assert wg.is_category("Category:Apples") and not wg.is_category("Apple")
+    assert wg.is_disambiguation("Apple_disambig")
+    assert not wg.is_disambiguation("Apple")
+    # redirect resolution returns the target TITLE; non-redirects echo back
+    assert wg.redirect("Gala") == "Gala_(apple)"
+    assert wg.redirect("Apple") == "Apple"
+    # pageid lookups: redirect sources resolve to the target pageid
+    assert wg.get_pageid("Gala") == 12
+    assert wg.get_pageid("Apple") == 10
+    assert wg.get_page(10) == "Apple"
+    assert wg.get_page(16) == "Apple_disambig"
+    assert wg.get_page(99999) is None
+    # iterators
+    arts = set(wg.iter_pages())
+    assert "Apple" in arts and "Category:Apples" not in arts
+    with_red = set(wg.iter_pages(redirect=True, disambi=True))
+    assert "Gala" in with_red and "Apple_disambig" in with_red
+    cats = set(wg.categories())
+    assert "Category:Apples" in cats and "Apple" not in cats
