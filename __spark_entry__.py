@@ -1408,26 +1408,15 @@ def _q_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _er_pages_scored(spark: SparkSession, sf_dir: str,
-                     min_score: float | None = None) -> DataFrame:
-    """Title-blocking ER over documents (Spark side of the SQL mirror):
-    deterministic CAPPED blocks (min surface per doc+clean key, first
-    ``_ER_PAGES_BLOCK_CAP`` ids per key), distinct-surface scoring.
-
-    Surfaces repeat across pairs (every doc matching key "table" carries the
-    same surface), so JW+Jaccard run once per DISTINCT (surface_a, surface_b)
-    and broadcast-join back — the per-pair-row Python UDF was 85% of the
-    sf0.1 bench. The cap bounds hub blocking keys (a key matched by every doc
-    is a quadratic pair bomb at 100× scale); it is deterministic (row_number
-    by id) and mirrored in the DuckDB oracle's QUALIFY.
-
-    ``min_score``: when set, the distinct-surface score table is filtered
-    BEFORE the join-back, so non-matching pairs are never enumerated — the
-    clusters path needs edges only.
+def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CAPPED blocks (min surface per doc+clean key, first
+    ``_ER_PAGES_BLOCK_CAP`` ids per key) — the shared front half of the
+    title-blocking ER path. The cap bounds hub blocking keys (a key matched
+    by every doc is a quadratic pair bomb at 100× scale); it is
+    deterministic (row_number by id) and mirrored in the oracle's QUALIFY.
     """
     from spikex_spark.extract import extract_native
     from spikex_spark.operators import blocking as B
-    from spikex_spark.operators import scoring as S
     from spikex_spark.synth import gen_titles
     docs = extract_native(_read(spark, sf_dir, "documents"), "text", "extracted")
     titles = spark.createDataFrame(gen_titles())
@@ -1457,9 +1446,34 @@ def _er_pages_scored(spark: SparkSession, sf_dir: str,
     )
     blocks = B.cap_blocks(blocks, key_col="block_key", id_col="id",
                           cap=_ER_PAGES_BLOCK_CAP)
-    # blocks feeds both sides of the self-join — materialize once instead of
-    # recomputing extract→mention→window→cap twice
-    blocks = blocks.localCheckpoint()
+    # blocks feeds multiple consumers — materialize once instead of
+    # recomputing extract→mention→window→cap per consumer
+    return blocks.localCheckpoint()
+
+
+def _er_pages_surface_scores(blocks_pairs_surfaces: DataFrame) -> DataFrame:
+    """raw_score per DISTINCT (surface_a, surface_b) — surfaces repeat
+    across pairs, so JW+Jaccard run once per distinct pair and the result
+    broadcast-joins back (the per-pair-row Python UDF was 85% of the r1
+    bench)."""
+    from spikex_spark.operators import scoring as S
+    return blocks_pairs_surfaces.withColumn(
+        "raw_score",
+        F.lit(0.5) * S.jaro_winkler_udf(S._norm(F.col("surface_a")),
+                                        S._norm(F.col("surface_b")))
+        + F.lit(0.5) * S.token_jaccard(F.col("surface_a"), F.col("surface_b")),
+    )
+
+
+def _er_pages_scored(spark: SparkSession, sf_dir: str,
+                     min_score: float | None = None) -> DataFrame:
+    """Title-blocking ER pair view (Spark side of the SQL mirror): capped
+    blocks, full pair enumeration, distinct-surface scoring.
+
+    ``min_score``: when set, the distinct-surface score table is filtered
+    BEFORE the join-back, so non-matching pairs are never enumerated.
+    """
+    blocks = _er_pages_blocks(spark, sf_dir)
     left = blocks.select("block_key", F.col("id").alias("id_a"),
                          F.col("surface").alias("surface_a"))
     right = blocks.select("block_key", F.col("id").alias("id_b"),
@@ -1471,12 +1485,7 @@ def _er_pages_scored(spark: SparkSession, sf_dir: str,
         .dropDuplicates(["id_a", "id_b", "surface_a", "surface_b"])
     )
     uniq = pairs.select("surface_a", "surface_b").distinct()
-    scored_uniq = uniq.withColumn(
-        "raw_score",
-        F.lit(0.5) * S.jaro_winkler_udf(S._norm(F.col("surface_a")),
-                                        S._norm(F.col("surface_b")))
-        + F.lit(0.5) * S.token_jaccard(F.col("surface_a"), F.col("surface_b")),
-    )
+    scored_uniq = _er_pages_surface_scores(uniq)
     if min_score is not None:
         scored_uniq = scored_uniq.where(F.round("raw_score", 6) >= min_score)
     return pairs.join(F.broadcast(scored_uniq), ["surface_a", "surface_b"])
@@ -1489,11 +1498,45 @@ def _q_er_pages_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_er_pages_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters WITHOUT enumerating the per-block pair cliques.
+
+    Connectivity-preserving edge reduction: within a block, docs sharing the
+    SAME surface always match (score(s, s) = 0.5·1 + 0.5·1 = 1.0 ≥ 0.75), so
+    each (block_key, surface) group is collapsed to a star on its min-id
+    representative; cross-surface matches connect group REPRESENTATIVES only
+    (every cross pair matches iff its surface pair scores ≥ threshold, so
+    one rep–rep edge yields the same connected components as the full
+    bipartite clique). Edges go from O(m²) per hub block to O(m + g²)
+    (g = distinct surfaces, typically 1-3) — the oracle stays the full
+    pair-enumeration recursive reach, and the components are identical.
+    """
     from spikex_spark.operators import cc as CC
-    scored = _er_pages_scored(spark, sf_dir, min_score=0.75)
-    edges = scored.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    blocks = _er_pages_blocks(spark, sf_dir)
+    groups = blocks.groupBy("block_key", "surface").agg(
+        F.min("id").alias("rep")
     )
+    intra = (
+        blocks.join(groups, ["block_key", "surface"])
+        .where(F.col("id") != F.col("rep"))
+        .select(F.col("id").alias("src"), F.col("rep").alias("dst"))
+    )
+    ga = groups.select("block_key", F.col("surface").alias("surface_a"),
+                       F.col("rep").alias("src"))
+    gb = groups.select("block_key", F.col("surface").alias("surface_b"),
+                       F.col("rep").alias("dst"))
+    gpairs = (
+        ga.join(gb, "block_key")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "surface_a", "surface_b")
+    )
+    match = _er_pages_surface_scores(
+        gpairs.select("surface_a", "surface_b").distinct()
+    ).where(F.round("raw_score", 6) >= 0.75)
+    inter = gpairs.join(
+        F.broadcast(match.select("surface_a", "surface_b")),
+        ["surface_a", "surface_b"],
+    ).select("src", "dst")
+    edges = intra.unionByName(inter).distinct()
     docs = _read(spark, sf_dir, "documents")
     return CC.cluster_assignments(
         edges, docs.select(F.col("doc_id").alias("id"))

@@ -70,3 +70,22 @@ def test_extract_native_stays_jvm(spark):
     plan = _plan(extract_native(docs, "text"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "regexp_replace" in _optimized(extract_native(docs, "text"))
+
+
+def test_er_pages_scored_udf_only_on_distinct_surfaces(spark):
+    """The flagship hot-path fix: the Python JW UDF must run on the DISTINCT
+    (surface_a, surface_b) side only (above an Aggregate), and the score
+    table must broadcast-join back to the pair table — never a per-pair-row
+    Python eval (was 85% of the r1 bench)."""
+    import __spark_entry__ as E
+
+    scored = E._er_pages_scored(spark, "/root/testdata/sf0.001")
+    plan = _plan(scored)
+    # exactly one Arrow Python eval in the whole plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # join-back of the scored distinct surfaces is a broadcast
+    assert "BroadcastHashJoin" in plan
+    # the UDF sits downstream of the distinct aggregation, upstream of the
+    # broadcast exchange feeding the join-back
+    udf_pos = plan.index("ArrowEvalPython")
+    assert "HashAggregate" in plan[udf_pos:], "UDF not above the distinct"
