@@ -1298,6 +1298,57 @@ def _q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_stream_dir(sf_dir: str, table: str) -> str:
+    """File streams need a DIRECTORY source; stage the single parquet file."""
+    import hashlib as _hl
+    import shutil
+    from pathlib import Path
+    src = Path(f"{sf_dir}/{table}.parquet")
+    stage_dir = Path("/tmp/spikex_stream") / _hl.md5(str(src).encode()).hexdigest()
+    stage_dir.mkdir(parents=True, exist_ok=True)
+    dst = stage_dir / f"{table}.parquet"
+    if not dst.exists():
+        shutil.copyfile(src, dst)
+    return str(stage_dir)
+
+
+def _q_stream_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    canonical-id per blocking key. Drained availableNow in ONE micro-batch,
+    so canonical == the batch min per key — the oracle's window min."""
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        streaming_canonical_assign,
+    )
+    schema = _read(spark, sf_dir, "documents").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "documents")
+    )
+    keyed = stream.select(
+        "doc_id",
+        F.element_at(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                     lambda t: t != ""),
+            1,
+        ).alias("block_key"),
+    ).where(F.col("block_key").isNotNull())
+    assigned = streaming_canonical_assign(keyed)
+    return run_to_memory(assigned, "q_stream_canonical")
+
+
+_SQL_STREAM_CANONICAL = """
+WITH keyed AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '')[1] AS block_key
+  FROM documents
+)
+SELECT block_key, doc_id,
+       min(doc_id) OVER (PARTITION BY block_key) AS canonical_id
+FROM keyed WHERE block_key IS NOT NULL
+"""
+
+
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming tumbling-window agg over the events table,
     drained with availableNow — oracle = the equivalent batch SQL."""
@@ -1312,17 +1363,9 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ])
-    # file streams need a DIRECTORY source; stage the single parquet file
-    import hashlib as _hl
-    import shutil
-    from pathlib import Path
-    src = Path(f"{sf_dir}/events.parquet")
-    stage_dir = Path("/tmp/spikex_stream") / _hl.md5(str(src).encode()).hexdigest()
-    stage_dir.mkdir(parents=True, exist_ok=True)
-    dst = stage_dir / "events.parquet"
-    if not dst.exists():
-        shutil.copyfile(src, dst)
-    stream = spark.readStream.schema(schema).parquet(str(stage_dir))
+    stream = spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "events")
+    )
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -1601,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentences,
         "nb_train_probs": _q_nb_train,
         "stream_windowed_counts": _q_stream_windowed,
+        "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
         "embedding_mean_per_label": _q_embedding_mean,
         "ball_clusters": _q_ball_clusters,
@@ -1690,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(value), 4) AS sum_value"
             " FROM events GROUP BY 1, 2"
         ),
+        "stream_block_canonical": _SQL_STREAM_CANONICAL,
         "embedding_mean_per_label": (
             "SELECT label, i AS pos, round(avg(embedding[i]), 6) AS mean_val"
             " FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)"

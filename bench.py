@@ -35,6 +35,9 @@ def main() -> None:
         "er_doc_pairs",
         "er_pages_clusters",
         "mention_candidates",
+        "mention_candidates_nested",
+        "nb_train_probs",
+        "stream_block_canonical",
         "minhash_buckets",
         "minhash_near_dups",
         "simhash_near_dups",

@@ -214,7 +214,7 @@ def mentions_nested(pages_df: DataFrame, title_keys_df: DataFrame,
 
 def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
                        id_col: str = "url", text_col: str = "extracted",
-                       max_n: int = 4) -> DataFrame:
+                       max_n: int = 4, raw_ws: bool = False) -> DataFrame:
     """Broadcast-dictionary mention detection (reference strategy (a):
     the Aho-Corasick trie shipped into the matcher, ``wikigraph.py:231-270``).
 
@@ -224,6 +224,13 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
     shuffle, and identical output to ``mentions`` (the n-gram join path),
     enforced by tests. Use the join path when the dictionary cannot be
     broadcast.
+
+    ``raw_ws=True`` fuses the extract stage into the scan: the input is RAW
+    page text and tokenization splits on whitespace+underscore directly —
+    token-identical to extract(ws→_) followed by the ``[_ ]+`` split, but
+    the full text crosses the Arrow boundary ONCE instead of twice (extract
+    out + scan in). At 100 TB the text column is the dominant byte volume,
+    so this halves the pipeline's Python-boundary traffic.
     """
     import pandas as pd
 
@@ -237,8 +244,10 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
         " start int, n int, surface string, key string"
     )
 
+    split = _re_split_raw_ws if raw_ws else _re_split
+
     def scan_doc(text: str, keyset):
-        raw = [t for t in _re_split(text) if t]
+        raw = [t for t in split(text) if t]
         norm = [_norm_word(t) for t in raw]
         matches = []
         for i in range(len(raw)):
@@ -281,11 +290,18 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
 import re as _re_mod
 
 _RE_WORD_SEP = _re_mod.compile(r"[_ ]+")
+# extract.extract replaces each ASCII ws char with '_'; splitting RAW text
+# on ws+underscore yields the identical token sequence in one pass
+_RE_WORD_SEP_RAW = _re_mod.compile(r"[_ \t\n\x0b\f\r]+")
 _RE_NON_ALNUM_PY = _re_mod.compile(r"[^a-z0-9]+")
 
 
 def _re_split(text: str) -> list[str]:
     return _RE_WORD_SEP.split(text)
+
+
+def _re_split_raw_ws(text: str) -> list[str]:
+    return _RE_WORD_SEP_RAW.split(text)
 
 
 def _norm_word(t: str) -> str:

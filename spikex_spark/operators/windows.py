@@ -59,19 +59,24 @@ def greedy_nonoverlap(spans: DataFrame, doc_col: str = "doc") -> DataFrame:
     docs are independent, so the scan distributes on the doc key; per-doc
     span counts are small (matcher output), so the Python loop is bounded.
     """
-    import pandas as pd  # noqa: F401  (arrow batch interface)
+    import numpy as np
 
     out_schema = spans.schema
 
     def scan(pdf):
+        # vectorized numpy scan over the sorted arrays (iterrows was
+        # row-at-a-time pandas — fine for small docs, quadratic-constant
+        # overhead once matcher output grows)
         pdf = pdf.sort_values(["start", "end"], ascending=[True, False])
-        keep = []
+        starts = pdf["start"].to_numpy()
+        ends = pdf["end"].to_numpy()
+        keep = np.zeros(len(pdf), dtype=bool)
         last_end = None
-        for idx, row in pdf.iterrows():
-            if last_end is None or row["start"] >= last_end:
-                keep.append(idx)
-                last_end = row["end"]
-        return pdf.loc[keep]
+        for i in range(len(starts)):
+            if last_end is None or starts[i] >= last_end:
+                keep[i] = True
+                last_end = ends[i]
+        return pdf[keep]
 
     return spans.groupBy(doc_col).applyInPandas(scan, schema=out_schema)
 

@@ -42,8 +42,8 @@ class ERConfig:
     broadcast_keys_max: int = 2_000_000
 
 
-def _mentions(extracted: DataFrame, keys: DataFrame, cfg: ERConfig,
-              id_col: str) -> DataFrame:
+def _mentions(pages: DataFrame, keys: DataFrame, cfg: ERConfig,
+              id_col: str, text_col: str) -> DataFrame:
     # ONE Arrow job decides the strategy AND loads the dictionary: pull at
     # most max+1 keys via limit().toPandas() — py4j row collect() serialized
     # up to 2M rows one at a time and needed a separate count() job first
@@ -51,9 +51,12 @@ def _mentions(extracted: DataFrame, keys: DataFrame, cfg: ERConfig,
     distinct_keys = keys.select("key").distinct()
     head = distinct_keys.limit(cfg.broadcast_keys_max + 1).toPandas()
     if len(head) <= cfg.broadcast_keys_max:
-        return B.mentions_broadcast(extracted, head["key"].tolist(),
-                                    id_col=id_col, text_col="extracted",
-                                    max_n=cfg.max_ngram)
+        # FUSED extract+scan: raw text crosses the Arrow boundary once
+        # (raw_ws tokenization ≡ extract(ws→_) + split, proven by test)
+        return B.mentions_broadcast(pages, head["key"].tolist(),
+                                    id_col=id_col, text_col=text_col,
+                                    max_n=cfg.max_ngram, raw_ws=True)
+    extracted = extract_stage(pages.select(id_col, text_col), text_col)
     return B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
                       max_n=cfg.max_ngram)
 
@@ -62,9 +65,9 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
                      cfg: ERConfig = ERConfig(),
                      id_col: str = "url", text_col: str = "text") -> DataFrame:
     """(url, cluster_id, block_key, surface) — entity clusters over pages."""
-    extracted = extract_stage(pages.select(id_col, text_col), text_col)
     keys = B.title_keys(titles)
-    ments = _mentions(extracted, keys, cfg, id_col)
+    ments = _mentions(pages.select(id_col, text_col), keys, cfg, id_col,
+                      text_col)
     blocks = B.block_members(ments, keys)
     # blocks feeds block_sizes, both sides of the pair self-join, and the
     # surface lookup — checkpoint once instead of recomputing the whole
@@ -177,9 +180,9 @@ def scored_pairs(pages: DataFrame, titles: DataFrame,
                  id_col: str = "url", text_col: str = "text") -> DataFrame:
     """The pairwise view (for the F1 gate): (id_a, id_b, block_key, score,
     is_match). Gold pairs join on (id_a, id_b)."""
-    extracted = extract_stage(pages.select(id_col, text_col), text_col)
     keys = B.title_keys(titles)
-    ments = _mentions(extracted, keys, cfg, id_col)
+    ments = _mentions(pages.select(id_col, text_col), keys, cfg, id_col,
+                      text_col)
     blocks = B.block_members(ments, keys).localCheckpoint()
     blocks = B.salt_blocks(blocks, cap=cfg.block_cap, nsalt=cfg.nsalt)
     pairs = P.candidate_pairs(blocks, salted=True)

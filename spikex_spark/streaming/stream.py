@@ -72,6 +72,50 @@ def streaming_dedup(stream: DataFrame, ts_col: str = "warc_ts",
     )
 
 
+def streaming_canonical_assign(stream: DataFrame, key_col: str = "block_key",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): incremental
+    canonical-id assignment per blocking key — the streaming face of the ER
+    canonicalization step (dedup.exact_duplicates' min-id rule, applied as
+    pages arrive).
+
+    State per key = the running minimum id ever seen; each micro-batch of a
+    key group re-reads that state, folds the batch minimum in, and emits
+    (key, id, canonical_id) assignments. State is one long per live key —
+    at 100 TB the state store scales with DISTINCT keys, not rows, and the
+    operator shuffles each batch once on the key (same partitioning the
+    batch pipeline uses).
+    """
+    import pandas as pd
+
+    def assign(key, pdfs, state):
+        mn = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            batch_min = int(pdf[id_col].min())
+            mn = batch_min if mn is None else min(mn, batch_min)
+            out.append(pd.DataFrame({
+                key_col: key[0],
+                id_col: pdf[id_col].astype("int64"),
+            }))
+        if mn is not None:
+            state.update((mn,))
+        for pdf in out:
+            pdf["canonical_id"] = mn
+            yield pdf
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return stream.groupBy(key_col).applyInPandasWithState(
+        assign,
+        outputStructType=f"{key_col} string, {id_col} long, canonical_id long",
+        stateStructType="min_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "append") -> DataFrame:
     """Drain all available input into an in-memory table (tests/bench)."""

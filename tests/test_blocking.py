@@ -158,3 +158,18 @@ def test_lsh_bucket_layout(spark):
         by_doc.setdefault(r["id"], set()).add((r["band"], r["bucket"]))
     assert by_doc["d1"] == by_doc["d2"]          # identical docs collide
     assert not (by_doc["d1"] & by_doc["d3"])     # different docs don't
+
+
+def test_mentions_broadcast_raw_ws_fusion(spark, pages_df, titles_df):
+    """Fused extract+scan (raw_ws=True) over RAW text must equal
+    extract_stage followed by the scan — same tokens, surfaces, spans; the
+    text crosses the Arrow boundary once instead of twice."""
+    keys = [r["key"] for r in
+            B.title_keys(titles_df).select("key").distinct().collect()]
+    ext = extract_stage(pages_df.select("url", "text"))
+    two_pass = {tuple(r) for r in
+                B.mentions_broadcast(ext, keys, "url", "extracted").collect()}
+    fused = {tuple(r) for r in
+             B.mentions_broadcast(pages_df.select("url", "text"), keys,
+                                  "url", "text", raw_ws=True).collect()}
+    assert two_pass == fused and len(fused) > 0

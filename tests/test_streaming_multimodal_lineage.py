@@ -151,3 +151,46 @@ def test_resumable_pipeline_matches_oneshot(spark, tmp_path):
     # resume path: rerun touches no stage (ledger short-circuit)
     res2 = resolve_documents_resumable(spark, docs, ledger, fingerprint="sf0.001")
     assert res2.count() == docs.count()
+
+
+def test_streaming_canonical_assign_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState custom operator: per-key running-min canonical
+    id carries STATE across micro-batches (maxFilesPerTrigger=1 forces two
+    batches)."""
+    from pyspark.sql import types as T
+
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        streaming_canonical_assign,
+    )
+
+    d = tmp_path_factory.mktemp("canon_stream")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("block_key", T.StringType()),
+    ])
+    # batch 1: key 'a' min=5; batch 2 brings a SMALLER id (2) for 'a'
+    b1 = spark.createDataFrame([(5, "a"), (9, "a"), (7, "b")], schema)
+    b2 = spark.createDataFrame([(2, "a"), (8, "b")], schema)
+    b1.coalesce(1).write.parquet(str(d / "f1"))
+    b2.coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = run_to_memory(
+        streaming_canonical_assign(stream), "t_canon_stream"
+    ).collect()
+    got = {(r["block_key"], r["doc_id"]): r["canonical_id"] for r in out}
+    assert len(got) == 5
+    # within each batch the canonical is the running min INCLUDING state:
+    # whichever file lands first, key 'a' converges to 2 in the later batch
+    batch_with_5 = got[("a", 5)]
+    batch_with_2 = got[("a", 2)]
+    assert batch_with_2 == 2
+    assert batch_with_5 in (2, 5)  # depends on file order within the stream
+    assert got[("b", 7)] in (7, 8) and got[("b", 8)] in (7, 8)
+    # state monotonicity: at least one key saw its min carried across batches
+    assert min(got[("a", 5)], got[("a", 9)], got[("a", 2)]) == 2

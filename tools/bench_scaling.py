@@ -124,9 +124,12 @@ def main() -> None:
     pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2000000"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")
     results = {"levels": [n_low, n_high], "machine": machine_calibration(n_low, n_high)}
     for workload, size, unit in (("pipeline", pages, "pages"),
                                  ("scoring", pairs, "pairs")):
+        if only and workload != only:
+            continue
         t_low = run_level(workload, f"local[{n_low}]", size, repo)
         t_high = run_level(workload, f"local[{n_high}]", size, repo)
         eff = round((t_low / t_high) / (n_high / n_low), 3)
