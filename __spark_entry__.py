@@ -90,8 +90,17 @@ _SQL_BUCKETS = (
     )
 )
 
+# bucket cap mirrors pipeline.doc_candidate_pairs bucket_cap=1000: first
+# 1000 ids per (band, bucket) before the pair self-join
+_SQL_BUCKETS_CAPPED = (
+    "SELECT doc_id, band, bucket FROM buckets0 "
+    "QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id)"
+    " <= 1000"
+)
+
 _SQL_CAND_PAIRS = f"""
-WITH buckets AS ({_SQL_BUCKETS})
+WITH buckets0 AS ({_SQL_BUCKETS}),
+buckets AS ({_SQL_BUCKETS_CAPPED})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -225,7 +234,8 @@ WHERE round(i::double / (ca.n_grams + cb.n_grams - i), 6) >= 0.5
 
 _SQL_MINHASH_NEAR = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-buckets AS ({_SQL_BUCKETS}),
+buckets0 AS ({_SQL_BUCKETS}),
+buckets AS ({_SQL_BUCKETS_CAPPED}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
@@ -375,6 +385,62 @@ cands AS (
   FROM banded q JOIN banded c
     ON q.band = c.band AND q.bval = c.bval AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(
+      list_dot_product(qv.e, cv.e)
+      / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e))),
+      4) AS cos
+  FROM cands cd
+  JOIN v qv ON qv.vec_id = cd.query_id
+  JOIN v cv ON cv.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _sql_ann_ivf(nlist: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    """DuckDB mirror of simsearch.ivf_cosine_topk: seeds = first nlist
+    vectors, unit-normalized; assignment/probe = argmax dot, ties to the
+    larger seed id (mirrors the struct-sort tie-break); exact cosine
+    re-rank inside probed lists."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS sid, e, sqrt(list_dot_product(e, e)) AS n
+  FROM v WHERE vec_id < {nlist}
+),
+su AS (
+  SELECT sid, CASE WHEN n > 0 THEN list_transform(e, x -> x / n) ELSE e END AS u
+  FROM seeds
+),
+scores AS (
+  SELECT v.vec_id, su.sid, list_dot_product(v.e, su.u) AS s
+  FROM v CROSS JOIN su
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, sid AS list_id FROM scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, sid AS list_id FROM scores
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) <= {nprobe}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE a.neighbor_id <> p.query_id
 ),
 scored AS (
   SELECT cd.query_id, cd.neighbor_id,
@@ -1187,6 +1253,14 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=5)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse lists + nprobe probing + exact re-rank."""
+    from spikex_spark.operators.simsearch import ivf_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 5),
+                           k=5, nlist=8, nprobe=2)
+
+
 def _q_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.windows import drop_contained
     ev = _read(spark, sf_dir, "events")
@@ -1634,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprint,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -1713,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINT,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_ivf_topk": _sql_ann_ivf(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),

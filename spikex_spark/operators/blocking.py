@@ -459,10 +459,12 @@ def salt_blocks(blocks: DataFrame, key_col: str = "block_key",
     ).drop("block_size")
 
 
-def cap_blocks(blocks: DataFrame, key_col: str = "block_key",
+def cap_blocks(blocks: DataFrame, key_col: str | list[str] = "block_key",
                id_col: str = "id", cap: int = 1000) -> DataFrame:
-    """Deterministically keep the first ``cap`` members per key (by id)."""
-    w = Window.partitionBy(key_col).orderBy(F.col(id_col))
+    """Deterministically keep the first ``cap`` members per key (by id).
+    ``key_col`` may be a list for compound keys (e.g. LSH (band, bucket))."""
+    keys = key_col if isinstance(key_col, list) else [key_col]
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
     return (
         blocks.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)

@@ -189,12 +189,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       min_jaccard: float = 0.7, k: int = 5,
-                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                      num_hashes: int = 16, bands: int = 4,
+                      bucket_cap: int = 1000) -> DataFrame:
     """(id_a, id_b, jaccard): LSH candidates verified with EXACT shingle
-    Jaccard (the candidate set is approximate, the reported scores exact)."""
+    Jaccard (the candidate set is approximate, the reported scores exact).
+
+    ``bucket_cap`` bounds per-bucket membership (first ``cap`` ids) — a
+    million-clone boilerplate page otherwise turns its bucket into a
+    quadratic pair bomb; deterministic and mirrored in the oracle."""
     sh = B.shingle_df(df, id_col, text_col, k=k)
     sig = B.minhash_signatures(sh, num_hashes=num_hashes)
     buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
+    buckets = B.cap_blocks(buckets, key_col=["band", "bucket"], id_col="id",
+                           cap=bucket_cap)
     buckets = buckets.localCheckpoint(eager=False)
     cands = (
         buckets.select("band", "bucket", F.col("id").alias("id_a"))

@@ -76,6 +76,91 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    nlist: int = 8, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int = 4) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``nlist`` inverted
+    lists, probe the ``nprobe`` nearest lists per query, exact cosine
+    re-rank inside the probed lists.
+
+    Coarse centroids here are the first ``nlist`` corpus vectors by id
+    (deterministic — a production deployment swaps in k-means centroids;
+    the assignment/probe/re-rank machinery is identical and that is what
+    this operator implements). Assignment is argmax of dot(v, unit(seed)),
+    computed JVM-side with sequential folds so the DuckDB oracle reproduces
+    it bit-for-bit; at cluster scale the assignment matmul moves into an
+    Arrow batch exactly like ``lsh_signs``.
+
+    Scale shape: assignment is a narrow map; candidate generation is an
+    equi-join on list_id (each query touches nprobe/nlist of the corpus);
+    no all-pairs anywhere.
+    """
+    import math
+
+    seeds = (
+        corpus.orderBy(id_col).limit(nlist)
+        .select(id_col, _as_double(F.col(vec_col)).alias("e"))
+        .collect()
+    )
+    units: list[tuple[int, list[float]]] = []
+    for r in seeds:
+        e = r["e"]
+        acc = 0.0
+        for x in e:          # sequential fold — matches list_dot_product
+            acc += x * x
+        n = math.sqrt(acc)
+        units.append((r[id_col], [x / n for x in e] if n else e))
+
+    def dot_lit(vec: Column, unit: list[float]) -> Column:
+        lit_arr = F.array(*[F.lit(float(x)) for x in unit])
+        return F.aggregate(
+            F.zip_with(vec, lit_arr, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    def best_lists(df: DataFrame, label: str, n_keep: int) -> DataFrame:
+        v = df.select(F.col(id_col).alias(label),
+                      _as_double(F.col(vec_col)).alias("e"))
+        scores = F.array(*[
+            F.struct(dot_lit(F.col("e"), u).alias("s"),
+                     F.lit(sid).alias("sid"))
+            for sid, u in units
+        ])
+        # lexicographic struct sort: score desc, then sid desc on ties —
+        # mirrored in the oracle's ORDER BY s DESC, sid DESC
+        ranked = F.reverse(F.array_sort(scores))
+        return v.select(
+            label,
+            F.explode(
+                F.transform(F.slice(ranked, 1, n_keep), lambda x: x["sid"])
+            ).alias("list_id"),
+        )
+
+    assign = best_lists(corpus, "neighbor_id", 1)
+    probes = best_lists(queries, "query_id", nprobe)
+    cands = (
+        probes.join(assign, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def _hyperplane(dim: int, bit: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — stable across
     sessions/machines (no RNG state, resumable)."""

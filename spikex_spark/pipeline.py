@@ -92,15 +92,23 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
 def doc_candidate_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
                         id_col: str = "doc_id", text_col: str = "text",
                         shingle_k: int = 5, num_hashes: int = 16,
-                        bands: int = 4) -> DataFrame:
+                        bands: int = 4, bucket_cap: int = 1000) -> DataFrame:
     """MinHash/LSH near-dup candidate pairs over a generic documents table.
 
     (id_a, id_b) distinct pairs sharing ≥1 LSH bucket. Every step is
     reproducible in ANSI SQL (md5-based minhash) for the DuckDB oracle.
+
+    ``bucket_cap``: LSH buckets are content-keyed, so a boilerplate page
+    duplicated millions of times lands its whole clone set in ONE bucket —
+    a quadratic pair bomb exactly like a hub blocking key. Buckets keep the
+    first ``bucket_cap`` members by id (deterministic, mirrored in the
+    oracle's QUALIFY) before the self-join.
     """
     sh = B.shingle_df(docs, id_col, text_col, k=shingle_k)
     sig = B.minhash_signatures(sh, num_hashes=num_hashes)
     buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
+    buckets = B.cap_blocks(buckets, key_col=["band", "bucket"], id_col="id",
+                           cap=bucket_cap)
     # materialize once: the self-join otherwise recomputes the whole
     # shingle→minhash chain for BOTH sides (no ReusedExchange across the
     # aliased projections; measured 2× at sf0.1). At cluster scale this is

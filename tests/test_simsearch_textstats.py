@@ -86,3 +86,23 @@ def test_fingerprint_normalization_invariance(spark):
     got = {r["id"]: r["fp"] for r in TS.fingerprint(docs, "doc_id", "text").collect()}
     assert got[1] == got[2] == got[3]
     assert got[4] != got[1]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF-flat probing (nprobe=2 of nlist=8) must recover most of the
+    brute-force top-k; with nprobe=nlist it must match it exactly."""
+    from pyspark.sql import functions as F
+
+    from spikex_spark.operators.simsearch import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_cosine_topk(emb, q, k=5, nlist=8, nprobe=2).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.5   # bounded-probe recall
+    # probing every list == exhaustive search
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(emb, q, k=5, nlist=8, nprobe=8).collect()}
+    assert full == exact
