@@ -1474,14 +1474,64 @@ def _q_embedding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ball_fixture_rows() -> list[tuple[int, str, list[float]]]:
+    """Deterministic vectors with KNOWN ball structure: 3 tight groups of 4
+    (within-group cosine ≈ 1, cross-group 0) + 2 isolated outliers."""
+    rows = []
+    for g in range(3):
+        for j in range(4):
+            vec = [0.0] * 64
+            vec[g * 3] = 1.0
+            vec[g * 3 + 1] = 0.05 * j
+            rows.append((-1, f"f{g}_{j}", vec))
+    for o in range(2):
+        vec = [0.0] * 64
+        vec[40 + o * 5] = 1.0
+        rows.append((-1, f"out{o}", vec))
+    return rows
+
+
+# expected clustering of the fixture (hand-verified: each tight group is one
+# ball keyed by its min member; outliers stay singleton)
+_BALL_FIXTURE_GOLDEN = [
+    (-1, f"f{g}_0", f"f{g}_{j}") for g in range(3) for j in range(4)
+] + [(-1, "out0", "out0"), (-1, "out1", "out1")]
+
+
+def _sql_ball_clusters() -> str:
+    """Corpus part: random 64-d embeddings never reach the 0.65 cosine
+    threshold, so every vector is its own ball — an over-merge regression
+    breaks this half of the hash. Fixture part: pinned golden VALUES for
+    the real merge semantics (3 balls of 4 + 2 singletons)."""
+    vals = ", ".join(
+        f"({lab}, '{cid}', '{key}')" for lab, cid, key in _BALL_FIXTURE_GOLDEN
+    )
+    return f"""
+SELECT label, vec_id::varchar AS cluster_id, vec_id::varchar AS key
+FROM embeddings
+UNION ALL
+SELECT * FROM (VALUES {vals}) AS v(label, cluster_id, key)
+"""
+
+
 def _q_ball_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # G4 (radial ball clustering) per label group — Python semantics,
-    # rows-only check
+    # G4 (radial ball clustering) per label group: corpus embeddings
+    # (all-singleton at this threshold) + a fixture group with real merge
+    # structure, both pinned by the oracle
     from spikex_spark.pipes.clusters import cluster_stage
     emb = _read(spark, sf_dir, "embeddings").select(
-        "label", F.col("vec_id").cast("string").alias("key"), F.col("embedding").alias("vector")
+        "label", F.col("vec_id").cast("string").alias("key"),
+        F.col("embedding").alias("vector"),
     )
-    return cluster_stage(emb, "label", min_score=0.65).select(
+    fix = spark.createDataFrame(
+        _ball_fixture_rows(), ["label", "key", "vector"]
+    ).select(
+        F.col("label").cast(dict(emb.dtypes)["label"]),
+        "key",
+        F.col("vector").cast(dict(emb.dtypes)["vector"]).alias("vector"),
+    )
+    both = emb.unionByName(fix)
+    return cluster_stage(both, "label", min_score=0.65).select(
         F.col("group").alias("label"), "cluster_id", "key"
     )
 
@@ -1816,7 +1866,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)"
             " GROUP BY 1, 2"
         ),
-        # ball_clusters: Python ball-mapper semantics — rows-only
+        "ball_clusters": _sql_ball_clusters(),
         "mention_candidates": _sql_mentions(),
         "mention_candidates_nested": _sql_mentions_nested(),
         "er_pages_pairs": _sql_er_pages("pairs"),

@@ -104,6 +104,64 @@ def ledger_summary(ledger_dir: str) -> list[dict]:
     return out
 
 
+def resolve_entities_resumable(spark: SparkSession, pages: DataFrame,
+                               titles: DataFrame, ledger_dir: str,
+                               fingerprint: str | None = None,
+                               id_col: str = "url",
+                               text_col: str = "text") -> DataFrame:
+    """The north-rule title-blocking pipeline split into ledgered stages:
+    mentions → blocks → pairs → scores → clusters. Kill it between stages
+    and rerun — completed stages load from the ledger (on a cluster this is
+    the Iceberg snapshot per stage)."""
+    from .operators import blocking as B
+    from .operators import cc as CC
+    from .operators import pairs as P
+    from .operators import scoring as S
+    from .pipeline import ERConfig, _mentions
+
+    cfg = ERConfig()
+    keys = B.title_keys(titles)
+
+    ments = run_stage(
+        spark, ledger_dir, "10_mentions",
+        lambda: _mentions(pages.select(id_col, text_col), keys, cfg,
+                          id_col, text_col),
+        input_fingerprint=fingerprint,
+    )
+    blocks = run_stage(
+        spark, ledger_dir, "20_blocks",
+        lambda: B.salt_blocks(B.block_members(ments, keys),
+                              cap=cfg.block_cap, nsalt=cfg.nsalt),
+        input_fingerprint=fingerprint,
+    )
+    pairs = run_stage(
+        spark, ledger_dir, "30_pairs",
+        lambda: P.candidate_pairs(blocks, salted=True),
+        input_fingerprint=fingerprint,
+    )
+    scores = run_stage(
+        spark, ledger_dir, "40_scores",
+        lambda: S.score_pairs(pairs, jw_weight=cfg.jw_weight),
+        input_fingerprint=fingerprint,
+    )
+
+    def _clusters() -> DataFrame:
+        edges = S.match_edges(scores, cfg.threshold)
+        assign = CC.cluster_assignments(
+            edges, pages.select(F.col(id_col).alias("id"))
+        )
+        best = blocks.groupBy("id").agg(
+            F.min("block_key").alias("block_key"),
+            F.min("surface").alias("surface"),
+        )
+        return assign.join(best, "id", "left").select(
+            F.col("id").alias(id_col), "cluster_id", "block_key", "surface"
+        )
+
+    return run_stage(spark, ledger_dir, "50_clusters", _clusters,
+                     input_fingerprint=fingerprint)
+
+
 def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
                                 ledger_dir: str, threshold: float = 0.80,
                                 fingerprint: str | None = None) -> DataFrame:

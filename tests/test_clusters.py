@@ -81,7 +81,7 @@ def test_ball_clusters_content_golden(spark):
         (r["label"], r["cluster_id"], r["key"]) for r in df.collect()
     )
     h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
-    assert len(rows) == 500
+    assert len(rows) == 514  # 500 corpus singletons + 14 fixture rows
     # every key assigned exactly once per label group
     assert len({(lab, key) for lab, _, key in rows}) == len(rows)
-    assert h == "d7de1026feaa824f", h
+    assert h == "14928e547ba7a9a3", h

@@ -194,3 +194,30 @@ def test_streaming_canonical_assign_stateful(spark, tmp_path_factory):
     assert got[("b", 7)] in (7, 8) and got[("b", 8)] in (7, 8)
     # state monotonicity: at least one key saw its min carried across batches
     assert min(got[("a", 5)], got[("a", 9)], got[("a", 2)]) == 2
+
+
+def test_resolve_entities_resumable_matches_oneshot(spark, tmp_path, pages_df, titles_df):
+    """The title-blocking (north-rule) pipeline, ledgered: result equals the
+    one-shot resolve_entities, all five stages COMPLETE, and a second run
+    recomputes nothing (every stage short-circuits off the ledger)."""
+    from spikex_spark.lineage import ledger_summary, resolve_entities_resumable
+    from spikex_spark.pipeline import resolve_entities
+
+    ledger = str(tmp_path / "er_ledger")
+    got = resolve_entities_resumable(
+        spark, pages_df, titles_df, ledger, fingerprint="v1"
+    )
+    oneshot = resolve_entities(pages_df, titles_df)
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in oneshot.collect()}
+    assert a == b and len(a) > 0
+    stages = ledger_summary(ledger)
+    assert [m["stage"] for m in stages] == [
+        "10_mentions", "20_blocks", "30_pairs", "40_scores", "50_clusters"
+    ]
+    assert all(m["status"] == "COMPLETE" and m["partitions"] for m in stages)
+    # resume: same fingerprint -> ledger read-back, identical result
+    again = resolve_entities_resumable(
+        spark, pages_df, titles_df, ledger, fingerprint="v1"
+    )
+    assert {tuple(r) for r in again.collect()} == a
