@@ -350,11 +350,10 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 ) WHERE rank <= 5
 """
 
-def _sql_ann_lsh(dim: int = 64, bits: int = 16, bands: int = 4,
-                 k: int = 5) -> str:
-    """DuckDB mirror of simsearch.lsh_cosine_topk: the hyperplanes are
-    md5-derived (simsearch._hyperplane — no RNG state), so they inline as
-    literal lists; sign-band candidates, exact cosine re-rank."""
+def _sql_sign_ctes(dim: int = 64, bits: int = 16, bands: int = 4) -> str:
+    """Shared CTE chain v → sig → banded for the hyperplane-LSH mirrors:
+    the hyperplanes are md5-derived (simsearch._hyperplane — no RNG state),
+    so they inline as literal lists."""
     from spikex_spark.operators.simsearch import _hyperplane
     width = bits // bands
     mask = (1 << width) - 1
@@ -366,8 +365,7 @@ def _sql_ann_lsh(dim: int = 64, bits: int = 16, bands: int = 4,
             f" THEN {1 << b}::bigint ELSE 0 END)"
         )
     sig_expr = "\n    + ".join(sig_terms)
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> x::double) AS e
   FROM embeddings
 ),
@@ -379,7 +377,41 @@ sig AS (
 banded AS (
   SELECT vec_id, b.band, (sig >> (b.band * {width})) & {mask} AS bval
   FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
-),
+)"""
+
+
+def _sql_cos_near(dim: int = 64, bits: int = 16, bands: int = 4,
+                  min_cos: float = 0.35) -> str:
+    """DuckDB mirror of simsearch.cosine_near_dups: sign-band candidate
+    pairs, exact cosine verify at ``min_cos``."""
+    return f"""
+WITH {_sql_sign_ctes(dim, bits, bands)},
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+  round(
+    list_dot_product(va.e, vb.e)
+    / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+    4) AS cos
+FROM cands
+JOIN v va ON va.vec_id = id_a
+JOIN v vb ON vb.vec_id = id_b
+WHERE round(
+    list_dot_product(va.e, vb.e)
+    / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+    4) >= {min_cos}
+"""
+
+
+def _sql_ann_lsh(dim: int = 64, bits: int = 16, bands: int = 4,
+                 k: int = 5) -> str:
+    """DuckDB mirror of simsearch.lsh_cosine_topk: sign-band candidates,
+    exact cosine re-rank."""
+    return f"""
+WITH {_sql_sign_ctes(dim, bits, bands)},
 cands AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM banded q JOIN banded c
@@ -1253,6 +1285,14 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=5)
 
 
+def _q_cos_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup channel: LSH sign-band candidates, exact
+    cosine verify."""
+    from spikex_spark.operators.simsearch import cosine_near_dups
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_near_dups(emb, dim=64, min_cos=0.35)
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse lists + nprobe probing + exact re-rank."""
     from spikex_spark.operators.simsearch import ivf_cosine_topk
@@ -1759,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_near_dups": _q_cos_near_dups,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -1839,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
+        "embedding_near_dups": _sql_cos_near(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),

@@ -76,6 +76,64 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _banded_signs(df: DataFrame, label: str, dim: int, bits: int,
+                  bands: int, id_col: str, vec_col: str) -> DataFrame:
+    """(label, band, bval): sign-signature bands for LSH candidate joins."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = lsh_signs(df, dim, bits, id_col, vec_col)
+    return s.select(
+        F.col("id").alias(label),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit(mask)).alias("bval"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(label, F.col("bb.band").alias("band"),
+             F.col("bb.bval").alias("bval"))
+
+
+def cosine_near_dups(df: DataFrame, dim: int, min_cos: float = 0.35,
+                     bits: int = 16, bands: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup channel (the dedup family's fifth member):
+    (id_a, id_b, cos) pairs with cosine ≥ ``min_cos``.
+
+    Candidates = pairs sharing ≥1 random-hyperplane sign band (similar
+    vectors agree on most signs, so they share a band with high
+    probability); verification = exact cosine. No all-pairs join anywhere —
+    the self-join runs on (band, bval), the same skew surface as MinHash
+    buckets (cap with blocking.cap_blocks on pathological inputs).
+    """
+    banded = _banded_signs(df, "vid", dim, bits, bands, id_col, vec_col)
+    left = banded.select("band", "bval", F.col("vid").alias("id_a"))
+    right = banded.select("band", "bval", F.col("vid").alias("id_b"))
+    cands = (
+        left.join(right, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = df.select(F.col(id_col).alias("vid"),
+                  _as_double(F.col(vec_col)).alias("e"))
+    scored = (
+        cands.join(v.withColumnsRenamed({"vid": "id_a", "e": "ea"}), "id_a")
+        .join(v.withColumnsRenamed({"vid": "id_b", "e": "eb"}), "id_b")
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")),
+                                   round_digits))
+    )
+    return (
+        scored.where(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     nlist: int = 8, nprobe: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -197,28 +255,11 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                     round_digits: int = 4) -> DataFrame:
     """ANN top-k: candidates share ≥1 sign-band with the query, exact cosine
     re-rank. Bands of bits//bands bits each; recall rises with bands."""
-    width = bits // bands
-    mask = (1 << width) - 1
-
-    def banded(df: DataFrame, label: str) -> DataFrame:
-        s = lsh_signs(df, dim, bits, id_col, vec_col)
-        return s.select(
-            F.col("id").alias(label),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), b * width)
-                        .bitwiseAND(F.lit(mask)).alias("bval"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bb"),
-        ).select(label, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-
     cands = (
-        banded(corpus, "neighbor_id")
-        .join(F.broadcast(banded(queries, "query_id")), ["band", "bval"])
+        _banded_signs(corpus, "neighbor_id", dim, bits, bands, id_col, vec_col)
+        .join(F.broadcast(
+            _banded_signs(queries, "query_id", dim, bits, bands, id_col,
+                          vec_col)), ["band", "bval"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
