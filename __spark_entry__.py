@@ -447,8 +447,10 @@ WITH v AS (
   FROM embeddings
 ),
 seeds AS (
+  -- smallest nlist ids (mirrors Spark's orderBy(id).limit(nlist), which is
+  -- NOT 'id < nlist' when ids are sparse or non-zero-based)
   SELECT vec_id AS sid, e, sqrt(list_dot_product(e, e)) AS n
-  FROM v WHERE vec_id < {nlist}
+  FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist}
 ),
 su AS (
   SELECT sid, CASE WHEN n > 0 THEN list_transform(e, x -> x / n) ELSE e END AS u
@@ -903,7 +905,8 @@ def _sql_mentions_nested() -> str:
     in a kept span — see blocking.mentions_nested)."""
     base = _sql_mentions()
     # strip the trailing SELECT and extend the CTE chain
-    head, _, _ = base.rpartition("SELECT doc_id, start, n, surface, key FROM w")
+    head, sep, _ = base.rpartition("SELECT doc_id, start, n, surface, key FROM w")
+    assert sep, "_sql_mentions final SELECT changed — update _sql_mentions_nested"
     return (
         head
         + """, kept AS (
@@ -1672,13 +1675,11 @@ def _er_pages_surface_scores(blocks_pairs_surfaces: DataFrame) -> DataFrame:
     )
 
 
-def _er_pages_scored(spark: SparkSession, sf_dir: str,
-                     min_score: float | None = None) -> DataFrame:
+def _er_pages_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Title-blocking ER pair view (Spark side of the SQL mirror): capped
-    blocks, full pair enumeration, distinct-surface scoring.
-
-    ``min_score``: when set, the distinct-surface score table is filtered
-    BEFORE the join-back, so non-matching pairs are never enumerated.
+    blocks, full pair enumeration, distinct-surface scoring. (The clusters
+    path does not go through here — it star-collapses block cliques in
+    ``_q_er_pages_clusters`` instead of enumerating pairs.)
     """
     blocks = _er_pages_blocks(spark, sf_dir)
     left = blocks.select("block_key", F.col("id").alias("id_a"),
@@ -1693,8 +1694,6 @@ def _er_pages_scored(spark: SparkSession, sf_dir: str,
     )
     uniq = pairs.select("surface_a", "surface_b").distinct()
     scored_uniq = _er_pages_surface_scores(uniq)
-    if min_score is not None:
-        scored_uniq = scored_uniq.where(F.round("raw_score", 6) >= min_score)
     return pairs.join(F.broadcast(scored_uniq), ["surface_a", "surface_b"])
 
 

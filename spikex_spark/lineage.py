@@ -112,54 +112,16 @@ def resolve_entities_resumable(spark: SparkSession, pages: DataFrame,
     """The north-rule title-blocking pipeline split into ledgered stages:
     mentions → blocks → pairs → scores → clusters. Kill it between stages
     and rerun — completed stages load from the ledger (on a cluster this is
-    the Iceberg snapshot per stage)."""
-    from .operators import blocking as B
-    from .operators import cc as CC
-    from .operators import pairs as P
-    from .operators import scoring as S
-    from .pipeline import ERConfig, _mentions
+    the Iceberg snapshot per stage). Same definition as the one-shot
+    ``pipeline.resolve_entities`` — only the stage runner differs."""
+    from .pipeline import resolve_entities
 
-    cfg = ERConfig()
-    keys = B.title_keys(titles)
+    def ledgered(name: str, build) -> DataFrame:
+        return run_stage(spark, ledger_dir, name, build,
+                         input_fingerprint=fingerprint)
 
-    ments = run_stage(
-        spark, ledger_dir, "10_mentions",
-        lambda: _mentions(pages.select(id_col, text_col), keys, cfg,
-                          id_col, text_col),
-        input_fingerprint=fingerprint,
-    )
-    blocks = run_stage(
-        spark, ledger_dir, "20_blocks",
-        lambda: B.salt_blocks(B.block_members(ments, keys),
-                              cap=cfg.block_cap, nsalt=cfg.nsalt),
-        input_fingerprint=fingerprint,
-    )
-    pairs = run_stage(
-        spark, ledger_dir, "30_pairs",
-        lambda: P.candidate_pairs(blocks, salted=True),
-        input_fingerprint=fingerprint,
-    )
-    scores = run_stage(
-        spark, ledger_dir, "40_scores",
-        lambda: S.score_pairs(pairs, jw_weight=cfg.jw_weight),
-        input_fingerprint=fingerprint,
-    )
-
-    def _clusters() -> DataFrame:
-        edges = S.match_edges(scores, cfg.threshold)
-        assign = CC.cluster_assignments(
-            edges, pages.select(F.col(id_col).alias("id"))
-        )
-        best = blocks.groupBy("id").agg(
-            F.min("block_key").alias("block_key"),
-            F.min("surface").alias("surface"),
-        )
-        return assign.join(best, "id", "left").select(
-            F.col("id").alias(id_col), "cluster_id", "block_key", "surface"
-        )
-
-    return run_stage(spark, ledger_dir, "50_clusters", _clusters,
-                     input_fingerprint=fingerprint)
+    return resolve_entities(pages, titles, id_col=id_col, text_col=text_col,
+                            stage_runner=ledgered)
 
 
 def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,

@@ -61,32 +61,62 @@ def _mentions(pages: DataFrame, keys: DataFrame, cfg: ERConfig,
                       max_n=cfg.max_ngram)
 
 
+def _er_stage_results(pages: DataFrame, titles: DataFrame, cfg: ERConfig,
+                      id_col: str, text_col: str, run) -> tuple[DataFrame, DataFrame]:
+    """Shared stage graph (mentions → blocks → pairs → scores) behind a
+    ``run(name, build)`` hook: identity for the one-shot path,
+    ``lineage.run_stage`` for the ledgered/resumable path — ONE definition
+    of the flagship pipeline, two physical execution modes."""
+    keys = B.title_keys(titles)
+    ments = run(
+        "10_mentions",
+        lambda: _mentions(pages.select(id_col, text_col), keys, cfg,
+                          id_col, text_col),
+    )
+    # blocks feed block_sizes, both sides of the pair self-join, and the
+    # surface lookup — checkpoint the members once instead of recomputing
+    # the whole extract→mention chain per consumer (the ledgered runner
+    # additionally persists the salted result)
+    blocks = run(
+        "20_blocks",
+        lambda: B.salt_blocks(
+            B.block_members(ments, keys).localCheckpoint(),  # eager: lazy+AQE showed unstable re-plans
+            cap=cfg.block_cap, nsalt=cfg.nsalt,
+        ),
+    )
+    pairs = run("30_pairs", lambda: P.candidate_pairs(blocks, salted=True))
+    scored = run("40_scores",
+                 lambda: S.score_pairs(pairs, jw_weight=cfg.jw_weight))
+    return blocks, scored
+
+
 def resolve_entities(pages: DataFrame, titles: DataFrame,
                      cfg: ERConfig = ERConfig(),
-                     id_col: str = "url", text_col: str = "text") -> DataFrame:
-    """(url, cluster_id, block_key, surface) — entity clusters over pages."""
-    keys = B.title_keys(titles)
-    ments = _mentions(pages.select(id_col, text_col), keys, cfg, id_col,
-                      text_col)
-    blocks = B.block_members(ments, keys)
-    # blocks feeds block_sizes, both sides of the pair self-join, and the
-    # surface lookup — checkpoint once instead of recomputing the whole
-    # extract→mention chain for each consumer (ledger write at cluster scale)
-    blocks = blocks.localCheckpoint()  # eager: lazy+AQE showed unstable re-plans
-    blocks = B.salt_blocks(blocks, cap=cfg.block_cap, nsalt=cfg.nsalt)
-    pairs = P.candidate_pairs(blocks, salted=True)
-    scored = S.score_pairs(pairs, jw_weight=cfg.jw_weight)
-    edges = S.match_edges(scored, cfg.threshold)
-    assign = CC.cluster_assignments(edges, pages.select(F.col(id_col).alias("id")))
-    best = blocks.groupBy("id").agg(
-        F.min("block_key").alias("block_key"), F.min("surface").alias("surface")
-    )
-    return (
-        assign.join(best, "id", "left")
-        .select(
+                     id_col: str = "url", text_col: str = "text",
+                     stage_runner=None) -> DataFrame:
+    """(url, cluster_id, block_key, surface) — entity clusters over pages.
+
+    ``stage_runner(name, build)``: optional per-stage execution hook (see
+    ``lineage.resolve_entities_resumable``); default executes in one plan.
+    """
+    run = stage_runner or (lambda name, build: build())
+    blocks, scored = _er_stage_results(pages, titles, cfg, id_col, text_col,
+                                       run)
+
+    def _clusters() -> DataFrame:
+        edges = S.match_edges(scored, cfg.threshold)
+        assign = CC.cluster_assignments(
+            edges, pages.select(F.col(id_col).alias("id"))
+        )
+        best = blocks.groupBy("id").agg(
+            F.min("block_key").alias("block_key"),
+            F.min("surface").alias("surface"),
+        )
+        return assign.join(best, "id", "left").select(
             F.col("id").alias(id_col), "cluster_id", "block_key", "surface"
         )
-    )
+
+    return run("50_clusters", _clusters)
 
 
 def doc_candidate_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
@@ -188,11 +218,6 @@ def scored_pairs(pages: DataFrame, titles: DataFrame,
                  id_col: str = "url", text_col: str = "text") -> DataFrame:
     """The pairwise view (for the F1 gate): (id_a, id_b, block_key, score,
     is_match). Gold pairs join on (id_a, id_b)."""
-    keys = B.title_keys(titles)
-    ments = _mentions(pages.select(id_col, text_col), keys, cfg, id_col,
-                      text_col)
-    blocks = B.block_members(ments, keys).localCheckpoint()
-    blocks = B.salt_blocks(blocks, cap=cfg.block_cap, nsalt=cfg.nsalt)
-    pairs = P.candidate_pairs(blocks, salted=True)
-    scored = S.score_pairs(pairs, jw_weight=cfg.jw_weight)
+    _, scored = _er_stage_results(pages, titles, cfg, id_col, text_col,
+                                  lambda name, build: build())
     return scored.withColumn("is_match", F.col("score") >= cfg.threshold)

@@ -206,17 +206,24 @@ class NBParams:
 
     def features(self, w1: str, w2: str) -> dict[str, str]:
         """Python mirror of ``nb_features`` for per-doc classification
-        (reference ``_get_features``)."""
+        (reference ``_get_features``). Predicates are ASCII-scoped to match
+        the Catalyst trainer EXACTLY (rlike '^[a-zA-Z]+$', '[A-Z]', Java
+        \\W) — a Unicode isalpha() here would emit features the trained
+        table never contains, silently skewing P(boundary) on accented
+        text."""
         c1 = re.sub(r"^.+?-", "", w1)
         c2 = re.sub(r"-.+?$", "", w2)
+        ascii_alpha = re.compile(r"^[a-zA-Z]+$")
         feats = {"w1": c1, "w2": c2, "both": c1 + "_" + c2}
-        if c1.replace(".", "").isalpha() and c1.replace(".", ""):
-            feats["w1length"] = str(min(10, len(re.sub(r"\W", "", c1))))
+        if ascii_alpha.match(c1.replace(".", "")):
+            n = len(re.sub(r"\W", "", c1, flags=re.ASCII))
+            feats["w1length"] = str(min(10, n))
             feats["w1abbr"] = str(int(math.log(1 + self.non_abbrs.get(c1[:-1], 0))))
-        if c2.replace(".", "").isalpha() and c2.replace(".", ""):
-            feats["w2cap"] = str(c2[:1].isupper())
+        if ascii_alpha.match(c2.replace(".", "")):
+            cap = "True" if "A" <= c2[:1] <= "Z" else "False"
+            feats["w2cap"] = cap
             feats["w2lower"] = str(int(math.log(1 + self.lower_words.get(c2.lower(), 0))))
-            feats["w1w2upper"] = c1 + "_" + str(c2[:1].isupper())
+            feats["w1w2upper"] = c1 + "_" + cap
         return feats
 
     def classify(self, w1: str, w2: str) -> float:

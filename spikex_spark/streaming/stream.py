@@ -88,17 +88,22 @@ def streaming_canonical_assign(stream: DataFrame, key_col: str = "block_key",
     """
     import pandas as pd
 
+    # schemas derive from the input stream so non-long ids / non-string keys
+    # work (min state is typed like the id; pandas min preserves the type)
+    key_t = stream.schema[key_col].dataType.simpleString()
+    id_t = stream.schema[id_col].dataType.simpleString()
+
     def assign(key, pdfs, state):
         mn = state.get[0] if state.exists else None
         out = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            batch_min = int(pdf[id_col].min())
+            batch_min = pdf[id_col].min()
             mn = batch_min if mn is None else min(mn, batch_min)
             out.append(pd.DataFrame({
                 key_col: key[0],
-                id_col: pdf[id_col].astype("int64"),
+                id_col: pdf[id_col],
             }))
         if mn is not None:
             state.update((mn,))
@@ -109,8 +114,9 @@ def streaming_canonical_assign(stream: DataFrame, key_col: str = "block_key",
     from pyspark.sql.streaming.state import GroupStateTimeout
     return stream.groupBy(key_col).applyInPandasWithState(
         assign,
-        outputStructType=f"{key_col} string, {id_col} long, canonical_id long",
-        stateStructType="min_id long",
+        outputStructType=f"{key_col} {key_t}, {id_col} {id_t},"
+                         f" canonical_id {id_t}",
+        stateStructType=f"min_id {id_t}",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -105,8 +105,11 @@ class WikiGraph:
 
     def iter_pages(self, redirect: bool = False, disambi: bool = False):
         """Reference ``pages()`` iterator (:106-113): article titles,
-        optionally + redirect sources + disambiguations."""
-        for r in self._catalog().where(F.col("kind") == "page") \
+        optionally + redirect sources + disambiguations. Iterates the
+        VISIBLE pages (redirect sources and disambiguations are excluded
+        from the reference's ``_pages``, so the default must not leak
+        them)."""
+        for r in self.pages.where(F.col("kind") == "page") \
                 .select("title").toLocalIterator():
             yield r["title"]
         if redirect:
@@ -119,15 +122,18 @@ class WikiGraph:
                 yield r["title"]
 
     def categories(self):
-        """Reference ``categories()`` iterator (:114-116)."""
-        for r in self._catalog().where(F.col("kind") == "category") \
+        """Reference ``categories()`` iterator (:114-116) — visible
+        categories (redirect-source category titles excluded)."""
+        for r in self.pages.where(F.col("kind") == "category") \
                 .select("title").toLocalIterator():
             yield r["title"]
 
     def get_categories(self, title: str, distance: int = 1) -> DataFrame:
-        """Categories reachable within ``distance`` hops (directed); the
-        start title is redirect-resolved first (reference :147-155)."""
-        pid = self.get_pageid(self.redirect(title) or title)
+        """Categories reachable within ``distance`` hops (directed); a
+        redirect source starts from its TARGET (reference :147-155 resolves
+        via ``redirect`` first — ``get_pageid`` already returns the
+        redirect-resolved pageid, so one lookup suffices)."""
+        pid = self.get_pageid(title)
         spark = self.pages.sparkSession
         roots = spark.createDataFrame([(pid,)], ["id"])
         hop = d_hop_neighbors(self.edges, roots, d=distance, directed=True)

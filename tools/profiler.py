@@ -124,10 +124,16 @@ def _profile(fn) -> None:
 
 
 def main() -> None:
-    which = sys.argv[1] if len(sys.argv) > 1 else "matcher"
-    {"matcher": profile_matcher,
-     "wikigraph": profile_wikigraph,
-     "find_pages": profile_find_pages}[which]()
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = args[0] if args else "matcher"
+    workloads = {"matcher": profile_matcher,
+                 "wikigraph": profile_wikigraph,
+                 "find_pages": profile_find_pages}
+    if which not in workloads:
+        raise SystemExit(
+            f"unknown workload {which!r}; choose from {sorted(workloads)}"
+        )
+    workloads[which]()
 
 
 if __name__ == "__main__":
