@@ -108,9 +108,13 @@ def test_api_parity_surface(wg):
     assert wg.get_page(10) == "Apple"
     assert wg.get_page(16) == "Apple_disambig"
     assert wg.get_page(99999) is None
-    # iterators
+    # iterators — redirect sources must NOT leak into the default view
     arts = set(wg.iter_pages())
     assert "Apple" in arts and "Category:Apples" not in arts
+    assert "Gala" not in arts and "Apple_disambig" not in arts
+    # and redirect=True must yield each title exactly once
+    with_all = list(wg.iter_pages(redirect=True, disambi=True))
+    assert len(with_all) == len(set(with_all))
     with_red = set(wg.iter_pages(redirect=True, disambi=True))
     assert "Gala" in with_red and "Apple_disambig" in with_red
     cats = set(wg.categories())

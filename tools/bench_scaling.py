@@ -125,21 +125,31 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")
-    results = {"levels": [n_low, n_high], "machine": machine_calibration(n_low, n_high)}
+    # weak scaling: problem size grows with core count (size = per-core base
+    # x n), so ideal is EQUAL wall time at both levels — the fairer regime
+    # for a fixed-overhead engine on a small fixed input
+    weak = os.environ.get("SPARK_GRAFT_SCALE_WEAK", "") == "1"
+    results = {"levels": [n_low, n_high], "mode": "weak" if weak else "strong",
+               "machine": machine_calibration(n_low, n_high)}
     for workload, size, unit in (("pipeline", pages, "pages"),
                                  ("scoring", pairs, "pairs")):
         if only and workload != only:
             continue
-        t_low = run_level(workload, f"local[{n_low}]", size, repo)
-        t_high = run_level(workload, f"local[{n_high}]", size, repo)
-        eff = round((t_low / t_high) / (n_high / n_low), 3)
+        size_low = size * n_low // n_high if weak else size
+        size_high = size
+        t_low = run_level(workload, f"local[{n_low}]", size_low, repo)
+        t_high = run_level(workload, f"local[{n_high}]", size_high, repo)
+        if weak:
+            eff = round(t_low / t_high, 3)   # ideal: equal times -> 1.0
+        else:
+            eff = round((t_low / t_high) / (n_high / n_low), 3)
         results[workload] = {
-            "size": size,
+            "size_low": size_low, "size_high": size_high,
             "unit": unit,
             f"sec_local[{n_low}]": t_low,
             f"sec_local[{n_high}]": t_high,
-            f"{unit}_per_sec_local[{n_low}]": round(size / t_low, 1),
-            f"{unit}_per_sec_local[{n_high}]": round(size / t_high, 1),
+            f"{unit}_per_sec_local[{n_low}]": round(size_low / t_low, 1),
+            f"{unit}_per_sec_local[{n_high}]": round(size_high / t_high, 1),
             "scaling_efficiency": eff,
         }
     print(json.dumps(results))
