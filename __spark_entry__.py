@@ -24,10 +24,12 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 # word-strip normalization (blocking._norm_tokens): split on [_ ]+, strip
 # non-alnum per token, drop empties, join with ' '
+# coalesce: DuckDB array_to_string over an EMPTY list returns NULL where
+# Spark's array_join returns '' (found by tests/test_property_parity.py)
 _SQL_NORM_WS = (
-    "array_to_string(list_filter(list_transform("
+    "coalesce(array_to_string(list_filter(list_transform("
     "regexp_split_to_array(lower({col}), '[_ ]+'),"
-    " t -> regexp_replace(t, '[^a-z0-9]+', '', 'g')), t -> t <> ''), ' ')"
+    " t -> regexp_replace(t, '[^a-z0-9]+', '', 'g')), t -> t <> ''), ' '), '')"
 )
 # scoring normalization (scoring._norm): non-alnum runs -> single space, trim
 _SQL_NORM_SCORE = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
@@ -326,9 +328,10 @@ FROM documents
 """
 
 _SQL_FINGERPRINT = (
-    "SELECT doc_id AS id, md5(array_to_string("
+    # coalesce: all-punct docs normalize to zero tokens; Spark hashes ''
+    "SELECT doc_id AS id, md5(coalesce(array_to_string("
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
-    " t -> t <> ''), ' ')) AS fp FROM documents"
+    " t -> t <> ''), ' '), '')) AS fp FROM documents"
 )
 
 _SQL_ANN_TOPK = """

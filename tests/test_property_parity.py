@@ -1,0 +1,85 @@
+"""Property-based Python↔DuckDB parity for the shared oracle conventions.
+
+Every oracle mirror in ``__spark_entry__`` leans on bit-exact agreement
+between this repo's Python/Catalyst implementations and DuckDB's built-ins
+(Jaro-Winkler, the word-strip normalization, the tokenizer). These fuzz
+that contract directly — no Spark session needed — so a drift in either
+side fails here before it fails the driver gate.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spikex_spark.textutils import jaro_winkler, norm_title_key, tokenize
+
+_CON = duckdb.connect()
+
+# printable ASCII; the engine's key space is lowercase alnum, but the
+# functions must agree on arbitrary input
+_ascii = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ascii, _ascii)
+def test_jaro_winkler_matches_duckdb(a: str, b: str) -> None:
+    """scoring.jaro_winkler_udf's kernel is calibrated to DuckDB's
+    jaro_winkler_similarity — the er_* oracles assume bit-equality."""
+    got = jaro_winkler(a, b)
+    want = _CON.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=0.0), (a, b)
+
+
+# mirror of the normalization the VALUES-based oracles apply driver-side
+# (__spark_entry__._title_keys_values_sql.norm_tokens)
+def _py_norm_ws(s: str) -> str:
+    toks = [re.sub(r"[^a-z0-9]+", "", t.lower()) for t in re.split(r"[_ ]+", s)]
+    return " ".join(t for t in toks if t)
+
+
+# keep in sync with __spark_entry__._SQL_NORM_WS (coalesce: DuckDB
+# array_to_string over an empty list returns NULL, Spark array_join '')
+_SQL_NORM_WS = (
+    "coalesce(array_to_string(list_filter(list_transform("
+    "regexp_split_to_array(lower(s), '[_ ]+'),"
+    " t -> regexp_replace(t, '[^a-z0-9]+', '', 'g')), t -> t <> ''), ' '), '')"
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ascii)
+def test_norm_ws_matches_duckdb(s: str) -> None:
+    """blocking._norm_tokens convention == the oracle's _SQL_NORM_WS."""
+    want = _CON.execute(
+        f"SELECT {_SQL_NORM_WS} FROM (SELECT ? AS s)", [s]
+    ).fetchone()[0]
+    assert _py_norm_ws(s) == want, s
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ascii)
+def test_tokenize_matches_duckdb(s: str) -> None:
+    """textutils.tokenize == the oracle's _SQL_TOKENS_ALL token list."""
+    want = _CON.execute(
+        "SELECT list_filter(regexp_split_to_array(lower(s), '[^a-z0-9]+'),"
+        " t -> t <> '') FROM (SELECT ? AS s)",
+        [s],
+    ).fetchone()[0]
+    assert tokenize(s) == want, s
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ascii)
+def test_norm_title_key_idempotent(s: str) -> None:
+    """Key-space normalization is idempotent — keys of keys are keys."""
+    k = norm_title_key(s)
+    assert norm_title_key(k) == k
