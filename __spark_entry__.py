@@ -534,12 +534,37 @@ _NUM_WORDS_SQL = (
     "'billion','trillion']"
 )
 
+# fixture docs exercising the NUMBERED / LONGWORD / backtracking branches
+# the all-alpha corpus cannot reach (negative ids; inlined as VALUES in the
+# oracle so the SAME SQL pipeline runs over them — no goldens)
+_MATCHER_FIXTURES = [
+    (-1, "we saw 42 items and 3.14 pies plus 1,000 kilometers"),
+    (-2, "about 2/3 of seven optimization experiments"),
+    (-3, "scan join scan filter join performance"),
+    (-4, "internationalization 12.3.4 ab1 ."),
+]
+
+
+def _fixture_union_sql(fixtures: list[tuple[int, str]]) -> str:
+    vals = ", ".join(
+        f"({did}, '{text.replace(chr(39), chr(39) * 2)}')"
+        for did, text in fixtures
+    )
+    return (f"(SELECT doc_id, text FROM documents UNION ALL "
+            f"SELECT * FROM (VALUES {vals}) AS fx(doc_id, text))")
+
+
 # SCAN_JOIN [{LOWER scan},{OP ?},{LOWER join}]: greedy wildcard -> prefer the
 # 3-token span, else the 2-token span; leftmost-longest = min(start) per
 # (key, end). NUMBERED mirrors engine.like_num (strip commas + one dot /
 # fraction / number word); LONGWORD is LENGTH >= 9.
 _SQL_MATCHER = f"""
-WITH {_SQL_TOKS_CTE},
+WITH docs_plus AS (SELECT * FROM {_fixture_union_sql(_MATCHER_FIXTURES)}),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM docs_plus
+),
+pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
 raw AS (
   SELECT doc_id, 'SCAN_JOIN' AS key, i - 1 AS start,
          CASE WHEN i + 2 <= len(t) AND t[i + 2] = 'join' THEN i + 2
@@ -1363,7 +1388,12 @@ def _q_regex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.matcher import compile_patterns
     from spikex_spark.matcher.stage import match_patterns
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture rows reach the NUMBERED/LONGWORD/backtracking branches the
+    # all-alpha corpus cannot (oracle runs its SQL over the same union)
+    docs = docs.unionByName(
+        spark.createDataFrame(_MATCHER_FIXTURES, ["doc_id", "text"])
+    )
     spec = compile_patterns({
         "SCAN_JOIN": [[{"LOWER": "scan"}, {"OP": "?"}, {"LOWER": "join"}]],
         "NUMBERED": [[{"LIKE_NUM": True}]],

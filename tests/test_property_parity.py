@@ -13,7 +13,7 @@ import re
 
 import duckdb
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from spikex_spark.textutils import jaro_winkler, norm_title_key, tokenize
@@ -83,3 +83,39 @@ def test_norm_title_key_idempotent(s: str) -> None:
     """Key-space normalization is idempotent — keys of keys are keys."""
     k = norm_title_key(s)
     assert norm_title_key(k) == k
+
+
+# tokens like the matcher sees: no whitespace
+_token = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=12
+)
+
+
+@settings(max_examples=500, deadline=None)
+@example('42')
+@example('3.14')
+@example('1,000')
+@example('2/3')
+@example('seven')
+@example('12.3.4')
+@example('5.')
+@example('.5')
+@example('.,5')
+@example('5..2')
+@example('1/2/3')
+@example(',')
+@example('.')
+@given(_token)
+def test_like_num_matches_matcher_oracle_sql(tok: str) -> None:
+    """engine.like_num == the NUMBERED predicate in the matcher oracle
+    (__spark_entry__._SQL_MATCHER) for arbitrary tokens."""
+    from spikex_spark.matcher.engine import _NUM_WORDS, like_num
+
+    want = _CON.execute(
+        "SELECT regexp_full_match(replace(?, ',', ''),"
+        " '([0-9]+\\.?[0-9]*|\\.[0-9]+)')"
+        " OR regexp_full_match(?, '[0-9]+/[0-9]+')"
+        " OR list_contains(?, lower(?))",
+        [tok, tok, sorted(_NUM_WORDS), tok],
+    ).fetchone()[0]
+    assert like_num(tok) == bool(want), tok
