@@ -89,3 +89,32 @@ def test_er_pages_scored_udf_only_on_distinct_surfaces(spark):
     # broadcast exchange feeding the join-back
     udf_pos = plan.index("ArrowEvalPython")
     assert "HashAggregate" in plan[udf_pos:], "UDF not above the distinct"
+
+
+def test_er_pages_clusters_star_collapse_plan(spark):
+    """The clusters path must NOT enumerate per-block pair cliques: no
+    id_a<id_b self-join output feeding CC — edges come from the group star
+    + rep-rep matches, with the surface-match join broadcast."""
+    import __spark_entry__ as E
+
+    df = E._q_er_pages_clusters(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # CC ran adaptively during construction (small graph -> driver
+    # union-find), so the residual plan is the assignment join only — no
+    # Python evals, no cartesian, and crucially no block self-join
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "CartesianProduct" not in plan
+    # the edge construction itself (pre-CC) must broadcast the surface
+    # match table and keep one Arrow eval — assert on the pairs-path twin
+    scored = E._er_pages_scored(spark, "/root/testdata/sf0.001")
+    p2 = _plan(scored)
+    assert "BroadcastHashJoin" in p2 and p2.count("ArrowEvalPython") == 1
+
+
+def test_ann_paths_have_no_cartesian(spark):
+    """LSH and IVF candidate generation must stay equi-join shaped."""
+    import __spark_entry__ as E
+
+    for q in ("ann_lsh_topk", "ann_ivf_topk", "embedding_near_dups"):
+        plan = _plan(E.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, q
