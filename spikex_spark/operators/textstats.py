@@ -17,11 +17,19 @@ from pyspark.sql import functions as F
 
 # tiny per-language stopword lexicons (top function words) — enough to
 # separate the synthetic corpus langs; a real deployment swaps in fastText.
+# ASCII-only stopword lists (the tokenizer strips non-[a-z0-9], so accented
+# forms would never match); ten Latin-script languages
 STOPWORDS = {
     "en": ["the", "of", "and", "to", "in", "is", "that", "for", "with", "as"],
     "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
     "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
     "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "it": ["il", "di", "che", "la", "per", "con", "non", "una", "del", "sono"],
+    "pt": ["de", "que", "o", "da", "em", "do", "uma", "os", "como", "mais"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn"],
+    "sv": ["och", "att", "det", "som", "av", "den", "till", "har", "inte", "ett"],
+    "pl": ["nie", "jest", "to", "na", "do", "jak", "ale", "czy", "tak", "jego"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "gibi", "daha", "sonra", "kadar", "ile"],
 }
 
 

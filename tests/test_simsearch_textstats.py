@@ -48,12 +48,16 @@ def test_language_id(spark):
     docs = spark.createDataFrame(
         [(1, "the cat and the dog is in the house"),
          (2, "der Hund und die Katze ist nicht ein Tier"),
-         (3, "xyzzy qwerty")],
+         (3, "xyzzy qwerty"),
+         (4, "il gatto che non dorme sono una bestia per la casa"),
+         (5, "de hond en de kat zijn niet met een dier voor het huis"),
+         (6, "bu bir kedi ve daha sonra kadar gibi bir sey ile")],
         ["doc_id", "text"],
     )
     got = {r["id"]: r["lang_guess"] for r in
            TS.language_id(docs, "doc_id", "text").collect()}
     assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+    assert got[4] == "it" and got[5] == "nl" and got[6] == "tr"
 
 
 def test_quality_score_shape(spark):
