@@ -1,0 +1,77 @@
+"""Skew guards under pathological input — the 100 TB failure modes, small.
+
+A web corpus at scale contains boilerplate pages duplicated millions of
+times and hub n-grams shared by everything; each guard must turn the
+quadratic blowup into a bounded candidate set WITHOUT touching well-behaved
+keys. These tests feed exactly those pathologies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spikex_spark.operators import blocking as B
+from spikex_spark.operators.dedup import minhash_near_dups, ngram_jaccard_pairs
+
+
+def test_minhash_bucket_cap_bounds_clone_storm(spark):
+    """2000 byte-identical docs land in the SAME LSH buckets; the bucket
+    cap must bound candidate pairs at cap^2/2 instead of n^2/2."""
+    clones = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated everywhere").alias("text"),
+    )
+    cap = 50
+    pairs = minhash_near_dups(clones, "doc_id", "text", bucket_cap=cap)
+    n = pairs.count()
+    assert 0 < n <= cap * (cap - 1) // 2, n
+    # the survivors are the deterministic first-N ids
+    ids = {r["id_a"] for r in pairs.collect()} | {r["id_b"] for r in pairs.collect()}
+    assert max(ids) < cap
+
+
+def test_ngram_max_df_drops_hub_grams(spark):
+    """Every doc shares the hub trigram; with max_df below the corpus size
+    the hub gram is dropped and docs pair only through their rare grams."""
+    docs = spark.createDataFrame(
+        [(i, f"of the web unique{i} token{i} marker{i}") for i in range(300)]
+        + [(1000, "of the web unique7 token7 marker7")],  # near-dup of doc 7
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                min_jaccard=0.3, max_df=100)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the hub gram 'of the web' (df=301 > 100) is gone — only the genuine
+    # near-dup pair (sharing rare grams) survives
+    assert got == {(7, 1000)}, got
+
+
+def test_cap_blocks_compound_key(spark):
+    rows = [(i, b, "x") for i in range(40) for b in range(2)]
+    blocks = spark.createDataFrame(rows, ["id", "band", "bucket"])
+    capped = B.cap_blocks(blocks, key_col=["band", "bucket"], id_col="id",
+                          cap=5)
+    per_key = (
+        capped.groupBy("band", "bucket").count().collect()
+    )
+    assert all(r["count"] == 5 for r in per_key)
+    assert {r["id"] for r in capped.collect()} == set(range(5))
+
+
+def test_salted_pair_join_bounds_hub_block(spark):
+    """salt_blocks splits a hub blocking key across nsalt groups; the pair
+    join on (key, salt) then produces ~n^2/nsalt pairs instead of n^2."""
+    from spikex_spark.operators.pairs import candidate_pairs
+
+    n, nsalt = 400, 8
+    hub = spark.createDataFrame(
+        [(f"d{i:04d}", "hub", f"s{i}") for i in range(n)],
+        ["id", "block_key", "surface"],
+    )
+    salted = B.salt_blocks(hub, cap=100, nsalt=nsalt)
+    pairs = candidate_pairs(salted, salted=True)
+    n_pairs = pairs.count()
+    full = n * (n - 1) // 2
+    # deterministic hashing spreads ids across salts; the pair count must
+    # drop by roughly the salt factor (allow 2x slack for imbalance)
+    assert n_pairs < full / (nsalt / 2), (n_pairs, full)
