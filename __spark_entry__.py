@@ -868,7 +868,8 @@ _SQL_DROP_CONTAINED = f"""
 WITH spans AS ({_SQL_SPANS}),
 w AS (
   SELECT doc, event_id, start, "end",
-         max("end") OVER (PARTITION BY doc ORDER BY start ASC, "end" DESC
+         max("end") OVER (PARTITION BY doc
+                          ORDER BY start ASC, "end" DESC, event_id ASC
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS prev_max_end
   FROM spans
@@ -1138,7 +1139,21 @@ WHERE kind = 'page'
 # ---------------------------------------------------------------------------
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load a driver table, fanned out to the session parallelism.
+
+    The sf* fixtures are single-row-group parquet files, so the scan yields
+    ONE input split and every map-side stage (shingling, md5, the Arrow
+    extract) would run on one core of local[32]. At production scale the
+    input arrives as thousands of files/row-groups and this shim is a no-op
+    in spirit; here a one-time round-robin of the (tiny) table restores the
+    parallelism the operators are designed for. Values are partitioning-
+    independent, so oracles are unaffected.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def _q_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,7 +1359,9 @@ def _q_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start"),
         (start + F.col("event_id") % 50 + 1).alias("end"),
     )
-    return drop_contained(spans)
+    # event_id tiebreaker: (start, end)-duplicates must pick a
+    # partitioning-independent survivor for the hash gate
+    return drop_contained(spans, tiebreakers=["event_id"])
 
 
 def _q_dhop(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -407,6 +407,80 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs)
 
 
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 5) -> DataFrame:
+    """(id, shingles: array<string>) — the distinct char k-shingle SET per
+    doc, kept map-side. ``shingle_df`` ≡ explode of this; docs whose
+    normalized text is empty (no shingles) are dropped in both.
+
+    This is the scale-path input for MinHash (`minhash_signatures_arrays`)
+    and exact-Jaccard verification (`array_intersect` on two doc rows):
+    neither needs one-row-per-shingle, so keeping the set as an array
+    avoids the explode and the groupBy shuffle entirely.
+    """
+    # _norm in its own projection — see shingle_df note on inline re-eval
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(_norm_tokens(F.col(text_col)), " ").alias("_norm"),
+    )
+    norm = F.col("_norm")
+    sh = F.when(
+        F.length(norm) < k, F.array(norm)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - k + 1),
+                lambda i: F.substring(norm, i, F.lit(k)),
+            )
+        )
+    )
+    return (
+        normed.select("id", F.filter(sh, lambda s: s != "").alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures_arrays(arr_df: DataFrame,
+                              num_hashes: int = 16) -> DataFrame:
+    """Map-side MinHash over ``shingle_arrays`` output: (id, mh0..mh{n-1}).
+
+    ZERO shuffle — one `aggregate` pass per row replaces the explode +
+    groupBy of ``minhash_signatures``: md5 once per shingle, then all
+    ``num_hashes`` running minima update per element. min() is
+    duplicate-invariant, so values are bit-identical to the exploded path
+    (asserted by test) and the DuckDB oracle SQL needs no change.
+    """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hashes supported")
+    a_lit = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
+    b_lit = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
+    harr = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    sig = F.aggregate(
+        harr,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes),
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                F.pmod(F.element_at(a_lit, i + F.lit(1)) * h
+                       + F.element_at(b_lit, i + F.lit(1)),
+                       F.lit(MINHASH_P)),
+            ),
+        ),
+    )
+    # own projection: _sig is expensive and referenced num_hashes times —
+    # CollapseProject keeps it single-eval (SPARK-36718)
+    sigged = arr_df.select("id", sig.alias("_sig"))
+    return sigged.select(
+        "id",
+        *[F.element_at(F.col("_sig"), i + 1).alias(f"mh{i}")
+          for i in range(num_hashes)],
+    )
+
+
 def lsh_buckets(signatures: DataFrame, bands: int = 4,
                 rows_per_band: int = 4) -> DataFrame:
     """Band the signature: bucket = md5("s=mh_s|..." in seed order) per band.

@@ -29,16 +29,24 @@ def sort_spans(spans: DataFrame, doc_col: str = "doc") -> DataFrame:
     return spans.withColumn("span_order", F.row_number().over(w))
 
 
-def drop_contained(spans: DataFrame, doc_col: str = "doc") -> DataFrame:
+def drop_contained(spans: DataFrame, doc_col: str = "doc",
+                   tiebreakers: list[str] | None = None) -> DataFrame:
     """O2: remove spans strictly contained in an earlier-starting longer span.
 
     A span is contained iff some span with (start' <= start) has
     end' >= end and (start', end') != (start, end). Window: running max of
     end over all preceding rows in (start asc, end desc) order.
+
+    ``tiebreakers``: extra ORDER BY columns making the window order TOTAL.
+    Without them, (start, end)-duplicate rows keep exactly one survivor but
+    WHICH row survives follows partition order — pass id columns whenever
+    the output projects columns beyond (doc, start, end), or the result is
+    partitioning-dependent.
     """
     w = (
         Window.partitionBy(doc_col)
-        .orderBy(F.asc("start"), F.desc("end"))
+        .orderBy(F.asc("start"), F.desc("end"),
+                 *[F.asc(c) for c in (tiebreakers or [])])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
