@@ -434,8 +434,12 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
             )
         )
     )
+    arr = F.filter(sh, lambda s: s != "")
+    # explode-of-one-element = generator barrier: without it Catalyst pushes
+    # the size() filter through the projection, re-inlining the whole HOF
+    # shingle chain into the Filter — measured 40× slower at sf0.1
     return (
-        normed.select("id", F.filter(sh, lambda s: s != "").alias("shingles"))
+        normed.select("id", F.explode(F.array(arr)).alias("shingles"))
         .where(F.size("shingles") > 0)
     )
 
@@ -449,6 +453,14 @@ def minhash_signatures_arrays(arr_df: DataFrame,
     ``num_hashes`` running minima update per element. min() is
     duplicate-invariant, so values are bit-identical to the exploded path
     (asserted by test) and the DuckDB oracle SQL needs no change.
+
+    Measured trade (sf0.1, local[32]): ~2× the CPU of ``minhash_signatures``
+    — higher-order functions evaluate interpreted, while the exploded path
+    runs md5+pmod inside whole-stage codegen and its map-side partial agg
+    shrinks the shuffle to ONE row per doc anyway. The exploded path is
+    therefore the default everywhere; use this variant only when even a
+    one-row-per-doc shuffle is unwanted (e.g. signature computation fused
+    into a wider map-only stage).
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hashes supported")

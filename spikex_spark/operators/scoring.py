@@ -50,6 +50,29 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def jw_fast(na: Column, nb: Column) -> Column:
+    """Jaro-Winkler with the equal-string answer computed JVM-side.
+
+    Case-variant mention pairs normalize to IDENTICAL strings and dominate
+    real pair tables; for those the answer is 1.0 (0.0 when both empty —
+    DuckDB convention, matched by the UDF). Two non-solutions first:
+    `when(eq, 1.0).otherwise(udf)` does NOT skip Python — Spark extracts
+    UDFs into an ArrowEvalPython node that runs for EVERY row regardless of
+    the guard (verified on 4.1); splitting the frame and unioning the two
+    halves back skips the hop but re-evaluates the whole upstream plan once
+    per branch. Instead the UDF's input is MASKED to NULL on equal rows: the
+    Python worker still sees every row but does O(1) None work instead of
+    the O(len²) scorer, and the JVM `when` supplies the constant.
+    """
+    eq = na == nb  # null-unsafe on purpose: null operands fall through to
+    # the UDF (masking when() treats a NULL predicate as false), which
+    # returns None for them — same as the unmasked path
+    masked = jaro_winkler_udf(F.when(eq, F.lit(None)).otherwise(na), nb)
+    return F.when(
+        eq, F.when(F.length(na) > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    ).otherwise(masked)
+
+
 def _norm(col: Column) -> Column:
     """Mention normalization for scoring: lowercase, punct runs → single
     space, trim — shared convention with the DuckDB oracle."""
@@ -101,7 +124,7 @@ def score_pairs(pairs: DataFrame, a_col: str = "surface_a",
     # hazard pipeline.doc_scored_pairs documents); jw/jacc stay as rounded
     # display columns only
     scored_uniq = (
-        uniq.withColumn("_jw", jaro_winkler_udf(na, nb))
+        uniq.withColumn("_jw", jw_fast(na, nb))
         .withColumn("_jacc", token_jaccard(F.col(a_col), F.col(b_col)))
         .withColumn(
             "score",

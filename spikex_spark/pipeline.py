@@ -40,6 +40,9 @@ class ERConfig:
     # dictionaries up to this many keys ship into the Arrow scan stage
     # (reference broadcast-trie strategy); larger ones use the n-gram join
     broadcast_keys_max: int = 2_000_000
+    # clusters via star-collapsed edges (see _star_edges) instead of the
+    # full per-pair edge enumeration — identical components, O(m+g²) edges
+    star_collapse: bool = True
 
 
 def _mentions(pages: DataFrame, keys: DataFrame, cfg: ERConfig,
@@ -90,6 +93,55 @@ def _er_stage_results(pages: DataFrame, titles: DataFrame, cfg: ERConfig,
     return blocks, scored
 
 
+def _star_edges(blocks: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Connectivity-preserving edge reduction over salted blocks.
+
+    Within one (block_key, salt) cell, docs sharing the SAME surface always
+    match — score(s, s) = jw_weight·1 + (1-jw_weight)·1 = 1.0 ≥ threshold —
+    so each (block_key, salt, surface) group collapses to a star on its
+    min-id representative; cross-surface matches connect group
+    representatives only (pair score depends only on the surface pair, so
+    every member pair matches iff the rep pair does). Components equal the
+    full per-pair enumeration's, with O(m + g²) edges per cell instead of
+    O(m²) (g = distinct surfaces, typically 1-3). Same theorem as the
+    er_pages contract path, whose oracle proves it hash-identical against
+    full pair enumeration at sf0.01.
+
+    Invariant required for exactness: every surface normalizes non-empty
+    (guaranteed here — surfaces are dictionary-key matches), otherwise
+    score(s, s) = 0.5·jacc would undercut thresholds > 0.5.
+    """
+    # ONE window shuffle instead of groupBy + join-back: every member row
+    # learns its group rep in the same exchange, and `groups` derives from
+    # the identical subplan so the exchange is reused, not recomputed
+    from pyspark.sql import Window
+    w = Window.partitionBy("block_key", "salt", "surface")
+    bl = blocks.withColumn("rep", F.min("id").over(w))
+    intra = (
+        bl.where(F.col("id") != F.col("rep"))
+        .select(F.col("id").alias("src"), F.col("rep").alias("dst"))
+    )
+    groups = bl.select("block_key", "salt", "surface", "rep").distinct()
+    ga = groups.select("block_key", "salt",
+                       F.col("surface").alias("surface_a"),
+                       F.col("rep").alias("id_a"))
+    gb = groups.select("block_key", "salt",
+                       F.col("surface").alias("surface_b"),
+                       F.col("rep").alias("id_b"))
+    gpairs = (
+        ga.join(gb, ["block_key", "salt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "surface_a", "surface_b")
+    )
+    inter = (
+        S.score_pairs(gpairs, jw_weight=cfg.jw_weight)
+        .where(F.col("score") >= cfg.threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # no distinct here: connected_components canonicalizes + dedups anyway
+    return intra.unionByName(inter)
+
+
 def resolve_entities(pages: DataFrame, titles: DataFrame,
                      cfg: ERConfig = ERConfig(),
                      id_col: str = "url", text_col: str = "text",
@@ -104,7 +156,8 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
                                        run)
 
     def _clusters() -> DataFrame:
-        edges = S.match_edges(scored, cfg.threshold)
+        edges = (_star_edges(blocks, cfg) if cfg.star_collapse
+                 else S.match_edges(scored, cfg.threshold))
         assign = CC.cluster_assignments(
             edges, pages.select(F.col(id_col).alias("id"))
         )
@@ -185,7 +238,7 @@ def doc_scored_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
     # exact decimal halves (e.g. 0.5*(x+y) of 6-decimal values) where Spark
     # (HALF_UP) and DuckDB disagree
     scored = (
-        p.withColumn("_jw", S.jaro_winkler_udf(F.col("n64_a"), F.col("n64_b")))
+        p.withColumn("_jw", S.jw_fast(F.col("n64_a"), F.col("n64_b")))
         .withColumn("_jacc", S.token_jaccard_arrays(F.col("toks_a"), F.col("toks_b")))
         .withColumn(
             "score",

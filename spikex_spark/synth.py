@@ -15,6 +15,8 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta, timezone
 
+from pyspark.sql import functions as F
+
 from .textutils import norm_title_key
 
 # Entities: (canonical title, list of surface variants). Variants share the
@@ -142,6 +144,91 @@ def gen_pages_scaled(n: int = 100_000, seed: int = 42,
     while uid < n:
         emit(f"{_BOILERPLATE} {rng.choice(_FILLER)}", "boiler")
     return pages, titles
+
+
+def gen_pages_scaled_df(spark, n: int = 1_000_000, seed: int = 42,
+                        pages_per_entity: int = 4, n_hub: int = 2000,
+                        n_boiler: int = 2000, partitions: int = 256):
+    """Distributed scaling corpus: (pages_df, titles_df), built from
+    ``spark.range`` + Catalyst expressions — NO driver-side row lists.
+
+    ``gen_pages_scaled`` materializes python tuples on the driver, which
+    caps practical corpus size around ~1M pages; this variant generates the
+    same corpus SHAPE (O(n) entities with ~fixed cluster size, bounded
+    hub/boilerplate tails) entirely on executors, so multi-million-page
+    scaling runs cost seconds to synthesize. Deterministic: every "random"
+    choice is ``xxhash64(uid, seed, slot)`` arithmetic.
+
+    pages_df carries the full BASELINE input_hint shape
+    (url, warc_ts, html:binary, text, lang); pipeline consumers select
+    (url, text) and Catalyst prunes the rest at the source.
+    """
+    n_entity_pages = max(0, n - n_hub - n_boiler)
+    n_entities = max(1, n_entity_pages // pages_per_entity)
+    filler = F.array(*[F.lit(w) for w in _FILLER])
+
+    def pick(uid_col, slot):
+        idx = F.pmod(F.xxhash64(uid_col, F.lit(seed), F.lit(slot)),
+                     F.lit(len(_FILLER)))
+        return F.element_at(filler, (idx + 1).cast("int"))
+
+    base = spark.range(0, n, 1, partitions).withColumnRenamed("id", "uid")
+    uid = F.col("uid")
+    e = F.floor(uid / pages_per_entity)
+    canonical = F.format_string("Entity_%07d_(kind%d)", e, F.pmod(e, F.lit(7)))
+    mention = F.translate(canonical, "_", " ")
+    variant = (
+        F.when(F.pmod(uid, F.lit(3)) == 1, F.lower(mention))
+        .when(F.pmod(uid, F.lit(3)) == 2, F.upper(mention))
+        .otherwise(mention)
+    )
+    # 6-18 pseudo-random filler words (slot-hashed, so each position differs)
+    n_noise = (F.pmod(F.xxhash64(uid, F.lit(seed), F.lit(-1)), F.lit(13)) + 6)
+    noise = F.array_join(
+        F.transform(F.sequence(F.lit(1), n_noise.cast("int")),
+                    lambda i: pick(uid, i)), " ")
+    is_entity = uid < F.lit(n_entity_pages)
+    is_hub = (~is_entity) & (uid < F.lit(n_entity_pages + n_hub))
+    text = (
+        F.when(is_entity & (e < n_entities),
+               F.concat(noise, F.lit(" "), variant, F.lit(" "), pick(uid, 99)))
+        .when(is_entity, noise)  # pad tail: filler-only pages
+        .when(is_hub, F.concat(F.lit("Hub topic "), noise))
+        .otherwise(F.concat(F.lit(_BOILERPLATE), F.lit(" "), pick(uid, 98)))
+    )
+    tag = (
+        F.when(is_entity, F.format_string("e%d", F.pmod(e, F.lit(97))))
+        .when(is_hub, F.lit("hub"))
+        .otherwise(F.lit("boiler"))
+    )
+    pages_df = base.select(
+        F.format_string("https://sc%d.org/%s/%08d", F.pmod(uid, F.lit(13)),
+                        tag, uid).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + uid).alias("warc_ts"),
+        F.encode(F.format_string("<html><body><p>%s</p></body></html>", text),
+                 "utf-8").alias("html"),
+        text.alias("text"),
+        F.when(F.pmod(uid, F.lit(11)) == 0, F.lit("de"))
+        .otherwise(F.lit("en")).alias("lang"),
+    )
+    ent = F.col("id")
+    titles_df = (
+        spark.range(0, n_entities, 1, max(1, partitions // 8))
+        .select(
+            (ent + 100).alias("pageid"),
+            F.format_string("Entity_%07d_(kind%d)", ent,
+                            F.pmod(ent, F.lit(7))).alias("title"),
+            F.lit("page").alias("kind"),
+            F.lit(False).alias("is_redirect"),
+            F.lit(None).cast("long").alias("redirect_to"),
+            F.array().cast("array<string>").alias("props"),
+        )
+        .unionByName(spark.createDataFrame(
+            [(1, "Hub_topic", "page", False, None, [])],
+            "pageid long, title string, kind string, is_redirect boolean, "
+            "redirect_to long, props array<string>"))
+    )
+    return pages_df, titles_df
 
 
 def gen_titles(seed: int = 42) -> list[dict]:

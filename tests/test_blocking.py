@@ -143,6 +143,35 @@ def test_minhash_uses_portable_arithmetic(spark):
         assert sig[0][f"mh{s_idx}"] == expected
 
 
+def test_shingle_arrays_matches_exploded(spark):
+    texts = [("d1", "Hello, World and hello again"), ("d2", "ab"),
+             ("d3", "!!! ,,,"),  # normalizes to empty: dropped by both
+             ("d4", "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    exploded = {}
+    for r in B.shingle_df(df, "doc_id", "text", k=5).collect():
+        exploded.setdefault(r["id"], set()).add(r["shingle"])
+    arrays = {r["id"]: set(r["shingles"])
+              for r in B.shingle_arrays(df, "doc_id", "text", k=5).collect()}
+    assert arrays == exploded
+    assert "d3" not in arrays
+
+
+def test_mapside_signatures_bit_identical(spark):
+    df = spark.createDataFrame(
+        [("d1", "hello world wide web"), ("d2", "some other document text"),
+         ("d3", "hello world wide web and more")],
+        ["doc_id", "text"],
+    )
+    old = {r["id"]: tuple(r[f"mh{i}"] for i in range(16))
+           for r in B.minhash_signatures(
+               B.shingle_df(df, "doc_id", "text", 5), 16).collect()}
+    new = {r["id"]: tuple(r[f"mh{i}"] for i in range(16))
+           for r in B.minhash_signatures_arrays(
+               B.shingle_arrays(df, "doc_id", "text", 5), 16).collect()}
+    assert old == new
+
+
 def test_lsh_bucket_layout(spark):
     df = spark.createDataFrame(
         [("d1", "hello world wide web"), ("d2", "hello world wide web"),

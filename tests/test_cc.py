@@ -78,3 +78,37 @@ def test_cluster_assignments_includes_singletons(spark):
     ids = spark.createDataFrame([("a",), ("b",), ("z",)], ["id"])
     got = {r.id: r.cluster_id for r in cluster_assignments(e, ids).collect()}
     assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_numpy_components_matches_dict_union_find():
+    import random
+
+    import pandas as pd
+
+    from spikex_spark.operators.cc import _driver_union_find, _numpy_components
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.randint(2, 120)
+        m = rng.randint(1, 250)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        edges = [(min(u, v), max(u, v)) for u, v in edges if u != v]
+        if not edges:
+            continue
+        gold = dict(_driver_union_find(list(edges)))
+        pdf = pd.DataFrame(edges, columns=["a", "b"])
+        ids, comps = _numpy_components(pdf)
+        got = dict(zip(ids.tolist(), comps.tolist()))
+        assert got == gold, trial
+
+
+def test_numpy_components_string_ids():
+    import pandas as pd
+
+    from spikex_spark.operators.cc import _numpy_components
+
+    pdf = pd.DataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], columns=["a", "b"])
+    ids, comps = _numpy_components(pdf)
+    got = dict(zip(ids.tolist(), comps.tolist()))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -39,3 +39,27 @@ def test_every_page_assigned(spark, pages_df, titles_df):
     res = resolve_entities(pages_df, titles_df)
     assert res.count() == pages_df.count()
     assert res.where(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_star_collapse_matches_pairwise_clusters(spark, pages_df, titles_df):
+    from spikex_spark.pipeline import ERConfig
+
+    star = resolve_entities(pages_df, titles_df,
+                            ERConfig(star_collapse=True)).collect()
+    pair = resolve_entities(pages_df, titles_df,
+                            ERConfig(star_collapse=False)).collect()
+    # identical assignments, not just identical partitions: both label a
+    # cluster by its min member id
+    assert ({(r["url"], r["cluster_id"]) for r in star}
+            == {(r["url"], r["cluster_id"]) for r in pair})
+
+
+def test_star_collapse_under_low_salt_cap(spark, pages_df, titles_df):
+    from spikex_spark.pipeline import ERConfig
+
+    cfg_a = ERConfig(star_collapse=True, block_cap=3, nsalt=4)
+    cfg_b = ERConfig(star_collapse=False, block_cap=3, nsalt=4)
+    star = resolve_entities(pages_df, titles_df, cfg_a).collect()
+    pair = resolve_entities(pages_df, titles_df, cfg_b).collect()
+    assert ({(r["url"], r["cluster_id"]) for r in star}
+            == {(r["url"], r["cluster_id"]) for r in pair})

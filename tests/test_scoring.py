@@ -39,3 +39,24 @@ def test_score_pairs_and_edges(spark):
     assert rows[("u1", "u3")] < 0.75
     edges = S.match_edges(scored, 0.75).collect()
     assert [(e["src"], e["dst"]) for e in edges] == [("u1", "u2")]
+
+
+def test_jw_fast_matches_plain_udf(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spikex_spark.operators.scoring import (_norm, jaro_winkler_udf,
+                                                jw_fast)
+
+    rows = [("Apple Inc", "apple inc"), ("Apple Inc", "Apple Incorporated"),
+            ("", ""), ("x", ""), ("same", "same"), ("", "y"),
+            (None, "y"), (None, None), ("z", None)]
+    schema = T.StructType([T.StructField("a", T.StringType()),
+                           T.StructField("b", T.StringType())])
+    df = spark.createDataFrame(rows, schema)
+    na, nb = _norm(F.col("a")), _norm(F.col("b"))
+    fast = {(r["a"], r["b"]): r["jw"]
+            for r in df.withColumn("jw", jw_fast(na, nb)).collect()}
+    plain = {(r["a"], r["b"]): r["jw"]
+             for r in df.withColumn("jw", jaro_winkler_udf(na, nb)).collect()}
+    assert fast == plain

@@ -40,14 +40,13 @@ spark = get_spark(master=master, app_name=f"scaling_{{workload}}")
 if workload == "pipeline":
     from spikex_spark import synth
     from spikex_spark.pipeline import resolve_entities, ERConfig
-    pages_rows, title_rows = synth.gen_pages_scaled(size, pages_per_entity=4)
-    pages = spark.createDataFrame(pages_rows, ["url", "text"]).repartition(128)
-    tschema = T.StructType([
-        T.StructField("pageid", T.LongType()), T.StructField("title", T.StringType()),
-        T.StructField("kind", T.StringType()), T.StructField("is_redirect", T.BooleanType()),
-        T.StructField("redirect_to", T.LongType()), T.StructField("props", T.ArrayType(T.StringType()))])
-    titles = spark.createDataFrame(title_rows, tschema)
+    # distributed corpus synthesis (spark.range + expressions): multi-million
+    # page runs cost seconds to build, so the timed job dominates overhead
+    pages_full, titles = synth.gen_pages_scaled_df(spark, size,
+                                                   pages_per_entity=4)
+    pages = pages_full.select("url", "text")  # column pruning: html/ts stay unread
     pages.cache().count()
+    titles = titles.localCheckpoint()
     cfg = ERConfig(block_cap=500, nsalt=16)
     def job():
         resolve_entities(pages, titles, cfg).count()
