@@ -246,12 +246,20 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
 
     split = _re_split_raw_ws if raw_ws else _re_split
 
-    def scan_doc(text: str, keyset):
+    def scan_doc(text: str, keyset, first_tok):
         raw = [t for t in split(text) if t]
         norm = [_norm_word(t) for t in raw]
         matches = []
         for i in range(len(raw)):
-            for n in range(min(max_n, len(raw) - i), 0, -1):
+            # first-token pruning: a key matching at i must START with
+            # norm[i] (grams containing empty norm tokens join with double/
+            # leading spaces and can never equal a clean key), so positions
+            # whose token heads no key cost ONE dict probe instead of max_n
+            # slice-join-probe rounds — most tokens in real text
+            cap = first_tok.get(norm[i])
+            if cap is None:
+                continue
+            for n in range(min(max_n, len(raw) - i, cap), 0, -1):
                 # NO empty-token filtering inside the gram — mirrors the join
                 # path's array_join over the unfiltered norm slice exactly
                 key = " ".join(norm[i:i + n])
@@ -271,12 +279,13 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
 
     def run(batches):
         keyset = bkeys.value
+        first_tok = _first_token_index(keyset)
         for pdf in batches:
             rows = {"id": [], "start": [], "n": [], "surface": [], "key": []}
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                for start, n, surface, key in scan_doc(text, keyset):
+                for start, n, surface, key in scan_doc(text, keyset, first_tok):
                     rows["id"].append(did)
                     rows["start"].append(start)
                     rows["n"].append(n)
@@ -285,6 +294,26 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
             yield pd.DataFrame(rows)
 
     return pages_df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+# per-process memo: first token of each key -> max key length (in tokens);
+# built once per python worker, not once per task (600k-key dict ~0.2s).
+# Holds a ref to the keyset so the id() cache key can't be recycled.
+_FIRST_TOKEN_MEMO: dict = {}
+
+
+def _first_token_index(keyset) -> dict:
+    hit = _FIRST_TOKEN_MEMO.get(id(keyset))
+    if hit is not None:
+        return hit[1]
+    idx: dict = {}
+    for k in keyset:
+        w = k.split(" ", 1)[0]
+        n = k.count(" ") + 1
+        if idx.get(w, 0) < n:
+            idx[w] = n
+    _FIRST_TOKEN_MEMO[id(keyset)] = (keyset, idx)
+    return idx
 
 
 import re as _re_mod
