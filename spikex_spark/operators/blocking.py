@@ -124,6 +124,19 @@ def _mention_hits(pages_df: DataFrame, title_keys_df: DataFrame,
     keys = title_keys_df.select("key").distinct()
     if broadcast_keys:
         keys = F.broadcast(keys)
+    else:
+        # lossless first-token pre-filter for the shuffle-join path: a gram
+        # can only equal a key whose first token it shares, and the distinct
+        # first-token table is far smaller than the key table, so this
+        # semi-join (AQE picks broadcast when it fits) drops the great
+        # majority of the exploded grams BEFORE the wide shuffle — the
+        # join-path analogue of the scan path's _first_token_index
+        ft = (title_keys_df
+              .select(F.substring_index("key", " ", 1).alias("_ft"))
+              .distinct())
+        cands = cands.join(
+            ft, F.substring_index(F.col("ngram"), " ", 1) == F.col("_ft"),
+            "left_semi")
     return cands.join(keys, cands.ngram == keys.key, "inner").drop("ngram")
 
 

@@ -135,7 +135,13 @@ def score_pairs(pairs: DataFrame, a_col: str = "surface_a",
         .withColumn("jacc", F.round(F.col("_jacc"), 6))
         .drop("_jw", "_jacc")
     )
-    return pairs.join(F.broadcast(scored_uniq), [a_col, b_col])
+    # no broadcast HINT: surfaces repeat heavily in real webtext and the
+    # distinct side is tiny — but corpora where every entity has unique
+    # surfaces leave scored_uniq ≈ pairs, and a forced broadcast of
+    # millions of rows (~300MB at 4.8M synthetic pages, measured) chokes
+    # the driver. AQE sees the real size at runtime and picks broadcast
+    # exactly when it is small.
+    return pairs.join(scored_uniq, [a_col, b_col])
 
 
 def match_edges(scored: DataFrame, threshold: float = 0.75) -> DataFrame:

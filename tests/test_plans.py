@@ -56,12 +56,20 @@ def test_minhash_partial_aggregation(spark):
 
 
 def test_scored_pairs_broadcasts_small_side(spark):
+    # score_pairs carries no static broadcast HINT (a forced broadcast of a
+    # large distinct-surface side measured ~300MB at 4.8M pages) — AQE must
+    # still pick a broadcast join AT RUNTIME when the side is tiny, so
+    # assert on the final adaptive plan after execution
     from spikex_spark.operators import scoring as S
     pairs = spark.createDataFrame(
         [("a", "b", "k", "x y", "x z")],
         ["id_a", "id_b", "block_key", "surface_a", "surface_b"],
     )
-    assert "BroadcastHashJoin" in _plan(S.score_pairs(pairs))
+    scored = S.score_pairs(pairs)
+    scored.collect()
+    final = scored._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
 
 
 def test_extract_native_stays_jvm(spark):

@@ -47,7 +47,12 @@ if workload == "pipeline":
     pages = pages_full.select("url", "text")  # column pruning: html/ts stay unread
     pages.cache().count()
     titles = titles.localCheckpoint()
-    cfg = ERConfig(block_cap=500, nsalt=16)
+    # broadcast_keys_max raised: at 4.8M pages the corpus carries 2.4M
+    # dictionary keys, and the default 2M cutoff silently drops the fused
+    # Arrow scan for the n-gram join path (~5x slower here) — the reference
+    # itself holds the full title dict in process memory, so the scan path
+    # is the faithful strategy for this benchmark
+    cfg = ERConfig(block_cap=500, nsalt=16, broadcast_keys_max=8_000_000)
     def job():
         resolve_entities(pages, titles, cfg).count()
 elif workload == "scoring":
