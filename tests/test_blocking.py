@@ -84,6 +84,22 @@ def test_mentions_broadcast_equals_join_path(spark, pages_df, titles_df):
     assert join_path == udf_path and len(join_path) > 0
 
 
+def test_shuffle_join_path_with_first_token_prefilter(spark, pages_df,
+                                                      titles_df):
+    # broadcast_keys=False takes the shuffle-join branch, which pre-filters
+    # exploded grams by key first token — must be lossless vs the broadcast
+    # branch (the path a >2M-key dictionary falls back to)
+    ext = extract_stage(pages_df.select("url", "text"))
+    keys = B.title_keys(titles_df)
+    rows = lambda df: {(r["id"], r["start"], r["n"], r["surface"], r["key"])
+                       for r in df.collect()}
+    bcast = rows(B.mentions(ext, keys, "url", "extracted",
+                            broadcast_keys=True))
+    shuffle = rows(B.mentions(ext, keys, "url", "extracted",
+                              broadcast_keys=False))
+    assert bcast == shuffle and len(shuffle) > 0
+
+
 def test_block_members_maps_full_to_clean_key(spark, titles_df):
     pages = spark.createDataFrame(
         [("u1", "Apple (company) news"), ("u2", "an Apple (fruit) pie")],
