@@ -376,6 +376,11 @@ def block_members(mentions_df: DataFrame, title_keys_df: DataFrame) -> DataFrame
             F.coalesce("clean_key", "key").alias("block_key"),
             "surface",
         )
+        # NB: pre-partitioning by (block_key, surface) so the downstream
+        # star-collapse window could sort in place was tried and REVERTED:
+        # the pipeline checkpoints this stage (localCheckpoint → Scan
+        # ExistingRDD) which discards outputPartitioning, so the window
+        # re-shuffles anyway and the explicit repartition is pure extra cost
         .dropDuplicates(["id", "block_key", "surface"])
     )
 
