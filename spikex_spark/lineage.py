@@ -108,19 +108,27 @@ def resolve_entities_resumable(spark: SparkSession, pages: DataFrame,
                                titles: DataFrame, ledger_dir: str,
                                fingerprint: str | None = None,
                                id_col: str = "url",
-                               text_col: str = "text") -> DataFrame:
+                               text_col: str = "text",
+                               cfg=None) -> DataFrame:
     """The north-rule title-blocking pipeline split into ledgered stages:
-    mentions → blocks → pairs → scores → clusters. Kill it between stages
-    and rerun — completed stages load from the ledger (on a cluster this is
-    the Iceberg snapshot per stage). Same definition as the one-shot
-    ``pipeline.resolve_entities`` — only the stage runner differs."""
-    from .pipeline import resolve_entities
+    mentions → blocks → star_edges (or pairs → scores) → clusters. Kill it
+    between stages and rerun — completed stages load from the ledger (on a
+    cluster this is the Iceberg snapshot per stage). Same definition as the
+    one-shot ``pipeline.resolve_entities`` — only the stage runner differs.
+
+    ``cfg`` (ERConfig): tunes threshold/caps and selects the edge strategy —
+    star_collapse=True (default) ledgers the reduced star-edge stage and
+    skips the O(m²) pair/score ledgers entirely; star_collapse=False ledgers
+    the full enumeration (pairs, scores) for audits that need per-pair rows.
+    """
+    from .pipeline import ERConfig, resolve_entities
 
     def ledgered(name: str, build) -> DataFrame:
         return run_stage(spark, ledger_dir, name, build,
                          input_fingerprint=fingerprint)
 
-    return resolve_entities(pages, titles, id_col=id_col, text_col=text_col,
+    return resolve_entities(pages, titles, cfg=cfg or ERConfig(),
+                            id_col=id_col, text_col=text_col,
                             stage_runner=ledgered)
 
 

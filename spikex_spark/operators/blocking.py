@@ -311,21 +311,24 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
 
 # per-process memo: first token of each key -> max key length (in tokens);
 # built once per python worker, not once per task (600k-key dict ~0.2s).
-# Holds a ref to the keyset so the id() cache key can't be recycled.
-_FIRST_TOKEN_MEMO: dict = {}
+# SINGLE-SLOT: one dictionary per stage is the realistic access pattern, and
+# a reused worker cycling many broadcast dictionaries must not accumulate
+# hundreds of MB of dead keysets. The slot holds (keyset, idx) — keeping the
+# keyset ref is what makes the identity check safe against id() recycling.
+_FIRST_TOKEN_MEMO: list = [None]
 
 
 def _first_token_index(keyset) -> dict:
-    hit = _FIRST_TOKEN_MEMO.get(id(keyset))
-    if hit is not None:
-        return hit[1]
+    slot = _FIRST_TOKEN_MEMO[0]
+    if slot is not None and slot[0] is keyset:
+        return slot[1]
     idx: dict = {}
     for k in keyset:
         w = k.split(" ", 1)[0]
         n = k.count(" ") + 1
         if idx.get(w, 0) < n:
             idx[w] = n
-    _FIRST_TOKEN_MEMO[id(keyset)] = (keyset, idx)
+    _FIRST_TOKEN_MEMO[0] = (keyset, idx)
     return idx
 
 

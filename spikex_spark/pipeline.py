@@ -60,8 +60,12 @@ def _mentions(pages: DataFrame, keys: DataFrame, cfg: ERConfig,
                                     id_col=id_col, text_col=text_col,
                                     max_n=cfg.max_ngram, raw_ws=True)
     extracted = extract_stage(pages.select(id_col, text_col), text_col)
+    # broadcast_keys=False: this branch exists BECAUSE the dictionary exceeds
+    # broadcast_keys_max — forcing F.broadcast() here would override AQE's
+    # size check and OOM at wiki scale (~20M keys). The shuffle-join path's
+    # first-token prefilter engages instead.
     return B.mentions(extracted, keys, id_col=id_col, text_col="extracted",
-                      max_n=cfg.max_ngram)
+                      max_n=cfg.max_ngram, broadcast_keys=False)
 
 
 def _er_stage_results(pages: DataFrame, titles: DataFrame, cfg: ERConfig,
@@ -87,9 +91,18 @@ def _er_stage_results(pages: DataFrame, titles: DataFrame, cfg: ERConfig,
             cap=cfg.block_cap, nsalt=cfg.nsalt,
         ),
     )
-    pairs = run("30_pairs", lambda: P.candidate_pairs(blocks, salted=True))
-    scored = run("40_scores",
-                 lambda: S.score_pairs(pairs, jw_weight=cfg.jw_weight))
+    if cfg.star_collapse:
+        # the star-collapsed clusters stage never reads pairs/scores — a
+        # ledgered runner must NOT eagerly materialize the full O(m²) pair
+        # enumeration star-collapse exists to avoid. Build them lazily
+        # (outside `run`) for the pairwise view only; the resumable path
+        # ledgers the star-edge stage instead (see resolve_entities).
+        pairs = P.candidate_pairs(blocks, salted=True)
+        scored = S.score_pairs(pairs, jw_weight=cfg.jw_weight)
+    else:
+        pairs = run("30_pairs", lambda: P.candidate_pairs(blocks, salted=True))
+        scored = run("40_scores",
+                     lambda: S.score_pairs(pairs, jw_weight=cfg.jw_weight))
     return blocks, scored
 
 
@@ -159,10 +172,14 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
     run = stage_runner or (lambda name, build: build())
     blocks, scored = _er_stage_results(pages, titles, cfg, id_col, text_col,
                                        run)
+    # star path: ledger the REDUCED edge set (O(m+g²) per cell) — this is
+    # the stage a resumable run restarts from, replacing the pair/score
+    # ledgers of the enumeration path
+    edges = (run("30_star_edges", lambda: _star_edges(blocks, cfg))
+             if cfg.star_collapse
+             else S.match_edges(scored, cfg.threshold))
 
     def _clusters() -> DataFrame:
-        edges = (_star_edges(blocks, cfg) if cfg.star_collapse
-                 else S.match_edges(scored, cfg.threshold))
         assign = CC.cluster_assignments(
             edges, pages.select(F.col(id_col).alias("id"))
         )

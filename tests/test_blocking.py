@@ -218,3 +218,20 @@ def test_mentions_broadcast_raw_ws_fusion(spark, pages_df, titles_df):
              B.mentions_broadcast(pages_df.select("url", "text"), keys,
                                   "url", "text", raw_ws=True).collect()}
     assert two_pass == fused and len(fused) > 0
+
+
+def test_first_token_memo_is_single_slot():
+    """Worker-lifetime memory bound: a reused Python worker cycling many
+    broadcast dictionaries must hold at most ONE (keyset, index) entry —
+    the previous keyset is released when a new one arrives."""
+    k1 = frozenset({"apple", "apple inc", "big data table"})
+    k2 = frozenset({"banana split", "orange"})
+    i1 = B._first_token_index(k1)
+    assert i1 == {"apple": 2, "big": 3}
+    assert B._first_token_index(k1) is i1          # memo hit, same object
+    i2 = B._first_token_index(k2)
+    assert i2 == {"banana": 2, "orange": 1}
+    assert B._FIRST_TOKEN_MEMO[0][0] is k2         # slot replaced...
+    assert len(B._FIRST_TOKEN_MEMO) == 1           # ...not appended
+    assert B._first_token_index(k1) == i1          # rebuild still correct
+    assert B._FIRST_TOKEN_MEMO[0][0] is k1

@@ -221,3 +221,32 @@ def test_resolve_entities_resumable_matches_oneshot(spark, tmp_path, pages_df, t
         spark, pages_df, titles_df, ledger, fingerprint="v1"
     )
     assert {tuple(r) for r in again.collect()} == a
+
+
+def test_resumable_entities_star_skips_pair_ledger(spark, tmp_path, pages_df,
+                                                   titles_df):
+    """star_collapse (default) must NOT materialize the O(m²) pair/score
+    stages in the ledger — it ledgers the reduced star-edge stage instead —
+    and clusters must equal the one-shot path's. star_collapse=False keeps
+    the full enumeration ledgers for per-pair audits."""
+    from spikex_spark.lineage import ledger_summary, resolve_entities_resumable
+    from spikex_spark.pipeline import ERConfig, resolve_entities
+
+    ledger = str(tmp_path / "star_ledger")
+    res = resolve_entities_resumable(spark, pages_df, titles_df, ledger,
+                                     fingerprint="t")
+    oneshot = resolve_entities(pages_df, titles_df)
+    key = lambda df: {(r["url"], r["cluster_id"]) for r in df.collect()}
+    assert key(res) == key(oneshot)
+    stages = [m["stage"] for m in ledger_summary(ledger)]
+    assert stages == ["10_mentions", "20_blocks", "30_star_edges",
+                      "50_clusters"]
+
+    ledger2 = str(tmp_path / "enum_ledger")
+    res2 = resolve_entities_resumable(spark, pages_df, titles_df, ledger2,
+                                      fingerprint="t",
+                                      cfg=ERConfig(star_collapse=False))
+    assert key(res2) == key(oneshot)
+    stages2 = [m["stage"] for m in ledger_summary(ledger2)]
+    assert stages2 == ["10_mentions", "20_blocks", "30_pairs", "40_scores",
+                       "50_clusters"]
