@@ -713,18 +713,76 @@ _SENT_GOLDEN = {
     -2: [(0, 12), (13, 26), (27, 33), (34, 38)],
 }
 
+# doc_id offset for the derived (punctuation-injected) sentence corpus leg —
+# far above any real doc_id at every SF
+_SENT_DERIVED_OFFSET = 1_000_000
+
 
 def _sql_sentences() -> str:
+    """Three legs. (1) plain corpus: punctuation-free text → one span per
+    doc. (2) DERIVED corpus: deterministic punctuation injected per token
+    (i%7→'.', i%11→'!'), and the oracle RECOMPUTES the boundary rules from
+    the table — '!' always splits; '.' splits unless the dotted word is a
+    ≤3-letter abbreviation (SAFE_ABBRS) / safe acronym, or the PREVIOUS
+    token is a dotted short abbreviation or bare acronym (the corpus is
+    verified lowercase [a-z ]-only at every SF, so the uppercase starters /
+    bullet / dotted-acronym rules are provably inert on this leg and are
+    pinned by the fixture leg instead). (3) fixture VALUES for the full
+    reference rule set (bullets, Fig./No./U.S., title split)."""
     vals = ", ".join(
         f"({did}, {idx}, {s}, {e})"
         for did, spans in _SENT_GOLDEN.items()
         for idx, (s, e) in enumerate(spans)
     )
     return f"""
+WITH dtoks AS (
+  SELECT doc_id + {_SENT_DERIVED_OFFSET} AS doc_id,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+dpos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM dtoks),
+dtok AS (
+  SELECT doc_id, i, t[i] AS w,
+         CASE WHEN i % 7 = 0 THEN '.'
+              WHEN i % 11 = 0 THEN '!' ELSE '' END AS sfx
+  FROM dpos
+),
+dflag AS (
+  SELECT doc_id, i, w, sfx,
+         lag(w) OVER win AS pw, lag(sfx) OVER win AS psfx,
+         sum(length(w) + length(sfx) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pref
+  FROM dtok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+dbound AS (
+  SELECT doc_id, i,
+         coalesce(pref, 0) AS tok_start,
+         coalesce(pref, 0) + length(w) + length(sfx) AS tok_end,
+         (sfx = '!') OR (
+           sfx = '.'
+           AND NOT (length(w) <= 3 OR w IN ('tm','pat','ser','eg'))
+           AND NOT coalesce(
+                 (psfx = '.' AND length(pw) <= 3)
+                 OR (psfx = '' AND pw IN ('tm','pat','ser','eg')), false)
+         ) AS boundary
+  FROM dflag
+),
+dsent AS (
+  SELECT doc_id, i, tok_start, tok_end,
+         coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sidx
+  FROM dbound
+)
 SELECT doc_id, 0 AS sent_idx,
        (length(text) - length(ltrim(text, ' ')))::int AS start,
        length(rtrim(text, ' '))::int AS "end"
 FROM documents WHERE text IS NOT NULL AND trim(text, ' ') <> ''
+UNION ALL
+SELECT doc_id, sidx::int AS sent_idx,
+       min(tok_start)::int AS start, max(tok_end)::int AS "end"
+FROM dsent GROUP BY doc_id, sidx
 UNION ALL
 SELECT * FROM (VALUES {vals}) AS v(doc_id, sent_idx, start, "end")
 """
@@ -1439,10 +1497,29 @@ def _q_abbreviations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipes.sents import sent_stage
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    # corpus (punctuation-free -> one span per doc) + reference-derived
-    # fixture texts that exercise the full boundary rule set (_SENT_GOLDEN)
+    # derived leg: inject deterministic punctuation (every 7th token '.',
+    # every 11th '!') so the abbreviation-safe boundary rules fire on REAL
+    # corpus tokens — short words ("the", "agg") suppress their dot, longer
+    # ones split; the oracle recomputes the spans from the table
+    toks = F.split(F.col("text"), " ")
+    derived = docs.select(
+        (F.col("doc_id") + F.lit(_SENT_DERIVED_OFFSET)).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda t, i: F.concat(
+                    t,
+                    F.when((i + 1) % 7 == 0, F.lit("."))
+                    .when((i + 1) % 11 == 0, F.lit("!"))
+                    .otherwise(F.lit("")),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    # + reference-derived fixture texts for the full boundary rule set
     fix = spark.createDataFrame(_SENT_FIXTURES, ["doc_id", "text"])
-    return sent_stage(docs.unionByName(fix)).select(
+    return sent_stage(docs.unionByName(derived).unionByName(fix)).select(
         F.col("id").alias("doc_id"), "sent_idx", "start", "end"
     )
 
@@ -1592,28 +1669,70 @@ _BALL_FIXTURE_GOLDEN = [
 
 
 def _sql_ball_clusters() -> str:
-    """Corpus part: random 64-d embeddings never reach the 0.65 cosine
-    threshold, so every vector is its own ball — an over-merge regression
-    breaks this half of the hash. Fixture part: pinned golden VALUES for
-    the real merge semantics (3 balls of 4 + 2 singletons)."""
+    """Corpus legs carry REAL merge structure, recomputed by the oracle.
+
+    Planted twins derive from the corpus table itself: vec_id%4==0 gets an
+    identical twin t<id> (cos=1 → 2-ball), vec_id%8==2 gets two identical
+    twins t<id>/u<id> (3-ball — exercises the intruder-eviction sub-ball
+    path), vec_id%4==1 gets a NEGATED twin (cos=-1 → stays singleton, the
+    below-threshold boundary). Cross-key cosines are ≤0.48 at every SF
+    (verified), so the ≥0.65 components are exactly these twin groups, and
+    ball clustering's merged output equals the components — the oracle
+    recomputes each twin's merge decision with list_cosine_similarity
+    against the root vector, both rebuilt from the table (no VALUES).
+    Fixture part: pinned golden for multi-member merge/outlier semantics."""
     vals = ", ".join(
         f"({lab}, '{cid}', '{key}')" for lab, cid, key in _BALL_FIXTURE_GOLDEN
     )
     return f"""
-SELECT label, vec_id::varchar AS cluster_id, vec_id::varchar AS key
-FROM embeddings
+WITH e AS (
+  SELECT label, vec_id, vec_id::varchar AS key, embedding FROM embeddings
+),
+twins AS (
+  SELECT label, 't' || key AS key, key AS rootkey, embedding AS rvec,
+         CASE WHEN vec_id % 4 = 1
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END AS vec
+  FROM e WHERE vec_id % 4 IN (0, 1) OR vec_id % 8 = 2
+  UNION ALL
+  SELECT label, 'u' || key, key, embedding, embedding
+  FROM e WHERE vec_id % 8 = 2
+)
+SELECT label, key AS cluster_id, key FROM e
+UNION ALL
+SELECT label,
+       CASE WHEN list_cosine_similarity(vec, rvec) >= 0.65
+            THEN rootkey ELSE key END AS cluster_id,
+       key
+FROM twins
 UNION ALL
 SELECT * FROM (VALUES {vals}) AS v(label, cluster_id, key)
 """
 
 
 def _q_ball_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # G4 (radial ball clustering) per label group: corpus embeddings
-    # (all-singleton at this threshold) + a fixture group with real merge
-    # structure, both pinned by the oracle
+    # G4 (radial ball clustering) per label group. Corpus leg carries
+    # PLANTED twins (identical → merge into 2-/3-balls, negated → stay
+    # singleton) so the merge machinery runs on real corpus vectors; the
+    # oracle recomputes every merge decision from the table (see
+    # _sql_ball_clusters). Fixture leg pins multi-member semantics.
     from spikex_spark.pipes.clusters import cluster_stage
-    emb = _read(spark, sf_dir, "embeddings").select(
+    raw = _read(spark, sf_dir, "embeddings")
+    emb = raw.select(
         "label", F.col("vec_id").cast("string").alias("key"),
+        F.col("embedding").alias("vector"),
+    )
+    vid = F.col("vec_id")
+    key_s = vid.cast("string")
+    t_twin = raw.where((vid % 4 == 0) | (vid % 4 == 1) | (vid % 8 == 2)).select(
+        "label",
+        F.concat(F.lit("t"), key_s).alias("key"),
+        F.when(vid % 4 == 1, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding")).alias("vector"),
+    )
+    u_twin = raw.where(vid % 8 == 2).select(
+        "label",
+        F.concat(F.lit("u"), key_s).alias("key"),
         F.col("embedding").alias("vector"),
     )
     fix = spark.createDataFrame(
@@ -1623,7 +1742,7 @@ def _q_ball_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         F.col("vector").cast(dict(emb.dtypes)["vector"]).alias("vector"),
     )
-    both = emb.unionByName(fix)
+    both = emb.unionByName(t_twin).unionByName(u_twin).unionByName(fix)
     return cluster_stage(both, "label", min_score=0.65).select(
         F.col("group").alias("label"), "cluster_id", "key"
     )
@@ -1668,6 +1787,11 @@ def _q_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-process ledger dirs for the er_pages blocks stage, keyed by sf_dir:
+# the pairs and clusters queries share one materialized stage per corpus
+_ER_BLOCKS_LEDGER: dict = {}
+
+
 def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CAPPED blocks (min surface per doc+clean key, first
     ``_ER_PAGES_BLOCK_CAP`` ids per key) — the shared front half of the
@@ -1706,9 +1830,24 @@ def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocks = B.cap_blocks(blocks, key_col="block_key", id_col="id",
                           cap=_ER_PAGES_BLOCK_CAP)
-    # blocks feeds multiple consumers — materialize once instead of
-    # recomputing extract→mention→window→cap per consumer
-    return blocks.localCheckpoint()
+    # blocks feeds multiple consumers (pairs self-join, groups agg, group
+    # join) across BOTH er_pages queries — materialize once as a ledgered
+    # stage, written hash-bucketed + sorted on block_key. Unlike a
+    # localCheckpoint (which drops outputPartitioning), the bucketed read
+    # feeds every consumer pre-partitioned and pre-sorted: the self-join
+    # and the (block_key, surface) agg/join run with no exchange. On a
+    # cluster this is the Iceberg stage snapshot.
+    import tempfile
+
+    from spikex_spark.lineage import run_stage
+    # subset co-partition: joins keyed on (block_key, surface) may reuse
+    # the block_key bucketing instead of re-shuffling both sides
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    ledger = _ER_BLOCKS_LEDGER.setdefault(
+        sf_dir, tempfile.mkdtemp(prefix="er_pages_ledger_"))
+    return run_stage(spark, ledger, "20_blocks", lambda: blocks,
+                     input_fingerprint=sf_dir, bucket_by=["block_key"],
+                     num_buckets=32, sort_by=["block_key", "surface", "id"])
 
 
 def _er_pages_surface_scores(blocks_pairs_surfaces: DataFrame) -> DataFrame:

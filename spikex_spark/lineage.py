@@ -34,6 +34,41 @@ def _data_path(ledger_dir: str, stage: str) -> str:
     return str(Path(ledger_dir) / stage / "data")
 
 
+def _table_name(ledger_dir: str, stage: str) -> str:
+    """Catalog name for a bucketed stage table — content-addressed on
+    (ledger_dir, stage) so concurrent ledgers in one session can't collide."""
+    import hashlib
+
+    h = hashlib.md5(f"{ledger_dir}|{stage}".encode()).hexdigest()[:12]
+    return f"ledger_{h}"
+
+
+def _schema_ddl(schema) -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+
+
+def _register_bucketed(spark: SparkSession, ledger_dir: str, stage: str,
+                       meta: dict) -> DataFrame:
+    """(Re-)expose a completed bucketed stage as a catalog table.
+
+    A fresh session's in-memory catalog forgets tables, but the bucket-id
+    is encoded in the parquet file NAMES, so an external CLUSTERED BY table
+    over the same location restores hash-partitioned (and per-bucket
+    sorted) reads — the Iceberg-snapshot analogue for resume."""
+    tname = _table_name(ledger_dir, stage)
+    if not spark.catalog.tableExists(tname):
+        sort = (f" SORTED BY ({', '.join(meta['sort_by'])})"
+                if meta.get("sort_by") else "")
+        spark.sql(
+            f"CREATE TABLE {tname} ({meta['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(meta['bucket_by'])}){sort} "
+            f"INTO {meta['num_buckets']} BUCKETS "
+            f"LOCATION '{_data_path(ledger_dir, stage)}'"
+        )
+    return spark.table(tname)
+
+
 def partition_counters(df: DataFrame) -> list[dict]:
     """Per-partition row counts (the lineage evidence the judge can audit)."""
     counts = (
@@ -62,22 +97,51 @@ def stage_complete(ledger_dir: str, stage: str,
 def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
               build: "callable[[], DataFrame]",
               input_fingerprint: str | None = None,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              bucket_by: list[str] | None = None,
+              num_buckets: int = 32,
+              sort_by: list[str] | None = None) -> DataFrame:
     """Execute (or resume) one pipeline stage.
 
     ``build`` constructs the stage DataFrame lazily; it only runs when the
     stage is not already COMPLETE for the same input fingerprint.
+
+    ``bucket_by``: write the stage hash-bucketed (and per-bucket sorted by
+    ``sort_by``) so every consumer whose distribution is a superset of the
+    bucket columns reads PRE-PARTITIONED data — the window / self-join /
+    groupBy over a blocks stage then need no exchange. This is the
+    materialization barrier ``localCheckpoint`` cannot be (checkpoints drop
+    outputPartitioning); on a cluster the same write is the Iceberg
+    bucket-partitioned snapshot.
     """
     data = _data_path(ledger_dir, stage)
     if stage_complete(ledger_dir, stage, input_fingerprint):
+        meta = json.loads(_lineage_path(ledger_dir, stage).read_text())
+        if meta.get("bucket_by"):
+            return _register_bucketed(spark, ledger_dir, stage, meta)
         return spark.read.parquet(data)
     t0 = time.time()
     df = build()
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(data)
-    out = spark.read.parquet(data)
+    if bucket_by:
+        tname = _table_name(ledger_dir, stage)
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        # pre-repartition on the bucket hash (repartition and bucketBy share
+        # pmod(murmur3, n)) so each task holds exactly one bucket => ONE
+        # file per bucket, the layout under which Spark trusts the
+        # per-bucket sortBy order on read (SortExec elided for consumers)
+        writer = (df.repartition(num_buckets, *[F.col(c) for c in bucket_by])
+                  .write.mode("overwrite").option("path", data)
+                  .bucketBy(num_buckets, *bucket_by))
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.saveAsTable(tname)
+        out = spark.table(tname)
+    else:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data)
+        out = spark.read.parquet(data)
     meta = {
         "stage": stage,
         "status": "COMPLETE",
@@ -88,6 +152,13 @@ def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
         "written_at_epoch": int(time.time()),
         "schema": out.schema.simpleString(),
     }
+    if bucket_by:
+        meta.update({
+            "bucket_by": list(bucket_by),
+            "num_buckets": num_buckets,
+            "sort_by": list(sort_by) if sort_by else None,
+            "schema_ddl": _schema_ddl(out.schema),
+        })
     p = _lineage_path(ledger_dir, stage)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(json.dumps(meta, indent=1))
@@ -123,9 +194,9 @@ def resolve_entities_resumable(spark: SparkSession, pages: DataFrame,
     """
     from .pipeline import ERConfig, resolve_entities
 
-    def ledgered(name: str, build) -> DataFrame:
+    def ledgered(name: str, build, **hints) -> DataFrame:
         return run_stage(spark, ledger_dir, name, build,
-                         input_fingerprint=fingerprint)
+                         input_fingerprint=fingerprint, **hints)
 
     return resolve_entities(pages, titles, cfg=cfg or ERConfig(),
                             id_col=id_col, text_col=text_col,

@@ -90,6 +90,10 @@ def _er_stage_results(pages: DataFrame, titles: DataFrame, cfg: ERConfig,
             B.block_members(ments, keys).localCheckpoint(),  # eager: lazy+AQE showed unstable re-plans
             cap=cfg.block_cap, nsalt=cfg.nsalt,
         ),
+        # ledgered runs write this stage hash-bucketed + sorted so the
+        # downstream window / pair self-join / size agg all read
+        # pre-partitioned, pre-sorted data — no exchange per consumer
+        bucket_by=["block_key"], sort_by=["block_key", "salt", "surface"],
     )
     if cfg.star_collapse:
         # the star-collapsed clusters stage never reads pairs/scores — a
@@ -169,7 +173,7 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
     ``stage_runner(name, build)``: optional per-stage execution hook (see
     ``lineage.resolve_entities_resumable``); default executes in one plan.
     """
-    run = stage_runner or (lambda name, build: build())
+    run = stage_runner or (lambda name, build, **hints: build())
     blocks, scored = _er_stage_results(pages, titles, cfg, id_col, text_col,
                                        run)
     # star path: ledger the REDUCED edge set (O(m+g²) per cell) — this is
@@ -294,5 +298,5 @@ def scored_pairs(pages: DataFrame, titles: DataFrame,
     """The pairwise view (for the F1 gate): (id_a, id_b, block_key, score,
     is_match). Gold pairs join on (id_a, id_b)."""
     _, scored = _er_stage_results(pages, titles, cfg, id_col, text_col,
-                                  lambda name, build: build())
+                                  lambda name, build, **hints: build())
     return scored.withColumn("is_match", F.col("score") >= cfg.threshold)

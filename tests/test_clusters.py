@@ -81,7 +81,15 @@ def test_ball_clusters_content_golden(spark):
         (r["label"], r["cluster_id"], r["key"]) for r in df.collect()
     )
     h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
-    assert len(rows) == 514  # 500 corpus singletons + 14 fixture rows
+    # 500 corpus + 376 planted twins (125 identical + 125 negated + 63×2
+    # triple twins) + 14 fixture rows
+    assert len(rows) == 890
     # every key assigned exactly once per label group
     assert len({(lab, key) for lab, _, key in rows}) == len(rows)
-    assert h == "14928e547ba7a9a3", h
+    # corpus merge structure: identical twins join their root's ball,
+    # negated twins stay singleton, u-twins complete 3-balls
+    merged_t = [r for r in rows if r[2].startswith("t") and r[1] == r[2][1:]]
+    merged_u = [r for r in rows if r[2].startswith("u") and r[1] == r[2][1:]]
+    single_t = [r for r in rows if r[2].startswith("t") and r[1] == r[2]]
+    assert (len(merged_t), len(merged_u), len(single_t)) == (188, 63, 125)
+    assert h == "0e4dd1a83bda576e", h

@@ -126,3 +126,52 @@ def test_ann_paths_have_no_cartesian(spark):
     for q in ("ann_lsh_topk", "ann_ivf_topk", "embedding_near_dups"):
         plan = _plan(E.queries()[q](spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, q
+
+
+def test_bucketed_blocks_stage_consumers_are_exchange_free(spark, tmp_path):
+    """The ledgered blocks stage is written hash-bucketed on block_key and
+    per-bucket sorted — its three consumer shapes (size agg, salted window,
+    pair self-join) must read pre-partitioned data with ZERO shuffle
+    exchange (the localCheckpoint barrier it replaces re-shuffled for each
+    of them; checkpoints drop outputPartitioning)."""
+    from pyspark.sql import Window
+
+    from spikex_spark.lineage import run_stage
+
+    def build():
+        return (spark.range(2000)
+                .select(F.col("id"),
+                        (F.col("id") % 37).cast("string").alias("block_key"),
+                        (F.col("id") % 3).cast("int").alias("salt"),
+                        (F.col("id") % 11).cast("string").alias("surface")))
+
+    blocks = run_stage(spark, str(tmp_path / "led"), "20_blocks", build,
+                       input_fingerprint="t", bucket_by=["block_key"],
+                       num_buckets=8, sort_by=["block_key", "salt", "surface"])
+
+    def shuffles(df) -> int:
+        p = _plan(df)
+        return p.count("Exchange") - p.count("BroadcastExchange") \
+            - p.count("ReusedExchange")
+
+    # consumer 1: block-size aggregation — partial+final merge in place
+    assert shuffles(blocks.groupBy("block_key").count()) == 0
+    # consumer 2: the star-collapse window (subset of bucket cols ok)
+    w = Window.partitionBy("block_key", "salt", "surface")
+    assert shuffles(blocks.withColumn("rep", F.min("id").over(w))) == 0
+    # consumer 3: the pair self-join, forced to SMJ — co-partitioned scan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = blocks.select("block_key", F.col("id").alias("id_a"))
+        right = blocks.select("block_key", F.col("id").alias("id_b"))
+        j = left.join(right, "block_key").where(F.col("id_a") < F.col("id_b"))
+        assert shuffles(j) == 0
+        assert "SortMergeJoin" in _plan(j)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # resume in the same session: read-back keeps the bucketed layout
+    again = run_stage(spark, str(tmp_path / "led"), "20_blocks", build,
+                      input_fingerprint="t", bucket_by=["block_key"],
+                      num_buckets=8, sort_by=["block_key", "salt", "surface"])
+    assert shuffles(again.groupBy("block_key").count()) == 0

@@ -212,8 +212,11 @@ def test_resolve_entities_resumable_matches_oneshot(spark, tmp_path, pages_df, t
     b = {tuple(r) for r in oneshot.collect()}
     assert a == b and len(a) > 0
     stages = ledger_summary(ledger)
+    # default star_collapse: the reduced star-edge stage is ledgered instead
+    # of the O(m²) pairs/scores enumeration (see
+    # test_resumable_entities_star_skips_pair_ledger for both modes)
     assert [m["stage"] for m in stages] == [
-        "10_mentions", "20_blocks", "30_pairs", "40_scores", "50_clusters"
+        "10_mentions", "20_blocks", "30_star_edges", "50_clusters"
     ]
     assert all(m["status"] == "COMPLETE" and m["partitions"] for m in stages)
     # resume: same fingerprint -> ledger read-back, identical result
