@@ -440,10 +440,15 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 
 
 def _sql_ann_ivf(nlist: int = 8, nprobe: int = 2, k: int = 5) -> str:
-    """DuckDB mirror of simsearch.ivf_cosine_topk: seeds = first nlist
-    vectors, unit-normalized; assignment/probe = argmax dot, ties to the
-    larger seed id (mirrors the struct-sort tie-break); exact cosine
-    re-rank inside probed lists."""
+    """DuckDB mirror of simsearch.ivf_cosine_topk with k-means-TRAINED
+    centroids: seeds = first nlist vectors unit-normalized, then ONE Lloyd
+    refinement recomputed in SQL — assign every vector to its best seed
+    (argmax dot, ties to the larger id), replace each centroid with the
+    per-dimension avg() of its members rounded to 6 digits (the rounding is
+    what makes the two engines' float summation orders agree), re-normalize
+    with the sequential-fold norm; empty lists keep their seed. Final
+    assignment/probe/re-rank then runs on the trained units exactly as the
+    Spark side does."""
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::double) AS e
@@ -455,9 +460,39 @@ seeds AS (
   SELECT vec_id AS sid, e, sqrt(list_dot_product(e, e)) AS n
   FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist}
 ),
-su AS (
+su0 AS (
   SELECT sid, CASE WHEN n > 0 THEN list_transform(e, x -> x / n) ELSE e END AS u
   FROM seeds
+),
+scores0 AS (
+  SELECT v.vec_id, su0.sid, list_dot_product(v.e, su0.u) AS s
+  FROM v CROSS JOIN su0
+),
+assign0 AS (
+  SELECT vec_id, sid AS list_id FROM scores0
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) = 1
+),
+memb AS (
+  SELECT a.list_id, v2.e, unnest(range(1, len(v2.e) + 1)) AS i
+  FROM assign0 a JOIN v v2 USING (vec_id)
+),
+cm AS (
+  SELECT list_id, i, round(avg(e[i]), 6) AS m
+  FROM memb GROUP BY list_id, i
+),
+cent AS (
+  SELECT list_id AS sid, array_agg(m ORDER BY i) AS c,
+         sqrt(list_dot_product(array_agg(m ORDER BY i),
+                               array_agg(m ORDER BY i))) AS n
+  FROM cm GROUP BY list_id
+),
+su AS (
+  SELECT s0.sid,
+         CASE WHEN c.c IS NULL THEN s0.u
+              WHEN c.n > 0 THEN list_transform(c.c, x -> x / c.n)
+              ELSE c.c END AS u
+  FROM su0 s0 LEFT JOIN cent c USING (sid)
 ),
 scores AS (
   SELECT v.vec_id, su.sid, list_dot_product(v.e, su.u) AS s
@@ -889,18 +924,23 @@ SELECT * FROM (VALUES
 # md5-seeded fake-decoder expectation (DuckDB md5() is VARCHAR-only, so the
 # binary payload hashing cannot run SQL-side): raw float64 fold values
 # pinned as literals, rounded in SQL exactly like the Spark query
+# media_id % 3 == 0 rows are IMAGES with real binary-PPM payloads — their
+# values pin the REAL pure-Python decode (PPM parse → pixel features); the
+# audio/video rows pin the deterministic fake path the codec formats use
 _MEDIA_GOLDEN = [
-    (0, 5.296473287278786), (1, 5.958928857930005), (2, 3.5605987212620676),
-    (3, 4.812474262409523), (4, 3.5932093463488854), (5, 4.93826631270349),
-    (6, 6.130429740995169), (7, 4.326369360554963), (8, 5.419833725318313),
-    (9, 6.017593017779291), (10, 4.544853539671749), (11, 4.059619545470923),
-    (12, 5.9587120320647955), (13, 3.6131116319447756),
-    (14, 5.6610653307288885), (15, 6.42038550414145), (16, 6.476669269613922),
-    (17, 5.347369118127972), (18, 5.322537060463219), (19, 3.5999670890159905),
-    (20, 6.224831267260015), (21, 4.810175435617566), (22, 6.339073130324948),
-    (23, 4.670693334192038), (24, 8.021481212165781), (25, 3.7522715642116964),
-    (26, 6.185100733302534), (27, 6.123390703462064), (28, 5.103378802770749),
-    (29, 6.669678943231702),
+    (0, 0.8511317260563374), (1, 5.958928857930005), (2, 3.5605987212620676),
+    (3, 1.5080810537276648), (4, 3.5932093463488854), (5, 4.93826631270349),
+    (6, 1.3697931636824805), (7, 4.326369360554963), (8, 5.419833725318313),
+    (9, 1.3314799530238304), (10, 4.544853539671749), (11, 4.059619545470923),
+    (12, 1.2135643862420693), (13, 3.6131116319447756),
+    (14, 5.6610653307288885), (15, 1.8168335375935385),
+    (16, 6.476669269613922), (17, 5.347369118127972),
+    (18, 1.6392733334650984), (19, 3.5999670890159905),
+    (20, 6.224831267260015), (21, 1.6237193297492922),
+    (22, 6.339073130324948), (23, 4.670693334192038),
+    (24, 1.6322837872430682), (25, 3.7522715642116964),
+    (26, 6.185100733302534), (27, 1.6239200280033401),
+    (28, 5.103378802770749), (29, 6.669678943231702),
 ]
 
 
@@ -1398,11 +1438,18 @@ def _q_cos_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: coarse lists + nprobe probing + exact re-rank."""
-    from spikex_spark.operators.simsearch import ivf_cosine_topk
+    """IVF-flat ANN: k-means-trained coarse lists (one deterministic Lloyd
+    refinement of the first-nlist seeds, centroid means rounded to 6
+    digits) + nprobe probing + exact re-rank. The oracle recomputes the
+    same Lloyd step in SQL (see _sql_ann_ivf)."""
+    from spikex_spark.operators.simsearch import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
     emb = _read(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, nlist=8, iters=1)
     return ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 5),
-                           k=5, nlist=8, nprobe=2)
+                           k=5, nlist=8, nprobe=2, centroids=cents)
 
 
 def _q_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,18 +1818,22 @@ _ER_PAGES_BLOCK_CAP = 1000
 
 def _q_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 nested mode: longest matches + sub-span re-matches (reference
-    ``find_pages`` sub-token-range combinations)."""
-    from spikex_spark.extract import extract_native
+    ``find_pages`` sub-token-range combinations), on the FUSED raw_ws scan
+    (extract folded into the Arrow pass; equivalence to the join-path
+    ``mentions_nested`` is pinned by
+    test_mentions_broadcast_nested_matches_join_path)."""
     from spikex_spark.operators import blocking as B
     from spikex_spark.synth import gen_titles
-    docs = extract_native(_read(spark, sf_dir, "documents"), "text", "extracted")
+    docs = _read(spark, sf_dir, "documents")
     titles = spark.createDataFrame(gen_titles())
     extra = spark.createDataFrame(
         [(k, k, "clean") for k in _EXTRA_MENTION_KEYS],
         ["key", "title", "channel"],
     )
-    keys = B.title_keys(titles).unionByName(extra)
-    return B.mentions_nested(docs, keys, id_col="doc_id", text_col="extracted").select(
+    keys_df = B.title_keys(titles).unionByName(extra)
+    keys = [r["key"] for r in keys_df.select("key").distinct().collect()]
+    return B.mentions_broadcast(docs, keys, id_col="doc_id", text_col="text",
+                                raw_ws=True, nested=True).select(
         F.col("id").alias("doc_id"), "start", "n", "surface", "key", "nested"
     )
 

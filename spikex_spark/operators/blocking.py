@@ -227,7 +227,8 @@ def mentions_nested(pages_df: DataFrame, title_keys_df: DataFrame,
 
 def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
                        id_col: str = "url", text_col: str = "extracted",
-                       max_n: int = 4, raw_ws: bool = False) -> DataFrame:
+                       max_n: int = 4, raw_ws: bool = False,
+                       nested: bool = False) -> DataFrame:
     """Broadcast-dictionary mention detection (reference strategy (a):
     the Aho-Corasick trie shipped into the matcher, ``wikigraph.py:231-270``).
 
@@ -244,6 +245,14 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
     the full text crosses the Arrow boundary ONCE instead of twice (extract
     out + scan in). At 100 TB the text column is the dominant byte volume,
     so this halves the pipeline's Python-boundary traffic.
+
+    ``nested=True`` adds a ``nested`` boolean column and emits, besides the
+    longest matches (nested=false), every key-matching n-gram STRICTLY
+    contained in a kept span (nested=true) — the same rows as
+    ``mentions_nested`` (reference find_pages sub-span re-matching,
+    ``wikigraph/wikigraph.py:240-270``) at fused-scan speed: the raw match
+    list is already in hand per doc, so containment is a local filter, not
+    a join.
     """
     import pandas as pd
 
@@ -255,6 +264,7 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
     out_schema = (
         f"id {pages_df.schema[id_col].dataType.simpleString()},"
         " start int, n int, surface string, key string"
+        + (", nested boolean" if nested else "")
     )
 
     split = _re_split_raw_ws if raw_ws else _re_split
@@ -288,22 +298,41 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
             if running is None or end > running:
                 out.append((start, n, surface, key))
             running = end if running is None else max(running, end)
-        return out
+        if not nested:
+            return out
+        # sub-span re-matches: raw hits strictly inside any kept span
+        # (coords not equal to the containing span) — `matches` is sorted by
+        # (start, -n) and kept spans are disjoint/ascending, so one merged
+        # forward walk suffices (no per-pair scan)
+        sub = []
+        ki = 0
+        for start, n, surface, key in matches:
+            end = start + n
+            while ki < len(out) and out[ki][0] + out[ki][1] < end:
+                ki += 1
+            if ki >= len(out):
+                break
+            ts, tn = out[ki][0], out[ki][1]
+            if (start >= ts and end <= ts + tn
+                    and (start > ts or end < ts + tn)):
+                sub.append((start, n, surface, key))
+        return [(s, n, sf, k, False) for s, n, sf, k in out] + \
+               [(s, n, sf, k, True) for s, n, sf, k in sub]
+
+    cols = ["id", "start", "n", "surface", "key"] + (["nested"] if nested else [])
 
     def run(batches):
         keyset = bkeys.value
         first_tok = _first_token_index(keyset)
         for pdf in batches:
-            rows = {"id": [], "start": [], "n": [], "surface": [], "key": []}
+            rows = {c: [] for c in cols}
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                for start, n, surface, key in scan_doc(text, keyset, first_tok):
+                for m in scan_doc(text, keyset, first_tok):
                     rows["id"].append(did)
-                    rows["start"].append(start)
-                    rows["n"].append(n)
-                    rows["surface"].append(surface)
-                    rows["key"].append(key)
+                    for c, v in zip(cols[1:], m):
+                        rows[c].append(v)
             yield pd.DataFrame(rows)
 
     return pages_df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

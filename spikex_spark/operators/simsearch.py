@@ -134,69 +134,132 @@ def cosine_near_dups(df: DataFrame, dim: int, min_cos: float = 0.35,
     )
 
 
-def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                    nlist: int = 8, nprobe: int = 2,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    round_digits: int = 4) -> DataFrame:
-    """IVF-flat ANN: coarse-quantize the corpus into ``nlist`` inverted
-    lists, probe the ``nprobe`` nearest lists per query, exact cosine
-    re-rank inside the probed lists.
-
-    Coarse centroids here are the first ``nlist`` corpus vectors by id
-    (deterministic — a production deployment swaps in k-means centroids;
-    the assignment/probe/re-rank machinery is identical and that is what
-    this operator implements). Assignment is argmax of dot(v, unit(seed)),
-    computed JVM-side with sequential folds so the DuckDB oracle reproduces
-    it bit-for-bit; at cluster scale the assignment matmul moves into an
-    Arrow batch exactly like ``lsh_signs``.
-
-    Scale shape: assignment is a narrow map; candidate generation is an
-    equi-join on list_id (each query touches nprobe/nlist of the corpus);
-    no all-pairs anywhere.
-    """
+def _unit_seq(vals: list[float]) -> list[float]:
+    """Unit-normalize with a SEQUENTIAL fold (matches DuckDB's
+    list_dot_product accumulation order bit-for-bit)."""
     import math
 
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    n = math.sqrt(acc)
+    return [x / n for x in vals] if n else list(vals)
+
+
+def first_nlist_units(corpus: DataFrame, nlist: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic IVF seed centroids: the first ``nlist`` corpus vectors
+    by id, unit-normalized. The zero-training baseline."""
     seeds = (
         corpus.orderBy(id_col).limit(nlist)
         .select(id_col, _as_double(F.col(vec_col)).alias("e"))
         .collect()
     )
-    units: list[tuple[int, list[float]]] = []
-    for r in seeds:
-        e = r["e"]
-        acc = 0.0
-        for x in e:          # sequential fold — matches list_dot_product
-            acc += x * x
-        n = math.sqrt(acc)
-        units.append((r[id_col], [x / n for x in e] if n else e))
+    return [(r[id_col], _unit_seq(r["e"])) for r in seeds]
 
-    def dot_lit(vec: Column, unit: list[float]) -> Column:
-        lit_arr = F.array(*[F.lit(float(x)) for x in unit])
-        return F.aggregate(
-            F.zip_with(vec, lit_arr, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
 
-    def best_lists(df: DataFrame, label: str, n_keep: int) -> DataFrame:
-        v = df.select(F.col(id_col).alias(label),
+def _dot_lit(vec: Column, unit: list[float]) -> Column:
+    lit_arr = F.array(*[F.lit(float(x)) for x in unit])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _best_lists(df: DataFrame, units: list[tuple[int, list[float]]],
+                label: str, n_keep: int, id_col: str,
+                vec_col: str) -> DataFrame:
+    """(label, list_id): the ``n_keep`` best centroids per vector by dot
+    product with the unit centroid (= cosine ranking)."""
+    v = df.select(F.col(id_col).alias(label),
+                  _as_double(F.col(vec_col)).alias("e"))
+    scores = F.array(*[
+        F.struct(_dot_lit(F.col("e"), u).alias("s"),
+                 F.lit(sid).alias("sid"))
+        for sid, u in units
+    ])
+    # lexicographic struct sort: score desc, then sid desc on ties —
+    # mirrored in the oracle's ORDER BY s DESC, sid DESC
+    ranked = F.reverse(F.array_sort(scores))
+    return v.select(
+        label,
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_keep), lambda x: x["sid"])
+        ).alias("list_id"),
+    )
+
+
+def train_ivf_centroids(corpus: DataFrame, nlist: int = 8, iters: int = 1,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        round_digits: int = 6) -> list[tuple[int, list[float]]]:
+    """Lloyd-refined spherical k-means centroids for IVF, deterministic and
+    oracle-reproducible.
+
+    Init = ``first_nlist_units`` (no RNG — resumable); each iteration
+    assigns every vector to its best centroid (argmax dot, ties to the
+    larger id) and replaces each centroid with the element-wise MEAN of its
+    members, rounded to ``round_digits`` (the rounding pins the value
+    against float summation-order differences between engines, so a DuckDB
+    oracle recomputing avg() per dimension lands on the same doubles), then
+    unit-normalizes with the same sequential fold as the seeds. Empty lists
+    keep their previous centroid.
+
+    Scale shape: per iteration ONE corpus scan (narrow assignment map) +
+    a groupBy(list_id, pos) partial-agg shuffle of nlist×dim rows; only the
+    nlist×dim centroid table is collected. At 10^12 docs you train on a
+    sampled fraction (pass ``corpus.sample`` / ``limit`` output here) —
+    centroid quality needs samples, not the full corpus.
+    """
+    units = first_nlist_units(corpus, nlist, id_col, vec_col)
+    v = corpus.select(F.col(id_col).alias("_vid"),
                       _as_double(F.col(vec_col)).alias("e"))
-        scores = F.array(*[
-            F.struct(dot_lit(F.col("e"), u).alias("s"),
-                     F.lit(sid).alias("sid"))
-            for sid, u in units
-        ])
-        # lexicographic struct sort: score desc, then sid desc on ties —
-        # mirrored in the oracle's ORDER BY s DESC, sid DESC
-        ranked = F.reverse(F.array_sort(scores))
-        return v.select(
-            label,
-            F.explode(
-                F.transform(F.slice(ranked, 1, n_keep), lambda x: x["sid"])
-            ).alias("list_id"),
+    for _ in range(iters):
+        assign = _best_lists(corpus, units, "_vid", 1, id_col, vec_col)
+        cent_rows = (
+            assign.join(v, "_vid")
+            .select("list_id", F.posexplode("e").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("m"))
+            .collect()
         )
+        by_list: dict = {}
+        for r in cent_rows:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        units = [
+            (sid,
+             _unit_seq([by_list[sid][p] for p in range(len(old))])
+             if sid in by_list else old)
+            for sid, old in units
+        ]
+    return units
 
-    assign = best_lists(corpus, "neighbor_id", 1)
-    probes = best_lists(queries, "query_id", nprobe)
+
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    nlist: int = 8, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int = 4,
+                    centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``nlist`` inverted
+    lists, probe the ``nprobe`` nearest lists per query, exact cosine
+    re-rank inside the probed lists.
+
+    ``centroids``: (id, unit_vector) coarse centroids — pass
+    ``train_ivf_centroids(...)`` for k-means quality; default falls back to
+    the first ``nlist`` corpus vectors (``first_nlist_units``). Assignment
+    is argmax of dot(v, unit), computed JVM-side with sequential folds so
+    the DuckDB oracle reproduces it bit-for-bit; at cluster scale the
+    assignment matmul moves into an Arrow batch exactly like ``lsh_signs``.
+
+    Scale shape: assignment is a narrow map; candidate generation is an
+    equi-join on list_id (each query touches nprobe/nlist of the corpus);
+    no all-pairs anywhere.
+    """
+    units = centroids if centroids is not None else first_nlist_units(
+        corpus, nlist, id_col, vec_col)
+
+    assign = _best_lists(corpus, units, "neighbor_id", 1, id_col, vec_col)
+    probes = _best_lists(queries, units, "query_id", nprobe, id_col, vec_col)
     cands = (
         probes.join(assign, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -235,3 +235,27 @@ def test_first_token_memo_is_single_slot():
     assert len(B._FIRST_TOKEN_MEMO) == 1           # ...not appended
     assert B._first_token_index(k1) == i1          # rebuild still correct
     assert B._FIRST_TOKEN_MEMO[0][0] is k1
+
+
+def test_mentions_broadcast_nested_matches_join_path(spark, pages_df,
+                                                     titles_df):
+    """The fused scan's nested mode must emit EXACTLY the join path's
+    mentions_nested rows (longest + strictly-contained sub-span re-matches),
+    on both the extracted and the fused raw_ws input."""
+    keys_df = B.title_keys(titles_df)
+    keys = [r["key"] for r in keys_df.select("key").distinct().collect()]
+    want = {tuple(r) for r in
+            B.mentions_nested(
+                extract_stage(pages_df.select("url", "text")), keys_df,
+                id_col="url", text_col="extracted").collect()}
+    assert any(r[-1] for r in want), "fixture has no nested rows"
+    got_ext = {tuple(r) for r in
+               B.mentions_broadcast(
+                   extract_stage(pages_df.select("url", "text")), keys,
+                   "url", "extracted", nested=True).collect()}
+    got_fused = {tuple(r) for r in
+                 B.mentions_broadcast(pages_df.select("url", "text"), keys,
+                                      "url", "text", raw_ws=True,
+                                      nested=True).collect()}
+    assert got_ext == want
+    assert got_fused == want

@@ -72,21 +72,47 @@ def media_df(spark):
 
 
 def test_decode_features_shape_and_determinism(spark, media_df):
-    from spikex_spark.multimodal import _fake_features, decode_features
+    from spikex_spark.multimodal import (
+        _fake_features,
+        decode_features,
+        decode_image,
+        image_features,
+    )
 
     rows = decode_features(media_df).collect()
     assert len(rows) == 21
     assert all(len(r["features"]) == 16 for r in rows)
-    payload = media_df.where("media_id = 0").collect()[0]["payload"]
-    got = dict((r["media_id"], r["features"]) for r in rows)[0]
-    assert got == pytest.approx(_fake_features(bytes(payload)), abs=1e-6)
+    got = dict((r["media_id"], r["features"]) for r in rows)
+    # media_id 0 is an image with a real PPM payload -> REAL decoded features
+    img_payload = media_df.where("media_id = 0").collect()[0]["payload"]
+    assert got[0] == pytest.approx(
+        image_features(decode_image(bytes(img_payload))), abs=1e-6)
+    # media_id 1 is audio (opaque blob) -> deterministic fake path
+    au_payload = media_df.where("media_id = 1").collect()[0]["payload"]
+    assert got[1] == pytest.approx(_fake_features(bytes(au_payload)), abs=1e-6)
 
 
 def test_resize_and_frame_sampling(spark, media_df):
-    from spikex_spark.multimodal import resize_images, sample_frames
+    import numpy as np
+
+    from spikex_spark.multimodal import (
+        _resize_nearest,
+        decode_image,
+        resize_images,
+        sample_frames,
+    )
 
     resized = resize_images(media_df.where("kind = 'image'"), 32, 32).collect()
-    assert all(r["width"] == 32 and len(r["resized"]) == 16 for r in resized)
+    originals = {r["media_id"]: bytes(r["payload"])
+                 for r in media_df.where("kind = 'image'").collect()}
+    assert len(resized) > 0
+    for r in resized:
+        # REAL resize: output is a decodable 32x32 P6 whose pixels are the
+        # nearest-neighbor resample of the original
+        out = decode_image(bytes(r["resized"]))
+        assert out.shape == (32, 32, 3)
+        expect = _resize_nearest(decode_image(originals[r["media_id"]]), 32, 32)
+        assert np.array_equal(out, expect)
 
     frames = sample_frames(media_df.where("kind = 'video'"), every_ms=1000)
     per_media = {}
@@ -105,9 +131,42 @@ def test_decode_stub_raises_without_fake(spark, media_df, monkeypatch):
     from spikex_spark.multimodal import decode_features
 
     monkeypatch.setitem(os.environ, "SPIKEX_SPARK_FAKE_DECODE", "0")
-    df = decode_features(media_df)
+    # PPM images decode for REAL — no env flag required
+    imgs = decode_features(media_df.where("kind = 'image'")).collect()
+    assert len(imgs) > 0 and all(len(r["features"]) == 16 for r in imgs)
+    # codec formats (audio/video) still raise without the fake flag
+    df = decode_features(media_df.where("kind = 'audio'"))
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         df.collect()
+
+
+def test_ppm_bmp_codecs_roundtrip():
+    import struct
+
+    import numpy as np
+
+    from spikex_spark.multimodal import decode_image, encode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # P6 round-trip
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # P3 (ascii, with a comment) decodes to the same pixels
+    p3 = b"P3\n# comment\n3 2\n255\n" + b" ".join(
+        str(v).encode() for v in img.flatten()) + b"\n"
+    assert np.array_equal(decode_image(p3), img)
+    # 24-bit BMP: bottom-up rows, BGR order, 4-byte row padding
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    pix = b""
+    for y in range(h - 1, -1, -1):                 # bottom-up
+        row = img[y][..., ::-1].tobytes()          # BGR
+        pix += row + b"\x00" * (stride - len(row))
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                         2835, 2835, 0, 0) + pix)
+    assert np.array_equal(decode_image(bmp), img)
+    # unknown formats -> None (the stub/fake fallthrough)
+    assert decode_image(b"\x89PNG\r\n\x1a\n....") is None
 
 
 # --- lineage ledger ----------------------------------------------------------
