@@ -78,6 +78,32 @@ def main() -> None:
         total += dt
 
     er_secs = timings.get("er_doc_clusters", float("nan"))
+
+    # gold-pair pairwise F1 (the BASELINE.json metric): score the planted
+    # synth corpus at the blocking key and compare against the labeled-pair
+    # fixture (tests/test_pipeline.py::test_pairwise_f1_on_gold asserts the
+    # ≥0.99 gate; this records the actual number every round)
+    from pyspark.sql import functions as F
+
+    from spikex_spark import synth
+    from spikex_spark.pipeline import scored_pairs
+
+    pages = spark.createDataFrame(synth.gen_pages(500))
+    titles = spark.createDataFrame(synth.gen_titles())
+    gold = spark.createDataFrame(synth.gen_labeled_pairs(500))
+    sp = scored_pairs(pages, titles).selectExpr(
+        "id_a as url_a", "id_b as url_b", "is_match as pred")
+    j = gold.join(sp, ["url_a", "url_b"], "left").select(
+        "is_match", F.coalesce("pred", F.lit(False)).alias("pred"))
+    agg = j.agg(
+        F.sum(F.when(F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_match") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    precision = agg.tp / (agg.tp + agg.fp) if agg.tp + agg.fp else 1.0
+    recall = agg.tp / (agg.tp + agg.fn) if agg.tp + agg.fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+
     result = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -87,6 +113,10 @@ def main() -> None:
         "cpus": int(cpus),
         "er_pages_per_sec": round(n_docs / er_secs, 2) if er_secs else None,
         "n_docs": n_docs,
+        "gold_pair_f1": round(f1, 6),
+        "gold_pair_precision": round(precision, 6),
+        "gold_pair_recall": round(recall, 6),
+        "gold_pairs": int(agg.tp + agg.fn),
     }
     print(json.dumps(result))
 

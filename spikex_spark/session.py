@@ -19,6 +19,7 @@ def get_spark(
     master: str | None = None,
     app_name: str = "spikex_spark",
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard config.
 
@@ -66,6 +67,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

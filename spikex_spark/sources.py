@@ -112,11 +112,23 @@ def parse_categorylinks_row(row: tuple) -> tuple | None:
         return None
 
 
+def parse_pageprops_row(row: tuple) -> tuple | None:
+    """(pp_page, pp_propname, ...) -> (pageid, prop) — the page_props dump
+    feed for build_wikigraph (reference ``wikigraph/dumptools.py`` props
+    iterator); filtering to hiddencat/noindex/disambiguation happens in the
+    graph build, not the parser."""
+    try:
+        return (int(row[0]), _unquote(row[1]))
+    except (ValueError, IndexError):
+        return None
+
+
 _PARSERS = {
     "page": (parse_page_row, "ns int, pageid long, title string"),
     "redirect": (parse_redirect_row, "pageid long, target_title string"),
     "categorylinks": (parse_categorylinks_row,
                       "cl_from long, cl_to string, cl_type string"),
+    "pageprops": (parse_pageprops_row, "pageid long, prop string"),
 }
 
 

@@ -35,7 +35,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 workload, master, size = sys.argv[1], sys.argv[2], int(sys.argv[3])
-spark = get_spark(master=master, app_name=f"scaling_{{workload}}")
+# UI on: the REST status API is where per-stage shuffle/spill byte metrics
+# live (uiWebUrl reports the actually-bound port)
+spark = get_spark(master=master, app_name=f"scaling_{{workload}}",
+                  extra_conf={{"spark.ui.enabled": "true"}})
+
+
+def _stage_totals():
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{{base}}/api/v1/applications"))
+    appid = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        f"{{base}}/api/v1/applications/{{appid}}/stages?status=complete"))
+    keys = ("shuffleWriteBytes", "shuffleReadBytes", "inputBytes",
+            "outputBytes", "memoryBytesSpilled", "diskBytesSpilled")
+    return {{k: sum(s.get(k, 0) or 0 for s in stages) for k in keys}}
 
 if workload == "pipeline":
     from spikex_spark import synth
@@ -53,8 +68,20 @@ if workload == "pipeline":
     # itself holds the full title dict in process memory, so the scan path
     # is the faithful strategy for this benchmark
     cfg = ERConfig(block_cap=500, nsalt=16, broadcast_keys_max=8_000_000)
-    def job():
-        resolve_entities(pages, titles, cfg).count()
+    import os
+    if os.environ.get("SPARK_GRAFT_SCALE_LEDGER", "") == "1":
+        # ledgered mode: every stage is a bucketed parquet write + read
+        # (the resumable/cluster execution shape, incl. the exchange-free
+        # bucketed blocks stage); fresh ledger per rep so no resume hit
+        import tempfile
+        from spikex_spark.lineage import resolve_entities_resumable
+        def job():
+            led = tempfile.mkdtemp(prefix="scale_ledger_")
+            resolve_entities_resumable(spark, pages, titles, led,
+                                       fingerprint=led, cfg=cfg).count()
+    else:
+        def job():
+            resolve_entities(pages, titles, cfg).count()
 elif workload == "scoring":
     from spikex_spark.operators.scoring import jaro_winkler_udf
     df = (spark.range(size).repartition(64)
@@ -70,21 +97,27 @@ else:
     raise SystemExit(f"unknown workload {{workload}}")
 
 best = float("inf")
+before = _stage_totals()
 for rep in range(3):
     t0 = time.time(); job(); best = min(best, time.time() - t0)
-print(json.dumps({{"best_sec": round(best, 2)}}))
+after = _stage_totals()
+# engine-side evidence for the "shuffle bytes << input bytes" claim:
+# per-rep deltas over the 3 timed reps (warmup excluded by the `before`
+# snapshot)
+metrics = {{k: (after[k] - before[k]) // 3 for k in after}}
+print(json.dumps({{"best_sec": round(best, 2), "metrics_per_rep": metrics}}))
 spark.stop()
 """
 
 
-def run_level(workload: str, master: str, size: int, repo: str) -> float:
+def run_level(workload: str, master: str, size: int, repo: str) -> dict:
     code = RUNNER.format(repo=repo)
     out = subprocess.run(
         [sys.executable, "-c", code, workload, master, str(size)],
         capture_output=True, text=True, timeout=1800,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)["best_sec"]
+    return json.loads(line)
 
 
 def _md5burn(_):
@@ -141,12 +174,16 @@ def main() -> None:
             continue
         size_low = size * n_low // n_high if weak else size
         size_high = size
-        t_low = run_level(workload, f"local[{n_low}]", size_low, repo)
-        t_high = run_level(workload, f"local[{n_high}]", size_high, repo)
+        r_low = run_level(workload, f"local[{n_low}]", size_low, repo)
+        r_high = run_level(workload, f"local[{n_high}]", size_high, repo)
+        t_low, t_high = r_low["best_sec"], r_high["best_sec"]
         if weak:
             eff = round(t_low / t_high, 3)   # ideal: equal times -> 1.0
         else:
             eff = round((t_low / t_high) / (n_high / n_low), 3)
+        m = r_high.get("metrics_per_rep", {})
+        shuffle = m.get("shuffleWriteBytes", 0)
+        inp = m.get("inputBytes", 0)
         results[workload] = {
             "size_low": size_low, "size_high": size_high,
             "unit": unit,
@@ -155,6 +192,11 @@ def main() -> None:
             f"{unit}_per_sec_local[{n_low}]": round(size_low / t_low, 1),
             f"{unit}_per_sec_local[{n_high}]": round(size_high / t_high, 1),
             "scaling_efficiency": eff,
+            # per-rep engine metrics at the HIGH level (REST status API):
+            # shuffle/spill bytes are the cross-executor traffic a real
+            # cluster would pay — the "shuffle << input" evidence
+            "engine_metrics_per_rep": m,
+            "shuffle_write_over_input": round(shuffle / inp, 4) if inp else None,
         }
     print(json.dumps(results))
 
