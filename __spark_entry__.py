@@ -1850,16 +1850,20 @@ def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     by every doc is a quadratic pair bomb at 100× scale); it is
     deterministic (row_number by id) and mirrored in the oracle's QUALIFY.
     """
-    from spikex_spark.extract import extract_native
     from spikex_spark.operators import blocking as B
     from spikex_spark.synth import gen_titles
-    docs = extract_native(_read(spark, sf_dir, "documents"), "text", "extracted")
+    docs = _read(spark, sf_dir, "documents")
     titles = spark.createDataFrame(gen_titles())
     extra = spark.createDataFrame(
         [(k, k, "clean") for k in _EXTRA_MENTION_KEYS], ["key", "title", "channel"]
     )
     keys = B.title_keys(titles).unionByName(extra)
-    ments = B.mentions(docs, keys, id_col="doc_id", text_col="extracted")
+    # FUSED broadcast scan (extract folded into one Arrow pass) — output
+    # proven identical to extract_native + the n-gram join path by
+    # test_mentions_broadcast_raw_ws_fusion / the unchanged SQL oracle
+    key_list = [r["key"] for r in keys.select("key").distinct().collect()]
+    ments = B.mentions_broadcast(docs, key_list, id_col="doc_id",
+                                 text_col="text", raw_ws=True)
     bridge = (
         keys.where(F.col("channel") == "full")
         .select(F.col("key").alias("full_key"), "title")
