@@ -151,3 +151,93 @@ def read_wiki_dump(spark: SparkSession, path: str, kind: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return lines.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# S3/S4 — dump version resolution + streaming download with local cache
+# ---------------------------------------------------------------------------
+
+_VERSION_HREF = __import__("re").compile(r'href="(\d{8})/?"')
+
+
+def resolve_dump_version(index_html: str, version: str = "latest") -> str:
+    """Pick a dump version from a dumps.wikimedia.org-style index listing
+    (reference ``wikigraph/dumptools.py:50-62``: scrape the wiki index page
+    for YYYYMMDD directories).
+
+    ``version``: "latest" → newest listed date; an explicit "YYYYMMDD" must
+    be present in the listing.
+    """
+    versions = sorted(set(_VERSION_HREF.findall(index_html)))
+    if not versions:
+        raise ValueError("no dump versions found in index listing")
+    if version == "latest":
+        return versions[-1]
+    if version in versions:
+        return version
+    raise ValueError(
+        f"version {version!r} not in listing (have {versions[-3:]}...)")
+
+
+def fetch_dump(url: str, cache_dir: str, chunk_size: int = 1 << 20,
+               progress=None) -> str:
+    """Stream a dump URL into a local cache; returns the local path
+    (reference ``wikigraph/dumptools.py:152-166``: smart_open streaming +
+    on-disk cache so reruns skip the download).
+
+    * Streams in ``chunk_size`` chunks — never holds the dump in memory.
+    * Idempotent: a finished file (matching recorded length) short-circuits.
+    * Resumable: an interrupted ``.part`` file resumes with an HTTP Range
+      request when the server grants it (falls back to a full refetch);
+      ``file://`` URLs (and the tests) stream through the same code path.
+    * The cached file feeds ``read_wiki_dump`` directly (Spark's text
+      reader decompresses ``.gz`` transparently).
+    """
+    import json as _json
+    import urllib.request
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    cache = Path(cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+    name = Path(urlparse(url).path).name or "dump"
+    dest = cache / name
+    part = cache / (name + ".part")
+    meta = cache / (name + ".meta.json")
+
+    if dest.exists() and meta.exists():
+        recorded = _json.loads(meta.read_text())
+        if recorded.get("length") == dest.stat().st_size:
+            return str(dest)
+
+    offset = part.stat().st_size if part.exists() else 0
+    req = urllib.request.Request(url)
+    mode = "ab"
+    if offset:
+        req.add_header("Range", f"bytes={offset}-")
+    resp = urllib.request.urlopen(req)
+    status = getattr(resp, "status", 200) or 200
+    if offset and status != 206:
+        # server ignored the Range request (or file:// scheme) — refetch
+        offset, mode = 0, "wb"
+    with open(part, mode) as out:
+        while True:
+            chunk = resp.read(chunk_size)
+            if not chunk:
+                break
+            out.write(chunk)
+            if progress is not None:
+                progress(out.tell())
+    part.replace(dest)
+    meta.write_text(_json.dumps({"url": url, "length": dest.stat().st_size}))
+    return str(dest)
+
+
+def read_wiki_dump_url(spark: SparkSession, url: str, kind: str,
+                       cache_dir: str) -> DataFrame:
+    """S3+S1 composed: download-with-cache, then the distributed dump scan.
+
+    The download runs on the driver (dumps are fetched once, scanned many
+    times); at cluster scale point this at shared storage so every executor
+    reads the cached copy."""
+    return read_wiki_dump(spark, fetch_dump(url, cache_dir), kind)
