@@ -944,6 +944,42 @@ _MEDIA_GOLDEN = [
 ]
 
 
+# md5 of the 32×32 resize output per media row: image rows pin the REAL
+# decode → nearest-neighbor resample → P6 re-encode chain; audio/video rows
+# pin the deterministic fake blob path
+_MEDIA_RESIZE_GOLDEN = [
+    (0, '09b8e06c66a1a910a07077e451025931'), (1, 'ff09b047c7b95908bca98b3347f27ca3'),
+    (2, 'e33f1160ffba16d8f5a0726c12354c0c'), (3, 'ba607e4f74a54b297cd48f7d6ee3b7c8'),
+    (4, '6e324b91feed190e83477cfde8b946a8'), (5, '0504e462b0901b75326b4e395e3e883d'),
+    (6, '7b67b8bc598e892808048d6ef650fb36'), (7, '4ccf84530ee963311d170a1a475df04d'),
+    (8, '0ab38469732b5dcc087b395823bf19a4'), (9, '3031780006aee9c9231624456fd57bbf'),
+    (10, '1bfaaab9030dd79ce0858e21a4a154ea'), (11, 'ae17632c751bf4137ce807d5a14dc0f2'),
+    (12, '2f9d98268bd183c6a9e8bbb79207cc4a'), (13, 'c77b3ed54d3da669be0fc0aa935e28c9'),
+    (14, '377b053adb6b39cb423b93e773d7d604'), (15, '474dcde342cdfc8451b32901ae0d642f'),
+    (16, 'cfcea9fbff9c75c0f0bba3f6f0dcd5e0'), (17, '45a2de87c3a090a0c20199c54220fda4'),
+    (18, '73cbf83b059fb76bf855be2a367c2616'), (19, 'affa5e416086e9548cd40d82d4bd5cdb'),
+    (20, 'd54db9a70eef3dd16912b32e5d6aaee3'), (21, '7caec505fbbb668bcc1c9c6414472d5e'),
+    (22, '33af596a135d6cc9724f7a868295c9d1'), (23, '37570f4aea143eb5681067ec524399f2'),
+    (24, '186991c777d871509ca69bc1190feb74'), (25, '90f93760f78bda2e68f4aea681904022'),
+    (26, '5c9e1e0da1e0bb8d343b3b778fd1e329'), (27, '8ec2027d068b10e58003760c694476da'),
+    (28, 'b8362246205636ce2a02914ffbc0c8cd'), (29, 'af49d5b84ffeafb4a112e8b205739a5e'),
+]
+
+
+def _sql_media_resize() -> str:
+    vals = ", ".join(f"({i}, '{h}')" for i, h in _MEDIA_RESIZE_GOLDEN)
+    return ("SELECT media_id, h AS resized_md5 FROM (VALUES " + vals
+            + ") AS t(media_id, h)")
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.multimodal import MEDIA_SCHEMA, gen_media, resize_images
+    media = spark.createDataFrame(gen_media(30), schema=MEDIA_SCHEMA)
+    return resize_images(media, 32, 32).select(
+        "media_id", F.md5("resized").alias("resized_md5")
+    )
+
+
 def _sql_media() -> str:
     vals = ", ".join(f"({i}, {v!r})" for i, v in _MEDIA_GOLDEN)
     return (
@@ -2055,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed,
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
         "embedding_mean_per_label": _q_embedding_mean,
         "ball_clusters": _q_ball_clusters,
         "labelings": _q_labelings,
@@ -2139,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "phrases": _SQL_PHRASES,
         "nb_train_probs": _sql_nb_train(),
         "media_features": _sql_media(),
+        "media_resize": _sql_media_resize(),
         "stream_windowed_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
             " AS window_start, event_type, count(*) AS n,"

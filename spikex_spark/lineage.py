@@ -218,8 +218,12 @@ def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
         sig = B.minhash_signatures(sh, num_hashes=16)
         return B.lsh_buckets(sig, bands=4, rows_per_band=4)
 
+    # bucketed by the LSH bucket key: the pair self-join below reads both
+    # sides co-partitioned (no exchange), and resume gets the same layout
     buckets = run_stage(spark, ledger_dir, "10_buckets", _buckets,
-                        input_fingerprint=fingerprint)
+                        input_fingerprint=fingerprint,
+                        bucket_by=["band", "bucket"],
+                        sort_by=["band", "bucket", "id"])
 
     def _pairs() -> DataFrame:
         left = buckets.select("band", "bucket", F.col("id").alias("id_a"))

@@ -66,6 +66,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # joins may reuse an existing partitioning on a SUBSET of the join
+        # keys (e.g. the (block_key, salt) pair self-join over a stage
+        # bucketed by block_key) instead of re-shuffling both sides; our
+        # bucketed stages are salt/cap-guarded so the skew concern behind
+        # the conservative default does not apply
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
