@@ -85,9 +85,15 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
     if magic == b"P6":
         w, h, maxval, off = _ppm_header(payload)
         need = w * h * 3
-        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
-        if maxval != 255:
+        if maxval > 255:
+            # 2-byte big-endian samples (maxval up to 65535)
+            data = np.frombuffer(payload, dtype=">u2", count=need, offset=off)
             data = (data.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+        else:
+            data = np.frombuffer(payload, dtype=np.uint8, count=need,
+                                 offset=off)
+            if maxval != 255:
+                data = (data.astype(np.uint32) * 255 // maxval).astype(np.uint8)
         return data.reshape(h, w, 3)
     if magic == b"P3":
         w, h, maxval, off = _ppm_header(payload)

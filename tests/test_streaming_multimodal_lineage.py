@@ -312,3 +312,20 @@ def test_resumable_entities_star_skips_pair_ledger(spark, tmp_path, pages_df,
     stages2 = [m["stage"] for m in ledger_summary(ledger2)]
     assert stages2 == ["10_mentions", "20_blocks", "30_pairs", "40_scores",
                        "50_clusters"]
+
+
+def test_ppm_16bit_and_scaled_maxval():
+    import numpy as np
+
+    from spikex_spark.multimodal import decode_image
+
+    img = np.array([[[255, 0, 128]]], dtype=np.uint8)
+    # 16-bit P6 (maxval 65535, big-endian samples)
+    vals = np.array([65535, 0, 32896], dtype=">u2")  # 128*65535//255=32896
+    p6_16 = b"P6\n1 1\n65535\n" + vals.tobytes()
+    got = decode_image(p6_16)
+    # 32896*255//65535 = 128 (floor)
+    assert got.shape == (1, 1, 3) and got[0, 0].tolist() == [255, 0, 128]
+    # scaled 8-bit maxval (e.g. 100): 50*255//100 = 127
+    p6_100 = b"P6\n1 1\n100\n" + bytes([100, 0, 50])
+    assert decode_image(p6_100)[0, 0].tolist() == [255, 0, 127]
