@@ -63,3 +63,31 @@ def test_star_collapse_under_low_salt_cap(spark, pages_df, titles_df):
     pair = resolve_entities(pages_df, titles_df, cfg_b).collect()
     assert ({(r["url"], r["cluster_id"]) for r in star}
             == {(r["url"], r["cluster_id"]) for r in pair})
+
+
+def test_large_dict_fallback_uses_shuffle_join(spark, pages_df, titles_df,
+                                               monkeypatch):
+    """When the dictionary exceeds broadcast_keys_max, _mentions must take
+    the n-gram JOIN path with broadcast_keys=False — the forced-broadcast
+    hint would override AQE's size check on exactly the table that is too
+    big to broadcast (the round-2 advice finding)."""
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.pipeline import ERConfig, _mentions
+
+    captured = {}
+    real = B.mentions
+
+    def spy(*args, **kwargs):
+        captured.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(B, "mentions", spy)
+    keys = B.title_keys(titles_df)
+    cfg = ERConfig(broadcast_keys_max=0)   # force the fallback branch
+    out = _mentions(pages_df.select("url", "text"), keys, cfg, "url", "text")
+    assert captured.get("broadcast_keys") is False
+    # and the fallback output matches the broadcast-scan path
+    fused = _mentions(pages_df.select("url", "text"), keys,
+                      ERConfig(), "url", "text")
+    assert ({tuple(r) for r in out.collect()}
+            == {tuple(r) for r in fused.collect()})
