@@ -268,57 +268,6 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
     )
 
     split = _re_split_raw_ws if raw_ws else _re_split
-
-    def scan_doc(text: str, keyset, first_tok):
-        raw = [t for t in split(text) if t]
-        norm = [_norm_word(t) for t in raw]
-        matches = []
-        for i in range(len(raw)):
-            # first-token pruning: a key matching at i must START with
-            # norm[i] (grams containing empty norm tokens join with double/
-            # leading spaces and can never equal a clean key), so positions
-            # whose token heads no key cost ONE dict probe instead of max_n
-            # slice-join-probe rounds — most tokens in real text
-            cap = first_tok.get(norm[i])
-            if cap is None:
-                continue
-            for n in range(min(max_n, len(raw) - i, cap), 0, -1):
-                # NO empty-token filtering inside the gram — mirrors the join
-                # path's array_join over the unfiltered norm slice exactly
-                key = " ".join(norm[i:i + n])
-                if key and key in keyset:
-                    matches.append((i + 1, n, " ".join(raw[i:i + n]), key))
-        # same semantics as the O2/O4 window: (start asc, n desc) scan,
-        # keep iff end exceeds the running max end of ALL prior rows
-        matches.sort(key=lambda m: (m[0], -m[1]))
-        out = []
-        running = None
-        for start, n, surface, key in matches:
-            end = start + n
-            if running is None or end > running:
-                out.append((start, n, surface, key))
-            running = end if running is None else max(running, end)
-        if not nested:
-            return out
-        # sub-span re-matches: raw hits strictly inside any kept span
-        # (coords not equal to the containing span) — `matches` is sorted by
-        # (start, -n) and kept spans are disjoint/ascending, so one merged
-        # forward walk suffices (no per-pair scan)
-        sub = []
-        ki = 0
-        for start, n, surface, key in matches:
-            end = start + n
-            while ki < len(out) and out[ki][0] + out[ki][1] < end:
-                ki += 1
-            if ki >= len(out):
-                break
-            ts, tn = out[ki][0], out[ki][1]
-            if (start >= ts and end <= ts + tn
-                    and (start > ts or end < ts + tn)):
-                sub.append((start, n, surface, key))
-        return [(s, n, sf, k, False) for s, n, sf, k in out] + \
-               [(s, n, sf, k, True) for s, n, sf, k in sub]
-
     cols = ["id", "start", "n", "surface", "key"] + (["nested"] if nested else [])
 
     def run(batches):
@@ -329,13 +278,71 @@ def mentions_broadcast(pages_df: DataFrame, keys: set[str] | list[str],
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                for m in scan_doc(text, keyset, first_tok):
+                for m in _scan_doc(text, keyset, first_tok, max_n, split,
+                                   nested):
                     rows["id"].append(did)
                     for c, v in zip(cols[1:], m):
                         rows[c].append(v)
             yield pd.DataFrame(rows)
 
     return pages_df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def _scan_doc(text: str, keyset, first_tok, max_n: int, split=None,
+              nested: bool = False):
+    """One doc's dictionary scan (the Arrow-batch kernel of
+    ``mentions_broadcast``; module-level so the property suite can fuzz it
+    against the join-path semantics directly)."""
+    split = split or _re_split
+    raw = [t for t in split(text) if t]
+    norm = [_norm_word(t) for t in raw]
+    matches = []
+    for i in range(len(raw)):
+        # first-token pruning: a key matching at i must START with
+        # norm[i] (grams containing empty norm tokens join with double/
+        # leading spaces and can never equal a clean key), so positions
+        # whose token heads no key cost ONE dict probe instead of max_n
+        # slice-join-probe rounds — most tokens in real text
+        cap = first_tok.get(norm[i])
+        if cap is None:
+            continue
+        for n in range(min(max_n, len(raw) - i, cap), 0, -1):
+            # NO empty-token filtering inside the gram — mirrors the join
+            # path's array_join over the unfiltered norm slice exactly
+            key = " ".join(norm[i:i + n])
+            if key and key in keyset:
+                matches.append((i + 1, n, " ".join(raw[i:i + n]), key))
+    # same semantics as the O2/O4 window: (start asc, n desc) scan,
+    # keep iff end exceeds the running max end of ALL prior rows
+    matches.sort(key=lambda m: (m[0], -m[1]))
+    out = []
+    running = None
+    for start, n, surface, key in matches:
+        end = start + n
+        if running is None or end > running:
+            out.append((start, n, surface, key))
+        running = end if running is None else max(running, end)
+    if not nested:
+        return out
+    # sub-span re-matches: raw hits strictly inside any kept span
+    # (coords not equal to the containing span) — `matches` is sorted by
+    # (start, -n) and kept spans have unique ascending starts, so the FIRST
+    # kept span with end >= hit.end is the only possible container: one
+    # merged forward walk suffices (no per-pair scan)
+    sub = []
+    ki = 0
+    for start, n, surface, key in matches:
+        end = start + n
+        while ki < len(out) and out[ki][0] + out[ki][1] < end:
+            ki += 1
+        if ki >= len(out):
+            break
+        ts, tn = out[ki][0], out[ki][1]
+        if (start >= ts and end <= ts + tn
+                and (start > ts or end < ts + tn)):
+            sub.append((start, n, surface, key))
+    return [(s, n, sf, k, False) for s, n, sf, k in out] + \
+           [(s, n, sf, k, True) for s, n, sf, k in sub]
 
 
 # per-process memo: first token of each key -> max key length (in tokens);

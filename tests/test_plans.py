@@ -167,6 +167,15 @@ def test_bucketed_blocks_stage_consumers_are_exchange_free(spark, tmp_path):
         j = left.join(right, "block_key").where(F.col("id_a") < F.col("id_b"))
         assert shuffles(j) == 0
         assert "SortMergeJoin" in _plan(j)
+        # consumer 3b: the SALTED pair self-join — join keys (block_key,
+        # salt) are a SUPERSET of the bucket columns; the session's
+        # requireAllClusterKeysForCoPartition=false lets both sides reuse
+        # the block_key bucketing instead of re-shuffling on both keys
+        ls = blocks.select("block_key", "salt", F.col("id").alias("id_a"))
+        rs = blocks.select("block_key", "salt", F.col("id").alias("id_b"))
+        js = (ls.join(rs, ["block_key", "salt"])
+              .where(F.col("id_a") < F.col("id_b")))
+        assert shuffles(js) == 0, _plan(js)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 

@@ -119,3 +119,63 @@ def test_like_num_matches_matcher_oracle_sql(tok: str) -> None:
         [tok, tok, sorted(_NUM_WORDS), tok],
     ).fetchone()[0]
     assert like_num(tok) == bool(want), tok
+
+
+# --- fused-scan nested-mode parity (pure Python, no Spark) -------------------
+
+_SCAN_VOCAB = ["a", "b", "ab", "ba", "x", "-", "A,"]
+
+
+def _scan_oracle(text: str, keys: frozenset, max_n: int):
+    """Independent restatement of the JOIN-path semantics: enumerate ALL
+    key-matching n-grams, longest-match window (O2/O4), then a containment
+    join of the raw hits against kept spans (mentions_nested)."""
+    import re
+
+    raw = [t for t in re.split(r"[_ ]+", text) if t]
+    norm = [re.sub(r"[^a-z0-9]+", "", t.lower()) for t in raw]
+    hits = []
+    for i in range(len(raw)):
+        for n in range(1, min(max_n, len(raw) - i) + 1):
+            key = " ".join(norm[i:i + n])
+            if key and key in keys:
+                hits.append((i + 1, n, " ".join(raw[i:i + n]), key))
+    kept = []
+    for start, n, surface, key in sorted(hits, key=lambda m: (m[0], -m[1])):
+        if all(start + n > k[0] + k[1] for k in kept):
+            kept.append((start, n, surface, key))
+    nested = {
+        h for h in hits
+        for (ts, tn, _, _) in kept
+        if ts <= h[0] and h[0] + h[1] <= ts + tn
+        and (h[0] > ts or h[0] + h[1] < ts + tn)
+    }
+    return ({(s, n, sf, k, False) for s, n, sf, k in kept}
+            | {(s, n, sf, k, True) for s, n, sf, k in nested})
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from(_SCAN_VOCAB), min_size=0, max_size=14),
+    keyseqs=st.lists(
+        st.lists(st.sampled_from(_SCAN_VOCAB), min_size=1, max_size=3),
+        min_size=0, max_size=8),
+)
+def test_scan_doc_nested_matches_join_semantics(toks, keyseqs) -> None:
+    import re
+
+    from spikex_spark.operators.blocking import _first_token_index, _scan_doc
+
+    text = " ".join(toks)
+    # keys as title_keys builds them: join of the NON-EMPTY normalized
+    # tokens (empty components are filtered before the join)
+    keys = frozenset(
+        k for k in (
+            " ".join(w for w in
+                     (re.sub(r"[^a-z0-9]+", "", t.lower()) for t in seq)
+                     if w)
+            for seq in keyseqs
+        ) if k
+    )
+    got = set(_scan_doc(text, keys, _first_token_index(keys), 4, nested=True))
+    assert got == _scan_oracle(text, keys, 4)
