@@ -772,7 +772,7 @@ def _sql_sentences() -> str:
     return f"""
 WITH dtoks AS (
   SELECT doc_id + {_SENT_DERIVED_OFFSET} AS doc_id,
-         string_split(text, ' ') AS t
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
 dpos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM dtoks),
@@ -1583,8 +1583,12 @@ def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived leg: inject deterministic punctuation (every 7th token '.',
     # every 11th '!') so the abbreviation-safe boundary rules fire on REAL
     # corpus tokens — short words ("the", "agg") suppress their dot, longer
-    # ones split; the oracle recomputes the spans from the table
-    toks = F.split(F.col("text"), " ")
+    # ones split; the oracle recomputes the spans from the table.
+    # Empty tokens are filtered BEFORE injection (mirrored by the oracle's
+    # list_filter), so the derived text is single-spaced by construction
+    # even if a fixture ever carries padded/multi-space text — the oracle's
+    # token positions and the \S+ tokenizer then provably agree
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     derived = docs.select(
         (F.col("doc_id") + F.lit(_SENT_DERIVED_OFFSET)).alias("doc_id"),
         F.array_join(
@@ -1886,41 +1890,54 @@ def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     by every doc is a quadratic pair bomb at 100× scale); it is
     deterministic (row_number by id) and mirrored in the oracle's QUALIFY.
     """
+    import tempfile
+
+    from spikex_spark.lineage import run_stage
     from spikex_spark.operators import blocking as B
     from spikex_spark.synth import gen_titles
-    docs = _read(spark, sf_dir, "documents")
-    titles = spark.createDataFrame(gen_titles())
-    extra = spark.createDataFrame(
-        [(k, k, "clean") for k in _EXTRA_MENTION_KEYS], ["key", "title", "channel"]
-    )
-    keys = B.title_keys(titles).unionByName(extra)
-    # FUSED broadcast scan (extract folded into one Arrow pass) — output
-    # proven identical to extract_native + the n-gram join path by
-    # test_mentions_broadcast_raw_ws_fusion / the unchanged SQL oracle
-    key_list = [r["key"] for r in keys.select("key").distinct().collect()]
-    ments = B.mentions_broadcast(docs, key_list, id_col="doc_id",
-                                 text_col="text", raw_ws=True)
-    bridge = (
-        keys.where(F.col("channel") == "full")
-        .select(F.col("key").alias("full_key"), "title")
-        .join(
-            keys.where(F.col("channel") == "clean")
-            .select(F.col("key").alias("clean_key"), "title"),
-            "title",
+
+    def build() -> DataFrame:
+        # ALL construction (including the distinct-keys collect job) lives
+        # inside the build callable: the pairs and clusters queries share
+        # this stage, so a resumed/second call must cost one ledger read,
+        # not a discarded plan plus a collect job
+        docs = _read(spark, sf_dir, "documents")
+        titles = spark.createDataFrame(gen_titles())
+        extra = spark.createDataFrame(
+            [(k, k, "clean") for k in _EXTRA_MENTION_KEYS],
+            ["key", "title", "channel"],
         )
-        .select("full_key", "clean_key")
-        .distinct()
-    )
-    blocks = (
-        ments.join(F.broadcast(bridge), ments.key == bridge.full_key, "left")
-        .select(
-            "id", F.coalesce("clean_key", "key").alias("block_key"), "surface"
+        keys = B.title_keys(titles).unionByName(extra)
+        # FUSED broadcast scan (extract folded into one Arrow pass) — output
+        # proven identical to extract_native + the n-gram join path by
+        # test_mentions_broadcast_raw_ws_fusion / the unchanged SQL oracle
+        key_list = [r["key"] for r in keys.select("key").distinct().collect()]
+        ments = B.mentions_broadcast(docs, key_list, id_col="doc_id",
+                                     text_col="text", raw_ws=True)
+        bridge = (
+            keys.where(F.col("channel") == "full")
+            .select(F.col("key").alias("full_key"), "title")
+            .join(
+                keys.where(F.col("channel") == "clean")
+                .select(F.col("key").alias("clean_key"), "title"),
+                "title",
+            )
+            .select("full_key", "clean_key")
+            .distinct()
         )
-        .groupBy("id", "block_key")
-        .agg(F.min("surface").alias("surface"))
-    )
-    blocks = B.cap_blocks(blocks, key_col="block_key", id_col="id",
-                          cap=_ER_PAGES_BLOCK_CAP)
+        blocks = (
+            ments.join(F.broadcast(bridge), ments.key == bridge.full_key,
+                       "left")
+            .select(
+                "id", F.coalesce("clean_key", "key").alias("block_key"),
+                "surface"
+            )
+            .groupBy("id", "block_key")
+            .agg(F.min("surface").alias("surface"))
+        )
+        return B.cap_blocks(blocks, key_col="block_key", id_col="id",
+                            cap=_ER_PAGES_BLOCK_CAP)
+
     # blocks feeds multiple consumers (pairs self-join, groups agg, group
     # join) across BOTH er_pages queries — materialize once as a ledgered
     # stage, written hash-bucketed + sorted on block_key. Unlike a
@@ -1928,15 +1945,12 @@ def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds every consumer pre-partitioned and pre-sorted: the self-join
     # and the (block_key, surface) agg/join run with no exchange. On a
     # cluster this is the Iceberg stage snapshot.
-    import tempfile
-
-    from spikex_spark.lineage import run_stage
     # subset co-partition: joins keyed on (block_key, surface) may reuse
     # the block_key bucketing instead of re-shuffling both sides
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     ledger = _ER_BLOCKS_LEDGER.setdefault(
         sf_dir, tempfile.mkdtemp(prefix="er_pages_ledger_"))
-    return run_stage(spark, ledger, "20_blocks", lambda: blocks,
+    return run_stage(spark, ledger, "20_blocks", build,
                      input_fingerprint=sf_dir, bucket_by=["block_key"],
                      num_buckets=32, sort_by=["block_key", "surface", "id"])
 

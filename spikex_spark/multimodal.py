@@ -165,23 +165,32 @@ def _fake_features(payload: bytes, dim: int = _FEAT_DIM) -> list[float]:
 
 
 def decode_features(df: DataFrame, payload_col: str = "payload",
-                    id_col: str = "media_id") -> DataFrame:
+                    id_col: str = "media_id",
+                    kind_col: str = "kind") -> DataFrame:
     """(media_id, features array<float>): decode + embed each media blob.
 
     PPM/BMP payloads decode for REAL (``decode_image`` → ``image_features``,
     no env flag needed). Other formats fall back to the deterministic fake
     (``SPIKEX_SPARK_FAKE_DECODE``) or raise NotImplementedError — a
-    production deployment plugs Pillow/ffmpeg into that fallthrough."""
+    production deployment plugs Pillow/ffmpeg into that fallthrough.
+
+    When ``kind_col`` is present, image decoding is attempted ONLY for
+    kind='image' rows — an opaque audio/video blob whose first bytes happen
+    to spell an image magic ('P6'/'BM': ~3 in 65536 per blob, i.e. certain
+    at corpus scale) must take the fake/stub path, not crash the header
+    parser. Without a kind column the payload magic decides."""
+    has_kind = kind_col in df.columns
     out_schema = (
         f"{id_col} {df.schema[id_col].dataType.simpleString()},"
         " features array<float>"
     )
     fake = _fake_decode_enabled()
 
-    def decode_one(payload: bytes) -> list[float]:
-        img = decode_image(payload)
-        if img is not None:
-            return image_features(img)
+    def decode_one(payload: bytes, kind) -> list[float]:
+        if kind is None or kind == "image":
+            img = decode_image(payload)
+            if img is not None:
+                return image_features(img)
         if fake:
             return _fake_features(payload)
         raise NotImplementedError(
@@ -192,12 +201,15 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            kinds = pdf[kind_col] if has_kind else [None] * len(pdf)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "features": [decode_one(p) for p in pdf[payload_col]],
+                "features": [decode_one(p, k)
+                             for p, k in zip(pdf[payload_col], kinds)],
             })
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+    cols = [id_col, payload_col] + ([kind_col] if has_kind else [])
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int,
@@ -205,17 +217,22 @@ def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "media_id") -> DataFrame:
     """(media_id, resized binary, width, height). PPM/BMP payloads resize
     for REAL (decode → nearest-neighbor resample → re-encode as P6); other
-    formats keep the deterministic fake blob (or raise without the flag)."""
+    formats keep the deterministic fake blob (or raise without the flag).
+    Image decode is gated on kind='image' when the column is present (see
+    decode_features on magic-byte collisions in opaque blobs)."""
+    kind_col = "kind"
+    has_kind = kind_col in df.columns
     out_schema = (
         f"{id_col} {df.schema[id_col].dataType.simpleString()},"
         " resized binary, width int, height int"
     )
     fake = _fake_decode_enabled()
 
-    def resize_one(payload: bytes) -> bytes:
-        img = decode_image(payload)
-        if img is not None:
-            return encode_ppm(_resize_nearest(img, width, height))
+    def resize_one(payload: bytes, kind) -> bytes:
+        if kind is None or kind == "image":
+            img = decode_image(payload)
+            if img is not None:
+                return encode_ppm(_resize_nearest(img, width, height))
         if fake:
             return hashlib.md5(
                 (payload or b"") + f":{width}x{height}".encode()).digest()
@@ -223,14 +240,17 @@ def resize_images(df: DataFrame, width: int, height: int,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            kinds = pdf[kind_col] if has_kind else [None] * len(pdf)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "resized": [resize_one(p) for p in pdf[payload_col]],
+                "resized": [resize_one(p, k)
+                            for p, k in zip(pdf[payload_col], kinds)],
                 "width": width,
                 "height": height,
             })
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+    cols = [id_col, payload_col] + ([kind_col] if has_kind else [])
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000,

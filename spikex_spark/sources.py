@@ -194,6 +194,7 @@ def fetch_dump(url: str, cache_dir: str, chunk_size: int = 1 << 20,
       reader decompresses ``.gz`` transparently).
     """
     import json as _json
+    import urllib.error
     import urllib.request
     from pathlib import Path
     from urllib.parse import urlparse
@@ -211,15 +212,33 @@ def fetch_dump(url: str, cache_dir: str, chunk_size: int = 1 << 20,
             return str(dest)
 
     offset = part.stat().st_size if part.exists() else 0
-    req = urllib.request.Request(url)
+
+    def _open(with_range: bool):
+        req = urllib.request.Request(url)
+        if with_range:
+            req.add_header("Range", f"bytes={offset}-")
+        return urllib.request.urlopen(req)
+
     mode = "ab"
     if offset:
-        req.add_header("Range", f"bytes={offset}-")
-    resp = urllib.request.urlopen(req)
-    status = getattr(resp, "status", 200) or 200
-    if offset and status != 206:
-        # server ignored the Range request (or file:// scheme) — refetch
-        offset, mode = 0, "wb"
+        try:
+            resp = _open(True)
+        except urllib.error.HTTPError as e:
+            if e.code != 416:
+                raise
+            # Range Not Satisfiable: the .part may already hold the whole
+            # file (killed between last chunk and rename) or be stale —
+            # refetch from scratch; the size check below still applies
+            offset, mode = 0, "wb"
+            resp = _open(False)
+        else:
+            if (getattr(resp, "status", 200) or 200) != 206:
+                # server ignored Range (or file:// scheme) — full refetch
+                offset, mode = 0, "wb"
+    else:
+        resp = _open(False)
+    expected = resp.headers.get("Content-Length")
+    expected_total = offset + int(expected) if expected is not None else None
     with open(part, mode) as out:
         while True:
             chunk = resp.read(chunk_size)
@@ -228,6 +247,14 @@ def fetch_dump(url: str, cache_dir: str, chunk_size: int = 1 << 20,
             out.write(chunk)
             if progress is not None:
                 progress(out.tell())
+    got = part.stat().st_size
+    if expected_total is not None and got != expected_total:
+        # connection closed early: keep the .part for a Range resume and
+        # FAIL — promoting a short file would cache a truncated dump as
+        # complete forever (the meta check compares against itself)
+        raise OSError(
+            f"incomplete download of {url}: got {got} of {expected_total} "
+            "bytes (kept .part for resume)")
     part.replace(dest)
     meta.write_text(_json.dumps({"url": url, "length": dest.stat().st_size}))
     return str(dest)

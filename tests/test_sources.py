@@ -256,3 +256,56 @@ def test_fetch_dump_http_range_resume(tmp_path):
         assert served_ranges == [30000]
     finally:
         srv.shutdown()
+
+
+def test_fetch_dump_416_and_truncation(tmp_path):
+    """(a) A .part already holding the full file triggers HTTP 416 on
+    resume — fetch must fall back to a refetch, not crash. (b) A server
+    that closes early (body shorter than Content-Length) must FAIL and
+    keep the .part rather than caching a truncated dump as complete."""
+    import http.server
+    import threading
+
+    import pytest as _pt
+
+    from spikex_spark.sources import fetch_dump
+
+    payload = b"x" * 10000
+    truncate = {"on": False}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if rng:
+                start = int(rng.split("=")[1].rstrip("-").split("-")[0])
+                if start >= len(payload):
+                    self.send_response(416)
+                    self.end_headers()
+                    return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            body = payload[:4000] if truncate["on"] else payload
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/d.sql.gz"
+        cache = tmp_path / "c1"
+        cache.mkdir()
+        (cache / "d.sql.gz.part").write_bytes(payload)     # full-size .part
+        got = fetch_dump(url, str(cache))
+        assert open(got, "rb").read() == payload           # 416 -> refetch
+
+        truncate["on"] = True
+        cache2 = tmp_path / "c2"
+        with _pt.raises(OSError, match="incomplete"):
+            fetch_dump(url, str(cache2))
+        assert (cache2 / "d.sql.gz.part").exists()         # kept for resume
+        assert not (cache2 / "d.sql.gz").exists()
+    finally:
+        srv.shutdown()

@@ -329,3 +329,25 @@ def test_ppm_16bit_and_scaled_maxval():
     # scaled 8-bit maxval (e.g. 100): 50*255//100 = 127
     p6_100 = b"P6\n1 1\n100\n" + bytes([100, 0, 50])
     assert decode_image(p6_100)[0, 0].tolist() == [255, 0, 127]
+
+
+def test_opaque_blob_with_image_magic_takes_fake_path(spark):
+    """An audio blob whose first bytes spell 'P6' must ride the fake path
+    via the kind column — not crash the PPM header parser (magic-byte
+    collisions are certain at corpus scale)."""
+    from spikex_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_features,
+        decode_features,
+        resize_images,
+    )
+
+    evil = b"P6 not really a ppm \xff\xfe"
+    rows = [{"media_id": 0, "kind": "audio", "mime": "audio/wav",
+             "width": None, "height": None, "duration_ms": 1000,
+             "payload": evil}]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = decode_features(df).collect()
+    assert got[0]["features"] == pytest.approx(_fake_features(evil), abs=1e-6)
+    rs = resize_images(df, 8, 8).collect()
+    assert len(rs[0]["resized"]) == 16  # md5 fake blob, not a P6
