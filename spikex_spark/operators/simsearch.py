@@ -235,6 +235,74 @@ def train_ivf_centroids(corpus: DataFrame, nlist: int = 8, iters: int = 1,
     return units
 
 
+def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
+                          oversample: int | None = None, rounds: int = 2,
+                          lloyd_iters: int = 5,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """k-means‖-style IVF initialization, fully deterministic.
+
+    The first-nlist seed init degenerates when the leading ids share a
+    cluster. This is the scale-path fix, shaped like Bahmani et al.'s
+    k-means‖: a few DISTRIBUTED rounds oversample a candidate set, then a
+    cheap driver-side weighted Lloyd reduces the candidates to ``nlist``
+    centroids. Determinism: instead of probability-proportional sampling,
+    each round takes the ``oversample`` vectors FARTHEST from the current
+    candidate set (farthest-point/k-center flavor — same coverage goal, no
+    RNG, resumable). Weights = how many corpus vectors each candidate
+    attracts, from one assignment pass.
+
+    Cost: ``rounds`` corpus scans for the top-m selection + one assignment
+    scan for weights; only O(rounds·oversample·dim) floats ever reach the
+    driver. Returns (list_id, unit_vector) for ``ivf_cosine_topk``; refine
+    further with ``train_ivf_centroids`` if desired.
+    """
+    oversample = oversample or 2 * nlist
+    v = corpus.select(F.col(id_col).alias("_vid"),
+                      _as_double(F.col(vec_col)).alias("e"))
+    first = v.orderBy("_vid").limit(1).collect()[0]
+    cands: list[list[float]] = [_unit_seq(first["e"])]
+    for _ in range(rounds):
+        # distance to candidate set = 1 - max cosine (unit dots)
+        best = F.greatest(*[_dot_lit(F.col("e"), c) for c in cands]) \
+            if len(cands) > 1 else _dot_lit(F.col("e"), cands[0])
+        far = (
+            v.select("_vid", "e", best.alias("_s"))
+            .orderBy(F.asc("_s"), F.asc("_vid"))
+            .limit(oversample)
+            .collect()
+        )
+        cands.extend(_unit_seq(r["e"]) for r in far)
+    # weight candidates by attraction, then weighted Lloyd on the driver
+    scores = F.array(*[
+        F.struct(_dot_lit(F.col("e"), c).alias("s"), F.lit(i).alias("ci"))
+        for i, c in enumerate(cands)
+    ])
+    w_rows = (
+        v.select(F.reverse(F.array_sort(scores))[0]["ci"].alias("ci"))
+        .groupBy("ci").count().collect()
+    )
+    weights = np.zeros(len(cands))
+    for r in w_rows:
+        weights[r["ci"]] = r["count"]
+    C = np.array(cands)
+    # deterministic Lloyd on the weighted candidate set: init = the nlist
+    # heaviest candidates (ties by index)
+    order = np.lexsort((np.arange(len(cands)), -weights))
+    cents = C[np.sort(order[:nlist])]
+    for _ in range(lloyd_iters):
+        sim = C @ cents.T
+        assign = np.argmax(sim, axis=1)
+        for j in range(len(cents)):
+            m = assign == j
+            if weights[m].sum() > 0:
+                c = (C[m] * weights[m, None]).sum(axis=0) / weights[m].sum()
+                n = np.linalg.norm(c)
+                if n:
+                    cents[j] = c / n
+    return [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+
+
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     nlist: int = 8, nprobe: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -171,3 +171,53 @@ def test_ivf_trained_centroids_beat_first_nlist_recall(spark):
     assert r3 >= r1, (r1, r3)
     # training is deterministic: same inputs -> identical centroids
     assert c1 == train_ivf_centroids(df, nlist=4, iters=1)
+
+
+def test_kmeans_parallel_init_rescues_degenerate_seeds(spark):
+    """When the first nlist ids all live in ONE planted cluster (the
+    degenerate case for first-nlist seeding), the k-means|| initializer
+    must recover near-perfect recall where the seed baseline cannot."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spikex_spark.operators.simsearch import (
+        cosine_topk,
+        ivf_cosine_topk,
+        kmeans_parallel_units,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, ncl, per = 16, 4, 30
+    rows, vid = [], 0
+    # ALL of ids 0..per-1 are cluster 0 -> first-4 seeds are degenerate
+    for c in range(ncl):
+        base = np.zeros(dim)
+        base[c * 4] = 1.0
+        for _ in range(per):
+            rows.append((vid, (base + 0.25 * rng.standard_normal(dim))
+                         .astype(np.float32).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")).cache()
+    df.count()
+    queries = df.where(F.col("vec_id") % 13 == 5)
+
+    gt: dict = {}
+    for r in cosine_topk(df, queries, k=5).collect():
+        gt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(res) -> float:
+        got: dict = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return float(np.mean([len(got.get(q, set()) & n) / len(n)
+                              for q, n in gt.items()]))
+
+    base = recall(ivf_cosine_topk(df, queries, k=5, nlist=4, nprobe=1))
+    units = kmeans_parallel_units(df, nlist=4)
+    kpp = recall(ivf_cosine_topk(df, queries, k=5, nlist=4, nprobe=1,
+                                 centroids=units))
+    assert kpp > base + 0.1, (base, kpp)
+    assert kpp >= 0.9, kpp
+    # deterministic
+    assert units == kmeans_parallel_units(df, nlist=4)
