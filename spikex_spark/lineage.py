@@ -203,6 +203,69 @@ def resolve_entities_resumable(spark: SparkSession, pages: DataFrame,
                             stage_runner=ledgered)
 
 
+def resolve_entities_incremental(spark: SparkSession, pages_new: DataFrame,
+                                 titles: DataFrame, old_ledger: str,
+                                 new_ledger: str,
+                                 fingerprint: str | None = None,
+                                 id_col: str = "url",
+                                 text_col: str = "text",
+                                 cfg=None) -> DataFrame:
+    """Extend a COMPLETED run's ledger with new pages — the production
+    shape at 10^12 documents, where a crawl lands in increments and
+    re-scanning the old corpus per batch is not an option.
+
+    Only the NEW pages are extracted and scanned; the old corpus
+    contributes its ledgered block members (``20_blocks``) and its id set
+    (``50_clusters``). Salting recomputes over the UNION (block sizes
+    change), and everything downstream is the standard back half — so the
+    result equals a full re-run over old ∪ new exactly (test-pinned:
+    ``test_incremental_matches_full_rerun``). The union stages land in
+    ``new_ledger``, which then serves as ``old_ledger`` for the next
+    increment.
+    """
+    from .operators import blocking as B
+    from .pipeline import ERConfig, _mentions, cluster_from_blocks
+
+    cfg = cfg or ERConfig()
+    old_blocks = spark.read.parquet(_data_path(old_ledger, "20_blocks"))
+    old_ids = (spark.read.parquet(_data_path(old_ledger, "50_clusters"))
+               .select(F.col(id_col).alias("id")))
+
+    def run(name: str, build, **hints) -> DataFrame:
+        return run_stage(spark, new_ledger, name, build,
+                         input_fingerprint=fingerprint, **hints)
+
+    keys = B.title_keys(titles)
+    ments_new = run(
+        "10_mentions",
+        lambda: _mentions(pages_new.select(id_col, text_col), keys, cfg,
+                          id_col, text_col),
+    )
+    # old members come pre-normalized from the ledger (drop the old salt —
+    # sizes change under the union, so salting must recompute)
+    members = (
+        old_blocks.select("id", "block_key", "surface")
+        .unionByName(B.block_members(ments_new, keys))
+    )
+    blocks = run(
+        "20_blocks",
+        lambda: B.salt_blocks(members.localCheckpoint(),
+                              cap=cfg.block_cap, nsalt=cfg.nsalt),
+        bucket_by=["block_key"], sort_by=["block_key", "salt", "surface"],
+    )
+    if cfg.star_collapse:
+        scored = None   # the star path derives edges from blocks directly
+    else:
+        from .operators import pairs as P
+        from .operators import scoring as S
+        pairs = run("30_pairs", lambda: P.candidate_pairs(blocks, salted=True))
+        scored = run("40_scores",
+                     lambda: S.score_pairs(pairs, jw_weight=cfg.jw_weight))
+    all_ids = old_ids.unionByName(
+        pages_new.select(F.col(id_col).alias("id"))).distinct()
+    return cluster_from_blocks(blocks, scored, all_ids, cfg, run, id_col)
+
+
 def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
                                 ledger_dir: str, threshold: float = 0.80,
                                 fingerprint: str | None = None) -> DataFrame:

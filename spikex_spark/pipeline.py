@@ -176,6 +176,17 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
     run = stage_runner or (lambda name, build, **hints: build())
     blocks, scored = _er_stage_results(pages, titles, cfg, id_col, text_col,
                                        run)
+    all_ids = pages.select(F.col(id_col).alias("id"))
+    return cluster_from_blocks(blocks, scored, all_ids, cfg, run, id_col)
+
+
+def cluster_from_blocks(blocks: DataFrame, scored: DataFrame | None,
+                        all_ids: DataFrame, cfg: ERConfig, run,
+                        id_col: str = "url") -> DataFrame:
+    """The back half of the flagship pipeline (edges → CC → best-key join),
+    reusable over ANY salted block-membership table — the one-shot path,
+    the ledgered path, and the incremental path
+    (``lineage.resolve_entities_incremental``) all end here."""
     # star path: ledger the REDUCED edge set (O(m+g²) per cell) — this is
     # the stage a resumable run restarts from, replacing the pair/score
     # ledgers of the enumeration path
@@ -184,9 +195,7 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
              else S.match_edges(scored, cfg.threshold))
 
     def _clusters() -> DataFrame:
-        assign = CC.cluster_assignments(
-            edges, pages.select(F.col(id_col).alias("id"))
-        )
+        assign = CC.cluster_assignments(edges, all_ids)
         best = blocks.groupBy("id").agg(
             F.min("block_key").alias("block_key"),
             F.min("surface").alias("surface"),

@@ -351,3 +351,43 @@ def test_opaque_blob_with_image_magic_takes_fake_path(spark):
     assert got[0]["features"] == pytest.approx(_fake_features(evil), abs=1e-6)
     rs = resize_images(df, 8, 8).collect()
     assert len(rs[0]["resized"]) == 16  # md5 fake blob, not a P6
+
+
+def test_incremental_matches_full_rerun(spark, tmp_path, titles_df):
+    """Incremental ER (new pages extend a completed ledger, old corpus is
+    NOT re-scanned) must produce exactly the clusters of a full re-run
+    over old ∪ new — including merges that bridge old and new pages."""
+    from spikex_spark import synth
+    from spikex_spark.lineage import (
+        ledger_summary,
+        resolve_entities_incremental,
+        resolve_entities_resumable,
+    )
+    from spikex_spark.pipeline import resolve_entities
+
+    all_rows = synth.gen_pages(120)
+    old = spark.createDataFrame(all_rows[:80])
+    new = spark.createDataFrame(all_rows[80:])
+    both = spark.createDataFrame(all_rows)
+
+    led_old = str(tmp_path / "old")
+    led_new = str(tmp_path / "new")
+    resolve_entities_resumable(spark, old, titles_df, led_old,
+                               fingerprint="v0")
+    inc = resolve_entities_incremental(spark, new, titles_df, led_old,
+                                       led_new, fingerprint="v1")
+    full = resolve_entities(both, titles_df)
+    key = lambda df: {(r["url"], r["cluster_id"]) for r in df.collect()}
+    assert key(inc) == key(full)
+    # some cluster must actually bridge old and new urls (the increment
+    # carries more members of the planted entities)
+    by_cluster: dict = {}
+    for url, cid in key(inc):
+        by_cluster.setdefault(cid, set()).add(url)
+    old_urls = {r["url"] for r in old.select("url").collect()}
+    assert any(m & old_urls and m - old_urls for m in by_cluster.values())
+    # the increment's stages are ledgered in the new ledger (next increment
+    # chains off it)
+    stages = [m["stage"] for m in ledger_summary(led_new)]
+    assert stages == ["10_mentions", "20_blocks", "30_star_edges",
+                      "50_clusters"]
