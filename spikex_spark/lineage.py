@@ -142,11 +142,14 @@ def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data)
         out = spark.read.parquet(data)
+    # ONE job for the lineage evidence: rows derive from the per-partition
+    # counters instead of a separate count()
+    counters = partition_counters(out)
     meta = {
         "stage": stage,
         "status": "COMPLETE",
-        "rows": out.count(),
-        "partitions": partition_counters(out),
+        "rows": sum(p["rows"] for p in counters),
+        "partitions": counters,
         "input_fingerprint": input_fingerprint,
         "wall_seconds": round(time.time() - t0, 3),
         "written_at_epoch": int(time.time()),
@@ -289,8 +292,15 @@ def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
                         sort_by=["band", "bucket", "id"])
 
     def _pairs() -> DataFrame:
-        left = buckets.select("band", "bucket", F.col("id").alias("id_a"))
-        right = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+        # SAME skew guard as the one-shot doc_candidate_pairs: a content-
+        # keyed LSH bucket holding a boilerplate clone set is a quadratic
+        # pair bomb — cap deterministically before the self-join (the
+        # ledgered path previously skipped this; at test scale the cap
+        # never binds, at corpus scale it is load-bearing)
+        capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
+                              id_col="id", cap=1000)
+        left = capped.select("band", "bucket", F.col("id").alias("id_a"))
+        right = capped.select("band", "bucket", F.col("id").alias("id_b"))
         return (
             left.join(right, ["band", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
@@ -317,3 +327,80 @@ def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
 
     return run_stage(spark, ledger_dir, "40_clusters", _clusters,
                      input_fingerprint=fingerprint)
+
+
+def resolve_documents_incremental(spark: SparkSession, docs_new: DataFrame,
+                                  docs_old: DataFrame, old_ledger: str,
+                                  new_ledger: str, threshold: float = 0.80,
+                                  fingerprint: str | None = None) -> DataFrame:
+    """Near-dup clusters over old ∪ new documents where ONLY the new docs
+    are shingled/minhashed — the incremental crawl shape at 10^12 docs.
+
+    The old corpus contributes its ledgered buckets and scored pairs;
+    ``docs_old`` is touched only to fetch the TEXTS of old partners in
+    new pairs (the joins prune it — no full re-scan). Exactness: LSH
+    buckets are per-doc (union of bucket tables ≡ buckets of the union),
+    and the deterministic id-cap can only DISPLACE larger ids when new
+    members arrive, so every union-capped old-old pair already has an
+    old-ledger score. Result equals a full re-run (test-pinned); the union
+    stages land in ``new_ledger`` for chaining.
+    """
+    from .operators import blocking as B
+    from .operators import cc as CC
+    from .pipeline import score_doc_pairs
+
+    old_buckets = spark.read.parquet(_data_path(old_ledger, "10_buckets"))
+    old_scores = spark.read.parquet(_data_path(old_ledger, "30_scores"))
+    old_ids = (spark.read.parquet(_data_path(old_ledger, "40_clusters"))
+               .select(F.col("doc_id").alias("id")))
+
+    def run(name: str, build, **hints) -> DataFrame:
+        return run_stage(spark, new_ledger, name, build,
+                         input_fingerprint=fingerprint, **hints)
+
+    def _buckets() -> DataFrame:
+        sh = B.shingle_df(docs_new, "doc_id", "text", k=5)
+        sig = B.minhash_signatures(sh, num_hashes=16)
+        return old_buckets.unionByName(
+            B.lsh_buckets(sig, bands=4, rows_per_band=4))
+
+    buckets = run("10_buckets", _buckets,
+                  bucket_by=["band", "bucket"],
+                  sort_by=["band", "bucket", "id"])
+
+    def _pairs() -> DataFrame:
+        capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
+                              id_col="id", cap=1000)
+        left = capped.select("band", "bucket", F.col("id").alias("id_a"))
+        right = capped.select("band", "bucket", F.col("id").alias("id_b"))
+        return (
+            left.join(right, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+        )
+
+    pairs = run("20_pairs", _pairs)
+
+    def _scores() -> DataFrame:
+        # pairs already scored in the old ledger keep their scores; only
+        # pairs touching a NEW doc are scored (against the union texts,
+        # pruned to the participants by the scoring joins)
+        keep_old = old_scores.join(pairs, ["id_a", "id_b"], "left_semi")
+        fresh = pairs.join(old_scores.select("id_a", "id_b"),
+                           ["id_a", "id_b"], "left_anti")
+        docs_union = docs_old.select("doc_id", "text").unionByName(
+            docs_new.select("doc_id", "text"))
+        return keep_old.unionByName(score_doc_pairs(fresh, docs_union))
+
+    scores = run("30_scores", _scores)
+
+    def _clusters() -> DataFrame:
+        edges = scores.where(F.col("score") >= threshold).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        ids = old_ids.unionByName(
+            docs_new.select(F.col("doc_id").alias("id"))).distinct()
+        return CC.cluster_assignments(edges, ids).select(
+            F.col("id").alias("doc_id"), "cluster_id")
+
+    return run("40_clusters", _clusters)

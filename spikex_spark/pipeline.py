@@ -252,6 +252,18 @@ def doc_scored_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
     at 100 TB); token-Jaccard sees the full text.
     """
     pairs = doc_candidate_pairs(docs, cfg, id_col, text_col)
+    return score_doc_pairs(pairs, docs, cfg, id_col, text_col,
+                           norm_prefix, score_digits)
+
+
+def score_doc_pairs(pairs: DataFrame, docs: DataFrame,
+                    cfg: ERConfig = ERConfig(),
+                    id_col: str = "doc_id", text_col: str = "text",
+                    norm_prefix: int = 64, score_digits: int = 6) -> DataFrame:
+    """Score an EXPLICIT (id_a, id_b) pair table against the docs' texts —
+    the scoring half of ``doc_scored_pairs``, reusable by the incremental
+    path (which scores only pairs touching new docs). ``docs`` is read only
+    for the pair participants (the joins prune it)."""
     # precompute per-DOC scoring inputs once (token set + JW prefix), then
     # join them to the pair table — computing them per-pair inlines the whole
     # normalization chain into every pair row (measured 3-4× slower at sf0.1)

@@ -75,3 +75,34 @@ def test_salted_pair_join_bounds_hub_block(spark):
     # deterministic hashing spreads ids across salts; the pair count must
     # drop by roughly the salt factor (allow 2x slack for imbalance)
     assert n_pairs < full / (nsalt / 2), (n_pairs, full)
+
+
+def test_resumable_doc_pairs_capped_under_clone_storm(spark, tmp_path):
+    """The LEDGERED documents pipeline must carry the same bucket cap as
+    the one-shot path: 2000 identical docs share every LSH bucket, so an
+    uncapped self-join would enumerate ~2M pairs; the capped stage is
+    bounded by cap²/2 per bucket."""
+    from pyspark.sql import functions as F
+
+    from spikex_spark.lineage import resolve_documents_resumable, run_stage
+
+    clones = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("copyright notice all rights reserved terms of service "
+              "privacy policy cookie settings").alias("text"),
+    )
+    ledger = str(tmp_path / "clone_ledger")
+    out = resolve_documents_resumable(spark, clones, ledger, fingerprint="c")
+    # the first `cap` ids form one cluster; the capped-out tail stays
+    # singleton — the documented deterministic recall trade (identical to
+    # the one-shot path's cap semantics)
+    sizes = sorted(
+        r["n"] for r in out.groupBy("cluster_id").agg(
+            F.count("*").alias("n")).collect()
+    )
+    assert sizes[-1] == 1000 and sizes[:-1] == [1] * 1000
+    # and the ledgered pair stage is capped, not quadratic (~2M pairs)
+    pairs = run_stage(spark, ledger, "20_pairs", lambda: None,
+                      input_fingerprint="c")
+    n = pairs.count()
+    assert n <= 1000 * 999 / 2 + 1, n

@@ -391,3 +391,27 @@ def test_incremental_matches_full_rerun(spark, tmp_path, titles_df):
     stages = [m["stage"] for m in ledger_summary(led_new)]
     assert stages == ["10_mentions", "20_blocks", "30_star_edges",
                       "50_clusters"]
+
+
+def test_documents_incremental_matches_full_rerun(spark, tmp_path):
+    """Incremental near-dup dedup: new docs extend a completed documents
+    ledger (only new docs shingled; old texts read only for pair
+    partners) — clusters must equal a full re-run over old ∪ new."""
+    from spikex_spark.lineage import (
+        resolve_documents_incremental,
+        resolve_documents_resumable,
+    )
+    from spikex_spark.pipeline import resolve_documents
+
+    full_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # split so that some near-dup partners straddle the boundary
+    old = full_docs.where("doc_id % 5 != 0")
+    new = full_docs.where("doc_id % 5 = 0")
+    led_old = str(tmp_path / "docs_old")
+    led_new = str(tmp_path / "docs_new")
+    resolve_documents_resumable(spark, old, led_old, fingerprint="v0")
+    inc = resolve_documents_incremental(spark, new, old, led_old, led_new,
+                                        fingerprint="v1")
+    fullrun = resolve_documents(full_docs)
+    key = lambda df: {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
+    assert key(inc) == key(fullrun)
