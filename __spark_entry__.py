@@ -1296,6 +1296,29 @@ def _q_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_documents(docs, threshold=0.80)
 
 
+def _q_er_doc_clusters_incremental(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The INCREMENTAL pipeline under the gate: docs split old/new, the old
+    corpus resolved into a ledger first, then only the new docs are
+    shingled and merged against it — and the result must hash-equal the
+    FULL-RERUN oracle (the same SQL as er_doc_clusters), which is exactly
+    the incremental-equals-batch claim."""
+    import tempfile
+
+    from spikex_spark.lineage import (
+        resolve_documents_incremental,
+        resolve_documents_resumable,
+    )
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    led = _ER_BLOCKS_LEDGER.setdefault(
+        ("docs_inc", sf_dir), tempfile.mkdtemp(prefix="docs_inc_ledger_"))
+    resolve_documents_resumable(spark, old, f"{led}/old", fingerprint=sf_dir)
+    return resolve_documents_incremental(spark, new, old, f"{led}/old",
+                                         f"{led}/new", fingerprint=sf_dir)
+
+
 def _q_er_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
@@ -2069,6 +2092,7 @@ def _q_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
+        "er_doc_clusters_incremental": _q_er_doc_clusters_incremental,
         "er_doc_pairs": _q_er_doc_pairs,
         "extract_normalize": _q_extract_normalize,
         "blocking_keys": _q_blocking_keys,
@@ -2120,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "er_doc_clusters": _SQL_ER_CLUSTERS,
+        "er_doc_clusters_incremental": _SQL_ER_CLUSTERS,
         "er_doc_pairs": _SQL_ER_PAIRS,
         "extract_normalize": (
             "SELECT doc_id, regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '_', 'g')"
