@@ -1312,8 +1312,10 @@ def _q_er_doc_clusters_incremental(spark: SparkSession,
     docs = _read(spark, sf_dir, "documents")
     old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
-    led = _ER_BLOCKS_LEDGER.setdefault(
-        ("docs_inc", sf_dir), tempfile.mkdtemp(prefix="docs_inc_ledger_"))
+    key = ("docs_inc", sf_dir)
+    if key not in _ER_BLOCKS_LEDGER:   # setdefault would mkdtemp every call
+        _ER_BLOCKS_LEDGER[key] = tempfile.mkdtemp(prefix="docs_inc_ledger_")
+    led = _ER_BLOCKS_LEDGER[key]
     resolve_documents_resumable(spark, old, f"{led}/old", fingerprint=sf_dir)
     return resolve_documents_incremental(spark, new, old, f"{led}/old",
                                          f"{led}/new", fingerprint=sf_dir)
@@ -1971,8 +1973,11 @@ def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset co-partition: joins keyed on (block_key, surface) may reuse
     # the block_key bucketing instead of re-shuffling both sides
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    ledger = _ER_BLOCKS_LEDGER.setdefault(
-        sf_dir, tempfile.mkdtemp(prefix="er_pages_ledger_"))
+    # NOT setdefault(mkdtemp()): Python evaluates the default eagerly, so
+    # every repeat call would leak one orphaned temp dir
+    if sf_dir not in _ER_BLOCKS_LEDGER:
+        _ER_BLOCKS_LEDGER[sf_dir] = tempfile.mkdtemp(prefix="er_pages_ledger_")
+    ledger = _ER_BLOCKS_LEDGER[sf_dir]
     return run_stage(spark, ledger, "20_blocks", build,
                      input_fingerprint=sf_dir, bucket_by=["block_key"],
                      num_buckets=32, sort_by=["block_key", "surface", "id"])

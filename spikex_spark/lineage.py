@@ -292,20 +292,14 @@ def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
                         sort_by=["band", "bucket", "id"])
 
     def _pairs() -> DataFrame:
-        # SAME skew guard as the one-shot doc_candidate_pairs: a content-
-        # keyed LSH bucket holding a boilerplate clone set is a quadratic
-        # pair bomb — cap deterministically before the self-join (the
-        # ledgered path previously skipped this; at test scale the cap
-        # never binds, at corpus scale it is load-bearing)
+        # SAME skew guard + join as the one-shot doc_candidate_pairs (one
+        # shared definition — the ledgered/incremental equivalence proofs
+        # assume identical cap semantics): a content-keyed LSH bucket
+        # holding a boilerplate clone set is a quadratic pair bomb
+        from .pipeline import DOC_BUCKET_CAP, bucket_pair_join
         capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
-                              id_col="id", cap=1000)
-        left = capped.select("band", "bucket", F.col("id").alias("id_a"))
-        right = capped.select("band", "bucket", F.col("id").alias("id_b"))
-        return (
-            left.join(right, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct()
-        )
+                              id_col="id", cap=DOC_BUCKET_CAP)
+        return bucket_pair_join(capped)
 
     pairs = run_stage(spark, ledger_dir, "20_pairs", _pairs,
                       input_fingerprint=fingerprint)
@@ -337,8 +331,9 @@ def resolve_documents_incremental(spark: SparkSession, docs_new: DataFrame,
     are shingled/minhashed — the incremental crawl shape at 10^12 docs.
 
     The old corpus contributes its ledgered buckets and scored pairs;
-    ``docs_old`` is touched only to fetch the TEXTS of old partners in
-    new pairs (the joins prune it — no full re-scan). Exactness: LSH
+    ``docs_old``'s texts are tokenized only for old partners of NEW pairs
+    (an explicit participant semi-join — only the narrow id column of the
+    old corpus is scanned). Exactness: LSH
     buckets are per-doc (union of bucket tables ≡ buckets of the union),
     and the deterministic id-cap can only DISPLACE larger ids when new
     members arrive, so every union-capped old-old pair already has an
@@ -369,28 +364,32 @@ def resolve_documents_incremental(spark: SparkSession, docs_new: DataFrame,
                   sort_by=["band", "bucket", "id"])
 
     def _pairs() -> DataFrame:
+        from .pipeline import DOC_BUCKET_CAP, bucket_pair_join
         capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
-                              id_col="id", cap=1000)
-        left = capped.select("band", "bucket", F.col("id").alias("id_a"))
-        right = capped.select("band", "bucket", F.col("id").alias("id_b"))
-        return (
-            left.join(right, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct()
-        )
+                              id_col="id", cap=DOC_BUCKET_CAP)
+        return bucket_pair_join(capped)
 
     pairs = run("20_pairs", _pairs)
 
     def _scores() -> DataFrame:
         # pairs already scored in the old ledger keep their scores; only
-        # pairs touching a NEW doc are scored (against the union texts,
-        # pruned to the participants by the scoring joins)
+        # pairs touching a NEW doc are scored. The scoring input is
+        # EXPLICITLY semi-joined to the fresh-pair participants first —
+        # Catalyst does not prune the token/prefix projections through the
+        # join, so without this every old doc would be re-tokenized each
+        # increment (O(corpus) CPU instead of O(new))
         keep_old = old_scores.join(pairs, ["id_a", "id_b"], "left_semi")
         fresh = pairs.join(old_scores.select("id_a", "id_b"),
-                           ["id_a", "id_b"], "left_anti")
+                           ["id_a", "id_b"], "left_anti").localCheckpoint()
+        participants = (
+            fresh.select(F.col("id_a").alias("doc_id"))
+            .unionByName(fresh.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
         docs_union = docs_old.select("doc_id", "text").unionByName(
             docs_new.select("doc_id", "text"))
-        return keep_old.unionByName(score_doc_pairs(fresh, docs_union))
+        docs_part = docs_union.join(participants, "doc_id", "left_semi")
+        return keep_old.unionByName(score_doc_pairs(fresh, docs_part))
 
     scores = run("30_scores", _scores)
 

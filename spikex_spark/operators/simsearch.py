@@ -258,28 +258,52 @@ def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
     further with ``train_ivf_centroids`` if desired.
     """
     oversample = oversample or 2 * nlist
-    v = corpus.select(F.col(id_col).alias("_vid"),
-                      _as_double(F.col(vec_col)).alias("e"))
+
+    def _best_vs(cands_mat: "np.ndarray", what: str):
+        """pandas_udf: per-vector max cosine (or argmax index) against the
+        candidate matrix — ONE numpy matmul per Arrow batch. Inline
+        Catalyst literal-array aggregates (one per candidate) hit the same
+        whole-stage-codegen wall lsh_signs documents (~40s for 500 rows at
+        16 aggregates); the matmul path is flat in candidate count."""
+        Ct = cands_mat.T
+
+        @pandas_udf(T.DoubleType() if what == "max" else T.IntegerType())
+        def udf(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)
+            sim = m @ Ct
+            if what == "max":
+                return pd.Series(sim.max(axis=1))
+            return pd.Series(sim.argmax(axis=1).astype(np.int32))
+
+        return udf
+
+    # selection operates on UNIT vectors so max-dot IS max-cosine: the
+    # farthest-point criterion must be magnitude-blind (a small-norm clone
+    # of a covered direction is NOT far), and a picked row self-scores 1.0
+    # so it is never re-selected; zero-norm rows are excluded outright
+    norm = F.sqrt(F.aggregate(F.col("_e0"), F.lit(0.0),
+                              lambda a, x: a + x * x))
+    v = (corpus.select(F.col(id_col).alias("_vid"),
+                       _as_double(F.col(vec_col)).alias("_e0"))
+         .withColumn("_n", norm)
+         .where(F.col("_n") > 0)
+         .select("_vid", F.transform("_e0", lambda x: x / F.col("_n"))
+                 .alias("e"))
+         .localCheckpoint(eager=False))
     first = v.orderBy("_vid").limit(1).collect()[0]
-    cands: list[list[float]] = [_unit_seq(first["e"])]
+    cands: list[list[float]] = [list(first["e"])]
     for _ in range(rounds):
-        # distance to candidate set = 1 - max cosine (unit dots)
-        best = F.greatest(*[_dot_lit(F.col("e"), c) for c in cands]) \
-            if len(cands) > 1 else _dot_lit(F.col("e"), cands[0])
+        best = _best_vs(np.array(cands), "max")(F.col("e"))
         far = (
             v.select("_vid", "e", best.alias("_s"))
             .orderBy(F.asc("_s"), F.asc("_vid"))
             .limit(oversample)
             .collect()
         )
-        cands.extend(_unit_seq(r["e"]) for r in far)
+        cands.extend(list(r["e"]) for r in far)
     # weight candidates by attraction, then weighted Lloyd on the driver
-    scores = F.array(*[
-        F.struct(_dot_lit(F.col("e"), c).alias("s"), F.lit(i).alias("ci"))
-        for i, c in enumerate(cands)
-    ])
     w_rows = (
-        v.select(F.reverse(F.array_sort(scores))[0]["ci"].alias("ci"))
+        v.select(_best_vs(np.array(cands), "argmax")(F.col("e")).alias("ci"))
         .groupBy("ci").count().collect()
     )
     weights = np.zeros(len(cands))

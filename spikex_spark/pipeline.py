@@ -207,10 +207,30 @@ def cluster_from_blocks(blocks: DataFrame, scored: DataFrame | None,
     return run("50_clusters", _clusters)
 
 
+# the ONE deterministic LSH bucket cap shared by the one-shot, ledgered,
+# and incremental document pipelines — their equivalence proofs assume it
+DOC_BUCKET_CAP = 1000
+
+
+def bucket_pair_join(capped_buckets: DataFrame) -> DataFrame:
+    """(id_a, id_b) distinct pairs sharing ≥1 (band, bucket) — the self-join
+    tail shared by every document-pipeline variant (pass ALREADY-capped
+    buckets; see ``blocking.cap_blocks`` + ``DOC_BUCKET_CAP``)."""
+    left = capped_buckets.select("band", "bucket", F.col("id").alias("id_a"))
+    right = capped_buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def doc_candidate_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
                         id_col: str = "doc_id", text_col: str = "text",
                         shingle_k: int = 5, num_hashes: int = 16,
-                        bands: int = 4, bucket_cap: int = 1000) -> DataFrame:
+                        bands: int = 4,
+                        bucket_cap: int = DOC_BUCKET_CAP) -> DataFrame:
     """MinHash/LSH near-dup candidate pairs over a generic documents table.
 
     (id_a, id_b) distinct pairs sharing ≥1 LSH bucket. Every step is
@@ -232,14 +252,7 @@ def doc_candidate_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
     # aliased projections; measured 2× at sf0.1). At cluster scale this is
     # the stage-ledger checkpoint (write to parquet/Iceberg, read back).
     buckets = buckets.localCheckpoint()
-    left = buckets.select("band", "bucket", F.col("id").alias("id_a"))
-    right = buckets.select("band", "bucket", F.col("id").alias("id_b"))
-    return (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return bucket_pair_join(buckets)
 
 
 def doc_scored_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
