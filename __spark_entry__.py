@@ -1705,6 +1705,42 @@ FROM keyed WHERE block_key IS NOT NULL
 """
 
 
+def _q_stream_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup suppression at ingest (map-side MinHash signature
+    + watermarked dropDuplicates), drained with availableNow. Output = the
+    distinct signature set (the surviving ROW per signature depends on
+    micro-batch order, the signature set does not) — the oracle recomputes
+    every signature in SQL."""
+    from pyspark.sql import types as T
+
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        streaming_signature_dedup,
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir, "documents"))
+        # documents carry no event time — derive a deterministic one
+        .withColumn("ts", F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+                    + F.make_interval(secs=F.col("doc_id").cast("double")))
+    )
+    out = streaming_signature_dedup(stream, ts_col="ts", id_col="doc_id")
+    return run_to_memory(out.select("sig"), "sig_dedup_gate")
+
+
+def _sql_stream_signature_dedup() -> str:
+    sig_concat = " || '|' || ".join(f"mh{s}::varchar" for s in range(16))
+    return ("WITH mh AS (" + _SQL_MINHASH + ")\n"
+            f"SELECT DISTINCT md5({sig_concat}) AS sig FROM mh")
+
+
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming tumbling-window agg over the events table,
     drained with availableNow — oracle = the equivalent batch SQL."""
@@ -2132,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentences,
         "nb_train_probs": _q_nb_train,
         "stream_windowed_counts": _q_stream_windowed,
+        "stream_signature_dedup": _q_stream_signature_dedup,
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -2228,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM events GROUP BY 1, 2"
         ),
         "stream_block_canonical": _SQL_STREAM_CANONICAL,
+        "stream_signature_dedup": _sql_stream_signature_dedup(),
         "embedding_mean_per_label": (
             "SELECT label, i AS pos, round(avg(embedding[i]), 6) AS mean_val"
             " FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)"

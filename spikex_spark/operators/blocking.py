@@ -493,6 +493,24 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs)
 
 
+def char_shingles_expr(norm: F.Column, k: int = 5) -> F.Column:
+    """Distinct char k-shingle SET of a (pre-materialized!) normalized-text
+    column as one expression — see shingle_df's note: the caller MUST bind
+    the normalization into its own projection first, or Catalyst re-inlines
+    the chain per array element (O(len²))."""
+    sh = F.when(
+        F.length(norm) < k, F.array(norm)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - k + 1),
+                lambda i: F.substring(norm, i, F.lit(k)),
+            )
+        )
+    )
+    return F.filter(sh, lambda s: s != "")
+
+
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
                    k: int = 5) -> DataFrame:
     """(id, shingles: array<string>) — the distinct char k-shingle SET per
@@ -509,24 +527,41 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.array_join(_norm_tokens(F.col(text_col)), " ").alias("_norm"),
     )
-    norm = F.col("_norm")
-    sh = F.when(
-        F.length(norm) < k, F.array(norm)
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(norm) - k + 1),
-                lambda i: F.substring(norm, i, F.lit(k)),
-            )
-        )
-    )
-    arr = F.filter(sh, lambda s: s != "")
+    arr = char_shingles_expr(F.col("_norm"), k)
     # explode-of-one-element = generator barrier: without it Catalyst pushes
     # the size() filter through the projection, re-inlining the whole HOF
     # shingle chain into the Filter — measured 40× slower at sf0.1
     return (
         normed.select("id", F.explode(F.array(arr)).alias("shingles"))
         .where(F.size("shingles") > 0)
+    )
+
+
+def minhash_sig_expr(shingles: F.Column, num_hashes: int = 16) -> F.Column:
+    """MinHash signature as ONE column expression (array<long> of running
+    band minima) over a shingle-array column — the fusable form for
+    map-only/streaming stages; ``minhash_signatures_arrays`` is its
+    DataFrame wrapper."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hashes supported")
+    a_lit = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
+    b_lit = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
+    harr = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        harr,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes),
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                F.pmod(F.element_at(a_lit, i + F.lit(1)) * h
+                       + F.element_at(b_lit, i + F.lit(1)),
+                       F.lit(MINHASH_P)),
+            ),
+        ),
     )
 
 
@@ -548,30 +583,10 @@ def minhash_signatures_arrays(arr_df: DataFrame,
     one-row-per-doc shuffle is unwanted (e.g. signature computation fused
     into a wider map-only stage).
     """
-    if num_hashes > len(MINHASH_A):
-        raise ValueError(f"at most {len(MINHASH_A)} hashes supported")
-    a_lit = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
-    b_lit = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
-    harr = F.transform(
-        F.col("shingles"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-    )
-    sig = F.aggregate(
-        harr,
-        F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes),
-        lambda acc, h: F.transform(
-            acc,
-            lambda m, i: F.least(
-                m,
-                F.pmod(F.element_at(a_lit, i + F.lit(1)) * h
-                       + F.element_at(b_lit, i + F.lit(1)),
-                       F.lit(MINHASH_P)),
-            ),
-        ),
-    )
     # own projection: _sig is expensive and referenced num_hashes times —
     # CollapseProject keeps it single-eval (SPARK-36718)
-    sigged = arr_df.select("id", sig.alias("_sig"))
+    sigged = arr_df.select(
+        "id", minhash_sig_expr(F.col("shingles"), num_hashes).alias("_sig"))
     return sigged.select(
         "id",
         *[F.element_at(F.col("_sig"), i + 1).alias(f"mh{i}")

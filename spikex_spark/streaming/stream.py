@@ -134,3 +134,50 @@ def run_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def streaming_signature_dedup(stream: DataFrame, ts_col: str = "warc_ts",
+                              id_col: str = "url", text_col: str = "text",
+                              watermark: str = "2 hours",
+                              num_hashes: int = 16) -> DataFrame:
+    """Streaming NEAR-dup suppression at ingest: first arrival per full
+    MinHash signature wins.
+
+    The signature computes MAP-SIDE per row as ONE column-expression chain
+    (``char_shingles_expr`` → ``minhash_sig_expr``, the zero-shuffle
+    variants that exist exactly for fusion into streaming map stages — a
+    join back to a derived signature table would be a stream-stream join),
+    so the only stateful work is the dropDuplicates keyed on one md5 of
+    the signature, watermark-bounded. Semantics: suppresses docs whose
+    entire signature matches an earlier arrival (signature-identical ⇒
+    near-identical with high probability); banded sub-signature recall
+    (true LSH near-dups) stays a batch-pipeline job — the per-band union
+    of canonical ids is not expressible in one streaming pass.
+    """
+    from ..operators.blocking import (
+        _norm_tokens,
+        char_shingles_expr,
+        minhash_sig_expr,
+    )
+
+    # each expensive expression in its OWN projection (see shingle_df /
+    # SPARK-36718 notes: inlining re-evaluates the chain per element)
+    normed = stream.select(
+        id_col, ts_col, text_col,
+        F.array_join(_norm_tokens(F.col(text_col)), " ").alias("_norm"),
+    )
+    shingled = normed.select(
+        id_col, ts_col, text_col,
+        char_shingles_expr(F.col("_norm"), k=5).alias("_sh"),
+    )
+    sigged = shingled.select(
+        id_col, ts_col, text_col,
+        minhash_sig_expr(F.col("_sh"), num_hashes).alias("_sig"),
+    )
+    keyed = sigged.select(
+        id_col, ts_col, text_col,
+        F.md5(F.concat_ws(
+            "|", F.transform(F.col("_sig"), lambda v: v.cast("string"))
+        )).alias("sig"),
+    )
+    return keyed.withWatermark(ts_col, watermark).dropDuplicates(["sig"])

@@ -415,3 +415,25 @@ def test_documents_incremental_matches_full_rerun(spark, tmp_path):
     fullrun = resolve_documents(full_docs)
     key = lambda df: {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
     assert key(inc) == key(fullrun)
+
+
+def test_streaming_signature_dedup(spark, pages_dir):
+    """Map-side MinHash signature dedup at ingest: survivors = one doc per
+    distinct signature, matching the batch signature computation."""
+    from spikex_spark.operators.blocking import (
+        minhash_signatures,
+        shingle_df,
+    )
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        stream_pages,
+        streaming_signature_dedup,
+    )
+
+    stream = stream_pages(spark, pages_dir)
+    got = run_to_memory(streaming_signature_dedup(stream), "sig_dedup")
+    batch = spark.read.parquet(pages_dir)
+    sigs = minhash_signatures(shingle_df(batch, "url", "text", k=5))
+    n_sigs = sigs.select(*[f"mh{i}" for i in range(16)]).distinct().count()
+    assert got.count() == n_sigs
+    assert got.select("sig").distinct().count() == n_sigs
