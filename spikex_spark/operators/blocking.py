@@ -297,20 +297,28 @@ def _scan_doc(text: str, keyset, first_tok, max_n: int, split=None,
     raw = [t for t in split(text) if t]
     norm = [_norm_word(t) for t in raw]
     matches = []
-    for i in range(len(raw)):
+    L = len(raw)
+    for i in range(L):
         # first-token pruning: a key matching at i must START with
         # norm[i] (grams containing empty norm tokens join with double/
         # leading spaces and can never equal a clean key), so positions
         # whose token heads no key cost ONE dict probe instead of max_n
-        # slice-join-probe rounds — most tokens in real text
+        # gram-probe rounds — most tokens in real text
         cap = first_tok.get(norm[i])
         if cap is None:
             continue
-        for n in range(min(max_n, len(raw) - i, cap), 0, -1):
-            # NO empty-token filtering inside the gram — mirrors the join
-            # path's array_join over the unfiltered norm slice exactly
-            key = " ".join(norm[i:i + n])
-            if key and key in keyset:
+        # grams grow INCREMENTALLY (O(cap) appended chars per position, not
+        # O(cap²) re-joins); the string equals " ".join over the unfiltered
+        # norm slice exactly — empty norm tokens contribute double spaces,
+        # mirroring the join path's array_join (n>1 grams are never empty,
+        # so only the unigram needs the truthiness check)
+        top = min(max_n, L - i, cap)
+        key = norm[i]
+        if key and key in keyset:
+            matches.append((i + 1, 1, raw[i], key))
+        for n in range(2, top + 1):
+            key = key + " " + norm[i + n - 1]
+            if key in keyset:
                 matches.append((i + 1, n, " ".join(raw[i:i + n]), key))
     # same semantics as the O2/O4 window: (start asc, n desc) scan,
     # keep iff end exceeds the running max end of ALL prior rows
