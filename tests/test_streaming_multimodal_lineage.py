@@ -437,3 +437,28 @@ def test_streaming_signature_dedup(spark, pages_dir):
     n_sigs = sigs.select(*[f"mh{i}" for i in range(16)]).distinct().count()
     assert got.count() == n_sigs
     assert got.select("sig").distinct().count() == n_sigs
+
+
+def test_incremental_chains_across_two_batches(spark, tmp_path, titles_df):
+    """Two successive increments (each chaining off the previous ledger)
+    must equal one full run over all three batches."""
+    from spikex_spark import synth
+    from spikex_spark.lineage import (
+        resolve_entities_incremental,
+        resolve_entities_resumable,
+    )
+    from spikex_spark.pipeline import resolve_entities
+
+    rows = synth.gen_pages(120)
+    b0 = spark.createDataFrame(rows[:60])
+    b1 = spark.createDataFrame(rows[60:90])
+    b2 = spark.createDataFrame(rows[90:])
+    led0, led1, led2 = (str(tmp_path / f"led{i}") for i in range(3))
+    resolve_entities_resumable(spark, b0, titles_df, led0, fingerprint="v0")
+    resolve_entities_incremental(spark, b1, titles_df, led0, led1,
+                                 fingerprint="v1").count()
+    inc2 = resolve_entities_incremental(spark, b2, titles_df, led1, led2,
+                                        fingerprint="v2")
+    full = resolve_entities(spark.createDataFrame(rows), titles_df)
+    key = lambda df: {(r["url"], r["cluster_id"]) for r in df.collect()}
+    assert key(inc2) == key(full)
