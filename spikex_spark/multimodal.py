@@ -188,7 +188,18 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
 
     def decode_one(payload: bytes, kind) -> list[float]:
         if kind is None or kind == "image":
-            img = decode_image(payload)
+            try:
+                img = decode_image(payload)
+            except ValueError:
+                # magic-sniffed only (no kind column): an opaque blob whose
+                # first bytes collide with 'P6'/'P3'/'BM' reaches the header
+                # parser — fall through to the fake/stub path instead of
+                # failing the whole Arrow batch. Rows explicitly typed
+                # kind='image' still raise: a corrupt declared image is a
+                # data error the caller must see.
+                if kind == "image":
+                    raise
+                img = None
             if img is not None:
                 return image_features(img)
         if fake:
@@ -230,7 +241,14 @@ def resize_images(df: DataFrame, width: int, height: int,
 
     def resize_one(payload: bytes, kind) -> bytes:
         if kind is None or kind == "image":
-            img = decode_image(payload)
+            try:
+                img = decode_image(payload)
+            except ValueError:
+                # see decode_one: magic collision on an untyped blob falls
+                # through; an explicitly-typed corrupt image still raises
+                if kind == "image":
+                    raise
+                img = None
             if img is not None:
                 return encode_ppm(_resize_nearest(img, width, height))
         if fake:

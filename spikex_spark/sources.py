@@ -256,7 +256,17 @@ def fetch_dump(url: str, cache_dir: str, chunk_size: int = 1 << 20,
             f"incomplete download of {url}: got {got} of {expected_total} "
             "bytes (kept .part for resume)")
     part.replace(dest)
-    meta.write_text(_json.dumps({"url": url, "length": dest.stat().st_size}))
+    if expected_total is not None:
+        meta.write_text(
+            _json.dumps({"url": url, "length": dest.stat().st_size}))
+    else:
+        # No Content-Length (chunked transfer): we cannot distinguish a
+        # complete body from a connection cut mid-stream, so do NOT write
+        # the completion marker — without it the short-circuit above never
+        # fires and the next call revalidates by refetching, instead of
+        # trusting a possibly-truncated file forever. (The meta length is
+        # the file's own size, so writing it here would always "verify".)
+        meta.unlink(missing_ok=True)
     return str(dest)
 
 

@@ -9,8 +9,9 @@ so the same functions compose behind ``readStream``. Provided here:
   (schema-pinned; no inference on streams).
 * ``windowed_mention_counts`` — event-time tumbling window + watermark agg
   (late data bounded by the watermark).
-* ``streaming_dedup``     — stateful exact dedup via ``dropDuplicates``
-  within the watermark (the streaming face of dedup.exact_duplicates).
+* ``streaming_dedup``     — stateful exact dedup via
+  ``dropDuplicatesWithinWatermark`` (the streaming face of
+  dedup.exact_duplicates; state per hash expires past the watermark).
 * ``run_to_memory``       — test/bench harness: drain a stream into an
   in-memory table and return the result.
 
@@ -64,10 +65,17 @@ def windowed_mention_counts(stream: DataFrame, window: str = "1 hour",
 def streaming_dedup(stream: DataFrame, ts_col: str = "warc_ts",
                     text_col: str = "text",
                     watermark: str = "2 hours") -> DataFrame:
-    """Exact near-line dedup: first arrival per content hash wins; state
-    expires past the watermark."""
+    """Exact near-line dedup: first arrival per content hash wins within the
+    watermark delay; state for a hash expires once event time advances past
+    it. ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    load-bearing here: with only the hash as key, plain dropDuplicates keeps
+    one state row per distinct hash FOREVER — unbounded on a long-running
+    stream. The Within variant evicts each hash's state after the watermark
+    delay, so a duplicate arriving later than ``watermark`` after the first
+    copy is re-emitted (acceptable: ingest dedup is best-effort suppression;
+    the batch pipeline remains the exactness backstop)."""
     hashed = stream.withColumn("text_hash", F.md5(F.col(text_col)))
-    return hashed.withWatermark(ts_col, watermark).dropDuplicates(
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
 
@@ -180,4 +188,10 @@ def streaming_signature_dedup(stream: DataFrame, ts_col: str = "warc_ts",
             "|", F.transform(F.col("_sig"), lambda v: v.cast("string"))
         )).alias("sig"),
     )
-    return keyed.withWatermark(ts_col, watermark).dropDuplicates(["sig"])
+    # Within-watermark variant: plain dropDuplicates(['sig']) would hold one
+    # state row per distinct signature forever (the event-time column is not
+    # part of the key, so the watermark never evicts). This bounds state to
+    # signatures seen within the watermark delay; a near-dup arriving later
+    # than that is re-admitted — the batch LSH pipeline catches it.
+    return keyed.withWatermark(ts_col, watermark)\
+        .dropDuplicatesWithinWatermark(["sig"])

@@ -309,3 +309,44 @@ def test_fetch_dump_416_and_truncation(tmp_path):
         assert not (cache2 / "d.sql.gz").exists()
     finally:
         srv.shutdown()
+
+
+def test_fetch_dump_no_content_length_revalidates(tmp_path):
+    """A server that omits Content-Length (chunked/EOF-delimited body) gives
+    no way to tell a complete body from a mid-stream connection cut, so the
+    completion marker must NOT be written: the fetch succeeds, but the next
+    call revalidates by refetching instead of trusting a possibly-truncated
+    cached file forever (a cut body's meta would record the truncated length
+    and always "verify" against itself)."""
+    import http.server
+    import threading
+
+    from spikex_spark.sources import fetch_dump
+
+    payload = b"y" * 8192
+    hits = {"n": 0}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits["n"] += 1
+            self.send_response(200)
+            self.end_headers()          # no Content-Length header
+            self.wfile.write(payload)   # EOF-delimited body
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/nl.sql.gz"
+        cache = tmp_path / "c"
+        cache.mkdir()
+        got = fetch_dump(url, str(cache))
+        assert open(got, "rb").read() == payload
+        assert not (cache / "nl.sql.gz.meta.json").exists()
+        # second call must hit the server again (no short-circuit)
+        fetch_dump(url, str(cache))
+        assert hits["n"] == 2
+    finally:
+        srv.shutdown()

@@ -353,6 +353,41 @@ def test_opaque_blob_with_image_magic_takes_fake_path(spark):
     assert len(rs[0]["resized"]) == 16  # md5 fake blob, not a P6
 
 
+def test_magic_collision_without_kind_column_falls_through(spark):
+    """With NO kind column, decode dispatch is magic-sniffed only: an opaque
+    blob whose first bytes collide with an image magic but whose header is
+    garbage must fall through to the fake path, not fail the Arrow batch
+    (ADVICE r3). A row explicitly typed kind='image' with the same corrupt
+    payload must still raise — that is a data error the caller must see."""
+    from pyspark.sql import types as T
+
+    from spikex_spark.multimodal import (
+        _fake_features,
+        decode_features,
+        resize_images,
+    )
+
+    evil = b"P6 not really a ppm \xff\xfe"
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    df = spark.createDataFrame([(0, bytearray(evil))], schema=schema)
+    got = decode_features(df).collect()          # kind_col absent -> sniffed
+    assert got[0]["features"] == pytest.approx(_fake_features(evil), abs=1e-6)
+    rs = resize_images(df, 8, 8).collect()
+    assert len(rs[0]["resized"]) == 16           # md5 fake blob, not a P6
+
+    typed = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    bad = spark.createDataFrame([(0, "image", bytearray(evil))], schema=typed)
+    with pytest.raises(Exception, match="ValueError|P6|header|truncated"):
+        decode_features(bad).collect()
+
+
 def test_incremental_matches_full_rerun(spark, tmp_path, titles_df):
     """Incremental ER (new pages extend a completed ledger, old corpus is
     NOT re-scanned) must produce exactly the clusters of a full re-run

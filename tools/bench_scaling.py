@@ -97,13 +97,16 @@ else:
     raise SystemExit(f"unknown workload {{workload}}")
 
 best = float("inf")
+job()  # untimed warmup rep: cold-cache input/shuffle bytes differ from
+       # steady state; running it BEFORE the `before` snapshot keeps the
+       # per-rep metric deltas warm-only
 before = _stage_totals()
 for rep in range(3):
     t0 = time.time(); job(); best = min(best, time.time() - t0)
 after = _stage_totals()
 # engine-side evidence for the "shuffle bytes << input bytes" claim:
 # per-rep deltas over the 3 timed reps (warmup excluded by the `before`
-# snapshot)
+# snapshot taken after the warmup rep)
 metrics = {{k: (after[k] - before[k]) // 3 for k in after}}
 print(json.dumps({{"best_sec": round(best, 2), "metrics_per_rep": metrics}}))
 spark.stop()
