@@ -924,45 +924,60 @@ SELECT * FROM (VALUES
 # md5-seeded fake-decoder expectation (DuckDB md5() is VARCHAR-only, so the
 # binary payload hashing cannot run SQL-side): raw float64 fold values
 # pinned as literals, rounded in SQL exactly like the Spark query
-# media_id % 3 == 0 rows are IMAGES with real binary-PPM payloads — their
-# values pin the REAL pure-Python decode (PPM parse → pixel features); the
-# audio/video rows pin the deterministic fake path the codec formats use
+# media_id % 3 == 0 rows are IMAGES with real payloads cycling P6/P3/BMP/
+# PNG — their values pin the REAL pure-Python decode (incl. the stdlib
+# zlib PNG codec) → pixel features; the audio/video rows pin the
+# deterministic fake path the remaining codec formats use
 _MEDIA_GOLDEN = [
-    (0, 0.8511317260563374), (1, 5.958928857930005), (2, 3.5605987212620676),
-    (3, 1.5080810537276648), (4, 3.5932093463488854), (5, 4.93826631270349),
-    (6, 1.3697931636824805), (7, 4.326369360554963), (8, 5.419833725318313),
-    (9, 1.3314799530238304), (10, 4.544853539671749), (11, 4.059619545470923),
-    (12, 1.2135643862420693), (13, 3.6131116319447756),
-    (14, 5.6610653307288885), (15, 1.8168335375935385),
-    (16, 6.476669269613922), (17, 5.347369118127972),
-    (18, 1.6392733334650984), (19, 3.5999670890159905),
-    (20, 6.224831267260015), (21, 1.6237193297492922),
-    (22, 6.339073130324948), (23, 4.670693334192038),
-    (24, 1.6322837872430682), (25, 3.7522715642116964),
-    (26, 6.185100733302534), (27, 1.6239200280033401),
-    (28, 5.103378802770749), (29, 6.669678943231702),
+    (0, 0.8511317247764097), (1, 5.958928820797362), (2, 3.560598603107015),
+    (3, 1.5080810403804197), (4, 3.593209316154416), (5, 4.938266302744926),
+    (6, 1.3697931506229153), (7, 4.326369316691502), (8, 5.419833836563835),
+    (9, 1.3314799251236942), (10, 4.544853519508554), (11, 4.059619477639822),
+    (12, 1.2135643517845427), (13, 3.6131116676321042), (14, 5.66106535306189),
+    (15, 1.8168335361078696), (16, 6.4766692881850165),
+    (17, 5.347369176655479), (18, 1.639273311457813), (19, 3.599967199352068),
+    (20, 6.224831162506431), (21, 1.6237192970227772), (22, 6.339073127554678),
+    (23, 4.67069338540164), (24, 1.6322837258783054), (25, 3.752271535543775),
+    (26, 6.185100697142464), (27, 1.6239200315096498), (28, 5.103378718535496),
+    (29, 6.669678880227912),
 ]
 
 
 # md5 of the 32×32 resize output per media row: image rows pin the REAL
-# decode → nearest-neighbor resample → P6 re-encode chain; audio/video rows
-# pin the deterministic fake blob path
+# decode → nearest-neighbor resample → format-preserving re-encode chain
+# (P6→P6, P3→P3, BMP→BMP, PNG→PNG); audio/video rows pin the
+# deterministic fake blob path
 _MEDIA_RESIZE_GOLDEN = [
-    (0, '09b8e06c66a1a910a07077e451025931'), (1, 'ff09b047c7b95908bca98b3347f27ca3'),
-    (2, 'e33f1160ffba16d8f5a0726c12354c0c'), (3, 'ba607e4f74a54b297cd48f7d6ee3b7c8'),
-    (4, '6e324b91feed190e83477cfde8b946a8'), (5, '0504e462b0901b75326b4e395e3e883d'),
-    (6, '7b67b8bc598e892808048d6ef650fb36'), (7, '4ccf84530ee963311d170a1a475df04d'),
-    (8, '0ab38469732b5dcc087b395823bf19a4'), (9, '3031780006aee9c9231624456fd57bbf'),
-    (10, '1bfaaab9030dd79ce0858e21a4a154ea'), (11, 'ae17632c751bf4137ce807d5a14dc0f2'),
-    (12, '2f9d98268bd183c6a9e8bbb79207cc4a'), (13, 'c77b3ed54d3da669be0fc0aa935e28c9'),
-    (14, '377b053adb6b39cb423b93e773d7d604'), (15, '474dcde342cdfc8451b32901ae0d642f'),
-    (16, 'cfcea9fbff9c75c0f0bba3f6f0dcd5e0'), (17, '45a2de87c3a090a0c20199c54220fda4'),
-    (18, '73cbf83b059fb76bf855be2a367c2616'), (19, 'affa5e416086e9548cd40d82d4bd5cdb'),
-    (20, 'd54db9a70eef3dd16912b32e5d6aaee3'), (21, '7caec505fbbb668bcc1c9c6414472d5e'),
-    (22, '33af596a135d6cc9724f7a868295c9d1'), (23, '37570f4aea143eb5681067ec524399f2'),
-    (24, '186991c777d871509ca69bc1190feb74'), (25, '90f93760f78bda2e68f4aea681904022'),
-    (26, '5c9e1e0da1e0bb8d343b3b778fd1e329'), (27, '8ec2027d068b10e58003760c694476da'),
-    (28, 'b8362246205636ce2a02914ffbc0c8cd'), (29, 'af49d5b84ffeafb4a112e8b205739a5e'),
+    (0, '09b8e06c66a1a910a07077e451025931'),
+    (1, 'ff09b047c7b95908bca98b3347f27ca3'),
+    (2, 'e33f1160ffba16d8f5a0726c12354c0c'),
+    (3, 'e6fe61ceffe946ee6341fe260f66a4ea'),
+    (4, '6e324b91feed190e83477cfde8b946a8'),
+    (5, '0504e462b0901b75326b4e395e3e883d'),
+    (6, '572e597c1eddbb327af2cd4cccafbf4b'),
+    (7, '4ccf84530ee963311d170a1a475df04d'),
+    (8, '0ab38469732b5dcc087b395823bf19a4'),
+    (9, '5f5434275ea11138ae2680dfc62d517d'),
+    (10, '1bfaaab9030dd79ce0858e21a4a154ea'),
+    (11, 'ae17632c751bf4137ce807d5a14dc0f2'),
+    (12, '2f9d98268bd183c6a9e8bbb79207cc4a'),
+    (13, 'c77b3ed54d3da669be0fc0aa935e28c9'),
+    (14, '377b053adb6b39cb423b93e773d7d604'),
+    (15, '40e05b66c222a9b41cfada3db17fac4e'),
+    (16, 'cfcea9fbff9c75c0f0bba3f6f0dcd5e0'),
+    (17, '45a2de87c3a090a0c20199c54220fda4'),
+    (18, '8bdc8a9c78661e26fdb478cbee356496'),
+    (19, 'affa5e416086e9548cd40d82d4bd5cdb'),
+    (20, 'd54db9a70eef3dd16912b32e5d6aaee3'),
+    (21, '59d19c627daf907ef24c81e2e64745a2'),
+    (22, '33af596a135d6cc9724f7a868295c9d1'),
+    (23, '37570f4aea143eb5681067ec524399f2'),
+    (24, '186991c777d871509ca69bc1190feb74'),
+    (25, '90f93760f78bda2e68f4aea681904022'),
+    (26, '5c9e1e0da1e0bb8d343b3b778fd1e329'),
+    (27, '20a339f5892c789f5b8c3fcab10ba5e5'),
+    (28, 'b8362246205636ce2a02914ffbc0c8cd'),
+    (29, 'af49d5b84ffeafb4a112e8b205739a5e'),
 ]
 
 

@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL for the uncompressed formats a pure-Python decoder can
-handle — PPM (P6 binary / P3 ascii) and 24-bit uncompressed BMP — including
-decode → feature-extract and decode → nearest-neighbor resize → re-encode.
-Codec formats (PNG/JPEG/audio/video) have no library in this container, so
-their decode stays stubbed behind ``SPIKEX_SPARK_FAKE_DECODE``
-(deterministic fake) or raises ``NotImplementedError``; the Spark-side
-plumbing (schemas, Arrow batch shapes, partitioning, UDF signatures) is the
-same either way — a production deployment drops Pillow/ffmpeg into
-``decode_image``'s fallthrough.
+Image decode is REAL for every format a pure-Python (stdlib + numpy)
+decoder can handle — PPM (P6 binary / P3 ascii), 24-bit uncompressed BMP,
+and full PNG (zlib inflate, all five scanline filters, color types
+0/2/3/4/6, bit depths 1-16, Adam7 interlace, CRC-verified) — including
+decode → feature-extract and decode → nearest-neighbor resize →
+format-preserving re-encode. Remaining codec formats (JPEG/audio/video)
+have no library in this container, so their decode stays stubbed behind
+``SPIKEX_SPARK_FAKE_DECODE`` (deterministic fake) or raises
+``NotImplementedError``; the Spark-side plumbing (schemas, Arrow batch
+shapes, partitioning, UDF signatures) is the same either way — a
+production deployment drops Pillow/ffmpeg into ``decode_image``'s
+fallthrough.
 
 Design for 100 TB: media bytes stay in their own column so column pruning
 skips them unless a stage touches them; decode is ``mapInPandas`` (Arrow
@@ -74,13 +77,15 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_image(payload: bytes) -> "np.ndarray | None":
-    """Decode PPM P6/P3 or 24-bit BMP bytes to an H×W×3 uint8 array.
+    """Decode PPM P6/P3, 24-bit BMP, or PNG bytes to an H×W×3 uint8 array.
 
     Returns None for formats this pure-Python decoder does not handle
-    (PNG/JPEG/...); raises ValueError on corrupt data of a known format.
+    (JPEG/...); raises ValueError on corrupt data of a known format.
     """
     if payload is None or len(payload) < 2:
         return None
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png(payload)
     magic = bytes(payload[:2])
     if magic == b"P6":
         w, h, maxval, off = _ppm_header(payload)
@@ -128,6 +133,235 @@ def encode_ppm(img: "np.ndarray") -> bytes:
     h, w = img.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
         img, dtype=np.uint8).tobytes()
+
+
+def encode_p3(img: "np.ndarray") -> bytes:
+    """Encode an H×W×3 uint8 array as ascii PPM (P3), one pixel per line."""
+    h, w = img.shape[:2]
+    flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(-1, 3)
+    body = "\n".join(f"{r} {g} {b}" for r, g, b in flat)
+    return (f"P3\n{w} {h}\n255\n{body}\n").encode("ascii")
+
+
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """Encode an H×W×3 uint8 array as 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows padded to 4 bytes, BGR byte order — the exact shape
+    ``decode_image`` parses back)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = np.ascontiguousarray(
+        img[::-1, :, ::-1], dtype=np.uint8).reshape(h, w * 3)  # flip+BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+# --- PNG: real stdlib-only codec (zlib inflate + per-spec unfiltering) ------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 pass grid: (x-offset, y-offset, x-step, y-step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, channels: int,
+                  depth: int) -> tuple["np.ndarray", int]:
+    """Reverse PNG scanline filtering for one (sub-)image of w×h pixels.
+
+    ``raw`` is the inflated IDAT stream; consumes ``h`` scanlines starting
+    at byte ``pos`` (each: 1 filter-type byte + stride payload bytes) and
+    returns (h×stride uint8 array of reconstructed bytes, new position).
+    Filters None/Sub/Up vectorize (Sub is a per-residue-class cumsum);
+    Average/Paeth are inherently sequential in x and loop per byte.
+    """
+    bpp = max(1, (channels * depth) // 8)
+    stride = (w * channels * depth + 7) // 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    need = h * (stride + 1)
+    if len(raw) - pos < need:
+        raise ValueError("truncated PNG pixel data")
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp]
+            # per-residue-class prefix sum — the recurrence chains only
+            # within each byte lane of a pixel
+            for r in range(bpp):
+                row[r::bpp] = np.cumsum(
+                    row[r::bpp].astype(np.uint64)) & 0xFF
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    return out, pos
+
+
+def _png_rows_to_samples(rows: "np.ndarray", w: int, channels: int,
+                         depth: int) -> "np.ndarray":
+    """h×stride reconstructed bytes → h×w×channels uint8 samples (16-bit
+    samples take their high byte; sub-byte depths unpack MSB-first and
+    scale to 0..255)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        u16 = rows.reshape(h, -1)[:, : w * channels * 2]
+        hi = u16.reshape(h, w * channels, 2)[..., 0]  # big-endian high byte
+        return hi.reshape(h, w, channels)
+    # 1/2/4-bit (grayscale or palette, channels == 1 per spec)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, 1)
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode a PNG to an H×W×3 uint8 RGB array — pure stdlib (zlib) + numpy.
+
+    Handles all five scanline filters, color types 0/2/3/4/6, bit depths
+    1/2/4/8/16 (16-bit takes the high byte; alpha is dropped; palette
+    indices look up PLTE), and Adam7 interlacing. Chunk CRCs are verified.
+    Raises ValueError on corrupt data.
+    """
+    import zlib
+    if not bytes(payload[:8]) == _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, n = 8, len(payload)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack_from(">I", payload, pos), \
+            bytes(payload[pos + 4: pos + 8])
+        data = bytes(payload[pos + 8: pos + 8 + length])
+        if len(data) != length or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        crc, = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+
+    def finish(samples: "np.ndarray") -> "np.ndarray":
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            idx = samples[..., 0]
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[idx]
+        if color in (0, 4):  # grayscale (+alpha): scale sub-byte, drop alpha
+            g = samples[..., 0]
+            if depth < 8:
+                g = (g.astype(np.uint32) * 255 // ((1 << depth) - 1)
+                     ).astype(np.uint8)
+            return np.repeat(g[..., None], 3, axis=2)
+        return samples[..., :3]  # RGB / RGBA (alpha dropped)
+
+    if interlace == 0:
+        rows, pos2 = _png_unfilter(raw, 0, w, h, channels, depth)
+        return np.ascontiguousarray(
+            finish(_png_rows_to_samples(rows, w, channels, depth)))
+    if interlace != 1:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    p = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        rows, p = _png_unfilter(raw, p, pw, ph, channels, depth)
+        sub = finish(_png_rows_to_samples(rows, pw, channels, depth))
+        out[y0::dy, x0::dx] = sub
+    return out
+
+
+def encode_png(img: "np.ndarray", level: int = 6) -> bytes:
+    """Encode an H×W×3 uint8 array as an 8-bit RGB PNG (filter 0 rows,
+    single IDAT) — pure stdlib."""
+    import zlib
+    h, w = img.shape[:2]
+    body = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * 3)
+    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 1:] = body  # filter byte 0 per row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), level)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+# format-preserving re-encode dispatch for decodable formats
+_ENCODERS = {}
+
+
+def detect_image_format(payload: bytes) -> "str | None":
+    """Sniff the on-disk image format from magic bytes: 'p6' | 'p3' | 'bmp'
+    | 'png' | 'jpeg' | None (unknown / not an image)."""
+    if payload is None or len(payload) < 2:
+        return None
+    head = bytes(payload[:8])
+    if head.startswith(b"P6"):
+        return "p6"
+    if head.startswith(b"P3"):
+        return "p3"
+    if head.startswith(b"BM"):
+        return "bmp"
+    if head == _PNG_SIG:
+        return "png"
+    if head.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    return None
+
+
+_ENCODERS.update({"p6": encode_ppm, "p3": encode_p3, "bmp": encode_bmp,
+                  "png": encode_png})
 
 
 def _resize_nearest(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
@@ -226,8 +460,9 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload",
                   id_col: str = "media_id") -> DataFrame:
-    """(media_id, resized binary, width, height). PPM/BMP payloads resize
-    for REAL (decode → nearest-neighbor resample → re-encode as P6); other
+    """(media_id, resized binary, width, height). PPM/BMP/PNG payloads
+    resize for REAL (decode → nearest-neighbor resample → re-encode in the
+    INPUT's format, so a BMP round-trips as BMP and a PNG as PNG); other
     formats keep the deterministic fake blob (or raise without the flag).
     Image decode is gated on kind='image' when the column is present (see
     decode_features on magic-byte collisions in opaque blobs)."""
@@ -250,7 +485,8 @@ def resize_images(df: DataFrame, width: int, height: int,
                     raise
                 img = None
             if img is not None:
-                return encode_ppm(_resize_nearest(img, width, height))
+                enc = _ENCODERS[detect_image_format(payload)]
+                return enc(_resize_nearest(img, width, height))
         if fake:
             return hashlib.md5(
                 (payload or b"") + f":{width}x{height}".encode()).digest()
@@ -310,10 +546,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
     """Deterministic synthetic media table rows (MEDIA_SCHEMA shape).
 
-    Image rows carry REAL binary-PPM payloads (deterministic gradient
-    patterns sized per the row metadata) so decode/resize run end-to-end
-    without any codec library; audio/video rows stay opaque blobs for the
-    stub/fake path."""
+    Image rows carry REAL payloads (deterministic gradient patterns sized
+    per the row metadata), cycling through every encoder this module can
+    decode back — P6, P3, BMP, PNG — so decode/resize exercise all four
+    codecs end-to-end without any external library; audio/video rows stay
+    opaque blobs for the stub/fake path."""
     import random
     rng = random.Random(seed)
     kinds = ["image", "audio", "video"]
@@ -328,8 +565,11 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
                 [(x * 3 + i) % 256, (y * 5 + 2 * i) % 256, (x + y + 7 * i) % 256],
                 axis=-1,
             ).astype(np.uint8)
-            payload = encode_ppm(img)
-            mime = "image/x-portable-pixmap"
+            fmt = ("p6", "p3", "bmp", "png")[(i // 3) % 4]
+            payload = _ENCODERS[fmt](img)
+            mime = {"p6": "image/x-portable-pixmap",
+                    "p3": "image/x-portable-pixmap",
+                    "bmp": "image/bmp", "png": "image/png"}[fmt]
         else:
             payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * 4
             mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]

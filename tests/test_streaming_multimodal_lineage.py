@@ -165,8 +165,161 @@ def test_ppm_bmp_codecs_roundtrip():
            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
                          2835, 2835, 0, 0) + pix)
     assert np.array_equal(decode_image(bmp), img)
-    # unknown formats -> None (the stub/fake fallthrough)
-    assert decode_image(b"\x89PNG\r\n\x1a\n....") is None
+    # unknown formats -> None (the stub/fake fallthrough); JPEG has no
+    # pure-Python decoder here
+    assert decode_image(b"\xff\xd8\xff\xe0....") is None
+
+
+def test_png_codec_against_hand_built_spec_images():
+    """Validate the stdlib PNG decoder against PNGs built BY HAND per spec
+    (forward-filtered with independently-written filter code), covering all
+    five scanline filters, color types 0/2/3/6, bit depths 1/4/8/16, Adam7
+    interlace, and CRC verification — independent of encode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from spikex_spark.multimodal import (
+        decode_image,
+        decode_png,
+        detect_image_format,
+        encode_bmp,
+        encode_p3,
+        encode_png,
+    )
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def png(w, h, depth, color, scanlines, plte=None, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (23, 17, 3), dtype=np.uint8)
+
+    # encode_png round-trip + sniffing
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert detect_image_format(encode_png(img)) == "png"
+
+    # hand-applied forward filters (spec formulas, written independently of
+    # the decoder's unfilter loop)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    def forward(img, ftypes):
+        h, w, _ = img.shape
+        body = img.reshape(h, w * 3).astype(np.int32)
+        out, prev = bytearray(), np.zeros(w * 3, dtype=np.int32)
+        for y in range(h):
+            f = ftypes[y % len(ftypes)]
+            row = body[y]
+            enc = np.zeros(w * 3, dtype=np.int32)
+            for i in range(w * 3):
+                a = row[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                        4: paeth(a, b, c)}[f]
+                enc[i] = (row[i] - pred) & 0xFF
+            out.append(f)
+            out += bytes(enc.astype(np.uint8))
+            prev = row
+        return bytes(out)
+
+    for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(png(17, 23, 8, 2, forward(img, ftypes)))
+        assert np.array_equal(got, img), f"filter set {ftypes}"
+
+    # RGBA: alpha dropped
+    rgba = np.dstack([img, rng.randint(0, 256, (23, 17), dtype=np.uint8)])
+    scan = b"".join(b"\x00" + rgba[y].tobytes() for y in range(23))
+    assert np.array_equal(decode_png(png(17, 23, 8, 6, scan)), img)
+
+    # grayscale 1-bit -> replicated 0/255 channels
+    gb = rng.randint(0, 2, (5, 10)).astype(np.uint8)
+    packed = np.packbits(gb, axis=1)
+    scan = b"".join(b"\x00" + packed[y].tobytes() for y in range(5))
+    got = decode_png(png(10, 5, 1, 0, scan))
+    assert np.array_equal(got, np.repeat((gb * 255)[..., None], 3, axis=2))
+
+    # palette 4-bit
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (7, 9), dtype=np.uint8)
+    hi = idx[:, ::2] << 4
+    lo = np.zeros_like(hi)
+    lo[:, : idx[:, 1::2].shape[1]] = idx[:, 1::2]
+    scan = b"".join(b"\x00" + (hi | lo).astype(np.uint8)[y].tobytes()
+                    for y in range(7))
+    assert np.array_equal(decode_png(png(9, 7, 4, 3, scan, plte=pal)),
+                          pal[idx])
+
+    # 16-bit RGB: high byte
+    img16 = rng.randint(0, 65536, (6, 4, 3)).astype(">u2")
+    scan = b"".join(b"\x00" + img16[y].tobytes() for y in range(6))
+    assert np.array_equal(decode_png(png(4, 6, 16, 2, scan)),
+                          (img16 >> 8).astype(np.uint8))
+
+    # Adam7: per-pass sub-images scattered on the 8x8 grid
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    big = rng.randint(0, 256, (13, 19, 3), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in adam7:
+        sub = big[y0::dy, x0::dx]
+        if sub.size:
+            parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+    got = decode_png(png(19, 13, 8, 2, b"".join(parts), interlace=1))
+    assert np.array_equal(got, big)
+
+    # corrupt chunk CRC must raise, not return garbage
+    bad = bytearray(encode_png(img))
+    bad[-5] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    # BMP / P3 encoders round-trip through the generic decoder
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert np.array_equal(decode_image(encode_p3(img)), img)
+
+
+def test_resize_preserves_input_format(spark):
+    """resize_images must re-encode each image in ITS OWN input format —
+    a BMP round-trips as BMP, a PNG as PNG (gap flagged in round-3 review:
+    P6-only re-encode changed the format of every non-P6 input)."""
+    import numpy as np
+
+    from spikex_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _resize_nearest,
+        decode_image,
+        detect_image_format,
+        gen_media,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(gen_media(30), schema=MEDIA_SCHEMA)
+    rows = media.where("kind = 'image'").collect()
+    in_fmt = {r["media_id"]: detect_image_format(bytes(r["payload"]))
+              for r in rows}
+    assert set(in_fmt.values()) == {"p6", "p3", "bmp", "png"}  # all cycled
+    originals = {r["media_id"]: bytes(r["payload"]) for r in rows}
+    for r in resize_images(media.where("kind = 'image'"), 16, 16).collect():
+        out = bytes(r["resized"])
+        assert detect_image_format(out) == in_fmt[r["media_id"]]
+        expect = _resize_nearest(decode_image(originals[r["media_id"]]),
+                                 16, 16)
+        assert np.array_equal(decode_image(out), expect)
 
 
 # --- lineage ledger ----------------------------------------------------------
