@@ -532,6 +532,172 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 """
 
 
+def _sql_kmeanspar_cands_ctes(nlist: int = 8, oversample: int | None = None,
+                              rounds: int = 2) -> str:
+    """CTE chain ending in ``cands(ci, weight, e)`` — DuckDB mirror of
+    simsearch._kmeans_parallel_select: unit-normalize (zero-norm rows out),
+    seed with the lowest vec_id, then ``rounds`` farthest-point rounds (per
+    vector: max candidate cosine ROUNDED TO 7 — the same rounding the Spark
+    matmul applies — ascending, vec_id tiebreak, take ``oversample``),
+    then one attraction pass (argmax rounded cosine, ties to the lowest
+    candidate index) for the weights."""
+    m = oversample or 2 * nlist
+    parts = ["""
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e0
+  FROM embeddings
+),
+vn AS (SELECT vec_id, e0, sqrt(list_dot_product(e0, e0)) AS n FROM v0),
+v AS (
+  SELECT vec_id, list_transform(e0, x -> x / n) AS e FROM vn WHERE n > 0
+),
+c0 AS (
+  SELECT 0 AS ci, e FROM v QUALIFY row_number() OVER (ORDER BY vec_id) = 1
+)"""]
+    prev, base = "c0", 0
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+s{r} AS (
+  SELECT v.vec_id, max(round(list_dot_product(v.e, c.e), 7)) AS s
+  FROM v CROSS JOIN {prev} c GROUP BY v.vec_id
+),
+r{r} AS (
+  SELECT v.e, row_number() OVER (ORDER BY s.s ASC, s.vec_id ASC) AS rn
+  FROM s{r} s JOIN v USING (vec_id)
+  QUALIFY rn <= {m}
+),
+c{r} AS (
+  SELECT * FROM {prev}
+  UNION ALL SELECT ({base} + rn)::int AS ci, e FROM r{r}
+)""")
+        prev, base = f"c{r}", base + m
+    parts.append(f"""
+att AS (
+  SELECT v.vec_id, c.ci, round(list_dot_product(v.e, c.e), 7) AS s
+  FROM v CROSS JOIN {prev} c
+),
+attw AS (
+  SELECT ci, count(*) AS weight FROM (
+    SELECT vec_id, ci FROM att
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY s DESC, ci ASC) = 1
+  ) GROUP BY ci
+),
+cands AS (
+  SELECT c.ci, coalesce(w.weight, 0)::bigint AS weight, c.e
+  FROM {prev} c LEFT JOIN attw w USING (ci)
+)""")
+    return ",".join(parts)
+
+
+def _sql_kmeanspar_candidates(nlist: int = 8, oversample: int | None = None,
+                              rounds: int = 2, round_digits: int = 6) -> str:
+    """Mirror of simsearch.kmeans_parallel_candidates: the k-means‖
+    distributed phase's full output — candidate index in selection order,
+    attraction weight, rounded unit-vector components."""
+    return f"""
+WITH {_sql_kmeanspar_cands_ctes(nlist, oversample, rounds)},
+cx AS (SELECT ci, weight, e, unnest(range(1, len(e) + 1)) AS i FROM cands)
+SELECT ci::int AS ci, weight, (i - 1)::int AS pos,
+       round(e[i], {round_digits}) AS val
+FROM cx
+"""
+
+
+def _sql_ann_ivf_kmeanspar(nlist: int = 8, oversample: int | None = None,
+                           rounds: int = 2, lloyd_iters: int = 5,
+                           nprobe: int = 2, k: int = 5) -> str:
+    """Mirror of ivf_cosine_topk over kmeans_parallel_units centroids: the
+    SQL recomputes the ENTIRE k-means‖ init — farthest-point candidate
+    rounds + attraction weights (shared CTEs above) + ``lloyd_iters``
+    unrolled weighted-Lloyd iterations — then probes/re-ranks exactly like
+    _sql_ann_ivf. Every Lloyd quantity is rounded to 7 digits at the same
+    points the Python spec rounds (candidate entry, assignment scores,
+    weighted means, unit components), which is what makes numpy-pairwise
+    and SQL-sequential float summations land on identical doubles."""
+    parts = [f"""
+WITH {_sql_kmeanspar_cands_ctes(nlist, oversample, rounds)},
+cr AS (
+  SELECT ci, weight, list_transform(e, x -> round(x, 7)) AS e FROM cands
+),
+crv AS (SELECT ci, weight, e, unnest(range(1, len(e) + 1)) AS i FROM cr),
+w{nlist} AS (SELECT ci FROM cr ORDER BY weight DESC, ci ASC LIMIT {nlist}),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY c.ci) - 1 AS j, c.e AS u
+  FROM w{nlist} JOIN cr c USING (ci)
+)"""]
+    for t in range(1, lloyd_iters + 1):
+        parts.append(f"""
+a{t} AS (
+  SELECT c.ci, c.weight, ct.j, round(list_dot_product(c.e, ct.u), 7) AS s
+  FROM cr c CROSS JOIN cent{t - 1} ct
+),
+b{t} AS (
+  SELECT ci, weight, j FROM a{t}
+  QUALIFY row_number() OVER (PARTITION BY ci ORDER BY s DESC, j ASC) = 1
+),
+m{t} AS (
+  SELECT b.j, cv.i, round(sum(b.weight * cv.e[cv.i]) / sum(b.weight), 7) AS m
+  FROM b{t} b JOIN crv cv USING (ci)
+  GROUP BY b.j, cv.i
+  HAVING sum(b.weight) > 0
+),
+n{t} AS (
+  SELECT j, array_agg(m ORDER BY i) AS c,
+         sqrt(list_dot_product(array_agg(m ORDER BY i),
+                               array_agg(m ORDER BY i))) AS n
+  FROM m{t} GROUP BY j
+),
+cent{t} AS (
+  SELECT p.j,
+         CASE WHEN n.j IS NULL OR n.n = 0 THEN p.u
+              ELSE list_transform(n.c, x -> round(x / n.n, 7)) END AS u
+  FROM cent{t - 1} p LEFT JOIN n{t} n USING (j)
+)""")
+    # IVF tail over the trained units — same shape as _sql_ann_ivf but on
+    # cent{T}; assignment ties break sid DESC (the struct-sort mirror)
+    parts.append(f"""
+su AS (SELECT j AS sid, u FROM cent{lloyd_iters}),
+iv_scores AS (
+  SELECT v0.vec_id, su.sid, list_dot_product(v0.e0, su.u) AS s
+  FROM v0 CROSS JOIN su
+),
+iv_assign AS (
+  SELECT vec_id AS neighbor_id, sid AS list_id FROM iv_scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) = 1
+),
+iv_probes AS (
+  SELECT vec_id AS query_id, sid AS list_id FROM iv_scores
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) <= {nprobe}
+),
+iv_cands AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM iv_probes p JOIN iv_assign a USING (list_id)
+  WHERE a.neighbor_id <> p.query_id
+),
+iv_scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(
+      list_dot_product(qv.e0, cv.e0)
+      / (sqrt(list_dot_product(qv.e0, qv.e0))
+         * sqrt(list_dot_product(cv.e0, cv.e0))),
+      4) AS cos
+  FROM iv_cands cd
+  JOIN v0 qv ON qv.vec_id = cd.query_id
+  JOIN v0 cv ON cv.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM iv_scored
+) WHERE rank <= {k}
+""")
+    return ",".join(parts[:-1]) + "," + parts[-1]
+
+
 _SQL_DEDUP_EXACT = """
 WITH h AS (SELECT doc_id AS id, md5(text) AS text_hash FROM documents),
 canon AS (SELECT text_hash, min(id) AS canonical_id FROM h GROUP BY text_hash)
@@ -1528,6 +1694,30 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=5, nlist=8, nprobe=2, centroids=cents)
 
 
+def _q_kmeanspar_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means‖ init, distributed phase: farthest-point candidate rounds +
+    attraction weights. The oracle (_sql_kmeanspar_candidates) recomputes
+    the rounds end-to-end in SQL with the same rounded-score selection."""
+    from spikex_spark.operators.simsearch import kmeans_parallel_candidates
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_parallel_candidates(emb, nlist=8, rounds=2)
+
+
+def _q_ann_ivf_kmeanspar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over k-means‖-initialized centroids (farthest-point
+    rounds + weighted driver Lloyd, all rounding-pinned). The oracle
+    recomputes candidates, weights, the unrolled weighted Lloyd, and the
+    probe/re-rank entirely in SQL (_sql_ann_ivf_kmeanspar)."""
+    from spikex_spark.operators.simsearch import (
+        ivf_cosine_topk,
+        kmeans_parallel_units,
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_parallel_units(emb, nlist=8, rounds=2, lloyd_iters=5)
+    return ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 5),
+                           k=5, nlist=8, nprobe=2, centroids=cents)
+
+
 def _q_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.windows import drop_contained
     ev = _read(spark, sf_dir, "events")
@@ -2172,6 +2362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "kmeans_parallel_candidates": _q_kmeanspar_candidates,
+        "ann_ivf_kmeanspar_topk": _q_ann_ivf_kmeanspar_topk,
         "embedding_near_dups": _q_cos_near_dups,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
@@ -2256,6 +2448,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
+        "kmeans_parallel_candidates": _sql_kmeanspar_candidates(),
+        "ann_ivf_kmeanspar_topk": _sql_ann_ivf_kmeanspar(),
         "embedding_near_dups": _sql_cos_near(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,

@@ -235,30 +235,27 @@ def train_ivf_centroids(corpus: DataFrame, nlist: int = 8, iters: int = 1,
     return units
 
 
-def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
-                          oversample: int | None = None, rounds: int = 2,
-                          lloyd_iters: int = 5,
-                          id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
-    """k-means‖-style IVF initialization, fully deterministic.
+def _round_half_away(a: "np.ndarray", digits: int) -> "np.ndarray":
+    """Round half AWAY from zero (SQL ``round`` / Spark ``F.round``
+    semantics); ``np.round`` is banker's and would diverge on exact .5."""
+    p = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(a) * p + 0.5), a) / p
 
-    The first-nlist seed init degenerates when the leading ids share a
-    cluster. This is the scale-path fix, shaped like Bahmani et al.'s
-    k-means‖: a few DISTRIBUTED rounds oversample a candidate set, then a
-    cheap driver-side weighted Lloyd reduces the candidates to ``nlist``
-    centroids. Determinism: instead of probability-proportional sampling,
-    each round takes the ``oversample`` vectors FARTHEST from the current
-    candidate set (farthest-point/k-center flavor — same coverage goal, no
-    RNG, resumable). Weights = how many corpus vectors each candidate
-    attracts, from one assignment pass.
 
-    Cost: ``rounds`` corpus scans for the top-m selection + one assignment
-    scan for weights; only O(rounds·oversample·dim) floats ever reach the
-    driver. Returns (list_id, unit_vector) for ``ivf_cosine_topk``; refine
-    further with ``train_ivf_centroids`` if desired.
+def _kmeans_parallel_select(corpus: DataFrame, oversample: int, rounds: int,
+                            id_col: str, vec_col: str,
+                            ) -> tuple[list[list[float]], "np.ndarray"]:
+    """The DISTRIBUTED phase of k-means‖ init: farthest-point candidate
+    rounds + one attraction-weighting pass. Returns (candidate unit
+    vectors in selection order, per-candidate weight array).
+
+    All cosine scores are rounded to 7 digits BEFORE the min/argmax
+    selections: the matmul's SIMD/pairwise summation and a sequential-fold
+    dot product can differ in the last ulps, and the selection (order-by /
+    argmax with id tiebreaks) must land on identical rows in any engine
+    recomputing it — this is what makes ``kmeans_parallel_candidates``
+    oracle-mirrorable in ANSI SQL while staying deterministic here.
     """
-    oversample = oversample or 2 * nlist
-
     def _best_vs(cands_mat: "np.ndarray", what: str):
         """pandas_udf: per-vector max cosine (or argmax index) against the
         candidate matrix — ONE numpy matmul per Arrow batch. Inline
@@ -270,7 +267,7 @@ def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
         @pandas_udf(T.DoubleType() if what == "max" else T.IntegerType())
         def udf(vecs: pd.Series) -> pd.Series:
             m = np.vstack(vecs.to_numpy()).astype(np.float64)
-            sim = m @ Ct
+            sim = np.round(m @ Ct, 7)
             if what == "max":
                 return pd.Series(sim.max(axis=1))
             return pd.Series(sim.argmax(axis=1).astype(np.int32))
@@ -301,7 +298,7 @@ def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
             .collect()
         )
         cands.extend(list(r["e"]) for r in far)
-    # weight candidates by attraction, then weighted Lloyd on the driver
+    # weight candidates by attraction (argmax ties -> lowest index)
     w_rows = (
         v.select(_best_vs(np.array(cands), "argmax")(F.col("e")).alias("ci"))
         .groupBy("ci").count().collect()
@@ -309,21 +306,91 @@ def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
     weights = np.zeros(len(cands))
     for r in w_rows:
         weights[r["ci"]] = r["count"]
-    C = np.array(cands)
+    return cands, weights
+
+
+def kmeans_parallel_candidates(corpus: DataFrame, nlist: int = 8,
+                               oversample: int | None = None,
+                               rounds: int = 2,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               round_digits: int = 6) -> DataFrame:
+    """Contract-query face of the k-means‖ distributed phase: DataFrame of
+    (ci, weight, pos, val) — candidate index in selection order, its
+    attraction weight, and the rounded components of its unit vector.
+
+    This is everything the CLUSTER computes for k-means‖ init; only the
+    O(candidates) driver-side weighted Lloyd (``kmeans_parallel_units``)
+    sits on top. The farthest-point rounds and the weighting pass are
+    recomputed end-to-end by an unrolled ANSI-SQL oracle (same rounded-
+    score selection, same id/index tiebreaks)."""
+    spark = corpus.sparkSession
+    cands, weights = _kmeans_parallel_select(
+        corpus, oversample or 2 * nlist, rounds, id_col, vec_col)
+    rows = [
+        (ci, int(weights[ci]), pos, float(val))
+        for ci, vec in enumerate(cands)
+        for pos, val in enumerate(vec)
+    ]
+    df = spark.createDataFrame(
+        rows, "ci int, weight bigint, pos int, val double")
+    # JVM-side F.round (HALF_UP) == DuckDB round(); Python round() is
+    # banker's and would diverge on exact .5 boundaries
+    return df.select("ci", "weight", "pos",
+                     F.round("val", round_digits).alias("val"))
+
+
+def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
+                          oversample: int | None = None, rounds: int = 2,
+                          lloyd_iters: int = 5,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """k-means‖-style IVF initialization, fully deterministic.
+
+    The first-nlist seed init degenerates when the leading ids share a
+    cluster. This is the scale-path fix, shaped like Bahmani et al.'s
+    k-means‖: a few DISTRIBUTED rounds oversample a candidate set, then a
+    cheap driver-side weighted Lloyd reduces the candidates to ``nlist``
+    centroids. Determinism: instead of probability-proportional sampling,
+    each round takes the ``oversample`` vectors FARTHEST from the current
+    candidate set (farthest-point/k-center flavor — same coverage goal, no
+    RNG, resumable). Weights = how many corpus vectors each candidate
+    attracts, from one assignment pass.
+
+    Cost: ``rounds`` corpus scans for the top-m selection + one assignment
+    scan for weights; only O(rounds·oversample·dim) floats ever reach the
+    driver. Returns (list_id, unit_vector) for ``ivf_cosine_topk``; refine
+    further with ``train_ivf_centroids`` if desired.
+
+    The weighted Lloyd is specified with explicit rounding points (candidate
+    entry, assignment scores, weighted means, unit components — all to 7
+    digits, half away from zero like SQL ``round``) so an ANSI-SQL oracle
+    recomputing it group-by-group lands on bit-identical centroids despite
+    float summation-order differences (numpy pairwise vs SQL sequential).
+    """
+    cands, weights = _kmeans_parallel_select(
+        corpus, oversample or 2 * nlist, rounds, id_col, vec_col)
+    C = _round_half_away(np.array(cands), 7)
     # deterministic Lloyd on the weighted candidate set: init = the nlist
-    # heaviest candidates (ties by index)
+    # heaviest candidates (ties by index), kept in index order
     order = np.lexsort((np.arange(len(cands)), -weights))
-    cents = C[np.sort(order[:nlist])]
+    cents = C[np.sort(order[:nlist])].copy()
     for _ in range(lloyd_iters):
-        sim = C @ cents.T
-        assign = np.argmax(sim, axis=1)
+        sim = _round_half_away(C @ cents.T, 7)
+        assign = np.argmax(sim, axis=1)          # ties -> lowest j
         for j in range(len(cents)):
             m = assign == j
-            if weights[m].sum() > 0:
-                c = (C[m] * weights[m, None]).sum(axis=0) / weights[m].sum()
-                n = np.linalg.norm(c)
+            wsum = weights[m].sum()
+            if wsum > 0:
+                c = _round_half_away(
+                    (C[m] * weights[m, None]).sum(axis=0) / wsum, 7)
+                # sequential fold for the norm (matches list_dot_product)
+                acc = 0.0
+                for x in c:
+                    acc += float(x) * float(x)
+                n = float(np.sqrt(acc))
                 if n:
-                    cents[j] = c / n
+                    cents[j] = _round_half_away(c / n, 7)
     return [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
 
 
