@@ -274,53 +274,18 @@ def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
                                 fingerprint: str | None = None) -> DataFrame:
     """The flagship pipeline split into ledgered stages: buckets → pairs →
     scores → clusters. Kill it between stages and rerun — completed stages
-    load from the ledger instead of recomputing."""
-    from .operators import blocking as B
-    from .operators import cc as CC
-    from .pipeline import ERConfig, doc_scored_pairs
+    load from the ledger instead of recomputing. Same stage graph as
+    ``pipeline.resolve_documents`` (which defaults to a THROWAWAY ledger);
+    this entry point pins the ledger to ``ledger_dir`` so a later process
+    can resume it or extend it incrementally."""
+    from .pipeline import resolve_documents
 
-    def _buckets() -> DataFrame:
-        sh = B.shingle_df(docs, "doc_id", "text", k=5)
-        sig = B.minhash_signatures(sh, num_hashes=16)
-        return B.lsh_buckets(sig, bands=4, rows_per_band=4)
+    def ledgered(name: str, build, **hints) -> DataFrame:
+        return run_stage(spark, ledger_dir, name, build,
+                         input_fingerprint=fingerprint, **hints)
 
-    # bucketed by the LSH bucket key: the pair self-join below reads both
-    # sides co-partitioned (no exchange), and resume gets the same layout
-    buckets = run_stage(spark, ledger_dir, "10_buckets", _buckets,
-                        input_fingerprint=fingerprint,
-                        bucket_by=["band", "bucket"],
-                        sort_by=["band", "bucket", "id"])
-
-    def _pairs() -> DataFrame:
-        # SAME skew guard + join as the one-shot doc_candidate_pairs (one
-        # shared definition — the ledgered/incremental equivalence proofs
-        # assume identical cap semantics): a content-keyed LSH bucket
-        # holding a boilerplate clone set is a quadratic pair bomb
-        from .pipeline import DOC_BUCKET_CAP, bucket_pair_join
-        capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
-                              id_col="id", cap=DOC_BUCKET_CAP)
-        return bucket_pair_join(capped)
-
-    pairs = run_stage(spark, ledger_dir, "20_pairs", _pairs,
-                      input_fingerprint=fingerprint)
-
-    def _scores() -> DataFrame:
-        # rescore the ledgered pair list (same scorer as the one-shot path)
-        scored = doc_scored_pairs(docs, ERConfig())
-        return scored.join(pairs, ["id_a", "id_b"], "left_semi")
-
-    scores = run_stage(spark, ledger_dir, "30_scores", _scores,
-                       input_fingerprint=fingerprint)
-
-    def _clusters() -> DataFrame:
-        edges = scores.where(F.col("score") >= threshold).select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        )
-        return CC.cluster_assignments(edges, docs.select(F.col("doc_id").alias("id"))) \
-                 .select(F.col("id").alias("doc_id"), "cluster_id")
-
-    return run_stage(spark, ledger_dir, "40_clusters", _clusters,
-                     input_fingerprint=fingerprint)
+    return resolve_documents(docs, threshold=threshold,
+                             stage_runner=ledgered)
 
 
 def resolve_documents_incremental(spark: SparkSession, docs_new: DataFrame,

@@ -28,6 +28,83 @@ from .operators import cc as CC
 from .operators import pairs as P
 from .operators import scoring as S
 
+# temp ledger dirs created by the DEFAULT (ephemeral-ledgered) stage runner;
+# removed at interpreter exit so repeated calls don't accumulate on disk
+_EPHEMERAL_LEDGERS: list[str] = []
+
+
+def _ephemeral_ledger_runner(spark, bucketed_only: bool = True):
+    """Stage runner: ledgered/bucketed execution in a throwaway dir.
+
+    The one-shot in-plan mode (all stages fused into one Catalyst plan with
+    localCheckpoint barriers) stops scaling past ~8 cores on wide shuffles:
+    every consumer of a checkpointed stage re-exchanges it. Writing the
+    multi-consumer stages hash-bucketed + sorted (``lineage.run_stage``)
+    feeds each consumer pre-partitioned, exchange-free — measured FASTER
+    end-to-end at local[32] (BENCH_SCALING `8->32 strong pipeline LEDGERED`)
+    and the scale-safe shape on a real cluster (each stage write is the
+    Iceberg stage snapshot).
+
+    ``bucketed_only``: materialize just the stages carrying a ``bucket_by``
+    hint (the multi-consumer ones, where the write buys exchange-free
+    reads) and leave single-consumer stages fused — that's the performance
+    sweet spot; a FULL per-stage ledger (resume after a mid-pipeline kill)
+    is ``lineage.resolve_*_resumable``'s job over a persistent dir.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from .lineage import run_stage
+
+    led = tempfile.mkdtemp(prefix="er_stage_ledger_")
+    if not _EPHEMERAL_LEDGERS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True)
+                     for p in _EPHEMERAL_LEDGERS])
+    _EPHEMERAL_LEDGERS.append(led)
+
+    def run(name: str, build, **hints) -> DataFrame:
+        if bucketed_only and not hints.get("bucket_by"):
+            return build()
+        return run_stage(spark, led, name, build,
+                         input_fingerprint=led, **hints)
+
+    return run
+
+
+def run_inplan(name: str, build, **hints) -> DataFrame:
+    """Stage runner for single-plan execution: no materialization between
+    stages (Catalyst sees the whole pipeline; localCheckpoint barriers
+    only). The right mode for small inputs, where a parquet round-trip per
+    stage costs more than recomputation."""
+    return build()
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's pre-execution size estimate for a plan: file bytes for a
+    parquet scan, actual cached bytes for a materialized cache — no job is
+    triggered. Unknown/unstatted plans report huge, which is the scale-safe
+    direction for the adaptive mode choice below."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _auto_runner(inp: DataFrame, min_bytes: int):
+    """Size-adaptive default execution mode (AQE-flavored, but decided from
+    leaf statistics before execution): inputs under ``min_bytes`` run as one
+    fused plan — the per-stage write + lineage jobs are pure overhead on a
+    corpus that fits in a few partitions — while big inputs get the
+    ephemeral bucketed-stage ledger, the layout that keeps scaling past ~8
+    cores and mirrors cluster (Iceberg-snapshot) execution. Deterministic
+    for a given input size."""
+    if _plan_size_bytes(inp) < min_bytes:
+        return run_inplan
+    return _ephemeral_ledger_runner(inp.sparkSession)
+
 
 @dataclass(frozen=True)
 class ERConfig:
@@ -43,6 +120,9 @@ class ERConfig:
     # clusters via star-collapsed edges (see _star_edges) instead of the
     # full per-pair edge enumeration — identical components, O(m+g²) edges
     star_collapse: bool = True
+    # inputs at least this big default to ephemeral bucketed-ledger
+    # execution (_auto_runner); smaller ones run as one fused plan
+    ledger_min_bytes: int = 256 << 20
 
 
 def _mentions(pages: DataFrame, keys: DataFrame, cfg: ERConfig,
@@ -171,9 +251,11 @@ def resolve_entities(pages: DataFrame, titles: DataFrame,
     """(url, cluster_id, block_key, surface) — entity clusters over pages.
 
     ``stage_runner(name, build)``: optional per-stage execution hook (see
-    ``lineage.resolve_entities_resumable``); default executes in one plan.
+    ``lineage.resolve_entities_resumable``); default = size-adaptive
+    (``_auto_runner``): fused single plan under ``cfg.ledger_min_bytes``,
+    ephemeral bucketed-stage ledger above it.
     """
-    run = stage_runner or (lambda name, build, **hints: build())
+    run = stage_runner or _auto_runner(pages, cfg.ledger_min_bytes)
     blocks, scored = _er_stage_results(pages, titles, cfg, id_col, text_col,
                                        run)
     all_ids = pages.select(F.col(id_col).alias("id"))
@@ -316,14 +398,54 @@ def score_doc_pairs(pairs: DataFrame, docs: DataFrame,
 
 def resolve_documents(docs: DataFrame, cfg: ERConfig = ERConfig(),
                       id_col: str = "doc_id", text_col: str = "text",
-                      threshold: float = 0.80) -> DataFrame:
-    """Flagship: (doc_id, cluster_id) near-dup clusters over documents."""
-    scored = doc_scored_pairs(docs, cfg, id_col, text_col)
-    edges = scored.where(F.col("score") >= threshold).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    assign = CC.cluster_assignments(edges, docs.select(F.col(id_col).alias("id")))
-    return assign.select(F.col("id").alias(id_col), "cluster_id")
+                      threshold: float = 0.80, stage_runner=None,
+                      shingle_k: int = 5, num_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """Flagship: (doc_id, cluster_id) near-dup clusters over documents.
+
+    Staged (buckets → pairs → scores → clusters) behind the same
+    ``stage_runner`` hook as ``resolve_entities``; default = size-adaptive
+    (``_auto_runner``): above ``cfg.ledger_min_bytes`` the LSH bucket stage
+    is written hash-bucketed on (band, bucket) so the pair self-join reads
+    both sides co-partitioned with no exchange.
+    ``lineage.resolve_documents_resumable`` is this function over a
+    persistent ledger dir.
+    """
+    run = stage_runner or _auto_runner(docs, cfg.ledger_min_bytes)
+
+    def _buckets() -> DataFrame:
+        sh = B.shingle_df(docs, id_col, text_col, k=shingle_k)
+        sig = B.minhash_signatures(sh, num_hashes=num_hashes)
+        return B.lsh_buckets(sig, bands=bands,
+                             rows_per_band=num_hashes // bands)
+
+    buckets = run("10_buckets", _buckets,
+                  bucket_by=["band", "bucket"],
+                  sort_by=["band", "bucket", "id"])
+
+    def _pairs() -> DataFrame:
+        # SAME skew guard + join as doc_candidate_pairs (one shared cap —
+        # the ledgered/incremental equivalence proofs assume identical cap
+        # semantics). The checkpoint stops the in-plan runner recomputing
+        # the bucket chain for both sides of the self-join; under the
+        # ledgered runner buckets is already a materialized read.
+        capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
+                              id_col="id", cap=DOC_BUCKET_CAP)
+        return bucket_pair_join(capped.localCheckpoint())
+
+    pairs = run("20_pairs", _pairs)
+    scores = run("30_scores",
+                 lambda: score_doc_pairs(pairs, docs, cfg, id_col, text_col))
+
+    def _clusters() -> DataFrame:
+        edges = scores.where(F.col("score") >= threshold).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        assign = CC.cluster_assignments(
+            edges, docs.select(F.col(id_col).alias("id")))
+        return assign.select(F.col("id").alias(id_col), "cluster_id")
+
+    return run("40_clusters", _clusters)
 
 
 def scored_pairs(pages: DataFrame, titles: DataFrame,

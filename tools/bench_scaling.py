@@ -69,17 +69,27 @@ if workload == "pipeline":
     # is the faithful strategy for this benchmark
     cfg = ERConfig(block_cap=500, nsalt=16, broadcast_keys_max=8_000_000)
     import os
-    if os.environ.get("SPARK_GRAFT_SCALE_LEDGER", "") == "1":
-        # ledgered mode: every stage is a bucketed parquet write + read
-        # (the resumable/cluster execution shape, incl. the exchange-free
-        # bucketed blocks stage); fresh ledger per rep so no resume hit
+    mode = os.environ.get("SPARK_GRAFT_SCALE_LEDGER", "")
+    if mode == "1":
+        # persistent-resumable shape: same stage graph as the default, but
+        # the ledger is a named dir a later process could resume from;
+        # fresh dir per rep so no resume short-circuit
         import tempfile
         from spikex_spark.lineage import resolve_entities_resumable
         def job():
             led = tempfile.mkdtemp(prefix="scale_ledger_")
             resolve_entities_resumable(spark, pages, titles, led,
                                        fingerprint=led, cfg=cfg).count()
+    elif mode == "0":
+        # legacy single-plan mode (pre-round-4 default): all stages fused,
+        # localCheckpoint barriers only — kept for A/B scaling comparison
+        from spikex_spark.pipeline import run_inplan
+        def job():
+            resolve_entities(pages, titles, cfg,
+                             stage_runner=run_inplan).count()
     else:
+        # DEFAULT = what resolve_entities now does with no runner argument:
+        # ephemeral ledgered execution (bucketed multi-consumer stages)
         def job():
             resolve_entities(pages, titles, cfg).count()
 elif workload == "scoring":
