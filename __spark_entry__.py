@@ -532,6 +532,66 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 """
 
 
+def _sql_ann_ivf_incr(nlist: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    """FULL-REBUILD mirror of the incremental IVF index query
+    (``_q_ann_ivf_topk_incremental``): centroids = the first ``nlist`` OLD
+    vectors (vec_id % 4 <> 0) unit-normalized and held FIXED (no Lloyd);
+    assignment recomputed over the WHOLE corpus in one pass. The Spark side
+    instead assigns the old corpus into a ledger, then appends only the new
+    vectors' assignments — hash-equality here is exactly the
+    union-of-assignments ≡ assignment-of-union claim."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS sid, e, sqrt(list_dot_product(e, e)) AS n
+  FROM v WHERE vec_id % 4 <> 0
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist}
+),
+su AS (
+  SELECT sid, CASE WHEN n > 0 THEN list_transform(e, x -> x / n) ELSE e END AS u
+  FROM seeds
+),
+scores AS (
+  SELECT v.vec_id, su.sid, list_dot_product(v.e, su.u) AS s
+  FROM v CROSS JOIN su
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, sid AS list_id FROM scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, sid AS list_id FROM scores
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) <= {nprobe}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(
+      list_dot_product(qv.e, cv.e)
+      / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e))),
+      4) AS cos
+  FROM cands cd
+  JOIN v qv ON qv.vec_id = cd.query_id
+  JOIN v cv ON cv.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _sql_kmeanspar_cands_ctes(nlist: int = 8, oversample: int | None = None,
                               rounds: int = 2) -> str:
     """CTE chain ending in ``cands(ci, weight, e)`` — DuckDB mirror of
@@ -1718,6 +1778,36 @@ def _q_ann_ivf_kmeanspar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=5, nlist=8, nprobe=2, centroids=cents)
 
 
+def _q_ann_ivf_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF under the gate: vectors split old/new, the old
+    corpus assigned into a persistent inverted-list ledger, then ONLY the
+    new vectors assigned (fixed centroids) and appended — and the probed
+    top-k must hash-equal the FULL-REBUILD oracle (_sql_ann_ivf_incr)."""
+    import tempfile
+
+    from spikex_spark.lineage import (
+        ivf_assign_incremental,
+        ivf_assign_resumable,
+    )
+    from spikex_spark.operators.simsearch import (
+        first_nlist_units,
+        ivf_cosine_topk,
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    units = first_nlist_units(old, 8)
+    key = ("ivf_inc", sf_dir)
+    if key not in _ER_BLOCKS_LEDGER:   # setdefault would mkdtemp every call
+        _ER_BLOCKS_LEDGER[key] = tempfile.mkdtemp(prefix="ivf_inc_ledger_")
+    led = _ER_BLOCKS_LEDGER[key]
+    ivf_assign_resumable(spark, old, units, f"{led}/old", fingerprint=sf_dir)
+    assign = ivf_assign_incremental(spark, new, units, f"{led}/old",
+                                    f"{led}/new", fingerprint=sf_dir)
+    return ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
+                           nprobe=2, centroids=units, assignments=assign)
+
+
 def _q_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.windows import drop_contained
     ev = _read(spark, sf_dir, "events")
@@ -2364,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "kmeans_parallel_candidates": _q_kmeanspar_candidates,
         "ann_ivf_kmeanspar_topk": _q_ann_ivf_kmeanspar_topk,
+        "ann_ivf_topk_incremental": _q_ann_ivf_topk_incremental,
         "embedding_near_dups": _q_cos_near_dups,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
@@ -2450,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf(),
         "kmeans_parallel_candidates": _sql_kmeanspar_candidates(),
         "ann_ivf_kmeanspar_topk": _sql_ann_ivf_kmeanspar(),
+        "ann_ivf_topk_incremental": _sql_ann_ivf_incr(),
         "embedding_near_dups": _sql_cos_near(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,

@@ -288,6 +288,54 @@ def resolve_documents_resumable(spark: SparkSession, docs: DataFrame,
                              stage_runner=ledgered)
 
 
+def ivf_assign_resumable(spark: SparkSession, vecs: DataFrame,
+                         units: list, ledger_dir: str,
+                         fingerprint: str | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Bootstrap a persistent IVF inverted-list index: (id, list_id)
+    assignments at fixed unit centroids, written bucketed on list_id so the
+    per-query probe equi-join reads the index pre-partitioned. The ANN
+    analogue of the ER block ledger."""
+    from .operators.simsearch import ivf_assignments
+
+    return run_stage(
+        spark, ledger_dir, "10_assign",
+        lambda: ivf_assignments(vecs, units, id_col, vec_col),
+        input_fingerprint=fingerprint,
+        bucket_by=["list_id"], sort_by=["list_id", "id"])
+
+
+def ivf_assign_incremental(spark: SparkSession, vecs_new: DataFrame,
+                           units: list, old_ledger: str, new_ledger: str,
+                           fingerprint: str | None = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Extend a COMPLETED IVF index ledger with new vectors — the
+    incremental-crawl shape at 10^12 vectors, where re-assigning the whole
+    corpus per batch is not an option.
+
+    Only the NEW vectors are scored against the (fixed) centroids; the old
+    corpus contributes its ledgered assignment rows untouched. Exact:
+    assignment is per-row at fixed centroids, so union-of-assignments ≡
+    assignment-of-union (gate-checked — ``ann_ivf_topk_incremental``'s
+    oracle recomputes the FULL rebuild over old ∪ new and the hashes must
+    match). The union lands in ``new_ledger``, which then serves as
+    ``old_ledger`` for the next increment. Centroid drift is a retrain +
+    rebuild (``train_ivf_centroids`` / ``kmeans_parallel_units``), exactly
+    as in IVF systems that version their coarse quantizer.
+    """
+    from .operators.simsearch import ivf_assignments
+
+    old_assign = spark.read.parquet(_data_path(old_ledger, "10_assign"))
+    return run_stage(
+        spark, new_ledger, "10_assign",
+        lambda: old_assign.unionByName(
+            ivf_assignments(vecs_new, units, id_col, vec_col)),
+        input_fingerprint=fingerprint,
+        bucket_by=["list_id"], sort_by=["list_id", "id"])
+
+
 def resolve_documents_incremental(spark: SparkSession, docs_new: DataFrame,
                                   docs_old: DataFrame, old_ledger: str,
                                   new_ledger: str, threshold: float = 0.80,

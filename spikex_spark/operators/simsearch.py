@@ -394,11 +394,28 @@ def kmeans_parallel_units(corpus: DataFrame, nlist: int = 8,
     return [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
 
 
+def ivf_assignments(corpus: DataFrame,
+                    units: list[tuple[int, list[float]]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id): inverted-list membership at FIXED unit centroids
+    (argmax dot, ties to the larger centroid id — same selection as
+    ``ivf_cosine_topk``'s internal assignment).
+
+    This is the IVF index's persistent state. Because each row's list
+    depends only on its own vector and the centroids, assignment commutes
+    with union: assigning only NEW vectors and appending to a stored
+    assignment table equals reassigning the whole corpus — the exactness
+    basis of ``lineage.ivf_assign_incremental``."""
+    return _best_lists(corpus, units, "id", 1, id_col, vec_col)
+
+
 def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     nlist: int = 8, nprobe: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     round_digits: int = 4,
-                    centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+                    centroids: list[tuple[int, list[float]]] | None = None,
+                    assignments: DataFrame | None = None) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into ``nlist`` inverted
     lists, probe the ``nprobe`` nearest lists per query, exact cosine
     re-rank inside the probed lists.
@@ -413,11 +430,19 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Scale shape: assignment is a narrow map; candidate generation is an
     equi-join on list_id (each query touches nprobe/nlist of the corpus);
     no all-pairs anywhere.
+
+    ``assignments``: optional prebuilt (id, list_id) inverted-list table
+    (``ivf_assignments`` / a ledgered index from
+    ``lineage.ivf_assign_incremental``) — at 10^12 vectors the index is
+    maintained incrementally, not recomputed per query.
     """
     units = centroids if centroids is not None else first_nlist_units(
         corpus, nlist, id_col, vec_col)
 
-    assign = _best_lists(corpus, units, "neighbor_id", 1, id_col, vec_col)
+    assign = (assignments.select(F.col("id").alias("neighbor_id"), "list_id")
+              if assignments is not None
+              else _best_lists(corpus, units, "neighbor_id", 1, id_col,
+                               vec_col))
     probes = _best_lists(queries, units, "query_id", nprobe, id_col, vec_col)
     cands = (
         probes.join(assign, "list_id")

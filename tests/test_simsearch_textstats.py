@@ -221,3 +221,50 @@ def test_kmeans_parallel_init_rescues_degenerate_seeds(spark):
     assert kpp >= 0.9, kpp
     # deterministic
     assert units == kmeans_parallel_units(df, nlist=4)
+
+
+def test_ivf_assign_incremental_matches_full_rebuild(spark, tmp_path):
+    """Appending only NEW vectors' assignments to a ledgered IVF index at
+    fixed centroids must equal reassigning the whole corpus, and the
+    probed top-k over the incremental index must equal the index-free
+    query. Second incremental call must resume from the ledger."""
+    from pyspark.sql import functions as F
+
+    from spikex_spark.lineage import (
+        ivf_assign_incremental,
+        ivf_assign_resumable,
+        ledger_summary,
+    )
+    from spikex_spark.operators.simsearch import (
+        first_nlist_units,
+        ivf_assignments,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    units = first_nlist_units(old, 8)
+
+    ivf_assign_resumable(spark, old, units, str(tmp_path / "old"),
+                         fingerprint="v0")
+    inc = ivf_assign_incremental(spark, new, units, str(tmp_path / "old"),
+                                 str(tmp_path / "new"), fingerprint="v0")
+    full = ivf_assignments(emb, units)
+    assert sorted(map(tuple, inc.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+    q = emb.where(F.col("vec_id") < 5)
+    via_index = ivf_cosine_topk(emb, q, k=5, nprobe=2, centroids=units,
+                                assignments=inc).collect()
+    direct = ivf_cosine_topk(emb, q, k=5, nprobe=2,
+                             centroids=units).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, direct))
+
+    # resume: the new ledger's 10_assign is COMPLETE and a rerun reuses it
+    inc2 = ivf_assign_incremental(spark, new, units, str(tmp_path / "old"),
+                                  str(tmp_path / "new"), fingerprint="v0")
+    assert sorted(map(tuple, inc2.collect())) == \
+        sorted(map(tuple, full.collect()))
+    assert [s["stage"] for s in ledger_summary(str(tmp_path / "new"))] == \
+        ["10_assign"]
