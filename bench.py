@@ -103,11 +103,22 @@ def main() -> None:
     sp = scored_pairs(pages, titles).selectExpr(
         "id_a as url_a", "id_b as url_b", "is_match as pred")
     j = gold.join(sp, ["url_a", "url_b"], "left").select(
-        "is_match", F.coalesce("pred", F.lit(False)).alias("pred"))
+        "is_match", "is_hard", F.coalesce("pred", F.lit(False)).alias("pred"))
     agg = j.agg(
         F.sum(F.when(F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(~F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("fp"),
         F.sum(F.when(F.col("is_match") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+        # adversarial near-misses (synth._HARD_ENTITIES): prefix-equal JW
+        # traps and qualifier collisions scoring near the 0.75 threshold —
+        # evidence the F1 isn't saturated by construction
+        F.sum(F.when(F.col("is_hard") & ~F.col("is_match") & ~F.col("pred"),
+                     1).otherwise(0)).alias("hard_neg_rejected"),
+        F.sum(F.when(F.col("is_hard") & ~F.col("is_match"),
+                     1).otherwise(0)).alias("hard_neg_total"),
+        F.sum(F.when(F.col("is_hard") & F.col("is_match") & F.col("pred"),
+                     1).otherwise(0)).alias("hard_pos_matched"),
+        F.sum(F.when(F.col("is_hard") & F.col("is_match"),
+                     1).otherwise(0)).alias("hard_pos_total"),
     ).collect()[0]
     precision = agg.tp / (agg.tp + agg.fp) if agg.tp + agg.fp else 1.0
     recall = agg.tp / (agg.tp + agg.fn) if agg.tp + agg.fn else 1.0
@@ -126,6 +137,10 @@ def main() -> None:
         "gold_pair_precision": round(precision, 6),
         "gold_pair_recall": round(recall, 6),
         "gold_pairs": int(agg.tp + agg.fn),
+        "hard_neg_rejected": int(agg.hard_neg_rejected),
+        "hard_neg_total": int(agg.hard_neg_total),
+        "hard_pos_matched": int(agg.hard_pos_matched),
+        "hard_pos_total": int(agg.hard_pos_total),
     }
     print(json.dumps(result))
 

@@ -40,6 +40,34 @@ _ENTITIES = [
     ("Entity_resolution", ["Entity_resolution", "entity_resolution"]),
 ]
 
+# Adversarial near-misses (gate hardening): entity groups that share a
+# blocking key but are engineered to land NEAR the 0.75 match threshold —
+# prefix-equal Jaro-Winkler traps (long identical prefix, qualifier differs
+# late: JW ≈ .92 but Jaccard .5 → score ≈ .71, must NOT match), qualifier
+# collisions (score ≈ .6), and a transposed-qualifier POSITIVE (token set
+# identical → Jaccard 1.0 rescues the JW dip: ≈ .98, must match). A scorer
+# that leaned only on JW, or only on token overlap, flips one of these —
+# unlike the base _ENTITIES, whose cross pairs sit far from the threshold.
+# Surfaces use words absent from every testdata documents.parquet text, so
+# planting them changes no documents-table contract query.
+_HARD_ENTITIES = [
+    ("Johnson_City_(Tennessee)",
+     ["Johnson_City_(Tennessee)", "johnson_city_(tennessee)"]),
+    ("Johnson_City_(Texas)",
+     ["Johnson_City_(Texas)", "johnson_city_(texas)"]),
+    ("Mercury_(planet)", ["Mercury_(planet)", "mercury_(planet)"]),
+    ("Mercury_(element)", ["Mercury_(element)", "mercury_(element)"]),
+    ("Springfield_(Massachusetts)",
+     ["Springfield_(Massachusetts)", "SPRINGFIELD_(MASSACHUSETTS)"]),
+    ("Springfield_(Minnesota)",
+     ["Springfield_(Minnesota)", "springfield_(minnesota)"]),
+    ("Georgia_(country)", ["Georgia_(country)", "georgia_(country)"]),
+    ("Georgia_(state)", ["Georgia_(state)", "georgia_(state)"]),
+    ("Riverside_(county_seat)",
+     ["Riverside_(county_seat)", "Riverside_(seat_county)",
+      "riverside_(county_seat)"]),
+]
+
 _FILLER = (
     "the of a in and to for with on by from page web site data text "
     "record link graph match block score cluster node edge title"
@@ -93,7 +121,17 @@ def gen_pages(n: int = 200, seed: int = 42) -> list[dict]:
         noise = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(5, 15)))
         emit(f"Apple {noise}", "hub")
 
-    # (c) boilerplate near-duplicates
+    # (c) adversarial near-miss pages (see _HARD_ENTITIES) — carved out of
+    # the boilerplate share so entity/hub page streams stay unchanged
+    n_hard = max(len(_HARD_ENTITIES) * 2, int(n * 0.1))
+    for i in range(n_hard):
+        canon, variants = _HARD_ENTITIES[i % len(_HARD_ENTITIES)]
+        mention = variants[i % len(variants)].replace("_", " ")
+        noise = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(6, 20)))
+        emit(f"{noise} {mention} {rng.choice(_FILLER)}",
+             f"hrd{i % len(_HARD_ENTITIES)}")
+
+    # (d) boilerplate near-duplicates
     n_boiler = max(10, n - uid)
     for i in range(n_boiler):
         extra = rng.choice(_FILLER)
@@ -235,7 +273,7 @@ def gen_titles(seed: int = 42) -> list[dict]:
     """`titles` dimension (FIXTURES.md §2) incl. a two-hop redirect chain."""
     rows = []
     pid = 100
-    for canon, variants in _ENTITIES:
+    for canon, variants in _ENTITIES + _HARD_ENTITIES:
         rows.append({"pageid": pid, "title": canon, "kind": "page",
                      "is_redirect": False, "redirect_to": None, "props": []})
         canon_pid = pid
@@ -286,15 +324,21 @@ def gen_labeled_pairs(n_pages: int = 200, seed: int = 42) -> list[dict]:
     """Gold pairs (FIXTURES.md §4): all within-block pairs of entity pages,
     labeled is_match = same planted entity. url_a < url_b."""
     pages = gen_pages(n_pages, seed)
-    # recover the planted entity id from the url tag
+    # recover the planted entity id from the url tag ("ent*" base corpus,
+    # "hrd*" adversarial near-misses — see _HARD_ENTITIES)
     by_key: dict[str, list[tuple[str, str]]] = {}
+    hard_keys: set[str] = set()
     for i, row in enumerate(pages):
         tag = row["url"].split("/")[3]
-        if not tag.startswith("ent"):
+        if tag.startswith("ent"):
+            canon, _ = _ENTITIES[int(tag[3:])]
+        elif tag.startswith("hrd"):
+            canon, _ = _HARD_ENTITIES[int(tag[3:])]
+        else:
             continue
-        ent_idx = int(tag[3:])
-        canon, variants = _ENTITIES[ent_idx]
         key = norm_title_key(canon)
+        if tag.startswith("hrd"):
+            hard_keys.add(key)
         by_key.setdefault(key, []).append((row["url"], canon))
     out = []
     for key, members in sorted(by_key.items()):
@@ -303,5 +347,6 @@ def gen_labeled_pairs(n_pages: int = 200, seed: int = 42) -> list[dict]:
             for j in range(i + 1, len(members)):
                 (ua, ea), (ub, eb) = members[i], members[j]
                 out.append({"url_a": ua, "url_b": ub, "block_key": key,
-                            "is_match": ea == eb})
+                            "is_match": ea == eb,
+                            "is_hard": key in hard_keys})
     return out
