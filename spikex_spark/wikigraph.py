@@ -26,6 +26,30 @@ from pyspark.sql import functions as F
 
 from .operators.graph import d_hop_neighbors, undirected
 
+# one Arrow transfer covers iterator pulls up to this many rows; larger
+# sets stream (memory-bounded) — same strategy/cutoff as the mention
+# dictionary probe in pipeline._mentions
+_ARROW_ITER_MAX = 2_000_000
+
+
+def _iter_col(df: DataFrame, col: str):
+    """Yield one string column driver-side.
+
+    ``toLocalIterator`` serializes rows one at a time over py4j —
+    pathological at the ~20M-title scale of a full wiki dump. Instead pull
+    the whole column in ONE Arrow batch transfer when it fits
+    ``_ARROW_ITER_MAX`` (the limit(n+1) probe costs a single job and
+    avoids a separate count), and only fall back to the streaming iterator
+    beyond that, where driver memory — not transfer overhead — is the
+    binding constraint.
+    """
+    head = df.select(col).limit(_ARROW_ITER_MAX + 1).toPandas()
+    if len(head) <= _ARROW_ITER_MAX:
+        yield from head[col].tolist()
+        return
+    for r in df.select(col).toLocalIterator(prefetchPartitions=True):
+        yield r[col]
+
 
 @dataclass
 class WikiGraph:
@@ -109,24 +133,20 @@ class WikiGraph:
         VISIBLE pages (redirect sources and disambiguations are excluded
         from the reference's ``_pages``, so the default must not leak
         them)."""
-        for r in self.pages.where(F.col("kind") == "page") \
-                .select("title").toLocalIterator():
-            yield r["title"]
+        yield from _iter_col(self.pages.where(F.col("kind") == "page"),
+                             "title")
         if redirect:
-            for r in self.redirects.select("src_title").toLocalIterator():
-                yield r["src_title"]
+            yield from _iter_col(self.redirects, "src_title")
         if disambi:
-            for r in self._catalog() \
-                    .where(F.col("kind") == "disambiguation") \
-                    .select("title").toLocalIterator():
-                yield r["title"]
+            yield from _iter_col(
+                self._catalog().where(F.col("kind") == "disambiguation"),
+                "title")
 
     def categories(self):
         """Reference ``categories()`` iterator (:114-116) — visible
         categories (redirect-source category titles excluded)."""
-        for r in self.pages.where(F.col("kind") == "category") \
-                .select("title").toLocalIterator():
-            yield r["title"]
+        yield from _iter_col(self.pages.where(F.col("kind") == "category"),
+                             "title")
 
     def get_categories(self, title: str, distance: int = 1) -> DataFrame:
         """Categories reachable within ``distance`` hops (directed); a
