@@ -269,6 +269,92 @@ def gen_pages_scaled_df(spark, n: int = 1_000_000, seed: int = 42,
     return pages_df, titles_df
 
 
+def _write_dump_part(args: tuple) -> str:
+    """One gzip part of a synthetic MySQL dump (Pool worker — top level so
+    it pickles). ``spec`` rows follow the real dump column layouts that
+    ``sources.parse_*_row`` expects."""
+    import gzip
+
+    kind, path, lo, hi, rows_per_line, n_titles = args
+    # pageid scheme: category c -> 10+c, entity e -> 100+e,
+    # redirect source j -> 100+n_titles+j (disjoint ranges)
+    def page(i: int) -> str:
+        if i < 7:   # category namespace rows (ns=14, no prefix in dumps)
+            return f"({10 + i},14,'Kind_{i}','',0,0)"
+        if i < 7 + n_titles:
+            e = i - 7
+            return f"({100 + e},0,'Entity_{e:07d}_(kind{e % 7})','',0,0)"
+        j = i - 7 - n_titles   # redirect-source pages
+        return f"({100 + n_titles + j},0,'Entity_{j:07d}_redirect','',0,0)"
+
+    def redirect(j: int) -> str:
+        e = j * 11 % n_titles
+        return f"({100 + n_titles + j},0,'Entity_{e:07d}_(kind{e % 7})','','')"
+
+    def pageprops(j: int) -> str:
+        return f"({100 + j * 101},'hiddencat','',0)"
+
+    def categorylinks(j: int) -> str:
+        i = j * 17
+        return f"({100 + i},'Kind_{i % 7}','x','page')"
+
+    row = {"page": page, "redirect": redirect, "pageprops": pageprops,
+           "categorylinks": categorylinks}[kind]
+    with gzip.open(path, "wt") as f:
+        f.write("-- synthetic MySQL dump\n")
+        for start in range(lo, hi, rows_per_line):
+            vals = ",".join(row(i) for i in
+                            range(start, min(start + rows_per_line, hi)))
+            f.write(f"INSERT INTO `{kind}` VALUES {vals};\n")
+    return path
+
+
+def gen_dump_parts(n_titles: int = 2_000_000, parts: int = 32,
+                   rows_per_line: int = 1000, seed: int = 42,
+                   base_dir: str = "/tmp") -> str:
+    """Synthesize a MULTI-PART ``.sql.gz`` wiki dump (page / redirect /
+    page_props / categorylinks) for source-path scaling runs; returns the
+    dump dir.
+
+    Real wiki dumps ship as many gzip members, and gzip is NOT splittable —
+    a single ``.sql.gz`` would pin ``spark.read.text`` to one task, so part
+    COUNT (not size) is the parallelism knob, exactly as on a cluster.
+    ~5% of titles get a redirect-source page + redirect row, 1/101 a
+    hiddencat prop, 1/17 a category link. Deterministic; cached under
+    ``base_dir`` keyed by the parameters (a marker file gates reuse).
+    """
+    import json as _json
+    import multiprocessing as mp
+    from pathlib import Path
+
+    out = Path(base_dir) / f"spikex_dump_{n_titles}_{parts}_{seed}"
+    marker = out / "_complete.json"
+    params = {"n_titles": n_titles, "parts": parts,
+              "rows_per_line": rows_per_line, "seed": seed}
+    if marker.exists() and _json.loads(marker.read_text()) == params:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    n_red = n_titles // 20
+    jobs = []
+    for kind, total, nparts in (
+        ("page", 7 + n_titles + n_red, parts),
+        ("redirect", n_red, max(1, parts // 4)),
+        ("pageprops", n_titles // 101, 1),
+        ("categorylinks", n_titles // 17, max(1, parts // 4)),
+    ):
+        step = -(-total // nparts)
+        for p in range(nparts):
+            lo, hi = p * step, min((p + 1) * step, total)
+            if lo >= hi:
+                continue
+            jobs.append((kind, str(out / f"{kind}-{p:04d}.sql.gz"),
+                         lo, hi, rows_per_line, n_titles))
+    with mp.Pool(min(16, len(jobs))) as pool:
+        pool.map(_write_dump_part, jobs)
+    marker.write_text(_json.dumps(params))
+    return str(out)
+
+
 def gen_titles(seed: int = 42) -> list[dict]:
     """`titles` dimension (FIXTURES.md §2) incl. a two-hop redirect chain."""
     rows = []

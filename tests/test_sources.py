@@ -350,3 +350,39 @@ def test_fetch_dump_no_content_length_revalidates(tmp_path):
         assert hits["n"] == 2
     finally:
         srv.shutdown()
+
+
+def test_gen_dump_parts_end_to_end(spark, tmp_path):
+    """Synthetic multi-part .sql.gz dumps (the scaling-leg source) parse
+    into a coherent WikiGraph: visible pages = entities minus hiddencat
+    minus nothing else, categories present, redirects resolve."""
+    from spikex_spark import synth
+    from spikex_spark.sources import read_wiki_dump
+    from spikex_spark.wikigraph import build_wikigraph
+
+    d = synth.gen_dump_parts(n_titles=500, parts=3, rows_per_line=40,
+                             base_dir=str(tmp_path))
+    d2 = synth.gen_dump_parts(n_titles=500, parts=3, rows_per_line=40,
+                              base_dir=str(tmp_path))
+    assert d == d2   # cached, not regenerated
+
+    g = build_wikigraph(
+        read_wiki_dump(spark, d + "/page-*.sql.gz", "page"),
+        read_wiki_dump(spark, d + "/pageprops-*.sql.gz", "pageprops"),
+        read_wiki_dump(spark, d + "/redirect-*.sql.gz", "redirect"),
+        read_wiki_dump(spark, d + "/categorylinks-*.sql.gz", "categorylinks"))
+    kinds = {r["kind"]: r["count"]
+             for r in g.pages.groupBy("kind").count().collect()}
+    # 500 entities - 4 hiddencat (pageids 100+j*101, j*101 < 500), plus ONE
+    # orphan redirect source: redirect j=0 targets entity 0, which is
+    # hiddencat — the unresolvable redirect drops and its source page
+    # stays a visible page
+    assert kinds["page"] == 500 - 4 + 1
+    assert kinds["category"] == 7
+    n_red = 500 // 20
+    assert g.redirects.count() == n_red - 1
+    # redirect 3 targets entity 33 (3*11 % 500)
+    assert g.get_pageid("Entity_0000003_redirect") == 133
+    edges = g.edges.count()
+    # one link per j*17 < 500 except hiddencat members dropped by semi-join
+    assert edges > 0

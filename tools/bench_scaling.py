@@ -103,6 +103,36 @@ elif workload == "scoring":
     df.limit(max(size // 10, 1)).select(F.sum(jaro_winkler_udf("a","b"))).collect()  # warmup
     def job():
         df.select(F.sum(jaro_winkler_udf("a", "b"))).collect()
+elif workload == "dump":
+    # S1 source path at scale: multi-part .sql.gz dumps -> read_wiki_dump
+    # (mapInPandas parse) -> build_wikigraph -> title keys -> mention scan
+    # over a FIXED 100k-page corpus. gzip members are unsplittable, so the
+    # part count (32) is the parallelism — exactly the cluster shape.
+    from spikex_spark import synth
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.pipeline import ERConfig, _mentions
+    from spikex_spark.sources import read_wiki_dump
+    from spikex_spark.wikigraph import build_wikigraph
+    dump_dir = synth.gen_dump_parts(n_titles=size)
+    corpus, _ = synth.gen_pages_scaled_df(spark, 100_000, pages_per_entity=4)
+    corpus = corpus.select("url", "text")
+    corpus.cache().count()
+    cfg = ERConfig()   # >2M keys -> the shuffle-join mention path
+    def job():
+        # parse ONCE (eager checkpoint): the graph DAG and the mention join
+        # each consume the parsed tables several times, and a real build
+        # materializes the parse exactly once (the wikigraph artifact)
+        g = build_wikigraph(
+            read_wiki_dump(spark, dump_dir + "/page-*.sql.gz",
+                           "page").localCheckpoint(),
+            read_wiki_dump(spark, dump_dir + "/pageprops-*.sql.gz",
+                           "pageprops"),
+            read_wiki_dump(spark, dump_dir + "/redirect-*.sql.gz",
+                           "redirect"),
+            read_wiki_dump(spark, dump_dir + "/categorylinks-*.sql.gz",
+                           "categorylinks"))
+        keys = B.title_keys(g.pages).localCheckpoint()
+        _mentions(corpus, keys, cfg, "url", "text").count()
 else:
     raise SystemExit(f"unknown workload {{workload}}")
 
@@ -172,6 +202,7 @@ def main() -> None:
     n_high = int(args[1]) if len(args) > 1 else 4 * n_low
     pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "300000"))
     pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2000000"))
+    titles = int(os.environ.get("SPARK_GRAFT_SCALE_TITLES", "2000000"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")
@@ -182,7 +213,8 @@ def main() -> None:
     results = {"levels": [n_low, n_high], "mode": "weak" if weak else "strong",
                "machine": machine_calibration(n_low, n_high)}
     for workload, size, unit in (("pipeline", pages, "pages"),
-                                 ("scoring", pairs, "pairs")):
+                                 ("scoring", pairs, "pairs"),
+                                 ("dump", titles, "titles")):
         if only and workload != only:
             continue
         size_low = size * n_low // n_high if weak else size
