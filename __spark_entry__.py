@@ -1155,23 +1155,42 @@ SELECT * FROM (VALUES
 # zlib PNG codec) → pixel features; the audio/video rows pin the
 # deterministic fake path the remaining codec formats use
 _MEDIA_GOLDEN = [
-    (0, 0.8511317247764097), (1, 5.958928820797362), (2, 3.560598603107015),
-    (3, 1.5080810403804197), (4, 3.593209316154416), (5, 4.938266302744926),
-    (6, 1.3697931506229153), (7, 4.326369316691502), (8, 5.419833836563835),
-    (9, 1.3314799251236942), (10, 4.544853519508554), (11, 4.059619477639822),
-    (12, 1.2135643517845427), (13, 3.6131116676321042), (14, 5.66106535306189),
-    (15, 1.8168335361078696), (16, 6.4766692881850165),
-    (17, 5.347369176655479), (18, 1.639273311457813), (19, 3.599967199352068),
-    (20, 6.224831162506431), (21, 1.6237192970227772), (22, 6.339073127554678),
-    (23, 4.67069338540164), (24, 1.6322837258783054), (25, 3.752271535543775),
-    (26, 6.185100697142464), (27, 1.6239200315096498), (28, 5.103378718535496),
+    (0, 0.8511317247764097),
+    (1, 5.958928820797362),
+    (2, 3.560598603107015),
+    (3, 1.5080810403804197),
+    (4, 3.593209316154416),
+    (5, 4.938266302744926),
+    (6, 1.3697931506229153),
+    (7, 4.326369316691502),
+    (8, 5.419833836563835),
+    (9, 1.3314799251236942),
+    (10, 4.544853519508554),
+    (11, 4.059619477639822),
+    (12, 1.2134995477094872),
+    (13, 3.6131116676321042),
+    (14, 5.66106535306189),
+    (15, 1.8168335361078696),
+    (16, 6.4766692881850165),
+    (17, 5.347369176655479),
+    (18, 1.639273311457813),
+    (19, 3.599967199352068),
+    (20, 6.224831162506431),
+    (21, 1.6237192970227772),
+    (22, 6.339073127554678),
+    (23, 4.67069338540164),
+    (24, 1.6322837258783054),
+    (25, 3.752271535543775),
+    (26, 6.185100697142464),
+    (27, 1.6231196175560922),
+    (28, 5.103378718535496),
     (29, 6.669678880227912),
 ]
 
 
 # md5 of the 32×32 resize output per media row: image rows pin the REAL
 # decode → nearest-neighbor resample → format-preserving re-encode chain
-# (P6→P6, P3→P3, BMP→BMP, PNG→PNG); audio/video rows pin the
+# (P6→P6, P3→P3, BMP→BMP, PNG→PNG, JPEG→JPEG); audio/video rows pin the
 # deterministic fake blob path
 _MEDIA_RESIZE_GOLDEN = [
     (0, '09b8e06c66a1a910a07077e451025931'),
@@ -1186,22 +1205,22 @@ _MEDIA_RESIZE_GOLDEN = [
     (9, '5f5434275ea11138ae2680dfc62d517d'),
     (10, '1bfaaab9030dd79ce0858e21a4a154ea'),
     (11, 'ae17632c751bf4137ce807d5a14dc0f2'),
-    (12, '2f9d98268bd183c6a9e8bbb79207cc4a'),
+    (12, 'f6741f5845a51183d8f6d4d79411618c'),
     (13, 'c77b3ed54d3da669be0fc0aa935e28c9'),
     (14, '377b053adb6b39cb423b93e773d7d604'),
-    (15, '40e05b66c222a9b41cfada3db17fac4e'),
+    (15, '474dcde342cdfc8451b32901ae0d642f'),
     (16, 'cfcea9fbff9c75c0f0bba3f6f0dcd5e0'),
     (17, '45a2de87c3a090a0c20199c54220fda4'),
-    (18, '8bdc8a9c78661e26fdb478cbee356496'),
+    (18, 'ee99c08d7b4fbfc5898779357eb6724f'),
     (19, 'affa5e416086e9548cd40d82d4bd5cdb'),
     (20, 'd54db9a70eef3dd16912b32e5d6aaee3'),
-    (21, '59d19c627daf907ef24c81e2e64745a2'),
+    (21, 'f15222279d59d2d565b2fb9631e45b68'),
     (22, '33af596a135d6cc9724f7a868295c9d1'),
     (23, '37570f4aea143eb5681067ec524399f2'),
-    (24, '186991c777d871509ca69bc1190feb74'),
+    (24, '2179480d342bf32d191d40a7284a6fda'),
     (25, '90f93760f78bda2e68f4aea681904022'),
     (26, '5c9e1e0da1e0bb8d343b3b778fd1e329'),
-    (27, '20a339f5892c789f5b8c3fcab10ba5e5'),
+    (27, 'c76e8612729f00d75cfe04c30b57321a'),
     (28, 'b8362246205636ce2a02914ffbc0c8cd'),
     (29, 'af49d5b84ffeafb4a112e8b205739a5e'),
 ]

@@ -2,16 +2,17 @@
 
 Image decode is REAL for every format a pure-Python (stdlib + numpy)
 decoder can handle — PPM (P6 binary / P3 ascii), 24-bit uncompressed BMP,
-and full PNG (zlib inflate, all five scanline filters, color types
-0/2/3/4/6, bit depths 1-16, Adam7 interlace, CRC-verified) — including
-decode → feature-extract and decode → nearest-neighbor resize →
-format-preserving re-encode. Remaining codec formats (JPEG/audio/video)
-have no library in this container, so their decode stays stubbed behind
-``SPIKEX_SPARK_FAKE_DECODE`` (deterministic fake) or raises
-``NotImplementedError``; the Spark-side plumbing (schemas, Arrow batch
-shapes, partitioning, UDF signatures) is the same either way — a
-production deployment drops Pillow/ffmpeg into ``decode_image``'s
-fallthrough.
+full PNG (zlib inflate, all five scanline filters, color types 0/2/3/4/6,
+bit depths 1-16, Adam7 interlace, CRC-verified), and baseline JPEG
+(:mod:`spikex_spark.jpeg`: Huffman + DCT + 4:2:0, JFIF YCbCr, restart
+markers) — including decode → feature-extract and decode →
+nearest-neighbor resize → format-preserving re-encode. Remaining formats
+(progressive JPEG, audio, video) have no library in this container, so
+their decode stays stubbed behind ``SPIKEX_SPARK_FAKE_DECODE``
+(deterministic fake) or raises ``NotImplementedError``; the Spark-side
+plumbing (schemas, Arrow batch shapes, partitioning, UDF signatures) is
+the same either way — a production deployment drops Pillow/ffmpeg into
+``decode_image``'s fallthrough.
 
 Design for 100 TB: media bytes stay in their own column so column pruning
 skips them unless a stage touches them; decode is ``mapInPandas`` (Arrow
@@ -77,10 +78,12 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_image(payload: bytes) -> "np.ndarray | None":
-    """Decode PPM P6/P3, 24-bit BMP, or PNG bytes to an H×W×3 uint8 array.
+    """Decode PPM P6/P3, 24-bit BMP, PNG, or baseline JPEG bytes to an
+    H×W×3 uint8 array.
 
     Returns None for formats this pure-Python decoder does not handle
-    (JPEG/...); raises ValueError on corrupt data of a known format.
+    (progressive JPEG, compressed BMP, ...); raises ValueError on corrupt
+    data of a known format.
     """
     if payload is None or len(payload) < 2:
         return None
@@ -109,6 +112,9 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
         if maxval != 255:
             vals = vals * 255 // maxval
         return vals.astype(np.uint8).reshape(h, w, 3)
+    if bytes(payload[:3]) == b"\xff\xd8\xff":
+        from spikex_spark.jpeg import decode_jpeg
+        return decode_jpeg(bytes(payload))  # None for progressive/arith
     if magic == b"BM":
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -360,8 +366,13 @@ def detect_image_format(payload: bytes) -> "str | None":
     return None
 
 
+def _encode_jpeg90(img: "np.ndarray") -> bytes:
+    from spikex_spark.jpeg import encode_jpeg
+    return encode_jpeg(img, quality=90)
+
+
 _ENCODERS.update({"p6": encode_ppm, "p3": encode_p3, "bmp": encode_bmp,
-                  "png": encode_png})
+                  "png": encode_png, "jpeg": _encode_jpeg90})
 
 
 def _resize_nearest(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
@@ -439,7 +450,7 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
         if fake:
             return _fake_features(payload)
         raise NotImplementedError(
-            "non-PPM/BMP media decode requires an image/audio library not "
+            "non-image media decode requires an audio/video library not "
             "present in this container; set SPIKEX_SPARK_FAKE_DECODE=1 or "
             "plug a decoder into multimodal.decode_image"
         )
@@ -460,7 +471,7 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload",
                   id_col: str = "media_id") -> DataFrame:
-    """(media_id, resized binary, width, height). PPM/BMP/PNG payloads
+    """(media_id, resized binary, width, height). PPM/BMP/PNG/JPEG payloads
     resize for REAL (decode → nearest-neighbor resample → re-encode in the
     INPUT's format, so a BMP round-trips as BMP and a PNG as PNG); other
     formats keep the deterministic fake blob (or raise without the flag).
@@ -490,7 +501,7 @@ def resize_images(df: DataFrame, width: int, height: int,
         if fake:
             return hashlib.md5(
                 (payload or b"") + f":{width}x{height}".encode()).digest()
-        raise NotImplementedError("non-PPM/BMP image resize needs a codec")
+        raise NotImplementedError("non-image media resize needs a codec")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -548,9 +559,9 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
 
     Image rows carry REAL payloads (deterministic gradient patterns sized
     per the row metadata), cycling through every encoder this module can
-    decode back — P6, P3, BMP, PNG — so decode/resize exercise all four
-    codecs end-to-end without any external library; audio/video rows stay
-    opaque blobs for the stub/fake path."""
+    decode back — P6, P3, BMP, PNG, baseline JPEG — so decode/resize
+    exercise all five codecs end-to-end without any external library;
+    audio/video rows stay opaque blobs for the stub/fake path."""
     import random
     rng = random.Random(seed)
     kinds = ["image", "audio", "video"]
@@ -565,11 +576,12 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
                 [(x * 3 + i) % 256, (y * 5 + 2 * i) % 256, (x + y + 7 * i) % 256],
                 axis=-1,
             ).astype(np.uint8)
-            fmt = ("p6", "p3", "bmp", "png")[(i // 3) % 4]
+            fmt = ("p6", "p3", "bmp", "png", "jpeg")[(i // 3) % 5]
             payload = _ENCODERS[fmt](img)
             mime = {"p6": "image/x-portable-pixmap",
                     "p3": "image/x-portable-pixmap",
-                    "bmp": "image/bmp", "png": "image/png"}[fmt]
+                    "bmp": "image/bmp", "png": "image/png",
+                    "jpeg": "image/jpeg"}[fmt]
         else:
             payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * 4
             mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
