@@ -100,7 +100,8 @@ def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
               partition_by: list[str] | None = None,
               bucket_by: list[str] | None = None,
               num_buckets: int = 32,
-              sort_by: list[str] | None = None) -> DataFrame:
+              sort_by: list[str] | None = None,
+              lineage_counters: bool = True) -> DataFrame:
     """Execute (or resume) one pipeline stage.
 
     ``build`` constructs the stage DataFrame lazily; it only runs when the
@@ -143,12 +144,17 @@ def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
         writer.parquet(data)
         out = spark.read.parquet(data)
     # ONE job for the lineage evidence: rows derive from the per-partition
-    # counters instead of a separate count()
-    counters = partition_counters(out)
+    # counters instead of a separate count(). ``lineage_counters=False``
+    # (the EPHEMERAL in-process ledger, pipeline._ephemeral_ledger_runner)
+    # skips that job entirely — a fresh-dir-per-run ledger is an execution
+    # layout, not an audit trail, and the extra full read of every stage is
+    # a fixed serial cost that eats strong-scaling headroom at high core
+    # counts. Durable (resumable/incremental) ledgers keep it on.
+    counters = partition_counters(out) if lineage_counters else None
     meta = {
         "stage": stage,
         "status": "COMPLETE",
-        "rows": sum(p["rows"] for p in counters),
+        "rows": sum(p["rows"] for p in counters) if counters else None,
         "partitions": counters,
         "input_fingerprint": input_fingerprint,
         "wall_seconds": round(time.time() - t0, 3),

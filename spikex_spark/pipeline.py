@@ -52,12 +52,22 @@ def _ephemeral_ledger_runner(spark, bucketed_only: bool = True):
     is ``lineage.resolve_*_resumable``'s job over a persistent dir.
     """
     import atexit
+    import os
     import shutil
     import tempfile
 
     from .lineage import run_stage
 
-    led = tempfile.mkdtemp(prefix="er_stage_ledger_")
+    # ephemeral ledgers are an EXECUTION layout (exchange-free consumer
+    # reads), not durable state — put them on the same fast scratch as
+    # spark.local.dir, not /tmp (this sandbox's /tmp is the slow bursty
+    # block device session.py already steers shuffle files away from).
+    # The durable, resumable ledger is the caller-named dir in
+    # lineage.resolve_*_resumable, which stays wherever the user put it
+    # (cluster: Iceberg/object storage).
+    scratch = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    os.makedirs(scratch, exist_ok=True)
+    led = tempfile.mkdtemp(prefix="er_stage_ledger_", dir=scratch)
     if not _EPHEMERAL_LEDGERS:
         atexit.register(
             lambda: [shutil.rmtree(p, ignore_errors=True)
@@ -67,8 +77,10 @@ def _ephemeral_ledger_runner(spark, bucketed_only: bool = True):
     def run(name: str, build, **hints) -> DataFrame:
         if bucketed_only and not hints.get("bucket_by"):
             return build()
+        # no lineage-counter job: this ledger is never resumed or audited
         return run_stage(spark, led, name, build,
-                         input_fingerprint=led, **hints)
+                         input_fingerprint=led, lineage_counters=False,
+                         **hints)
 
     return run
 

@@ -169,6 +169,41 @@ def test_dist_zip_matches_tree():
     assert not stale, (stale, "rebuild with: python tools/package.py")
 
 
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """north_rule: "run via spark-submit --py-files". Actually submit the
+    committed artifact — fresh JVM + fresh Python, nothing inherited from
+    the test session — against the sf0.001 documents table and verify the
+    written clusters with DuckDB (no second Spark session)."""
+    import os
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "clusters")
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--conf", "spark.sql.session.timeZone=UTC",
+         "--py-files", os.path.join(repo, "dist", "spikex_spark.zip"),
+         os.path.join(repo, "dist", "run_pipeline.py"),
+         "/root/testdata/sf0.001/documents.parquet", out],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import duckdb
+
+    rows, clusters = duckdb.sql(
+        f"select count(*), count(distinct cluster_id) "
+        f"from read_parquet('{out}/*.parquet')").fetchone()
+    assert rows > 0 and 0 < clusters <= rows
+
+
 def test_resolve_dump_version():
     from spikex_spark.sources import resolve_dump_version
 

@@ -575,6 +575,52 @@ def test_resumable_entities_star_skips_pair_ledger(spark, tmp_path, pages_df,
                        "50_clusters"]
 
 
+def test_resume_after_midpipeline_kill(spark, tmp_path, pages_df, titles_df):
+    """north_rule: "resumable from checkpoint ... resumes mid-pipeline".
+    Simulate a driver/executor loss AFTER stage 2 of 4 (mentions + blocks
+    written, star_edges never started); the rerun must (a) short-circuit the
+    two finished stages off the ledger — their _lineage.json files stay
+    byte-untouched — and (b) finish the remaining stages to the exact
+    one-shot result."""
+    import os
+
+    import pytest
+
+    from spikex_spark import lineage
+    from spikex_spark.pipeline import resolve_entities
+
+    ledger = str(tmp_path / "kill_ledger")
+    done: list[str] = []
+
+    def killing_runner(name, build, **hints):
+        if len(done) == 2:
+            raise RuntimeError("simulated mid-pipeline kill")
+        done.append(name)
+        return lineage.run_stage(spark, ledger, name, build,
+                                 input_fingerprint="fp", **hints)
+
+    with pytest.raises(RuntimeError, match="simulated mid-pipeline kill"):
+        resolve_entities(pages_df, titles_df, stage_runner=killing_runner)
+    assert done == ["10_mentions", "20_blocks"]
+    before = {m["stage"]: m for m in lineage.ledger_summary(ledger)}
+    assert set(before) == {"10_mentions", "20_blocks"}
+    assert all(m["status"] == "COMPLETE" for m in before.values())
+    mtimes = {s: os.stat(lineage._lineage_path(ledger, s)).st_mtime_ns
+              for s in before}
+
+    res = lineage.resolve_entities_resumable(
+        spark, pages_df, titles_df, ledger, fingerprint="fp")
+    oneshot = resolve_entities(pages_df, titles_df)
+    key = lambda df: {(r["url"], r["cluster_id"]) for r in df.collect()}
+    assert key(res) == key(oneshot)
+    # finished stages were READ, not recomputed: lineage files untouched
+    for s, t in mtimes.items():
+        assert os.stat(lineage._lineage_path(ledger, s)).st_mtime_ns == t
+    after = [m["stage"] for m in lineage.ledger_summary(ledger)]
+    assert after == ["10_mentions", "20_blocks", "30_star_edges",
+                     "50_clusters"]
+
+
 def test_ppm_16bit_and_scaled_maxval():
     import numpy as np
 

@@ -59,15 +59,37 @@ if workload == "pipeline":
     # page runs cost seconds to build, so the timed job dominates overhead
     pages_full, titles = synth.gen_pages_scaled_df(spark, size,
                                                    pages_per_entity=4)
-    pages = pages_full.select("url", "text")  # column pruning: html/ts stay unread
-    pages.cache().count()
+    # persist the corpus to parquet and re-read: a cluster job's input is a
+    # file-backed table with REAL size statistics. Catalyst estimates the
+    # synthetic range plan at 24 bytes/row (~7 MB for 300k pages vs ~400 MB
+    # actual), which would silently pin the size-adaptive default
+    # (_auto_runner) to in-plan mode at every benchmark size.
+    # corpus on tmpfs, not /tmp: this sandbox's /tmp is a single slow
+    # block device — a serialization point no multi-executor cluster has
+    # (each executor brings its own I/O path); tmpfs keeps the leg
+    # measuring ENGINE scaling, not one disk's queue depth
+    import os
+    pq = f"/dev/shm/scale_corpus_{{size}}"
+    if not os.path.exists(pq + "/_SUCCESS"):
+        pages_full.write.mode("overwrite").parquet(pq)
+    pages = spark.read.parquet(pq).select("url", "text")  # pruned: html/ts unread
     titles = titles.localCheckpoint()
     # broadcast_keys_max raised: at 4.8M pages the corpus carries 2.4M
     # dictionary keys, and the default 2M cutoff silently drops the fused
     # Arrow scan for the n-gram join path (~5x slower here) — the reference
     # itself holds the full title dict in process memory, so the scan path
     # is the faithful strategy for this benchmark
-    cfg = ERConfig(block_cap=500, nsalt=16, broadcast_keys_max=8_000_000)
+    # ledger_min_bytes lowered so the ~100-byte/page TEST corpus crosses the
+    # adaptive threshold the way a real at-scale input would cross the
+    # 256 MiB production default — the leg measures the ledgered-stage mode
+    # AS the default plan, and default_mode in the output proves which mode
+    # actually ran
+    # 1 MiB: low enough that BOTH levels of a weak-scaling leg (size_low =
+    # size/4) land on the same side of the threshold — a leg that measured
+    # ledger mode at one level and inplan at the other would compare two
+    # different physical plans
+    cfg = ERConfig(block_cap=500, nsalt=16, broadcast_keys_max=8_000_000,
+                   ledger_min_bytes=1 << 20)
     import os
     mode = os.environ.get("SPARK_GRAFT_SCALE_LEDGER", "")
     if mode == "1":
@@ -77,7 +99,8 @@ if workload == "pipeline":
         import tempfile
         from spikex_spark.lineage import resolve_entities_resumable
         def job():
-            led = tempfile.mkdtemp(prefix="scale_ledger_")
+            led = tempfile.mkdtemp(prefix="scale_ledger_",
+                                   dir="/dev/shm/spark-local")
             resolve_entities_resumable(spark, pages, titles, led,
                                        fingerprint=led, cfg=cfg).count()
     elif mode == "0":
@@ -136,6 +159,15 @@ elif workload == "dump":
 else:
     raise SystemExit(f"unknown workload {{workload}}")
 
+extra = {{}}
+if workload == "pipeline":
+    # record which physical mode the size-adaptive default picked, so the
+    # scaling report can't silently measure the wrong one (round-4 find:
+    # the synthetic range plan's 24-byte/row estimate pinned it to inplan)
+    from spikex_spark.pipeline import _auto_runner, run_inplan
+    picked = _auto_runner(pages, cfg.ledger_min_bytes)
+    extra["default_mode"] = "inplan" if picked is run_inplan else "ledger"
+
 best = float("inf")
 job()  # untimed warmup rep: cold-cache input/shuffle bytes differ from
        # steady state; running it BEFORE the `before` snapshot keeps the
@@ -148,7 +180,8 @@ after = _stage_totals()
 # per-rep deltas over the 3 timed reps (warmup excluded by the `before`
 # snapshot taken after the warmup rep)
 metrics = {{k: (after[k] - before[k]) // 3 for k in after}}
-print(json.dumps({{"best_sec": round(best, 2), "metrics_per_rep": metrics}}))
+print(json.dumps({{"best_sec": round(best, 2), "metrics_per_rep": metrics,
+                   **extra}}))
 spark.stop()
 """
 
@@ -232,6 +265,13 @@ def main() -> None:
         results[workload] = {
             "size_low": size_low, "size_high": size_high,
             "unit": unit,
+            **({"default_mode": r_high["default_mode"]}
+               if "default_mode" in r_high else {}),
+            # a low-level mode differing from high would mean the leg
+            # compared two different physical plans — surface it
+            **({"default_mode_low": r_low["default_mode"]}
+               if r_low.get("default_mode") != r_high.get("default_mode")
+               and "default_mode" in r_low else {}),
             f"sec_local[{n_low}]": t_low,
             f"sec_local[{n_high}]": t_high,
             f"{unit}_per_sec_local[{n_low}]": round(size_low / t_low, 1),
