@@ -3,10 +3,11 @@
 Implements the ITU-T T.81 baseline sequential DCT process: Huffman entropy
 coding, 8x8 FDCT/IDCT, Annex-K quantization/Huffman tables, JFIF YCbCr
 color, optional 4:2:0 chroma subsampling, restart markers. Decoder handles
-grayscale and YCbCr with any (h,v) sampling factors in 1..4 whose product
-divides the MCU; unsupported variants (progressive SOF2, arithmetic
-coding, 12-bit precision) return ``None`` so multimodal dispatch can fall
-through rather than crash.
+grayscale and YCbCr with any (h,v) sampling factors in 1..4 that divide
+the frame's max factors (integer-ratio upsampling); unsupported variants
+(progressive SOF2, arithmetic coding, 12-bit precision, non-dividing
+sampling factors) return ``None`` so multimodal dispatch can fall through
+rather than crash.
 
 This is a correctness-grade codec for the multimodal column plumbing
 (reference has no media path at all — see SURVEY §2.8): per-pixel Python
@@ -199,6 +200,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         m = payload[i + 1]
+        if m == 0xFF:           # T.81 B.1.1.2: optional 0xFF fill bytes
+            i += 1              # may pad before any marker — skip one,
+            continue            # the next byte is still 0xFF or the code
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
@@ -263,6 +267,10 @@ def _decode_scan(frame, sel, qtabs, htabs, restart, segs):
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        # e.g. luma h=3 with chroma h=2: the integer-ratio repeat() below
+        # cannot upsample it — unsupported variant, not corrupt data
+        return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     nmcu = mcux * mcuy

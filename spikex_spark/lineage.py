@@ -1,9 +1,12 @@
 """Resumable stage ledger — per-stage checkpoints + lineage counters.
 
 north_rule requirement: "every stage checkpoints per-partition lineage and
-counters ... so the job resumes mid-pipeline". In the sandbox the ledger
-writes parquet; on a cluster the same layout goes to Iceberg tables (the
-``format`` knob) and gets snapshot isolation for free.
+counters ... so the job resumes mid-pipeline". The ledger writes parquet
+(bucketed via ``saveAsTable``); on a cluster the same stage layout maps
+1:1 onto Iceberg bucket-partitioned tables (``df.writeTo(...).using(
+"iceberg")``) and gets snapshot isolation for free — no Iceberg runtime
+ships in this sandbox, so that path stays documentation, not a dead code
+branch.
 
 Layout under ``ledger_dir``::
 
@@ -174,6 +177,20 @@ def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
     return out
 
 
+def _read_complete(spark: SparkSession, ledger_dir: str,
+                   stage: str) -> DataFrame:
+    """Read a prior ledger stage for INCREMENTAL extension — and refuse a
+    stage with no COMPLETE marker. A bootstrap killed mid-write leaves
+    partial parquet under <stage>/data; silently unioning that with the new
+    batch would mark the NEW ledger COMPLETE while permanently dropping old
+    rows. The incremental contract is 'extend a COMPLETED ledger'."""
+    if not stage_complete(ledger_dir, stage):
+        raise ValueError(
+            f"stage {stage!r} in ledger {ledger_dir!r} has no COMPLETE "
+            "marker — finish (or re-run) the bootstrap before extending it")
+    return spark.read.parquet(_data_path(ledger_dir, stage))
+
+
 def ledger_summary(ledger_dir: str) -> list[dict]:
     out = []
     root = Path(ledger_dir)
@@ -236,8 +253,8 @@ def resolve_entities_incremental(spark: SparkSession, pages_new: DataFrame,
     from .pipeline import ERConfig, _mentions, cluster_from_blocks
 
     cfg = cfg or ERConfig()
-    old_blocks = spark.read.parquet(_data_path(old_ledger, "20_blocks"))
-    old_ids = (spark.read.parquet(_data_path(old_ledger, "50_clusters"))
+    old_blocks = _read_complete(spark, old_ledger, "20_blocks")
+    old_ids = (_read_complete(spark, old_ledger, "50_clusters")
                .select(F.col(id_col).alias("id")))
 
     def run(name: str, build, **hints) -> DataFrame:
@@ -330,10 +347,21 @@ def ivf_assign_incremental(spark: SparkSession, vecs_new: DataFrame,
     ``old_ledger`` for the next increment. Centroid drift is a retrain +
     rebuild (``train_ivf_centroids`` / ``kmeans_parallel_units``), exactly
     as in IVF systems that version their coarse quantizer.
+
+    Cost shape: only the NEW batch is *scored* (the expensive part — one
+    matmul per vector against nlist centroids); the union write then
+    re-materializes the old (id, list_id) pairs — a COMPACTION of ~16-byte
+    rows, no recompute, no wide shuffle beyond the bucket hash. That
+    compaction is the price of keeping the index ONE bucketed table the
+    probe join reads exchange-free: Spark's catalog cannot express a
+    bucketed table spanning multiple locations, and a plain union of two
+    bucketed scans drops the co-partitioning. With an Iceberg catalog the
+    same step becomes a true fast-append snapshot (bucket layout persists
+    across appends) and the compaction disappears.
     """
     from .operators.simsearch import ivf_assignments
 
-    old_assign = spark.read.parquet(_data_path(old_ledger, "10_assign"))
+    old_assign = _read_complete(spark, old_ledger, "10_assign")
     return run_stage(
         spark, new_ledger, "10_assign",
         lambda: old_assign.unionByName(
@@ -363,9 +391,9 @@ def resolve_documents_incremental(spark: SparkSession, docs_new: DataFrame,
     from .operators import cc as CC
     from .pipeline import score_doc_pairs
 
-    old_buckets = spark.read.parquet(_data_path(old_ledger, "10_buckets"))
-    old_scores = spark.read.parquet(_data_path(old_ledger, "30_scores"))
-    old_ids = (spark.read.parquet(_data_path(old_ledger, "40_clusters"))
+    old_buckets = _read_complete(spark, old_ledger, "10_buckets")
+    old_scores = _read_complete(spark, old_ledger, "30_scores")
+    old_ids = (_read_complete(spark, old_ledger, "40_clusters")
                .select(F.col("doc_id").alias("id")))
 
     def run(name: str, build, **hints) -> DataFrame:

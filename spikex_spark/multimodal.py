@@ -83,8 +83,24 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
 
     Returns None for formats this pure-Python decoder does not handle
     (progressive JPEG, compressed BMP, ...); raises ValueError on corrupt
-    data of a known format.
+    data of a known format. The ValueError contract is normalized HERE:
+    codec internals can surface zlib.error (bad IDAT stream behind intact
+    chunk CRCs), struct.error (truncated fixed-layout headers), or
+    IndexError (short buffers) — callers like decode_features rely on
+    catching exactly ValueError to route untyped magic-collision blobs to
+    the fake/stub path instead of failing the whole Arrow batch.
     """
+    import zlib
+
+    try:
+        return _decode_image_raw(payload)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt image stream: {e}") from e
+
+
+def _decode_image_raw(payload: bytes) -> "np.ndarray | None":
     if payload is None or len(payload) < 2:
         return None
     if bytes(payload[:8]) == _PNG_SIG:

@@ -267,7 +267,9 @@ def _kmeans_parallel_select(corpus: DataFrame, oversample: int, rounds: int,
         @pandas_udf(T.DoubleType() if what == "max" else T.IntegerType())
         def udf(vecs: pd.Series) -> pd.Series:
             m = np.vstack(vecs.to_numpy()).astype(np.float64)
-            sim = np.round(m @ Ct, 7)
+            # half-away rounding to match SQL round() — np.round is
+            # banker's and flips the argmax/order-by on an exact .5 tie
+            sim = _round_half_away(m @ Ct, 7)
             if what == "max":
                 return pd.Series(sim.max(axis=1))
             return pd.Series(sim.argmax(axis=1).astype(np.int32))

@@ -59,15 +59,27 @@ def _ephemeral_ledger_runner(spark, bucketed_only: bool = True):
     from .lineage import run_stage
 
     # ephemeral ledgers are an EXECUTION layout (exchange-free consumer
-    # reads), not durable state — put them on the same fast scratch as
-    # spark.local.dir, not /tmp (this sandbox's /tmp is the slow bursty
-    # block device session.py already steers shuffle files away from).
+    # reads), not durable state. WHERE they live matters for correctness,
+    # not just speed: every executor must read the stage files back, so
+    # node-local scratch is only valid in local[*] mode (one machine). On a
+    # cluster the files go under the warehouse dir — shared storage, the
+    # same place saveAsTable data lands — never an executor-local path.
+    # In local mode prefer the fast scratch spark.local.dir already uses
+    # (not /tmp: this sandbox's /tmp is the slow bursty block device).
     # The durable, resumable ledger is the caller-named dir in
     # lineage.resolve_*_resumable, which stays wherever the user put it
     # (cluster: Iceberg/object storage).
-    scratch = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
-    os.makedirs(scratch, exist_ok=True)
-    led = tempfile.mkdtemp(prefix="er_stage_ledger_", dir=scratch)
+    if spark.sparkContext.master.startswith("local"):
+        # SPARK_LOCAL_DIRS is a comma-separated list — take the first
+        scratch = os.environ.get(
+            "SPARK_LOCAL_DIRS", "/dev/shm/spark-local").split(",")[0]
+        os.makedirs(scratch, exist_ok=True)
+        led = tempfile.mkdtemp(prefix="er_stage_ledger_", dir=scratch)
+    else:
+        import uuid
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        led = f"{wh}/_ephemeral_ledgers/{uuid.uuid4().hex}"
     if not _EPHEMERAL_LEDGERS:
         atexit.register(
             lambda: [shutil.rmtree(p, ignore_errors=True)
@@ -439,11 +451,15 @@ def resolve_documents(docs: DataFrame, cfg: ERConfig = ERConfig(),
         # SAME skew guard + join as doc_candidate_pairs (one shared cap —
         # the ledgered/incremental equivalence proofs assume identical cap
         # semantics). The checkpoint stops the in-plan runner recomputing
-        # the bucket chain for both sides of the self-join; under the
-        # ledgered runner buckets is already a materialized read.
+        # the bucket chain for both sides of the self-join — but ONLY the
+        # in-plan runner: under a ledgered runner buckets is a bucketed
+        # table read, and localCheckpoint would DROP its outputPartitioning
+        # (run_stage docstring), re-introducing the self-join exchanges the
+        # bucketed write exists to eliminate.
         capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
                               id_col="id", cap=DOC_BUCKET_CAP)
-        return bucket_pair_join(capped.localCheckpoint())
+        return bucket_pair_join(
+            capped.localCheckpoint() if run is run_inplan else capped)
 
     pairs = run("20_pairs", _pairs)
     scores = run("30_scores",

@@ -126,7 +126,13 @@ def gen_pages(n: int = 200, seed: int = 42) -> list[dict]:
     n_hard = max(len(_HARD_ENTITIES) * 2, int(n * 0.1))
     for i in range(n_hard):
         canon, variants = _HARD_ENTITIES[i % len(_HARD_ENTITIES)]
-        mention = variants[i % len(variants)].replace("_", " ")
+        # variant index = the group's OCCURRENCE count, not i: i steps by
+        # len(_HARD_ENTITIES)=9 within a group, and 9 % 3 == 0 means a
+        # 3-variant group would be stuck on one variant forever — the
+        # transposed-qualifier POSITIVE (Riverside_(seat_county)) was never
+        # emitted and the must-match trap sat vacuous
+        mention = variants[(i // len(_HARD_ENTITIES))
+                           % len(variants)].replace("_", " ")
         noise = " ".join(rng.choice(_FILLER) for _ in range(rng.randint(6, 20)))
         emit(f"{noise} {mention} {rng.choice(_FILLER)}",
              f"hrd{i % len(_HARD_ENTITIES)}")

@@ -91,3 +91,26 @@ def test_large_dict_fallback_uses_shuffle_join(spark, pages_df, titles_df,
                       ERConfig(), "url", "text")
     assert ({tuple(r) for r in out.collect()}
             == {tuple(r) for r in fused.collect()})
+
+
+def test_hard_entity_variants_all_emitted_and_matched(spark, pages_df,
+                                                      titles_df):
+    """Every _HARD_ENTITIES variant must actually appear in the corpus —
+    the group index steps by 9 and 9 % 3 == 0, so a naive i%len(variants)
+    pins 3-variant groups to ONE variant forever (the transposed-qualifier
+    POSITIVE 'Riverside_(seat_county)' was never emitted). And the planted
+    must-match pair (token set identical, JW dips) has to be predicted
+    a match."""
+    texts = [r["text"] for r in pages_df.select("text").collect()]
+    blob = " | ".join(texts)
+    assert "riverside (county seat)" in blob.lower()
+    assert "riverside (seat county)" in blob.lower()
+
+    gold = synth.gen_labeled_pairs(120)
+    hard_pos = [g for g in gold if g["is_hard"] and g["is_match"]
+                and "riverside" in g["block_key"]]
+    assert hard_pos, "gold lost the Riverside hard positives"
+    sp = {(r["id_a"], r["id_b"]): r["is_match"]
+          for r in scored_pairs(pages_df, titles_df).collect()}
+    for g in hard_pos:
+        assert sp.get((g["url_a"], g["url_b"])) is True, g

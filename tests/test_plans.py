@@ -184,3 +184,70 @@ def test_bucketed_blocks_stage_consumers_are_exchange_free(spark, tmp_path):
                       input_fingerprint="t", bucket_by=["block_key"],
                       num_buckets=8, sort_by=["block_key", "salt", "surface"])
     assert shuffles(again.groupBy("block_key").count()) == 0
+
+
+def test_ledgered_doc_pair_join_reuses_bucketing(spark, tmp_path):
+    """The documents pipeline's pair stage under a LEDGERED runner: the
+    capped self-join must reuse the 10_buckets (band, bucket) bucketing —
+    the only exchange left is bucket_pair_join's own distinct(). A
+    localCheckpoint slipped between the bucketed read and the join would
+    drop outputPartitioning and re-shuffle BOTH join sides (3 exchanges)."""
+    from spikex_spark.lineage import run_stage
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.pipeline import DOC_BUCKET_CAP, bucket_pair_join
+
+    docs = spark.range(300).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("shared sample text number "),
+                 (F.col("id") % 40).cast("string")).alias("text"))
+
+    def _buckets():
+        sh = B.shingle_df(docs, "doc_id", "text", k=5)
+        sig = B.minhash_signatures(sh, num_hashes=16)
+        return B.lsh_buckets(sig, bands=4, rows_per_band=4)
+
+    buckets = run_stage(spark, str(tmp_path / "led"), "10_buckets", _buckets,
+                        input_fingerprint="t",
+                        bucket_by=["band", "bucket"],
+                        sort_by=["band", "bucket", "id"])
+
+    def shuffles(df) -> int:
+        p = _plan(df)
+        return p.count("Exchange") - p.count("BroadcastExchange") \
+            - p.count("ReusedExchange")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
+                              id_col="id", cap=DOC_BUCKET_CAP)
+        pairs = bucket_pair_join(capped)
+        assert shuffles(pairs) == 1, _plan(pairs)   # distinct() only
+        # the anti-pattern this test pins against:
+        chk = bucket_pair_join(capped.localCheckpoint())
+        assert shuffles(chk) >= 3, _plan(chk)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ephemeral_ledger_scratch_env_handling(spark, tmp_path, monkeypatch):
+    """SPARK_LOCAL_DIRS is a comma-separated list — the ephemeral ledger
+    must land under the FIRST entry, not a literal 'a,b' directory."""
+    import os
+
+    from spikex_spark import pipeline as P
+
+    a, b = str(tmp_path / "scrA"), str(tmp_path / "scrB")
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", f"{a},{b}")
+    run = P._ephemeral_ledger_runner(spark)
+    led = P._EPHEMERAL_LEDGERS[-1]
+    assert led.startswith(a + os.sep), led
+    assert os.path.isdir(led)
+    out = run("10_x", lambda: spark.range(5).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("k")),
+        bucket_by=["k"], num_buckets=2)
+    assert out.count() == 5
+    # ephemeral ledgers skip the lineage-counter audit job: rows is None
+    import json
+    from spikex_spark import lineage
+    meta = json.loads(lineage._lineage_path(led, "10_x").read_text())
+    assert meta["status"] == "COMPLETE" and meta["rows"] is None

@@ -804,3 +804,92 @@ def test_incremental_chains_across_two_batches(spark, tmp_path, titles_df):
     full = resolve_entities(spark.createDataFrame(rows), titles_df)
     key = lambda df: {(r["url"], r["cluster_id"]) for r in df.collect()}
     assert key(inc2) == key(full)
+
+
+def test_corrupt_png_zlib_error_normalized_to_valueerror(spark):
+    """A PNG with intact chunk CRCs but an invalid IDAT zlib stream raises
+    zlib.error inside decode_png — decode_image must normalize it to the
+    documented ValueError so (a) kind='image' callers see the contract
+    exception and (b) untyped magic-collision blobs fall through to the
+    fake path instead of failing the whole Arrow batch."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from spikex_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_features,
+        decode_features,
+        decode_image,
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", b"\x00not a zlib stream")   # CRC valid, data not
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt image stream"):
+        decode_image(bad)
+
+    # untyped dispatch (no kind column): falls through to the fake path
+    rows = [{"media_id": 0, "kind": None, "mime": None, "width": None,
+             "height": None, "duration_ms": None, "payload": bad}]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).drop("kind")
+    got = decode_features(df).collect()
+    assert got[0]["features"] == pytest.approx(_fake_features(bad), abs=1e-6)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    the decoder must skip them, not parse 0xFF as a marker code with a
+    bogus segment length."""
+    import numpy as np
+
+    from spikex_spark.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.stack([np.full((16, 16), v, np.uint8)
+                    for v in (200, 80, 30)], axis=-1)
+    enc = encode_jpeg(img, quality=90)
+    assert enc[:2] == b"\xff\xd8"
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]   # fill before first marker
+    base, dec = decode_jpeg(enc), decode_jpeg(padded)
+    assert dec is not None and np.array_equal(base, dec)
+
+
+def test_jpeg_nondividing_sampling_factors_return_none():
+    """Sampling factors that do not divide the frame max (e.g. luma h=3
+    with a chroma h=2) cannot be integer-ratio upsampled — the decoder
+    must report 'unsupported' (None), not crash in the plane stack."""
+    from spikex_spark.jpeg import _decode_scan
+
+    frame = {"w": 24, "h": 8,
+             "comps": [{"id": 1, "h": 3, "v": 1, "tq": 0},
+                       {"id": 2, "h": 2, "v": 1, "tq": 0}]}
+    assert _decode_scan(frame, {}, {}, {}, 0, []) is None
+
+
+def test_incremental_refuses_incomplete_old_ledger(spark, tmp_path):
+    """An old ledger whose bootstrap died mid-write (data files, no
+    COMPLETE marker) must be REFUSED by the incremental extenders — a
+    silent union would drop the missing old rows forever."""
+    import pytest
+
+    from spikex_spark import lineage
+
+    old = tmp_path / "old_led"
+    (old / "10_assign" / "data").mkdir(parents=True)
+    spark.range(3).select(
+        F.col("id").alias("id"), F.lit(0).alias("list_id")
+    ).write.mode("overwrite").parquet(str(old / "10_assign" / "data"))
+    # no _lineage.json -> not COMPLETE
+    vecs = spark.range(2).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="no COMPLETE marker"):
+        lineage.ivf_assign_incremental(
+            spark, vecs, [[1.0, 0.0], [0.0, 1.0]],
+            str(old), str(tmp_path / "new_led"))
