@@ -125,6 +125,10 @@ def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
             return _register_bucketed(spark, ledger_dir, stage, meta)
         return spark.read.parquet(data)
     t0 = time.time()
+    # label every job this stage triggers (write, lineage audit) so the UI /
+    # REST status API attributes wall time to pipeline stages, not to
+    # anonymous saveAsTable futures — observability for the scaling report
+    spark.sparkContext.setJobDescription(f"stage:{stage}")
     df = build()
     if bucket_by:
         tname = _table_name(ledger_dir, stage)
@@ -174,6 +178,7 @@ def run_stage(spark: SparkSession, ledger_dir: str, stage: str,
     p = _lineage_path(ledger_dir, stage)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(json.dumps(meta, indent=1))
+    spark.sparkContext.setJobDescription(None)
     return out
 
 

@@ -32,8 +32,21 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # default parallelism AND shuffle partitions = 2x cores, not 1x: AQE's
+    # parallelism-first coalesce floor and the parquet leaf-split count both
+    # derive from defaultParallelism, and a floor of exactly-cores quantizes
+    # stages into "one full wave plus a straggler wave" (measured: a 9-task
+    # CPU-dense stage on 8 cores runs ~1.8x its ideal wall). Two even waves
+    # of half-size tasks track the ideal — the docstring's own 2-3x rule of
+    # thumb, now applied to the local default; cluster submits override via
+    # --conf as usual.
+    ncores = None
+    if master.startswith("local["):
+        inner = master[len("local["):].rstrip("]")
+        ncores = os.cpu_count() if inner == "*" else int(inner)
     nshuffle = shuffle_partitions or int(
-        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS",
+                       2 * ncores if ncores else DEFAULT_SHUFFLE_PARTITIONS)
     )
     builder = (
         SparkSession.builder.master(master)
@@ -41,6 +54,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce floor: the default 1 MiB minPartitionSize is a
+        # byte-density heuristic that starves CPU-dense stages — a pairwise
+        # Jaro-Winkler Arrow stage carries ~100 bytes/pair but ~10 µs CPU, so
+        # a 6 MiB shuffle coalesced to six 1 MiB partitions pins a
+        # seconds-long scoring stage to 6 of 32 cores (measured: the single
+        # biggest strong-scaling loss at local[32]). 64 KiB keeps small
+        # CPU-heavy shuffles at full width; at production scale partitions
+        # are orders of magnitude above either floor, so this only changes
+        # the small-input tail.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64kb")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -73,6 +97,8 @@ def get_spark(
         # the conservative default does not apply
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
+    if ncores:
+        builder = builder.config("spark.default.parallelism", str(2 * ncores))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -112,3 +112,36 @@ def test_numpy_components_string_ids():
     ids, comps = _numpy_components(pdf)
     got = dict(zip(ids.tolist(), comps.tolist()))
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_arrow_components_matches_numpy_twin():
+    """_arrow_components (the production small-graph path) must agree with
+    _numpy_components (the pandas semantics twin) on random graphs, for
+    string AND int node ids — including the min-original-id component
+    representative, where the two paths rank via different sorts (Arrow
+    sort_indices on the dictionary vs numpy argsort on factorize order)."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from spikex_spark.operators.cc import _arrow_components, _numpy_components
+
+    rng = random.Random(11)
+    for trial in range(20):
+        n = rng.randint(2, 120)
+        m = rng.randint(1, 250)
+        raw = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        raw = [(min(u, v), max(u, v)) for u, v in raw if u != v]
+        if not raw:
+            continue
+        for to_id in (str, int):
+            edges = [(to_id(u), to_id(v)) for u, v in raw]
+            pdf = pd.DataFrame(edges, columns=["a", "b"])
+            ids_n, comps_n = _numpy_components(pdf)
+            gold = dict(zip(ids_n.tolist(), comps_n.tolist()))
+            tbl = pa.table({"a": [e[0] for e in edges],
+                            "b": [e[1] for e in edges]})
+            ids_a, comps_a = _arrow_components(tbl)
+            got = dict(zip(ids_a.to_pylist(), comps_a.to_pylist()))
+            assert got == gold, (trial, to_id)

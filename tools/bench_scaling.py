@@ -48,8 +48,13 @@ def _stage_totals():
     appid = apps[0]["id"]
     stages = json.load(urllib.request.urlopen(
         f"{{base}}/api/v1/applications/{{appid}}/stages?status=complete"))
+    # executorRunTime/CpuTime (ms): work-inflation evidence — the SAME job
+    # on the SAME input costing more total cycles at a higher level is
+    # hardware contention (shared memory bus / SMT), not engine
+    # serialization; the scaling report divides these across levels
     keys = ("shuffleWriteBytes", "shuffleReadBytes", "inputBytes",
-            "outputBytes", "memoryBytesSpilled", "diskBytesSpilled")
+            "outputBytes", "memoryBytesSpilled", "diskBytesSpilled",
+            "executorRunTime", "executorCpuTime")
     return {{k: sum(s.get(k, 0) or 0 for s in stages) for k in keys}}
 
 if workload == "pipeline":
@@ -277,6 +282,18 @@ def main() -> None:
             f"{unit}_per_sec_local[{n_low}]": round(size_low / t_low, 1),
             f"{unit}_per_sec_local[{n_high}]": round(size_high / t_high, 1),
             "scaling_efficiency": eff,
+            # total task cycles high/low, size-normalized: >1.0 means the
+            # SAME per-row work costs more cycles at the higher level —
+            # shared-bus/SMT contention the engine cannot remove, the
+            # quantity a real multi-node cluster (one bus per executor)
+            # does not pay. efficiency * inflation ~= the engine's own
+            # (scheduling + serial-fraction) scaling.
+            "work_inflation": (round(
+                (r_high["metrics_per_rep"].get("executorRunTime", 0)
+                 / max(size_high, 1))
+                / max(r_low["metrics_per_rep"].get("executorRunTime", 1)
+                      / max(size_low, 1), 1e-9), 3)
+                if r_low.get("metrics_per_rep") else None),
             # per-rep engine metrics at the HIGH level (REST status API):
             # shuffle/spill bytes are the cross-executor traffic a real
             # cluster would pay — the "shuffle << input" evidence
