@@ -1151,39 +1151,41 @@ SELECT * FROM (VALUES
 # binary payload hashing cannot run SQL-side): raw float64 fold values
 # pinned as literals, rounded in SQL exactly like the Spark query
 # media_id % 3 == 0 rows are IMAGES with real payloads cycling P6/P3/BMP/
-# PNG — their values pin the REAL pure-Python decode (incl. the stdlib
-# zlib PNG codec) → pixel features; the audio/video rows pin the
-# deterministic fake path the remaining codec formats use
+# PNG/JPEG — their values pin the REAL pure-Python decode (incl. the stdlib
+# zlib PNG codec) → pixel features; media_id % 3 == 1 rows are AUDIO with
+# real WAV PCM payloads (8/16/32-bit, mono/stereo, four sample rates) —
+# their values pin the REAL stdlib WAV decode → audio_features; the video
+# rows pin the deterministic fake path mp4 uses (no codec lib here)
 _MEDIA_GOLDEN = [
     (0, 0.8511317247764097),
-    (1, 5.958928820797362),
+    (1, 6.780757480885042),
     (2, 3.560598603107015),
     (3, 1.5080810403804197),
-    (4, 3.593209316154416),
+    (4, 28.037594402484086),
     (5, 4.938266302744926),
     (6, 1.3697931506229153),
-    (7, 4.326369316691502),
+    (7, 18.825898077387162),
     (8, 5.419833836563835),
     (9, 1.3314799251236942),
-    (10, 4.544853519508554),
+    (10, 7.139811888286931),
     (11, 4.059619477639822),
     (12, 1.2134995477094872),
-    (13, 3.6131116676321042),
+    (13, 51.70355255020172),
     (14, 5.66106535306189),
     (15, 1.8168335361078696),
-    (16, 6.4766692881850165),
+    (16, 3.9203120694610134),
     (17, 5.347369176655479),
     (18, 1.639273311457813),
-    (19, 3.599967199352068),
+    (19, 18.720921211143143),
     (20, 6.224831162506431),
     (21, 1.6237192970227772),
-    (22, 6.339073127554678),
+    (22, 4.0080897452911755),
     (23, 4.67069338540164),
     (24, 1.6322837258783054),
-    (25, 3.752271535543775),
+    (25, 51.62861869589003),
     (26, 6.185100697142464),
     (27, 1.6231196175560922),
-    (28, 5.103378718535496),
+    (28, 66.92615833176592),
     (29, 6.669678880227912),
 ]
 
@@ -1194,36 +1196,90 @@ _MEDIA_GOLDEN = [
 # deterministic fake blob path
 _MEDIA_RESIZE_GOLDEN = [
     (0, '09b8e06c66a1a910a07077e451025931'),
-    (1, 'ff09b047c7b95908bca98b3347f27ca3'),
+    (1, '4a346f923067318130fa571513f80c6f'),
     (2, 'e33f1160ffba16d8f5a0726c12354c0c'),
     (3, 'e6fe61ceffe946ee6341fe260f66a4ea'),
-    (4, '6e324b91feed190e83477cfde8b946a8'),
+    (4, '9e20cb4eeff758de3c96b02e9bb2ff42'),
     (5, '0504e462b0901b75326b4e395e3e883d'),
     (6, '572e597c1eddbb327af2cd4cccafbf4b'),
-    (7, '4ccf84530ee963311d170a1a475df04d'),
+    (7, 'd8155ee28a17326efb25295076b39a73'),
     (8, '0ab38469732b5dcc087b395823bf19a4'),
     (9, '5f5434275ea11138ae2680dfc62d517d'),
-    (10, '1bfaaab9030dd79ce0858e21a4a154ea'),
+    (10, '6c71864e834986a4b50c72cce9fd6706'),
     (11, 'ae17632c751bf4137ce807d5a14dc0f2'),
     (12, 'f6741f5845a51183d8f6d4d79411618c'),
-    (13, 'c77b3ed54d3da669be0fc0aa935e28c9'),
+    (13, 'bc40ed9d2514f2d10e984ec61cbd879b'),
     (14, '377b053adb6b39cb423b93e773d7d604'),
     (15, '474dcde342cdfc8451b32901ae0d642f'),
-    (16, 'cfcea9fbff9c75c0f0bba3f6f0dcd5e0'),
+    (16, '53d1412be7a2aacaeb1cbc707ef347d7'),
     (17, '45a2de87c3a090a0c20199c54220fda4'),
     (18, 'ee99c08d7b4fbfc5898779357eb6724f'),
-    (19, 'affa5e416086e9548cd40d82d4bd5cdb'),
+    (19, '2d4464ab6f1d1dc346859fe42afe61bd'),
     (20, 'd54db9a70eef3dd16912b32e5d6aaee3'),
     (21, 'f15222279d59d2d565b2fb9631e45b68'),
-    (22, '33af596a135d6cc9724f7a868295c9d1'),
+    (22, 'd3d2da1801212cb6fe24933c91fa8efc'),
     (23, '37570f4aea143eb5681067ec524399f2'),
     (24, '2179480d342bf32d191d40a7284a6fda'),
-    (25, '90f93760f78bda2e68f4aea681904022'),
+    (25, '7cede250841b820ee004d8e89c11838f'),
     (26, '5c9e1e0da1e0bb8d343b3b778fd1e329'),
     (27, 'c76e8612729f00d75cfe04c30b57321a'),
-    (28, 'b8362246205636ce2a02914ffbc0c8cd'),
+    (28, 'cff9af7677816415d093e6332dde1d91'),
     (29, 'af49d5b84ffeafb4a112e8b205739a5e'),
 ]
+
+
+# md5 of the 16 kHz resample output per media row: audio rows pin the REAL
+# WAV decode -> linear-interp resample -> 16-bit PCM re-encode chain across
+# all synthesized depths (8/16/32-bit) and rates (8k/11k/16k/22k); image/
+# video rows pin the deterministic fake blob path (resampling is not an
+# image/video op; they never enter the audio decoder)
+_MEDIA_AUDIO_GOLDEN = [
+    (0, 'abc52695af41c3f54e67bb2d5ffdcaac'),
+    (1, '326650fcc1ab6380b04af915b3ad0b35'),
+    (2, 'b85b3bbf69fb4f7c7f1234ebb8f9abf9'),
+    (3, '6fe818ae5d90f82d1d14d3a3b0c661c3'),
+    (4, '1a63488f130e529c090115e53e96ad76'),
+    (5, 'deafef36ebc62362228b1b9d6c664f8c'),
+    (6, 'ac09c30c24cb3790e14b8d873dec37e1'),
+    (7, '65f566bd19d099d4fb1fd97ac3679c54'),
+    (8, '51cd37140b820f1c3fa0b7d1c70daa26'),
+    (9, '4b2066253360b1f03aba1714a04e4f69'),
+    (10, '13def555f8134d2136c2c9af9f79d6d3'),
+    (11, '30dfcd88117e0416170cefdc1936931f'),
+    (12, '77ed94c39d44ec9e3429d2d20c9d0c5f'),
+    (13, 'e79f12122f83e11842e81ffc889a979c'),
+    (14, '409e0e813451e1d4e5f1cd788f0311e7'),
+    (15, '9836d8285ab710850e63a4b1df596801'),
+    (16, 'ba6081799bc6a87d2d08ccb6b2dd62f5'),
+    (17, 'a9c8c8ee717fa7311df12e2304bbc13e'),
+    (18, '0769bcfc33e9b372443e4b6ca5e9e335'),
+    (19, '5e14f1a8604ccc322c3e1c1fb3a3a98c'),
+    (20, 'fb8a4ceae8d92bc2ec74a5c140584843'),
+    (21, 'b6e7601d5aa06a0d120277a82d59fc83'),
+    (22, '41c156262f3dda9209407ef8b8c9e426'),
+    (23, 'e165e99cee816d0b07acce7f9b42a4ca'),
+    (24, 'c6d277248bb779c229a67f150e51e4f3'),
+    (25, 'ea0d4c904ac722f75c4d4606a960fed1'),
+    (26, '966eb567830f03b93a8ca0ae81c4f09a'),
+    (27, 'fd74df561de75eee4e9e23ee697413cb'),
+    (28, '11e5b15dd46d2c3001bc1fcbbd7a2ff3'),
+    (29, 'cf20ea367ba7a51b77eb7ad135f93b9a'),
+]
+
+
+def _sql_media_audio_resample() -> str:
+    vals = ", ".join(f"({i}, '{h}')" for i, h in _MEDIA_AUDIO_GOLDEN)
+    return ("SELECT media_id, h AS resampled_md5 FROM (VALUES " + vals
+            + ") AS t(media_id, h)")
+
+
+def _q_media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.multimodal import (MEDIA_SCHEMA, gen_media,
+                                         resample_audio_df)
+    media = spark.createDataFrame(gen_media(30), schema=MEDIA_SCHEMA)
+    return resample_audio_df(media, 16000).select(
+        "media_id", F.md5("resampled").alias("resampled_md5")
+    )
 
 
 def _sql_media_resize() -> str:
@@ -2489,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
+        "media_audio_resample": _q_media_audio_resample,
         "embedding_mean_per_label": _q_embedding_mean,
         "ball_clusters": _q_ball_clusters,
         "labelings": _q_labelings,
@@ -2577,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "phrases": _SQL_PHRASES,
         "nb_train_probs": _sql_nb_train(),
         "media_features": _sql_media(),
+        "media_audio_resample": _sql_media_audio_resample(),
         "media_resize": _sql_media_resize(),
         "stream_windowed_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"

@@ -6,9 +6,12 @@ full PNG (zlib inflate, all five scanline filters, color types 0/2/3/4/6,
 bit depths 1-16, Adam7 interlace, CRC-verified), and baseline JPEG
 (:mod:`spikex_spark.jpeg`: Huffman + DCT + 4:2:0, JFIF YCbCr, restart
 markers) — including decode → feature-extract and decode →
-nearest-neighbor resize → format-preserving re-encode. Remaining formats
-(progressive JPEG, audio, video) have no library in this container, so
-their decode stays stubbed behind ``SPIKEX_SPARK_FAKE_DECODE``
+nearest-neighbor resize → format-preserving re-encode. Audio decode is
+REAL for RIFF/WAVE PCM (u8/i16/i24/i32 and IEEE float, extensible headers)
+— decode → feature-extract (:func:`audio_features`) and decode →
+linear-interp resample → re-encode (:func:`resample_audio_df`). Remaining
+formats (progressive JPEG, compressed audio, video) have no library in
+this container, so their decode stays stubbed behind ``SPIKEX_SPARK_FAKE_DECODE``
 (deterministic fake) or raises ``NotImplementedError``; the Spark-side
 plumbing (schemas, Arrow batch shapes, partitioning, UDF signatures) is
 the same either way — a production deployment drops Pillow/ffmpeg into
@@ -391,6 +394,177 @@ _ENCODERS.update({"p6": encode_ppm, "p3": encode_p3, "bmp": encode_bmp,
                   "png": encode_png, "jpeg": _encode_jpeg90})
 
 
+# ---------------------------------------------------------------------------
+# real stdlib-only audio codec: RIFF/WAVE PCM (u8 / i16 / i24 / i32, IEEE
+# float32/64, WAVE_FORMAT_EXTENSIBLE wrapping either)
+# ---------------------------------------------------------------------------
+
+_WAV_FMT_PCM = 1
+_WAV_FMT_FLOAT = 3
+_WAV_FMT_EXTENSIBLE = 0xFFFE
+
+
+def detect_audio_format(payload: bytes) -> "str | None":
+    """'wav' for RIFF/WAVE payloads, else None (mp3/ogg/... stay opaque)."""
+    if payload is None or len(payload) < 12:
+        return None
+    head = bytes(payload[:12])
+    return "wav" if head[:4] == b"RIFF" and head[8:12] == b"WAVE" else None
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
+    """Decode RIFF/WAVE PCM bytes to (float32 samples in [-1, 1] shaped
+    (n_frames, channels), sample_rate).
+
+    Same contract as :func:`decode_image`: an unknown container returns
+    None, a known container with corrupt contents raises ValueError.
+    Handles PCM u8/i16/i24/i32 and IEEE float32/64, plus
+    WAVE_FORMAT_EXTENSIBLE wrapping either; compressed-in-WAV codec tags
+    (ADPCM, MP3, ...) return None — they need a real codec library.
+    """
+    if detect_audio_format(payload) != "wav":
+        return None
+    buf = bytes(payload)
+    pos, end = 12, len(buf)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            tag, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if tag == _WAV_FMT_EXTENSIBLE:
+                if size < 26:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+                # SubFormat GUID: its first two bytes carry the real tag
+                (tag,) = struct.unpack_from("<H", body, 24)
+            fmt = (tag, ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, ch, rate, bits = fmt
+    if ch < 1 or rate < 1:
+        raise ValueError(f"bad WAV fmt: channels={ch} rate={rate}")
+    if tag == _WAV_FMT_PCM and bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif tag == _WAV_FMT_PCM and bits == 16:
+        x = np.frombuffer(
+            data[: len(data) & ~1], dtype="<i2").astype(np.float32) / 32768.0
+    elif tag == _WAV_FMT_PCM and bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        u[u >= 1 << 23] -= 1 << 24  # sign-extend
+        x = u.astype(np.float32) / float(1 << 23)
+    elif tag == _WAV_FMT_PCM and bits == 32:
+        x = np.frombuffer(
+            data[: len(data) & ~3], dtype="<i4").astype(np.float32)
+        x /= float(1 << 31)
+    elif tag == _WAV_FMT_FLOAT and bits == 32:
+        x = np.frombuffer(data[: len(data) & ~3], dtype="<f4").astype(
+            np.float32)
+    elif tag == _WAV_FMT_FLOAT and bits == 64:
+        x = np.frombuffer(data[: len(data) & ~7], dtype="<f8").astype(
+            np.float32)
+    else:
+        return None  # compressed-in-WAV needs a real codec library
+    n = (x.size // ch) * ch
+    return x[:n].reshape(-1, ch), rate
+
+
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int] | None":
+    """ValueError-normalizing wrapper over :func:`decode_wav` (the audio
+    face of :func:`decode_image`'s contract — see its docstring for why
+    callers catch exactly ValueError)."""
+    try:
+        return decode_wav(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt audio stream: {e}") from e
+
+
+def encode_wav(samples: "np.ndarray", rate: int, bits: int = 16) -> bytes:
+    """Encode float samples in [-1, 1], shaped (n, ch) or (n,), as PCM WAV
+    (u8 / i16 / i32)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    x = np.clip(x, -1.0, 1.0)
+    # symmetric 2^(bits-1) scale, clipped at the positive rail — matches
+    # the decoder's divisor exactly, so round-trips stay within half a
+    # quantization step at every depth
+    if bits == 16:
+        q = np.clip(np.round(x * 32768.0), -32768, 32767)
+        pcm = q.astype("<i2").tobytes()
+    elif bits == 8:
+        q = np.clip(np.round(x * 128.0), -128, 127)
+        pcm = (q + 128).astype(np.uint8).tobytes()
+    elif bits == 32:
+        q = np.clip(np.round(x * 2147483648.0), -2147483648, 2147483647)
+        pcm = q.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported WAV encode bit depth {bits}")
+    ba = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", _WAV_FMT_PCM, ch, rate, rate * ba, ba, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + (b"\x00" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_features(samples: "np.ndarray", rate: int,
+                   dim: int = _FEAT_DIM) -> list[float]:
+    """Deterministic 16-dim feature vector from decoded PCM: duration (s),
+    rate (/48k), channels (/8), RMS, peak, zero-crossing rate, mean |x|,
+    DC offset, and an 8-bin RMS energy envelope over equal time slices."""
+    n, ch = samples.shape
+    mono = samples.astype(np.float64).mean(axis=1)
+    out = [
+        n / rate,
+        rate / 48000.0,
+        ch / 8.0,
+        float(np.sqrt(np.mean(mono ** 2))) if n else 0.0,
+        float(np.max(np.abs(mono))) if n else 0.0,
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if n > 1 else 0.0,
+        float(np.mean(np.abs(mono))) if n else 0.0,
+        float(np.mean(mono)) if n else 0.0,
+    ]
+    nbin = max(dim - len(out), 0)
+    edges = (np.arange(nbin + 1) * n) // max(nbin, 1)
+    for i in range(nbin):
+        seg = mono[edges[i]:edges[i + 1]]
+        out.append(float(np.sqrt(np.mean(seg ** 2))) if seg.size else 0.0)
+    return [float(round(v, 9)) for v in out[:dim]]
+
+
+def resample_audio(samples: "np.ndarray", src_rate: int,
+                   dst_rate: int) -> "np.ndarray":
+    """Linear-interpolation resample of (n, ch) float samples to dst_rate."""
+    n, ch = samples.shape
+    if src_rate == dst_rate or n == 0:
+        return samples.astype(np.float32)
+    m = max(int(round(n * dst_rate / src_rate)), 1)
+    t_dst = np.arange(m, dtype=np.float64) * (src_rate / dst_rate)
+    t_src = np.arange(n, dtype=np.float64)
+    out = np.empty((m, ch), dtype=np.float32)
+    for c in range(ch):
+        out[:, c] = np.interp(t_dst, t_src, samples[:, c].astype(np.float64))
+    return out
+
+
 def _resize_nearest(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
     """Nearest-neighbor resample (the classic integer center mapping)."""
     h, w = img.shape[:2]
@@ -430,16 +604,19 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
                     kind_col: str = "kind") -> DataFrame:
     """(media_id, features array<float>): decode + embed each media blob.
 
-    PPM/BMP payloads decode for REAL (``decode_image`` → ``image_features``,
-    no env flag needed). Other formats fall back to the deterministic fake
-    (``SPIKEX_SPARK_FAKE_DECODE``) or raise NotImplementedError — a
-    production deployment plugs Pillow/ffmpeg into that fallthrough.
+    PPM/BMP/PNG/JPEG payloads decode for REAL (``decode_image`` →
+    ``image_features``) and WAV PCM payloads too (``decode_audio`` →
+    ``audio_features``), no env flag needed. Other formats fall back to the
+    deterministic fake (``SPIKEX_SPARK_FAKE_DECODE``) or raise
+    NotImplementedError — a production deployment plugs Pillow/ffmpeg into
+    that fallthrough.
 
     When ``kind_col`` is present, image decoding is attempted ONLY for
-    kind='image' rows — an opaque audio/video blob whose first bytes happen
-    to spell an image magic ('P6'/'BM': ~3 in 65536 per blob, i.e. certain
-    at corpus scale) must take the fake/stub path, not crash the header
-    parser. Without a kind column the payload magic decides."""
+    kind='image' rows and audio decoding only for kind='audio' — an opaque
+    blob whose first bytes happen to spell a foreign magic ('P6'/'BM'/
+    'RIFF': ~4 in 2^16-2^32 per blob, i.e. certain at corpus scale) must
+    take the fake/stub path, not crash the header parser. Without a kind
+    column the payload magic decides."""
     has_kind = kind_col in df.columns
     out_schema = (
         f"{id_col} {df.schema[id_col].dataType.simpleString()},"
@@ -463,6 +640,18 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
                 img = None
             if img is not None:
                 return image_features(img)
+        if kind is None or kind == "audio":
+            try:
+                dec = decode_audio(payload)
+            except ValueError:
+                # same collision rule as images: an untyped blob whose first
+                # bytes spell RIFF/WAVE falls through to the fake path; a row
+                # explicitly typed kind='audio' with corrupt WAV still raises
+                if kind == "audio":
+                    raise
+                dec = None
+            if dec is not None:
+                return audio_features(*dec)
         if fake:
             return _fake_features(payload)
         raise NotImplementedError(
@@ -534,6 +723,55 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.select(*cols).mapInPandas(run, schema=out_schema)
 
 
+def resample_audio_df(df: DataFrame, rate: int,
+                      payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """(media_id, resampled binary, sample_rate): the audio face of
+    :func:`resize_images` — WAV PCM payloads resample for REAL (decode →
+    linear interpolation → 16-bit PCM re-encode at ``rate``); other audio
+    containers keep the deterministic fake blob (or raise without the
+    flag). Audio decode is gated on kind='audio' when the column is present
+    (see decode_features on magic-byte collisions in opaque blobs); image/
+    video rows always take the fake/stub path."""
+    kind_col = "kind"
+    has_kind = kind_col in df.columns
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()},"
+        " resampled binary, sample_rate int"
+    )
+    fake = _fake_decode_enabled()
+
+    def resample_one(payload: bytes, kind) -> bytes:
+        if kind is None or kind == "audio":
+            try:
+                dec = decode_audio(payload)
+            except ValueError:
+                if kind == "audio":
+                    raise
+                dec = None
+            if dec is not None:
+                samples, src_rate = dec
+                return encode_wav(resample_audio(samples, src_rate, rate),
+                                  rate, bits=16)
+        if fake:
+            return hashlib.md5(
+                (payload or b"") + f":{rate}hz".encode()).digest()
+        raise NotImplementedError("non-WAV audio resample needs a codec")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds = pdf[kind_col] if has_kind else [None] * len(pdf)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "resampled": [resample_one(p, k)
+                              for p, k in zip(pdf[payload_col], kinds)],
+                "sample_rate": rate,
+            })
+
+    cols = [id_col, payload_col] + ([kind_col] if has_kind else [])
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   id_col: str = "media_id") -> DataFrame:
     """(media_id, frame_idx, ts_ms, frame binary): frame sampling for video
@@ -576,8 +814,11 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
     Image rows carry REAL payloads (deterministic gradient patterns sized
     per the row metadata), cycling through every encoder this module can
     decode back — P6, P3, BMP, PNG, baseline JPEG — so decode/resize
-    exercise all five codecs end-to-end without any external library;
-    audio/video rows stay opaque blobs for the stub/fake path."""
+    exercise all five codecs end-to-end without any external library.
+    Audio rows carry REAL WAV PCM payloads (deterministic two-tone sine
+    mixes cycling sample rate 8k/11k/16k/22k, bit depth 8/16/32, and
+    mono/stereo) matching their duration_ms; video rows stay opaque blobs
+    for the stub/fake path (mp4 genuinely needs a codec library)."""
     import random
     rng = random.Random(seed)
     kinds = ["image", "audio", "video"]
@@ -586,6 +827,8 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
         kind = kinds[i % 3]
         width = 64 + (i % 4) * 32 if kind != "audio" else None
         height = 48 + (i % 3) * 16 if kind != "audio" else None
+        # one rng draw per non-image row, in row order (sequence-stable)
+        duration_ms = rng.randint(1, 8) * 1000 if kind != "image" else None
         if kind == "image":
             y, x = np.mgrid[0:height, 0:width]
             img = np.stack(
@@ -598,16 +841,27 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
                     "p3": "image/x-portable-pixmap",
                     "bmp": "image/bmp", "png": "image/png",
                     "jpeg": "image/jpeg"}[fmt]
+        elif kind == "audio":
+            arate = (8000, 11025, 16000, 22050)[(i // 3) % 4]
+            nsamp = arate * duration_ms // 1000
+            t = np.arange(nsamp, dtype=np.float64) / arate
+            f0 = 110.0 * (1 + (i % 5))
+            wave = (0.6 * np.sin(2 * np.pi * f0 * t)
+                    + 0.3 * np.sin(2 * np.pi * 2 * f0 * t + i))
+            ach = 1 + (i % 2)
+            sig = np.stack([wave * (0.9 ** c) for c in range(ach)], axis=1)
+            payload = encode_wav(sig, arate, bits=(8, 16, 32)[(i // 3) % 3])
+            mime = "audio/wav"
         else:
             payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * 4
-            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
+            mime = "video/mp4"
         rows.append({
             "media_id": i,
             "kind": kind,
             "mime": mime,
             "width": width,
             "height": height,
-            "duration_ms": (rng.randint(1, 8) * 1000) if kind != "image" else None,
+            "duration_ms": duration_ms,
             "payload": payload,
         })
     return rows

@@ -87,9 +87,14 @@ def test_decode_features_shape_and_determinism(spark, media_df):
     img_payload = media_df.where("media_id = 0").collect()[0]["payload"]
     assert got[0] == pytest.approx(
         image_features(decode_image(bytes(img_payload))), abs=1e-6)
-    # media_id 1 is audio (opaque blob) -> deterministic fake path
+    # media_id 1 is audio with a real WAV payload -> REAL decoded features
+    from spikex_spark.multimodal import audio_features, decode_audio
     au_payload = media_df.where("media_id = 1").collect()[0]["payload"]
-    assert got[1] == pytest.approx(_fake_features(bytes(au_payload)), abs=1e-6)
+    assert got[1] == pytest.approx(
+        audio_features(*decode_audio(bytes(au_payload))), abs=1e-6)
+    # media_id 2 is video (opaque mp4 blob) -> deterministic fake path
+    vid_payload = media_df.where("media_id = 2").collect()[0]["payload"]
+    assert got[2] == pytest.approx(_fake_features(bytes(vid_payload)), abs=1e-6)
 
 
 def test_resize_and_frame_sampling(spark, media_df):
@@ -138,8 +143,11 @@ def test_decode_stub_raises_without_fake(spark, media_df, monkeypatch):
     # PPM images decode for REAL — no env flag required
     imgs = decode_features(media_df.where("kind = 'image'")).collect()
     assert len(imgs) > 0 and all(len(r["features"]) == 16 for r in imgs)
-    # codec formats (audio/video) still raise without the fake flag
-    df = decode_features(media_df.where("kind = 'audio'"))
+    # WAV audio decodes for REAL too
+    auds = decode_features(media_df.where("kind = 'audio'")).collect()
+    assert len(auds) > 0 and all(len(r["features"]) == 16 for r in auds)
+    # codec formats with no pure-Python decoder (mp4 video) still raise
+    df = decode_features(media_df.where("kind = 'video'"))
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         df.collect()
 
@@ -893,3 +901,151 @@ def test_incremental_refuses_incomplete_old_ledger(spark, tmp_path):
         lineage.ivf_assign_incremental(
             spark, vecs, [[1.0, 0.0], [0.0, 1.0]],
             str(old), str(tmp_path / "new_led"))
+
+
+# --- audio: real stdlib WAV codec --------------------------------------------
+
+def test_wav_roundtrip_all_depths():
+    import numpy as np
+
+    from spikex_spark.multimodal import decode_wav, encode_wav
+
+    sig = np.stack([np.sin(np.arange(4000) / 50.0),
+                    np.cos(np.arange(4000) / 70.0)], axis=1) * 0.7
+    for bits, tol in ((8, 1 / 250), (16, 1 / 60000), (32, 2e-7)):
+        dec, rate = decode_wav(encode_wav(sig, 16000, bits=bits))
+        assert rate == 16000 and dec.shape == (4000, 2)
+        assert float(np.max(np.abs(dec - sig))) < tol
+
+
+def _wav_raw(tag, bits, data, ch=1, rate=8000):
+    import struct
+
+    ba = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ba, ba, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_decode_24bit_float_and_extensible():
+    import struct
+
+    import numpy as np
+
+    from spikex_spark.multimodal import decode_wav
+
+    # 24-bit PCM: exact sign-extension at both rails
+    vals = np.array([0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)],
+                    dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    dec, rate = decode_wav(_wav_raw(1, 24, raw))
+    assert np.allclose(dec[:, 0], vals / float(1 << 23), atol=1e-7)
+    # IEEE float32 passthrough
+    f32 = np.array([0.5, -0.25, 1.0], dtype="<f4").tobytes()
+    dec, _ = decode_wav(_wav_raw(3, 32, f32))
+    assert np.allclose(dec[:, 0], [0.5, -0.25, 1.0])
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16: real tag read from SubFormat
+    ext = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+           + struct.pack("<HHI", 22, 16, 0) + struct.pack("<H", 1)
+           + b"\x00" * 14)
+    data = np.array([1000, -1000], dtype="<i2").tobytes()
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(ext)) + ext
+            + b"data" + struct.pack("<I", len(data)) + data)
+    dec, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert abs(dec[0, 0] - 1000 / 32768.0) < 1e-6
+
+
+def test_wav_contract_none_vs_valueerror():
+    import pytest
+
+    from spikex_spark.multimodal import decode_wav
+
+    # unknown container -> None (mp3 magic); compressed-in-WAV tag -> None
+    assert decode_wav(b"ID3\x04not-a-wav") is None
+    assert decode_wav(_wav_raw(2, 4, b"\x00\x01")) is None  # ADPCM tag
+    # known container, corrupt contents -> ValueError
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x10\x00\x00\x00WAVEfmt \x04\x00\x00\x00abcd")
+    with pytest.raises(ValueError):  # data chunk shorter than its size field
+        decode_wav(_wav_raw(1, 16, b"\x00\x01")[:-1])
+
+
+def test_audio_features_known_signal():
+    import numpy as np
+
+    from spikex_spark.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate  # exactly 1 s
+    mono = (0.5 * np.sin(2 * np.pi * 100 * t))[:, None]
+    f = audio_features(mono.astype(np.float32), rate)
+    assert len(f) == 16
+    assert f[0] == pytest.approx(1.0)              # duration s
+    assert f[1] == pytest.approx(rate / 48000.0)   # rate norm
+    assert f[2] == pytest.approx(1 / 8.0)          # channels norm
+    assert f[3] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)  # sine RMS
+    assert f[4] == pytest.approx(0.5, abs=1e-3)    # peak
+    # 100 Hz over 1 s -> 200 zero crossings / 7999 transitions
+    assert f[5] == pytest.approx(200 / 7999, abs=1e-3)
+    # energy envelope bins of a steady tone are all ~= overall RMS
+    assert all(abs(b - f[3]) < 1e-2 for b in f[8:])
+
+
+def test_resample_audio_linear():
+    import numpy as np
+
+    from spikex_spark.multimodal import resample_audio
+
+    # a straight ramp survives linear resampling exactly (interior points)
+    ramp = np.linspace(0.0, 1.0, 101)[:, None]
+    up = resample_audio(ramp, 100, 200)
+    assert up.shape[0] == 202
+    assert np.allclose(up[:-2, 0], np.linspace(0.0, 1.0, 201)[:-1], atol=1e-6)
+    down = resample_audio(ramp, 100, 50)
+    assert down.shape[0] == 50 or down.shape[0] == 51
+    assert np.allclose(down[:, 0], ramp[::2, 0][: down.shape[0]], atol=1e-6)
+
+
+def test_resample_audio_df_real_and_fake_paths(spark):
+    import numpy as np
+
+    from spikex_spark.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        gen_media,
+        resample_audio_df,
+    )
+
+    media = spark.createDataFrame(gen_media(12), schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: bytes(r["resampled"])
+           for r in resample_audio_df(media, 16000).collect()}
+    rows = {r["media_id"]: r for r in media.collect()}
+    for mid, out in got.items():
+        if rows[mid]["kind"] == "audio":
+            samples, rate = decode_wav(out)
+            assert rate == 16000
+            # length scales by dst/src rate
+            src_samples, src_rate = decode_wav(bytes(rows[mid]["payload"]))
+            expect_n = int(round(src_samples.shape[0] * 16000 / src_rate))
+            assert abs(samples.shape[0] - expect_n) <= 1
+            assert samples.shape[1] == src_samples.shape[1]
+            # resampling a band-limited tone preserves RMS (rough bound)
+            assert float(np.sqrt((samples ** 2).mean())) == pytest.approx(
+                float(np.sqrt((src_samples ** 2).mean())), rel=0.05)
+        else:
+            assert len(out) == 16  # md5 fake blob for image/video rows
+
+
+def test_typed_corrupt_wav_raises_in_stage(spark):
+    import pytest
+
+    from spikex_spark.multimodal import MEDIA_SCHEMA, decode_features
+
+    bad = b"RIFF\x10\x00\x00\x00WAVEfmt \x04\x00\x00\x00abcd"
+    rows = [{"media_id": 0, "kind": "audio", "mime": "audio/wav",
+             "width": None, "height": None, "duration_ms": 1000,
+             "payload": bad}]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="ValueError|truncated|corrupt"):
+        decode_features(df).collect()
