@@ -1159,72 +1159,72 @@ SELECT * FROM (VALUES
 _MEDIA_GOLDEN = [
     (0, 0.8511317247764097),
     (1, 6.780757480885042),
-    (2, 3.560598603107015),
+    (2, 7.103656880308185),
     (3, 1.5080810403804197),
     (4, 28.037594402484086),
-    (5, 4.938266302744926),
+    (5, 4.669961039468499),
     (6, 1.3697931506229153),
     (7, 18.825898077387162),
-    (8, 5.419833836563835),
+    (8, 4.596623000681678),
     (9, 1.3314799251236942),
     (10, 7.139811888286931),
-    (11, 4.059619477639822),
+    (11, 6.440215125141173),
     (12, 1.2134995477094872),
     (13, 51.70355255020172),
-    (14, 5.66106535306189),
-    (15, 1.8168335361078696),
+    (14, 4.024882664908705),
+    (15, 1.451499223345538),
     (16, 3.9203120694610134),
-    (17, 5.347369176655479),
+    (17, 2.8984420175465235),
     (18, 1.639273311457813),
     (19, 18.720921211143143),
-    (20, 6.224831162506431),
+    (20, 6.290915093219452),
     (21, 1.6237192970227772),
     (22, 4.0080897452911755),
-    (23, 4.67069338540164),
+    (23, 5.822763250685219),
     (24, 1.6322837258783054),
     (25, 51.62861869589003),
-    (26, 6.185100697142464),
-    (27, 1.6231196175560922),
+    (26, 5.7618010746943655),
+    (27, 1.6239200315096498),
     (28, 66.92615833176592),
-    (29, 6.669678880227912),
+    (29, 3.9703007971147395),
 ]
 
 
 # md5 of the 32×32 resize output per media row: image rows pin the REAL
 # decode → nearest-neighbor resample → format-preserving re-encode chain
-# (P6→P6, P3→P3, BMP→BMP, PNG→PNG, JPEG→JPEG); audio/video rows pin the
-# deterministic fake blob path
+# (P6→P6, P3→P3, BMP→BMP, PNG→PNG, JPEG→JPEG, GIF→GIF with the palette
+# preserved); audio/video rows pin the deterministic fake blob path
 _MEDIA_RESIZE_GOLDEN = [
     (0, '09b8e06c66a1a910a07077e451025931'),
     (1, '4a346f923067318130fa571513f80c6f'),
-    (2, 'e33f1160ffba16d8f5a0726c12354c0c'),
+    (2, 'cb7a0179ea1620c95ee6fedd93d0d57b'),
     (3, 'e6fe61ceffe946ee6341fe260f66a4ea'),
     (4, '9e20cb4eeff758de3c96b02e9bb2ff42'),
-    (5, '0504e462b0901b75326b4e395e3e883d'),
+    (5, 'a864ef45e3dea3062c6697867041e10c'),
     (6, '572e597c1eddbb327af2cd4cccafbf4b'),
     (7, 'd8155ee28a17326efb25295076b39a73'),
-    (8, '0ab38469732b5dcc087b395823bf19a4'),
+    (8, '965e128eebb947e55ab3a3a881ef7abf'),
     (9, '5f5434275ea11138ae2680dfc62d517d'),
     (10, '6c71864e834986a4b50c72cce9fd6706'),
-    (11, 'ae17632c751bf4137ce807d5a14dc0f2'),
+    (11, 'fccb6abf7f5e792aed3401866bcaaf3d'),
     (12, 'f6741f5845a51183d8f6d4d79411618c'),
     (13, 'bc40ed9d2514f2d10e984ec61cbd879b'),
-    (14, '377b053adb6b39cb423b93e773d7d604'),
-    (15, '474dcde342cdfc8451b32901ae0d642f'),
+    (14, '374928becce975ea18a1e8078bc7a075'),
+    (15, 'ee74f83cc882be0f9eb761d4887454cd'),
     (16, '53d1412be7a2aacaeb1cbc707ef347d7'),
-    (17, '45a2de87c3a090a0c20199c54220fda4'),
-    (18, 'ee99c08d7b4fbfc5898779357eb6724f'),
+    (17, '16499536fe475255850c97159879744c'),
+    (18, '73cbf83b059fb76bf855be2a367c2616'),
     (19, '2d4464ab6f1d1dc346859fe42afe61bd'),
-    (20, 'd54db9a70eef3dd16912b32e5d6aaee3'),
-    (21, 'f15222279d59d2d565b2fb9631e45b68'),
+    (20, 'ac050955f5a47fbeaa916289ee2f4af8'),
+    (21, '3adb03a94a394796acf3197ad0c4876b'),
     (22, 'd3d2da1801212cb6fe24933c91fa8efc'),
-    (23, '37570f4aea143eb5681067ec524399f2'),
-    (24, '2179480d342bf32d191d40a7284a6fda'),
+    (23, '5ae4de5145dc17a1be347fa303623a6b'),
+    (24, '4ab56381a07d097e398b64685422efea'),
     (25, '7cede250841b820ee004d8e89c11838f'),
-    (26, '5c9e1e0da1e0bb8d343b3b778fd1e329'),
-    (27, 'c76e8612729f00d75cfe04c30b57321a'),
+    (26, '56883d6fea3a4cb3631ec8b7ef453a3e'),
+    (27, '472d9f6ed076ea07c0d27a89f9e3ba16'),
     (28, 'cff9af7677816415d093e6332dde1d91'),
-    (29, 'af49d5b84ffeafb4a112e8b205739a5e'),
+    (29, 'adadbb19bbdf12775fca849fb733b7be'),
 ]
 
 
@@ -1236,35 +1236,93 @@ _MEDIA_RESIZE_GOLDEN = [
 _MEDIA_AUDIO_GOLDEN = [
     (0, 'abc52695af41c3f54e67bb2d5ffdcaac'),
     (1, '326650fcc1ab6380b04af915b3ad0b35'),
-    (2, 'b85b3bbf69fb4f7c7f1234ebb8f9abf9'),
+    (2, 'baaea27ad0c17ac008e7be7d8f64c6c1'),
     (3, '6fe818ae5d90f82d1d14d3a3b0c661c3'),
     (4, '1a63488f130e529c090115e53e96ad76'),
-    (5, 'deafef36ebc62362228b1b9d6c664f8c'),
+    (5, '969eb4445317e1292cd54d5ecb707ce1'),
     (6, 'ac09c30c24cb3790e14b8d873dec37e1'),
     (7, '65f566bd19d099d4fb1fd97ac3679c54'),
-    (8, '51cd37140b820f1c3fa0b7d1c70daa26'),
+    (8, '5b02cd197d793bc8062dc29c218b826d'),
     (9, '4b2066253360b1f03aba1714a04e4f69'),
     (10, '13def555f8134d2136c2c9af9f79d6d3'),
-    (11, '30dfcd88117e0416170cefdc1936931f'),
+    (11, '667e364f5399df7c3d8250ee0719569e'),
     (12, '77ed94c39d44ec9e3429d2d20c9d0c5f'),
     (13, 'e79f12122f83e11842e81ffc889a979c'),
-    (14, '409e0e813451e1d4e5f1cd788f0311e7'),
-    (15, '9836d8285ab710850e63a4b1df596801'),
+    (14, 'e5ece585e420e7433f05b87017563999'),
+    (15, '67907d0a9fd58d2aa61519109cb7925d'),
     (16, 'ba6081799bc6a87d2d08ccb6b2dd62f5'),
-    (17, 'a9c8c8ee717fa7311df12e2304bbc13e'),
-    (18, '0769bcfc33e9b372443e4b6ca5e9e335'),
+    (17, 'f92509173f5caeac07f5d83f30ff80ff'),
+    (18, '182b63d5443e093d41b938bc5ba5d930'),
     (19, '5e14f1a8604ccc322c3e1c1fb3a3a98c'),
-    (20, 'fb8a4ceae8d92bc2ec74a5c140584843'),
-    (21, 'b6e7601d5aa06a0d120277a82d59fc83'),
+    (20, '41f77bb8e3bc0fa7d14c5a6b8132fcb6'),
+    (21, 'bcfd895d694e3e81879b0b6e064ee59c'),
     (22, '41c156262f3dda9209407ef8b8c9e426'),
-    (23, 'e165e99cee816d0b07acce7f9b42a4ca'),
-    (24, 'c6d277248bb779c229a67f150e51e4f3'),
+    (23, '65b37a7b1064b3804854a5c0b697f03f'),
+    (24, '9989a1837f7fbf5917ec79f13121fcf3'),
     (25, 'ea0d4c904ac722f75c4d4606a960fed1'),
-    (26, '966eb567830f03b93a8ca0ae81c4f09a'),
-    (27, 'fd74df561de75eee4e9e23ee697413cb'),
+    (26, 'b0b036fc034e1c10f26b61d91eb5b893'),
+    (27, 'c2f67ec4775b4adaa92cd10e825ee587'),
     (28, '11e5b15dd46d2c3001bc1fcbbd7a2ff3'),
-    (29, 'cf20ea367ba7a51b77eb7ad135f93b9a'),
+    (29, 'ac806e5fd9628d01222ce121922c145f'),
 ]
+
+
+# real ISO-BMFF metadata per media row: video rows pin the REAL box-walk
+# parse (ftyp brand, mvhd duration/timescale across 600/1000/90000 units,
+# trak count); image/audio rows are NULL — non-MP4 payloads are data, not
+# errors, at corpus scale
+_MEDIA_VIDEO_GOLDEN = [
+    (0, None, None, None, None),
+    (1, None, None, None, None),
+    (2, 'isom', 1000, 600, 1),
+    (3, None, None, None, None),
+    (4, None, None, None, None),
+    (5, 'mp42', 4000, 1000, 2),
+    (6, None, None, None, None),
+    (7, None, None, None, None),
+    (8, 'isom', 3000, 90000, 1),
+    (9, None, None, None, None),
+    (10, None, None, None, None),
+    (11, 'mp42', 2000, 600, 2),
+    (12, None, None, None, None),
+    (13, None, None, None, None),
+    (14, 'isom', 1000, 1000, 1),
+    (15, None, None, None, None),
+    (16, None, None, None, None),
+    (17, 'mp42', 2000, 90000, 2),
+    (18, None, None, None, None),
+    (19, None, None, None, None),
+    (20, 'isom', 4000, 600, 1),
+    (21, None, None, None, None),
+    (22, None, None, None, None),
+    (23, 'mp42', 4000, 1000, 2),
+    (24, None, None, None, None),
+    (25, None, None, None, None),
+    (26, 'isom', 4000, 90000, 1),
+    (27, None, None, None, None),
+    (28, None, None, None, None),
+    (29, 'mp42', 5000, 600, 2),
+]
+
+
+def _sql_media_video_meta() -> str:
+    vals = ", ".join(
+        f"({i}, {('NULL' if b is None else repr(b))}, "
+        f"{('NULL' if d is None else d)}, {('NULL' if t is None else t)}, "
+        f"{('NULL' if n is None else n)})"
+        for i, b, d, t, n in _MEDIA_VIDEO_GOLDEN)
+    return ("SELECT media_id, brand::varchar AS brand,"
+            " duration_ms::bigint AS duration_ms,"
+            " timescale::bigint AS timescale, n_tracks::int AS n_tracks"
+            " FROM (VALUES " + vals
+            + ") AS t(media_id, brand, duration_ms, timescale, n_tracks)")
+
+
+def _q_media_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.multimodal import (MEDIA_SCHEMA, gen_media,
+                                         video_meta_df)
+    media = spark.createDataFrame(gen_media(30), schema=MEDIA_SCHEMA)
+    return video_meta_df(media)
 
 
 def _sql_media_audio_resample() -> str:
@@ -2546,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_audio_resample": _q_media_audio_resample,
+        "media_video_meta": _q_media_video_meta,
         "embedding_mean_per_label": _q_embedding_mean,
         "ball_clusters": _q_ball_clusters,
         "labelings": _q_labelings,
@@ -2635,6 +2694,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_train_probs": _sql_nb_train(),
         "media_features": _sql_media(),
         "media_audio_resample": _sql_media_audio_resample(),
+        "media_video_meta": _sql_media_video_meta(),
         "media_resize": _sql_media_resize(),
         "stream_windowed_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"

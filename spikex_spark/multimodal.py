@@ -3,9 +3,10 @@
 Image decode is REAL for every format a pure-Python (stdlib + numpy)
 decoder can handle — PPM (P6 binary / P3 ascii), 24-bit uncompressed BMP,
 full PNG (zlib inflate, all five scanline filters, color types 0/2/3/4/6,
-bit depths 1-16, Adam7 interlace, CRC-verified), and baseline JPEG
+bit depths 1-16, Adam7 interlace, CRC-verified), baseline JPEG
 (:mod:`spikex_spark.jpeg`: Huffman + DCT + 4:2:0, JFIF YCbCr, restart
-markers) — including decode → feature-extract and decode →
+markers), and GIF (:mod:`spikex_spark.gif`: LZW, interlace, palette
+re-encode) — including decode → feature-extract and decode →
 nearest-neighbor resize → format-preserving re-encode. Audio decode is
 REAL for RIFF/WAVE PCM (u8/i16/i24/i32 and IEEE float, extensible headers)
 — decode → feature-extract (:func:`audio_features`) and decode →
@@ -81,8 +82,8 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_image(payload: bytes) -> "np.ndarray | None":
-    """Decode PPM P6/P3, 24-bit BMP, PNG, or baseline JPEG bytes to an
-    H×W×3 uint8 array.
+    """Decode PPM P6/P3, 24-bit BMP, PNG, baseline JPEG, or GIF bytes to
+    an H×W×3 uint8 array.
 
     Returns None for formats this pure-Python decoder does not handle
     (progressive JPEG, compressed BMP, ...); raises ValueError on corrupt
@@ -134,6 +135,9 @@ def _decode_image_raw(payload: bytes) -> "np.ndarray | None":
     if bytes(payload[:3]) == b"\xff\xd8\xff":
         from spikex_spark.jpeg import decode_jpeg
         return decode_jpeg(bytes(payload))  # None for progressive/arith
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from spikex_spark.gif import decode_gif
+        return decode_gif(bytes(payload))
     if magic == b"BM":
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -368,7 +372,7 @@ _ENCODERS = {}
 
 def detect_image_format(payload: bytes) -> "str | None":
     """Sniff the on-disk image format from magic bytes: 'p6' | 'p3' | 'bmp'
-    | 'png' | 'jpeg' | None (unknown / not an image)."""
+    | 'png' | 'jpeg' | 'gif' | None (unknown / not an image)."""
     if payload is None or len(payload) < 2:
         return None
     head = bytes(payload[:8])
@@ -382,6 +386,8 @@ def detect_image_format(payload: bytes) -> "str | None":
         return "png"
     if head.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if head.startswith(b"GIF87a") or head.startswith(b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -390,8 +396,17 @@ def _encode_jpeg90(img: "np.ndarray") -> bytes:
     return encode_jpeg(img, quality=90)
 
 
+def _encode_gif(img: "np.ndarray") -> bytes:
+    # palette-preserving: valid whenever the image has <=256 distinct
+    # colors — always true on the resize path (nearest-neighbor output
+    # colors are a subset of the decoded GIF's palette)
+    from spikex_spark.gif import encode_gif
+    return encode_gif(img)
+
+
 _ENCODERS.update({"p6": encode_ppm, "p3": encode_p3, "bmp": encode_bmp,
-                  "png": encode_png, "jpeg": _encode_jpeg90})
+                  "png": encode_png, "jpeg": _encode_jpeg90,
+                  "gif": _encode_gif})
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +578,152 @@ def resample_audio(samples: "np.ndarray", src_rate: int,
     for c in range(ch):
         out[:, c] = np.interp(t_dst, t_src, samples[:, c].astype(np.float64))
     return out
+
+
+# ---------------------------------------------------------------------------
+# real stdlib-only video CONTAINER parsing: ISO BMFF (MP4) box walk.
+# Frame DECODE stays stubbed (H.264/VP9 genuinely need codec libraries), but
+# the metadata a pipeline filters/partitions on — duration, timescale, track
+# count, brand — parses for real from the moov/mvhd boxes.
+# ---------------------------------------------------------------------------
+
+_MP4_TOP_BOXES = {b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip",
+                  b"moof", b"mfra", b"meta", b"pdin", b"uuid", b"sidx"}
+
+
+def detect_video_format(payload: bytes) -> "str | None":
+    """'mp4' when the payload leads with a plausible ISO-BMFF box, else
+    None (other containers stay opaque)."""
+    if payload is None or len(payload) < 8:
+        return None
+    return "mp4" if bytes(payload[4:8]) in _MP4_TOP_BOXES else None
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in buf[pos:end]."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4: pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} for {btype!r}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4_meta(payload: bytes) -> "dict | None":
+    """Parse ISO-BMFF container metadata: {brand, duration_ms, timescale,
+    n_tracks}. Same contract as decode_image/decode_wav: non-MP4 payloads
+    return None, a recognized container with corrupt boxes raises
+    ValueError. Only box headers and the fixed mvhd layout are read — no
+    sample data is touched, so this is O(#boxes), not O(bytes)."""
+    if detect_video_format(payload) != "mp4":
+        return None
+    buf = bytes(payload)
+    meta = {"brand": None, "duration_ms": None, "timescale": None,
+            "n_tracks": 0}
+    try:
+        for btype, body, bend in _mp4_boxes(buf, 0, len(buf)):
+            if btype == b"ftyp" and bend - body >= 4:
+                meta["brand"] = buf[body: body + 4].decode(
+                    "ascii", "replace")
+            elif btype == b"moov":
+                for ctype, cbody, cend in _mp4_boxes(buf, body, bend):
+                    if ctype == b"mvhd":
+                        ver = buf[cbody]
+                        if ver == 1:
+                            ts, dur = struct.unpack_from(">IQ", buf,
+                                                         cbody + 4 + 16)
+                        else:
+                            ts, dur = struct.unpack_from(">II", buf,
+                                                         cbody + 4 + 8)
+                        meta["timescale"] = ts
+                        if ts:
+                            meta["duration_ms"] = int(dur * 1000 // ts)
+                    elif ctype == b"trak":
+                        meta["n_tracks"] += 1
+    except struct.error as e:
+        raise ValueError(f"corrupt MP4 structure: {e}") from e
+    if meta["timescale"] is None:
+        raise ValueError("MP4 missing moov/mvhd box")
+    return meta
+
+
+def encode_mp4_stub(duration_ms: int, timescale: int = 1000,
+                    n_tracks: int = 1, brand: bytes = b"isom",
+                    mdat: bytes = b"") -> bytes:
+    """Build a minimal VALID ISO-BMFF container (ftyp + moov[mvhd + empty
+    trak boxes] + mdat): real enough for any box-walking parser; the mdat
+    payload is caller-supplied opaque bytes (no real codec stream)."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    dur = duration_ms * timescale // 1000
+    mvhd = box(b"mvhd", (
+        b"\x00\x00\x00\x00"                      # version 0 + flags
+        + struct.pack(">II", 0, 0)               # creation/modification
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)          # rate 1.0
+        + struct.pack(">H", 0x0100)              # volume 1.0
+        + b"\x00" * 10                           # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)                # unity matrix
+        + b"\x00" * 24                           # pre_defined
+        + struct.pack(">I", n_tracks + 1)))      # next_track_ID
+    traks = b"".join(box(b"trak", struct.pack(">I", i + 1))
+                     for i in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", mdat)
+
+
+def video_meta_df(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """(media_id, brand, duration_ms, timescale, n_tracks): real container-
+    metadata extraction over binary video columns — the stage a training
+    pipeline filters on (drop >10 min clips, partition by brand) BEFORE any
+    expensive decode. Non-MP4 payloads yield NULL metadata (opaque blobs
+    are data, not errors, at corpus scale); corrupt MP4 raises for rows
+    explicitly typed kind='video', else falls through to NULLs."""
+    kind_col = "kind"
+    has_kind = kind_col in df.columns
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()},"
+        " brand string, duration_ms bigint, timescale bigint, n_tracks int"
+    )
+
+    def meta_one(payload: bytes, kind) -> tuple:
+        try:
+            m = parse_mp4_meta(payload)
+        except ValueError:
+            if kind == "video":
+                raise
+            m = None
+        if m is None:
+            return (None, None, None, None)
+        return (m["brand"], m["duration_ms"], m["timescale"], m["n_tracks"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds = pdf[kind_col] if has_kind else [None] * len(pdf)
+            metas = [meta_one(p, k)
+                     for p, k in zip(pdf[payload_col], kinds)]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "brand": [m[0] for m in metas],
+                "duration_ms": [m[1] for m in metas],
+                "timescale": [m[2] for m in metas],
+                "n_tracks": [m[3] for m in metas],
+            })
+
+    cols = [id_col, payload_col] + ([kind_col] if has_kind else [])
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
 
 
 def _resize_nearest(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
@@ -835,12 +996,14 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
                 [(x * 3 + i) % 256, (y * 5 + 2 * i) % 256, (x + y + 7 * i) % 256],
                 axis=-1,
             ).astype(np.uint8)
-            fmt = ("p6", "p3", "bmp", "png", "jpeg")[(i // 3) % 5]
+            fmt = ("p6", "p3", "bmp", "png", "jpeg", "gif")[(i // 3) % 6]
+            if fmt == "gif":
+                img = (img // 64) * 64  # palette-limited (<=64 colors)
             payload = _ENCODERS[fmt](img)
             mime = {"p6": "image/x-portable-pixmap",
                     "p3": "image/x-portable-pixmap",
                     "bmp": "image/bmp", "png": "image/png",
-                    "jpeg": "image/jpeg"}[fmt]
+                    "jpeg": "image/jpeg", "gif": "image/gif"}[fmt]
         elif kind == "audio":
             arate = (8000, 11025, 16000, 22050)[(i // 3) % 4]
             nsamp = arate * duration_ms // 1000
@@ -853,7 +1016,12 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
             payload = encode_wav(sig, arate, bits=(8, 16, 32)[(i // 3) % 3])
             mime = "audio/wav"
         else:
-            payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * 4
+            # real ISO-BMFF container (parsable moov/mvhd metadata); the
+            # mdat bytes stay an opaque deterministic blob — no codec here
+            payload = encode_mp4_stub(
+                duration_ms, timescale=(600, 1000, 90000)[(i // 3) % 3],
+                n_tracks=1 + (i % 2), brand=(b"isom", b"mp42")[(i // 3) % 2],
+                mdat=hashlib.md5(f"media:{seed}:{i}".encode()).digest() * 4)
             mime = "video/mp4"
         rows.append({
             "media_id": i,

@@ -179,3 +179,63 @@ def test_scan_doc_nested_matches_join_semantics(toks, keyseqs) -> None:
     )
     got = set(_scan_doc(text, keys, _first_token_index(keys), 4, nested=True))
     assert got == _scan_oracle(text, keys, 4)
+
+
+# --- codec round-trip properties (hypothesis-fuzzed) --------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    ch=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 11025, 16000, 44100]),
+    bits=st.sampled_from([8, 16, 32]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, bits, seed) -> None:
+    import numpy as np
+
+    from spikex_spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed)
+    sig = (rng.rand(n, ch) * 2.0 - 1.0) * rng.rand()  # varied amplitude
+    dec, got_rate = decode_wav(encode_wav(sig, rate, bits=bits))
+    assert got_rate == rate and dec.shape == (n, ch)
+    # quantization error bounded by half a step at the encode depth
+    tol = {8: 1 / 250, 16: 1 / 60000, 32: 2e-7}[bits]
+    assert float(np.max(np.abs(dec - sig))) <= tol
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    ncolors=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, ncolors, seed) -> None:
+    import numpy as np
+
+    from spikex_spark.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = palette[rng.randint(0, ncolors, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dur=st.integers(min_value=0, max_value=10_000_000),
+    ts=st.sampled_from([600, 1000, 90000, 48000]),
+    ntracks=st.integers(min_value=0, max_value=12),
+    brand=st.sampled_from([b"isom", b"mp42", b"avc1", b"dash"]),
+)
+def test_mp4_meta_roundtrip_property(dur, ts, ntracks, brand) -> None:
+    from spikex_spark.multimodal import encode_mp4_stub, parse_mp4_meta
+
+    # duration snapped to whole timescale units so the ms round-trip is exact
+    dur -= dur % 1000
+    m = parse_mp4_meta(encode_mp4_stub(dur, timescale=ts, n_tracks=ntracks,
+                                       brand=brand))
+    assert m == {"brand": brand.decode(), "duration_ms": dur,
+                 "timescale": ts, "n_tracks": ntracks}

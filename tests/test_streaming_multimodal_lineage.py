@@ -178,7 +178,7 @@ def test_ppm_bmp_codecs_roundtrip():
                          2835, 2835, 0, 0) + pix)
     assert np.array_equal(decode_image(bmp), img)
     # unknown formats -> None (the stub/fake fallthrough)
-    assert decode_image(b"GIF89a......") is None
+    assert decode_image(b"II*\x00 tiff-ish bytes") is None
 
 
 def test_png_codec_against_hand_built_spec_images():
@@ -422,7 +422,7 @@ def test_resize_preserves_input_format(spark):
     rows = media.where("kind = 'image'").collect()
     in_fmt = {r["media_id"]: detect_image_format(bytes(r["payload"]))
               for r in rows}
-    assert set(in_fmt.values()) == {"p6", "p3", "bmp", "png", "jpeg"}
+    assert set(in_fmt.values()) == {"p6", "p3", "bmp", "png", "jpeg", "gif"}
     originals = {r["media_id"]: bytes(r["payload"]) for r in rows}
     for r in resize_images(media.where("kind = 'image'"), 16, 16).collect():
         out = bytes(r["resized"])
@@ -1049,3 +1049,120 @@ def test_typed_corrupt_wav_raises_in_stage(spark):
     df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     with pytest.raises(Exception, match="ValueError|truncated|corrupt"):
         decode_features(df).collect()
+
+
+# --- video: real ISO-BMFF container metadata ---------------------------------
+
+def test_mp4_meta_roundtrip_and_contract():
+    import pytest
+    import struct
+
+    from spikex_spark.multimodal import encode_mp4_stub, parse_mp4_meta
+
+    p = encode_mp4_stub(7000, timescale=90000, n_tracks=2, brand=b"mp42",
+                        mdat=b"opaque")
+    m = parse_mp4_meta(p)
+    assert m == {"brand": "mp42", "duration_ms": 7000, "timescale": 90000,
+                 "n_tracks": 2}
+    # 64-bit largesize box header parses too
+    big = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16) + p
+    assert parse_mp4_meta(big)["duration_ms"] == 7000
+    # non-MP4 -> None; recognized-but-corrupt -> ValueError
+    assert parse_mp4_meta(b"RIFF....WAVE....") is None
+    assert parse_mp4_meta(b"\x00" * 20) is None
+    with pytest.raises(ValueError):  # box size smaller than its header
+        parse_mp4_meta(struct.pack(">I", 3) + b"ftypisom")
+    with pytest.raises(ValueError):  # valid boxes but no moov/mvhd
+        parse_mp4_meta(struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x00\x00")
+
+
+def test_video_meta_df_real_and_null_paths(spark):
+    import pytest
+
+    from spikex_spark.multimodal import (
+        MEDIA_SCHEMA,
+        gen_media,
+        parse_mp4_meta,
+        video_meta_df,
+    )
+
+    media = spark.createDataFrame(gen_media(18), schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in video_meta_df(media).collect()}
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert len(got) == 18
+    for mid, r in got.items():
+        if rows[mid]["kind"] == "video":
+            m = parse_mp4_meta(bytes(rows[mid]["payload"]))
+            assert (r["brand"], r["duration_ms"], r["timescale"],
+                    r["n_tracks"]) == (m["brand"], m["duration_ms"],
+                                       m["timescale"], m["n_tracks"])
+            # container duration agrees with the metadata column
+            assert r["duration_ms"] == rows[mid]["duration_ms"]
+        else:
+            assert r["brand"] is None and r["duration_ms"] is None
+
+    # corrupt payload typed kind='video' raises; untyped falls to NULLs
+    bad = [{"media_id": 0, "kind": "video", "mime": "video/mp4",
+            "width": None, "height": None, "duration_ms": 1000,
+            "payload": __import__("struct").pack(">I", 3) + b"ftypisom"}]
+    df = spark.createDataFrame(bad, schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="ValueError|bad MP4"):
+        video_meta_df(df).collect()
+    untyped = video_meta_df(df.drop("kind")).collect()
+    assert untyped[0]["brand"] is None
+
+
+# --- GIF codec ----------------------------------------------------------------
+
+def test_gif_roundtrip_and_decode_image_dispatch():
+    import numpy as np
+
+    from spikex_spark.gif import decode_gif, encode_gif
+    from spikex_spark.multimodal import decode_image, detect_image_format
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (13, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 13, (37, 29))]
+    enc = encode_gif(img)
+    assert detect_image_format(enc) == "gif"
+    assert np.array_equal(decode_gif(enc), img)
+    assert np.array_equal(decode_image(enc), img)   # dispatch wired
+    # full 256-color palette exercises max starting code width
+    pal256 = (np.arange(256 * 3).reshape(256, 3) % 256).astype(np.uint8)
+    img2 = pal256[rng.randint(0, 256, (64, 64))]
+    assert np.array_equal(decode_gif(encode_gif(img2)), img2)
+
+
+def test_gif_interlace_and_errors():
+    import numpy as np
+    import pytest
+
+    from spikex_spark.gif import decode_gif, encode_gif
+
+    # build an interlaced GIF by permuting the rows of a non-interlaced
+    # encode and setting the interlace flag — the decoder must undo it
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (7, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 7, (13, 5))]
+    h = img.shape[0]
+    order = [r for off, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(off, h, step)]
+    enc = bytearray(encode_gif(img[order]))
+    # image descriptor flags byte: header 13 + GCT + 0x2C + 8 coords
+    gct_size = 2 << (enc[10] & 7)
+    flags_at = 13 + gct_size * 3 + 9
+    assert enc[flags_at] == 0
+    enc[flags_at] = 0x40                         # interlace flag
+    assert np.array_equal(decode_gif(bytes(enc)), img)
+
+    # >256 distinct colors cannot re-encode
+    y, x = np.mgrid[0:32, 0:32]
+    many = np.stack([y * 8 % 256, x * 8 % 256, (x + y) % 256],
+                    axis=-1).astype(np.uint8)
+    with pytest.raises(ValueError, match="<=256 colors"):
+        encode_gif(many)
+    # corrupt streams raise ValueError (known magic, bad bytes)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x05\x00")
+    with pytest.raises(ValueError):
+        decode_gif(encode_gif(img)[:-10])        # truncated LZW data
