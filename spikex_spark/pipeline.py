@@ -152,15 +152,18 @@ class ERConfig:
 def _mentions(pages: DataFrame, keys: DataFrame, cfg: ERConfig,
               id_col: str, text_col: str) -> DataFrame:
     # ONE Arrow job decides the strategy AND loads the dictionary: pull at
-    # most max+1 keys via limit().toPandas() — py4j row collect() serialized
+    # most max+1 keys via limit().toArrow() — py4j row collect() serialized
     # up to 2M rows one at a time and needed a separate count() job first
-    # (the pathology operators/cc.py documents and avoids the same way)
+    # (the pathology operators/cc.py documents and avoids the same way).
+    # toArrow, not toPandas: building a pandas object column for millions
+    # of strings costs ~4-5s of pure driver time (table_to_dataframe) that
+    # to_pylist skips — this is serial time executors spend idle on.
     distinct_keys = keys.select("key").distinct()
-    head = distinct_keys.limit(cfg.broadcast_keys_max + 1).toPandas()
-    if len(head) <= cfg.broadcast_keys_max:
+    head = distinct_keys.limit(cfg.broadcast_keys_max + 1).toArrow()
+    if head.num_rows <= cfg.broadcast_keys_max:
         # FUSED extract+scan: raw text crosses the Arrow boundary once
         # (raw_ws tokenization ≡ extract(ws→_) + split, proven by test)
-        return B.mentions_broadcast(pages, head["key"].tolist(),
+        return B.mentions_broadcast(pages, head.column("key").to_pylist(),
                                     id_col=id_col, text_col=text_col,
                                     max_n=cfg.max_ngram, raw_ws=True)
     extracted = extract_stage(pages.select(id_col, text_col), text_col)
