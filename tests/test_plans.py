@@ -251,3 +251,32 @@ def test_ephemeral_ledger_scratch_env_handling(spark, tmp_path, monkeypatch):
     from spikex_spark import lineage
     meta = json.loads(lineage._lineage_path(led, "10_x").read_text())
     assert meta["status"] == "COMPLETE" and meta["rows"] is None
+
+
+def test_no_row_python_in_any_contract_query():
+    """Sweep EVERY contract query's physical plan for BatchEvalPython —
+    the row-at-a-time pickled-Python operator this repo bans. Python may
+    appear only Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas). Build-only: the invariant is visible in the
+    pre-AQE physical plan, no execution needed (tools/explain_audit.py
+    does the executed-plan version with codegen/pushdown checks).
+    """
+    import __spark_entry__ as entry
+    from spikex_spark.session import get_spark
+
+    spark = get_spark(master="local[4]",
+                      extra_conf={"spark.sql.shuffle.partitions": "4"})
+    # cluster queries run CC convergence jobs AT BUILD (~12s each); their
+    # Python stages are the same extract/score stages er_doc_pairs carries,
+    # so skipping them here loses no plan surface
+    skip = {"er_doc_clusters", "er_doc_clusters_incremental",
+            "er_pages_clusters"}
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name in skip:
+            continue
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf \
+            .queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders[name] = plan
+    assert not offenders, f"row-Python in: {sorted(offenders)}"
