@@ -33,8 +33,10 @@ import sys
 
 sys.path.insert(0, ".")
 
-# queries whose plan must show a BroadcastHashJoin (dimension-join shape)
-_EXPECT_BROADCAST = {"semi_join_orders", "er_pages_clusters", "labelings"}
+# queries whose plan must show a BroadcastHashJoin (dimension-join shape).
+# NOT labelings: its abbr bridge is fused inside the Arrow label stage
+# (per-doc python dict, no JVM join exists in that plan by design).
+_EXPECT_BROADCAST = {"semi_join_orders", "er_pages_clusters"}
 # queries allowed to contain Python stages (Arrow-batched only)
 _HEADLINE = [
     "extract_normalize", "blocking_keys", "mention_candidates",
