@@ -2386,34 +2386,38 @@ def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.synth import gen_titles
 
     def build() -> DataFrame:
-        # ALL construction (including the distinct-keys collect job) lives
-        # inside the build callable: the pairs and clusters queries share
-        # this stage, so a resumed/second call must cost one ledger read,
-        # not a discarded plan plus a collect job
+        # ALL construction lives inside the build callable: the pairs and
+        # clusters queries share this stage, so a resumed/second call must
+        # cost one ledger read, not a discarded plan plus extra jobs
         docs = _read(spark, sf_dir, "documents")
-        titles = spark.createDataFrame(gen_titles())
-        extra = spark.createDataFrame(
-            [(k, k, "clean") for k in _EXTRA_MENTION_KEYS],
-            ["key", "title", "channel"],
-        )
-        keys = B.title_keys(titles).unionByName(extra)
+        # keys + bridge are built DRIVER-SIDE: gen_titles() is already a
+        # 45-row python list, and round-tripping it through createDataFrame
+        # → title_keys → distinct().collect() measured ~5s of serial JVM
+        # overhead (32 python-worker spinups for 41 rows) — the dominant
+        # cost of this whole stage. title_keys_local is row-for-row equal
+        # to the Spark operator (parity-pinned in test_blocking.py); the
+        # at-scale title-table path in pipeline.py keeps the Spark chain.
+        key_rows = B.title_keys_local([t["title"] for t in gen_titles()])
+        key_rows += [(k, k, "clean") for k in _EXTRA_MENTION_KEYS]
+        key_list = sorted({k for _t, k, _c in key_rows})
         # FUSED broadcast scan (extract folded into one Arrow pass) — output
         # proven identical to extract_native + the n-gram join path by
         # test_mentions_broadcast_raw_ws_fusion / the unchanged SQL oracle
-        key_list = [r["key"] for r in keys.select("key").distinct().collect()]
         ments = B.mentions_broadcast(docs, key_list, id_col="doc_id",
                                      text_col="text", raw_ws=True)
-        bridge = (
-            keys.where(F.col("channel") == "full")
-            .select(F.col("key").alias("full_key"), "title")
-            .join(
-                keys.where(F.col("channel") == "clean")
-                .select(F.col("key").alias("clean_key"), "title"),
-                "title",
-            )
-            .select("full_key", "clean_key")
-            .distinct()
-        )
+        full_by_title: dict[str, list[str]] = {}
+        clean_by_title: dict[str, list[str]] = {}
+        for t, k, c in key_rows:
+            (full_by_title if c == "full" else clean_by_title) \
+                .setdefault(t, []).append(k)
+        bridge_rows = sorted({
+            (fk, ck)
+            for t, fks in full_by_title.items()
+            for fk in fks
+            for ck in clean_by_title.get(t, [])
+        })
+        bridge = spark.createDataFrame(bridge_rows,
+                                       ["full_key", "clean_key"])
         blocks = (
             ments.join(F.broadcast(bridge), ments.key == bridge.full_key,
                        "left")

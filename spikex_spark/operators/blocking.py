@@ -76,6 +76,37 @@ def title_keys(titles_df: DataFrame, title_col: str = "title") -> DataFrame:
     )
 
 
+def title_keys_local(titles: list[str]) -> list[tuple[str, str, str]]:
+    """Pure-Python mirror of :func:`title_keys` for DRIVER-LOCAL title lists.
+
+    When the titles already live on the driver (a broadcast dictionary
+    source, synth fixtures), routing 45 rows through createDataFrame →
+    Catalyst → collect costs seconds of serial JVM/job overhead for zero
+    distribution benefit. Row-for-row equality with the Spark operator is
+    pinned by ``test_blocking.py::test_title_keys_local_parity`` (ASCII
+    titles; the Spark path remains the one for at-scale title tables).
+    """
+    import re
+    word_sep = re.compile(_WORD_SEP)
+    non_alnum = re.compile(_NON_ALNUM)
+    qualifier = re.compile(r"_\([^)]*\)")
+
+    def norm_key(s: str) -> str:
+        toks = (non_alnum.sub("", t.lower()) for t in word_sep.split(s))
+        return " ".join(t for t in toks if t)
+
+    out: list[tuple[str, str, str]] = []
+    seen: set[tuple[str, str, str]] = set()
+    for title in titles:
+        for key, channel in ((norm_key(qualifier.sub("", title)), "clean"),
+                             (norm_key(title), "full")):
+            row = (title, key, channel)
+            if key and row not in seen:
+                seen.add(row)
+                out.append(row)
+    return out
+
+
 def ngram_candidates(df: DataFrame, id_col: str, text_col: str,
                      max_n: int = 4) -> DataFrame:
     """Explode token n-grams (n=1..max_n) with start positions.

@@ -259,3 +259,18 @@ def test_mentions_broadcast_nested_matches_join_path(spark, pages_df,
                                       nested=True).collect()}
     assert got_ext == want
     assert got_fused == want
+
+
+def test_title_keys_local_parity(spark):
+    """title_keys_local must emit row-for-row the Spark title_keys output
+    (as a set — the operator's own order is shuffle-dependent), including
+    qualifier stripping, empty-key drops, and cross-channel duplicates."""
+    titles = [t["title"] for t in synth.gen_titles()] + [
+        "Mercury_(planet)", "Mercury_(element)", "Mercury",
+        "_(all_qualifier)", "A__B", "C_(x)_(y)", "MiXeD_CaSe_42!",
+    ]
+    want = {tuple(r) for r in
+            B.title_keys(spark.createDataFrame(
+                [{"title": t} for t in titles])).collect()}
+    got = set(B.title_keys_local(titles))
+    assert got == want
