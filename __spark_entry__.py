@@ -2354,13 +2354,10 @@ def _q_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators import blocking as B
     from spikex_spark.synth import gen_titles
     docs = _read(spark, sf_dir, "documents")
-    titles = spark.createDataFrame(gen_titles())
-    extra = spark.createDataFrame(
-        [(k, k, "clean") for k in _EXTRA_MENTION_KEYS],
-        ["key", "title", "channel"],
-    )
-    keys_df = B.title_keys(titles).unionByName(extra)
-    keys = [r["key"] for r in keys_df.select("key").distinct().collect()]
+    # driver-side key build (title_keys_local ≡ title_keys, parity-pinned):
+    # the titles are a 45-row python list, see _er_pages_blocks
+    key_rows = B.title_keys_local([t["title"] for t in gen_titles()])
+    keys = sorted({k for _t, k, _c in key_rows} | set(_EXTRA_MENTION_KEYS))
     return B.mentions_broadcast(docs, keys, id_col="doc_id", text_col="text",
                                 raw_ws=True, nested=True).select(
         F.col("id").alias("doc_id"), "start", "n", "surface", "key", "nested"
