@@ -1151,8 +1151,9 @@ SELECT * FROM (VALUES
 # binary payload hashing cannot run SQL-side): raw float64 fold values
 # pinned as literals, rounded in SQL exactly like the Spark query
 # media_id % 3 == 0 rows are IMAGES with real payloads cycling P6/P3/BMP/
-# PNG/JPEG — their values pin the REAL pure-Python decode (incl. the stdlib
-# zlib PNG codec) → pixel features; media_id % 3 == 1 rows are AUDIO with
+# PNG/JPEG/GIF/progressive-JPEG — their values pin the REAL pure-Python
+# decode (incl. the stdlib zlib PNG codec and the SOF2 successive-
+# approximation JPEG path) → pixel features; media_id % 3 == 1 rows are AUDIO with
 # real WAV PCM payloads (8/16/32-bit, mono/stereo, four sample rates) —
 # their values pin the REAL stdlib WAV decode → audio_features; the video
 # rows pin the deterministic fake path mp4 uses (no codec lib here)
@@ -1175,7 +1176,7 @@ _MEDIA_GOLDEN = [
     (15, 1.451499223345538),
     (16, 3.9203120694610134),
     (17, 2.8984420175465235),
-    (18, 1.639273311457813),
+    (18, 1.6387550335381975),
     (19, 18.720921211143143),
     (20, 6.290915093219452),
     (21, 1.6237192970227772),
@@ -1193,7 +1194,7 @@ _MEDIA_GOLDEN = [
 # md5 of the 32×32 resize output per media row: image rows pin the REAL
 # decode → nearest-neighbor resample → format-preserving re-encode chain
 # (P6→P6, P3→P3, BMP→BMP, PNG→PNG, JPEG→JPEG, GIF→GIF with the palette
-# preserved); audio/video rows pin the deterministic fake blob path
+# preserved, progressive JPEG→progressive JPEG); audio/video rows pin the deterministic fake blob path
 _MEDIA_RESIZE_GOLDEN = [
     (0, '09b8e06c66a1a910a07077e451025931'),
     (1, '4a346f923067318130fa571513f80c6f'),
@@ -1213,16 +1214,16 @@ _MEDIA_RESIZE_GOLDEN = [
     (15, 'ee74f83cc882be0f9eb761d4887454cd'),
     (16, '53d1412be7a2aacaeb1cbc707ef347d7'),
     (17, '16499536fe475255850c97159879744c'),
-    (18, '73cbf83b059fb76bf855be2a367c2616'),
+    (18, 'eb4b4520ad86c4b1d5c675a9bc4d639d'),
     (19, '2d4464ab6f1d1dc346859fe42afe61bd'),
     (20, 'ac050955f5a47fbeaa916289ee2f4af8'),
-    (21, '3adb03a94a394796acf3197ad0c4876b'),
+    (21, '7caec505fbbb668bcc1c9c6414472d5e'),
     (22, 'd3d2da1801212cb6fe24933c91fa8efc'),
     (23, '5ae4de5145dc17a1be347fa303623a6b'),
-    (24, '4ab56381a07d097e398b64685422efea'),
+    (24, '1b94fc91226a22d7cf879dac3eaec82c'),
     (25, '7cede250841b820ee004d8e89c11838f'),
     (26, '56883d6fea3a4cb3631ec8b7ef453a3e'),
-    (27, '472d9f6ed076ea07c0d27a89f9e3ba16'),
+    (27, '00511c9758c02c54375fa7a71f9938f4'),
     (28, 'cff9af7677816415d093e6332dde1d91'),
     (29, 'adadbb19bbdf12775fca849fb733b7be'),
 ]
@@ -1252,16 +1253,16 @@ _MEDIA_AUDIO_GOLDEN = [
     (15, '67907d0a9fd58d2aa61519109cb7925d'),
     (16, 'ba6081799bc6a87d2d08ccb6b2dd62f5'),
     (17, 'f92509173f5caeac07f5d83f30ff80ff'),
-    (18, '182b63d5443e093d41b938bc5ba5d930'),
+    (18, 'e2ca0e08c682f5a8d8aa41382a590835'),
     (19, '5e14f1a8604ccc322c3e1c1fb3a3a98c'),
     (20, '41f77bb8e3bc0fa7d14c5a6b8132fcb6'),
-    (21, 'bcfd895d694e3e81879b0b6e064ee59c'),
+    (21, '62b03a9d84beef8604e8f87443c25c4a'),
     (22, '41c156262f3dda9209407ef8b8c9e426'),
     (23, '65b37a7b1064b3804854a5c0b697f03f'),
-    (24, '9989a1837f7fbf5917ec79f13121fcf3'),
+    (24, 'f09213e7ed56c9fea3950491e6739ae2'),
     (25, 'ea0d4c904ac722f75c4d4606a960fed1'),
     (26, 'b0b036fc034e1c10f26b61d91eb5b893'),
-    (27, 'c2f67ec4775b4adaa92cd10e825ee587'),
+    (27, '8d4dbf81f6d468c409579bd257d3c206'),
     (28, '11e5b15dd46d2c3001bc1fcbbd7a2ff3'),
     (29, 'ac806e5fd9628d01222ce121922c145f'),
 ]

@@ -1,13 +1,16 @@
-"""Baseline JPEG codec in pure Python + numpy (no external libraries).
+"""Baseline + progressive JPEG codec in pure Python + numpy (no external
+libraries).
 
-Implements the ITU-T T.81 baseline sequential DCT process: Huffman entropy
-coding, 8x8 FDCT/IDCT, Annex-K quantization/Huffman tables, JFIF YCbCr
-color, optional 4:2:0 chroma subsampling, restart markers. Decoder handles
-grayscale and YCbCr with any (h,v) sampling factors in 1..4 that divide
-the frame's max factors (integer-ratio upsampling); unsupported variants
-(progressive SOF2, arithmetic coding, 12-bit precision, non-dividing
-sampling factors) return ``None`` so multimodal dispatch can fall through
-rather than crash.
+Implements the ITU-T T.81 baseline sequential DCT process (SOF0/1) and the
+progressive DCT process (SOF2): Huffman entropy coding, 8x8 FDCT/IDCT,
+Annex-K quantization/Huffman tables, JFIF YCbCr color, optional 4:2:0
+chroma subsampling, restart markers, and — for progressive — spectral
+selection, successive approximation (DC/AC first + refinement scans, T.81
+Annex G), and EOB-run coding. Decoder handles grayscale and YCbCr with any
+(h,v) sampling factors in 1..4 that divide the frame's max factors
+(integer-ratio upsampling); unsupported variants (arithmetic coding,
+lossless/hierarchical, 12-bit precision, non-dividing sampling factors)
+return ``None`` so multimodal dispatch can fall through rather than crash.
 
 This is a correctness-grade codec for the multimodal column plumbing
 (reference has no media path at all — see SURVEY §2.8): per-pixel Python
@@ -183,11 +186,12 @@ def _split_scan(payload: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray | None":
-    """Decode a baseline JPEG to H×W×3 uint8 RGB (grayscale replicated).
+    """Decode a baseline or progressive JPEG to H×W×3 uint8 RGB
+    (grayscale replicated).
 
-    Returns ``None`` for non-baseline variants (progressive SOF2,
-    arithmetic coding SOF9+, hierarchical); raises ``ValueError`` on
-    corrupt or truncated baseline data.
+    Returns ``None`` for unsupported variants (arithmetic coding SOF9+,
+    lossless, hierarchical, 12-bit); raises ``ValueError`` on corrupt or
+    truncated data.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -236,19 +240,20 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                 p += 17 + nv
         elif m == 0xDD:                   # DRI
             restart, = struct.unpack_from(">H", seg, 0)
-        elif m in (0xC0, 0xC1):           # SOF0/1 baseline(+ext sequential)
+        elif m in (0xC0, 0xC1, 0xC2):     # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
-                return None               # 12-bit: not baseline-8
+                return None               # 12-bit: not supported
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
-            return None                   # progressive/arithmetic/lossless
+            return None                   # arithmetic/lossless/hierarchical
         elif m == 0xDA:                   # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -258,7 +263,20 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tabs >> 4, tabs & 0x0F)
             segs, i = _split_scan(payload, i)
-            return _decode_scan(frame, sel, qtabs, htabs, restart, segs)
+            if not frame["progressive"]:
+                return _decode_scan(frame, sel, qtabs, htabs, restart, segs)
+            # progressive: scans accumulate into per-component coefficient
+            # grids; pixels materialize once at EOI
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if "grid" not in frame["comps"][0]:
+                if not _init_prog(frame, qtabs):
+                    return None           # non-dividing sampling factors
+            _decode_prog_scan(frame, sel, ss, se, ahal >> 4, ahal & 0x0F,
+                              htabs, restart, segs)
+    if frame is not None and frame["progressive"] \
+            and "grid" in frame["comps"][0]:
+        return _assemble_prog(frame)
     raise ValueError("JPEG has no scan data")
 
 
@@ -330,6 +348,11 @@ def _decode_scan(frame, sel, qtabs, htabs, restart, segs):
                  .reshape(mcuy * cv * 8, mcux * ch * 8))
         plane = plane.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)
         planes.append(plane[:h, :w])
+    return _planes_to_rgb(planes)
+
+
+def _planes_to_rgb(planes):
+    """JFIF YCbCr→RGB (grayscale replicated) over cropped uint8 planes."""
     if len(planes) == 1:
         return np.stack([planes[0]] * 3, axis=-1)
     y, cb, cr = (p.astype(np.float64) for p in planes[:3])
@@ -338,6 +361,181 @@ def _decode_scan(frame, sel, qtabs, htabs, restart, segs):
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
                    255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive decoder (T.81 Annex G; bit-level algorithms follow the
+# interoperable libjpeg formulation of G.1.2/G.2)
+# --------------------------------------------------------------------------
+
+def _init_prog(frame, qtabs) -> bool:
+    """Allocate per-component zigzag coefficient grids (MCU-padded raster).
+
+    Returns False for non-dividing sampling factors (unsupported variant,
+    mirrors the baseline path's ``None``).
+    """
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        return False
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        # grid covers the interleaved-MCU padding; non-interleaved scans
+        # visit only the component's actual bh x bw blocks (T.81 A.2.2)
+        c["grid"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                             dtype=np.int32)
+        cw = -(-frame["w"] * c["h"] // hmax)   # component pixel dims
+        ch = -(-frame["h"] * c["v"] // vmax)
+        c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+        c["q"] = qtabs[c["tq"]].astype(np.float64)    # natural order
+    return True
+
+
+def _decode_prog_scan(frame, sel, ss, se, ah, al, htabs, restart, segs):
+    """Apply one progressive scan to the component coefficient grids."""
+    comps = frame["comps"]
+    scomps = [c for c in comps if c["id"] in sel]
+    if not scomps:
+        raise ValueError("JPEG scan selects unknown component")
+    for c in scomps:
+        if ss == 0 and ah == 0:           # DC-first reads Huffman DC codes;
+            key = (0, sel[c["id"]][0])    # DC-refine reads raw bits only
+            if key not in htabs:
+                raise ValueError("JPEG scan references undefined DC table")
+            c["dc_tab"] = htabs[key]
+        if ss > 0:
+            key = (1, sel[c["id"]][1])
+            if key not in htabs:
+                raise ValueError("JPEG scan references undefined AC table")
+            c["ac_tab"] = htabs[key]
+        c["pred"] = 0
+    if ss > 0 and len(scomps) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    state = {"seg": 0, "reader": _BitReader(segs[0]), "eobrun": 0}
+
+    def unit_restart(u):
+        if restart and u and u % restart == 0:
+            state["seg"] += 1
+            if state["seg"] >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            state["reader"] = _BitReader(segs[state["seg"]])
+            state["eobrun"] = 0
+            for c in scomps:
+                c["pred"] = 0
+
+    if len(scomps) > 1:                   # interleaved (DC scans)
+        for mcu in range(frame["mcux"] * frame["mcuy"]):
+            unit_restart(mcu)
+            my, mx = divmod(mcu, frame["mcux"])
+            for c in scomps:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        blk = c["grid"][my * c["v"] + dy, mx * c["h"] + dx]
+                        _prog_block(state, blk, c, ss, se, ah, al)
+    else:                                 # non-interleaved: actual blocks
+        c = scomps[0]
+        for u in range(c["bh"] * c["bw"]):
+            unit_restart(u)
+            by, bx = divmod(u, c["bw"])
+            _prog_block(state, c["grid"][by, bx], c, ss, se, ah, al)
+
+
+def _prog_block(state, blk, c, ss, se, ah, al):
+    """Decode one block's contribution from the current scan (zigzag idx)."""
+    reader = state["reader"]
+    if ss == 0:                           # DC scan (se == 0)
+        if ah == 0:                       # first: diff-coded, scaled by Al
+            s = reader.read_code(c["dc_tab"])
+            diff = _extend(reader.receive(s), s) if s else 0
+            c["pred"] += diff
+            blk[0] = c["pred"] << al
+        elif reader.receive(1):           # refinement: one raw bit
+            blk[0] = int(blk[0]) | (1 << al)
+        return
+    if ah == 0:                           # AC first (G.1.2.2): EOB runs
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.read_code(c["ac_tab"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:               # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 \
+                    + (reader.receive(r) if r else 0)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return
+    # AC refinement (G.1.2.3): newly-nonzero coefficients are coded with
+    # runs over zero-HISTORY positions; positions already nonzero consume
+    # one correction bit each as the run passes over them
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.read_code(c["ac_tab"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) \
+                        + (reader.receive(r) if r else 0)
+                    break
+                newval = 0                # ZRL: 16 zero-history positions
+            else:
+                newval = p1 if reader.receive(1) else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.receive(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:               # block inside an EOB run still
+        while k <= se:                    # pays its correction bits
+            v = int(blk[k])
+            if v != 0:
+                if reader.receive(1) and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _assemble_prog(frame):
+    """Dequantize + IDCT the accumulated grids into the final RGB image."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        grid = c["grid"]
+        rows, cols = grid.shape[:2]
+        coef = grid.reshape(-1, 64).astype(np.float64) * c["q"][ZIGZAG]
+        coef = coef[:, _UNZIG].reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_C, coef, _DCT_C,
+                            optimize=True) + 128.0
+        spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+        plane = (spatial.reshape(rows, cols, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
+        plane = plane.repeat(vmax // c["v"], axis=0) \
+                     .repeat(hmax // c["h"], axis=1)
+        planes.append(plane[:frame["h"], :frame["w"]])
+    return _planes_to_rgb(planes)
 
 
 # --------------------------------------------------------------------------
@@ -435,9 +633,15 @@ def _pad_to_blocks(plane: "np.ndarray", bh: int, bw: int) -> "np.ndarray":
 
 
 def encode_jpeg(img: "np.ndarray", quality: int = 90,
-                subsample: bool = False) -> bytes:
-    """Encode H×W×3 uint8 RGB as baseline JFIF JPEG (Annex-K tables scaled
-    to ``quality``; 4:2:0 chroma when ``subsample`` else 4:4:4)."""
+                subsample: bool = False, progressive: bool = False) -> bytes:
+    """Encode H×W×3 uint8 RGB as JFIF JPEG (Annex-K tables scaled to
+    ``quality``; 4:2:0 chroma when ``subsample`` else 4:4:4).
+
+    ``progressive=True`` emits a SOF2 progressive stream (libjpeg's
+    standard 10-scan script: spectral selection + 2-level successive
+    approximation with EOB-run coding). Both modes quantize identical
+    coefficients, so they decode to identical pixels.
+    """
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     r, g, b = (img[..., c].astype(np.float64) for c in range(3))
@@ -465,6 +669,11 @@ def encode_jpeg(img: "np.ndarray", quality: int = 90,
     ycoef = _fdct_quant(np.clip(yp, 0, 255), ql_z.astype(np.float64))
     cbcoef = _fdct_quant(np.clip(cbp, 0, 255), qc_z.astype(np.float64))
     crcoef = _fdct_quant(np.clip(crp, 0, 255), qc_z.astype(np.float64))
+
+    if progressive:
+        return _encode_progressive(h, w, hs, vs, ql_z, qc_z,
+                                   ycoef, cbcoef, crcoef,
+                                   yp.shape, cbp.shape)
 
     dc_l, ac_l = _encode_codes(*_DC_LUMA), _encode_codes(*_AC_LUMA)
     dc_c, ac_c = _encode_codes(*_DC_CHROMA), _encode_codes(*_AC_CHROMA)
@@ -505,3 +714,240 @@ def encode_jpeg(img: "np.ndarray", quality: int = 90,
             + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
             + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
             + sos + scan + b"\xff\xd9")
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G; scan script = libjpeg's standard
+# 10-scan progression, bit-level algorithms follow jcphuff's G.1.2
+# formulation so any conformant decoder reads the output)
+# --------------------------------------------------------------------------
+
+def _flat_table(symbols: list) -> tuple:
+    """A complete fixed-length canonical Huffman table: (bits, vals).
+
+    All codes get length L with 2^L > nsym, so the all-1s code stays
+    unused (T.81 C.2). Compression is deliberately traded for simplicity:
+    no per-image frequency pass, every symbol the scan can emit exists.
+    """
+    n = len(symbols)
+    length = max(2, n.bit_length())
+    if (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, list(symbols)
+
+
+_PROG_DC_SYMS = list(range(12))
+_PROG_AC_FIRST_SYMS = ([(r << 4) | s for r in range(16) for s in range(1, 11)]
+                       + [r << 4 for r in range(15)] + [0xF0])
+_PROG_AC_REFINE_SYMS = ([(r << 4) | 1 for r in range(16)]
+                        + [r << 4 for r in range(15)] + [0xF0])
+
+
+def _prog_dc_first(comps, mcux, mcuy, dc_codes, al) -> bytes:
+    writer = _BitWriter()
+    for c in comps:
+        c["pred"] = 0
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for c in comps:
+            for dy in range(c["v"]):
+                for dx in range(c["h"]):
+                    blk = c["coef"][(my * c["v"] + dy) * c["cols"]
+                                    + mx * c["h"] + dx]
+                    t = int(blk[0]) >> al      # point transform (arith shift)
+                    diff = t - c["pred"]
+                    c["pred"] = t
+                    s = _csize(diff)
+                    code, length = dc_codes[s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(diff if diff >= 0
+                                     else diff + (1 << s) - 1, s)
+    return writer.flush()
+
+
+def _prog_dc_refine(comps, mcux, mcuy, al) -> bytes:
+    writer = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for c in comps:
+            for dy in range(c["v"]):
+                for dx in range(c["h"]):
+                    blk = c["coef"][(my * c["v"] + dy) * c["cols"]
+                                    + mx * c["h"] + dx]
+                    writer.write((int(blk[0]) >> al) & 1, 1)
+    return writer.flush()
+
+
+def _prog_ac_first(c, ss, se, al, ac_codes) -> bytes:
+    writer = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            writer.write(code, length)
+            if nbits:
+                writer.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for u in range(c["bh"] * c["bw"]):
+        by, bx = divmod(u, c["bw"])
+        blk = c["coef"][by * c["cols"] + bx]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al                   # AC point transform: |v|/2^Al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                writer.write(code, length)
+                r -= 16
+            s = t.bit_length()
+            code, length = ac_codes[(r << 4) | s]
+            writer.write(code, length)
+            writer.write(t if v >= 0 else (1 << s) - 1 - t, s)
+            r = 0
+        if r:                                  # trailing zeros join EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:               # EOB14 ceiling
+                flush_eob()
+    flush_eob()
+    return writer.flush()
+
+
+def _prog_ac_refine(c, ss, se, al, ac_codes) -> bytes:
+    writer = _BitWriter()
+    eobrun = 0
+    runbits: list = []                         # corrections owed by run blocks
+
+    def flush_eob():
+        nonlocal eobrun, runbits
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            writer.write(code, length)
+            if nbits:
+                writer.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in runbits:
+            writer.write(b, 1)
+        runbits = []
+
+    for u in range(c["bh"] * c["bw"]):
+        by, bx = divmod(u, c["bw"])
+        blk = c["coef"][by * c["cols"] + bx]
+        tvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eobpos = ss - 1                        # last newly-nonzero position
+        for idx, t in enumerate(tvals):
+            if t == 1:
+                eobpos = ss + idx
+        r = 0
+        pend: list = []                        # corrections since last symbol
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = tvals[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:      # ZRL only before last new coef
+                flush_eob()
+                code, length = ac_codes[0xF0]
+                writer.write(code, length)
+                r -= 16
+                for b in pend:
+                    writer.write(b, 1)
+                pend = []
+            if t > 1:                          # already nonzero: one bit
+                pend.append(t & 1)
+                continue
+            flush_eob()                        # newly nonzero (t == 1)
+            code, length = ac_codes[(r << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if v >= 0 else 0, 1)
+            for b in pend:
+                writer.write(b, 1)
+            pend = []
+            r = 0
+        if r or pend:                          # tail folds into the EOB run
+            eobrun += 1
+            runbits.extend(pend)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return writer.flush()
+
+
+def _encode_progressive(h, w, hs, vs, ql_z, qc_z, ycoef, cbcoef, crcoef,
+                        yshape, cshape) -> bytes:
+    comps = [
+        {"id": 1, "h": hs, "v": vs, "coef": ycoef, "cols": yshape[1] // 8,
+         "bw": -(-w // 8), "bh": -(-h // 8)},
+        {"id": 2, "h": 1, "v": 1, "coef": cbcoef, "cols": cshape[1] // 8,
+         "bw": -(-(-(-w // hs)) // 8), "bh": -(-(-(-h // vs)) // 8)},
+        {"id": 3, "h": 1, "v": 1, "coef": crcoef, "cols": cshape[1] // 8,
+         "bw": -(-(-(-w // hs)) // 8), "bh": -(-(-(-h // vs)) // 8)},
+    ]
+    mcux = yshape[1] // (8 * hs)
+    mcuy = yshape[0] // (8 * vs)
+    dc_tab = _flat_table(_PROG_DC_SYMS)
+    acf_tab = _flat_table(_PROG_AC_FIRST_SYMS)
+    acr_tab = _flat_table(_PROG_AC_REFINE_SYMS)
+    dc_codes = _encode_codes(*dc_tab)
+    acf_codes = _encode_codes(*acf_tab)
+    acr_codes = _encode_codes(*acr_tab)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(scomps, ta, ss, se, ah, al) -> bytes:
+        body = bytes([len(scomps)])
+        for c in scomps:
+            body += bytes([c["id"], ta if ss or ah else (ta << 4)])
+        # DC scans set Td (high nibble), AC scans set Ta (low nibble);
+        # refinement DC scans read raw bits so Td=0 is fine either way
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    y, cb, cr = comps
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in ql_z))
+    out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc_z))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_tab[0]) + bytes(dc_tab[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(acf_tab[0]) + bytes(acf_tab[1]))
+    out += seg(0xC4, bytes([0x11]) + bytes(acr_tab[0]) + bytes(acr_tab[1]))
+    # libjpeg's standard script: DC first (Al=1) interleaved; per-component
+    # AC first scans (Y split 1-5 / 6-63 at Al=2, chroma 1-63 at Al=1);
+    # AC refinements down to Al=0; DC refinement raw bits
+    out += sos(comps, 0, 0, 0, 0, 1)
+    out += _prog_dc_first(comps, mcux, mcuy, dc_codes, 1)
+    out += sos([y], 0, 1, 5, 0, 2)
+    out += _prog_ac_first(y, 1, 5, 2, acf_codes)
+    out += sos([cb], 0, 1, 63, 0, 1)
+    out += _prog_ac_first(cb, 1, 63, 1, acf_codes)
+    out += sos([cr], 0, 1, 63, 0, 1)
+    out += _prog_ac_first(cr, 1, 63, 1, acf_codes)
+    out += sos([y], 0, 6, 63, 0, 2)
+    out += _prog_ac_first(y, 6, 63, 2, acf_codes)
+    out += sos([y], 1, 1, 63, 2, 1)
+    out += _prog_ac_refine(y, 1, 63, 1, acr_codes)
+    out += sos(comps, 0, 0, 0, 1, 0)
+    out += _prog_dc_refine(comps, mcux, mcuy, 0)
+    out += sos([cr], 1, 1, 63, 1, 0)
+    out += _prog_ac_refine(cr, 1, 63, 0, acr_codes)
+    out += sos([cb], 1, 1, 63, 1, 0)
+    out += _prog_ac_refine(cb, 1, 63, 0, acr_codes)
+    out += sos([y], 1, 1, 63, 1, 0)
+    out += _prog_ac_refine(y, 1, 63, 0, acr_codes)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -3,15 +3,16 @@
 Image decode is REAL for every format a pure-Python (stdlib + numpy)
 decoder can handle — PPM (P6 binary / P3 ascii), 24-bit uncompressed BMP,
 full PNG (zlib inflate, all five scanline filters, color types 0/2/3/4/6,
-bit depths 1-16, Adam7 interlace, CRC-verified), baseline JPEG
-(:mod:`spikex_spark.jpeg`: Huffman + DCT + 4:2:0, JFIF YCbCr, restart
-markers), and GIF (:mod:`spikex_spark.gif`: LZW, interlace, palette
-re-encode) — including decode → feature-extract and decode →
-nearest-neighbor resize → format-preserving re-encode. Audio decode is
-REAL for RIFF/WAVE PCM (u8/i16/i24/i32 and IEEE float, extensible headers)
-— decode → feature-extract (:func:`audio_features`) and decode →
-linear-interp resample → re-encode (:func:`resample_audio_df`). Remaining
-formats (progressive JPEG, compressed audio, video) have no library in
+bit depths 1-16, Adam7 interlace, CRC-verified), baseline AND progressive
+JPEG (:mod:`spikex_spark.jpeg`: Huffman + DCT + 4:2:0, JFIF YCbCr, restart
+markers, spectral selection + successive approximation), and GIF
+(:mod:`spikex_spark.gif`: LZW, interlace, palette re-encode) — including
+decode → feature-extract and decode → nearest-neighbor resize →
+format-preserving re-encode. Audio decode is REAL for RIFF/WAVE PCM
+(u8/i16/i24/i32 and IEEE float, extensible headers) — decode →
+feature-extract (:func:`audio_features`) and decode → linear-interp
+resample → re-encode (:func:`resample_audio_df`). Remaining formats
+(arithmetic-coded JPEG, compressed audio, video) have no library in
 this container, so their decode stays stubbed behind ``SPIKEX_SPARK_FAKE_DECODE``
 (deterministic fake) or raises ``NotImplementedError``; the Spark-side
 plumbing (schemas, Arrow batch shapes, partitioning, UDF signatures) is
@@ -86,7 +87,7 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
     an H×W×3 uint8 array.
 
     Returns None for formats this pure-Python decoder does not handle
-    (progressive JPEG, compressed BMP, ...); raises ValueError on corrupt
+    (arithmetic-coded JPEG, compressed BMP, ...); raises ValueError on corrupt
     data of a known format. The ValueError contract is normalized HERE:
     codec internals can surface zlib.error (bad IDAT stream behind intact
     chunk CRCs), struct.error (truncated fixed-layout headers), or
@@ -134,7 +135,7 @@ def _decode_image_raw(payload: bytes) -> "np.ndarray | None":
         return vals.astype(np.uint8).reshape(h, w, 3)
     if bytes(payload[:3]) == b"\xff\xd8\xff":
         from spikex_spark.jpeg import decode_jpeg
-        return decode_jpeg(bytes(payload))  # None for progressive/arith
+        return decode_jpeg(bytes(payload))  # None for arithmetic-coded
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         from spikex_spark.gif import decode_gif
         return decode_gif(bytes(payload))
@@ -372,7 +373,9 @@ _ENCODERS = {}
 
 def detect_image_format(payload: bytes) -> "str | None":
     """Sniff the on-disk image format from magic bytes: 'p6' | 'p3' | 'bmp'
-    | 'png' | 'jpeg' | 'gif' | None (unknown / not an image)."""
+    | 'png' | 'jpeg' | 'jpegp' (progressive JPEG) | 'gif' | None (unknown /
+    not an image). The jpeg/jpegp split walks the marker segments to the
+    frame header so the resize path can re-encode each variant as itself."""
     if payload is None or len(payload) < 2:
         return None
     head = bytes(payload[:8])
@@ -385,6 +388,23 @@ def detect_image_format(payload: bytes) -> "str | None":
     if head == _PNG_SIG:
         return "png"
     if head.startswith(b"\xff\xd8\xff"):
+        i, n = 2, len(payload)
+        while i + 1 < n and payload[i] == 0xFF:
+            m = payload[i + 1]
+            if m == 0xFF:                 # fill byte
+                i += 1
+                continue
+            if m == 0xC2:
+                return "jpegp"
+            if (0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC)) \
+                    or m == 0xDA:
+                return "jpeg"             # any other SOF, or scan w/o SOF
+            if m in (0x01,) or 0xD0 <= m <= 0xD9:
+                i += 2                    # parameterless markers
+                continue
+            if i + 4 > n:
+                break
+            i += 2 + struct.unpack_from(">H", payload, i + 2)[0]
         return "jpeg"
     if head.startswith(b"GIF87a") or head.startswith(b"GIF89a"):
         return "gif"
@@ -404,8 +424,14 @@ def _encode_gif(img: "np.ndarray") -> bytes:
     return encode_gif(img)
 
 
+def _encode_jpeg90_progressive(img: "np.ndarray") -> bytes:
+    from spikex_spark.jpeg import encode_jpeg
+    return encode_jpeg(img, quality=90, progressive=True)
+
+
 _ENCODERS.update({"p6": encode_ppm, "p3": encode_p3, "bmp": encode_bmp,
                   "png": encode_png, "jpeg": _encode_jpeg90,
+                  "jpegp": _encode_jpeg90_progressive,
                   "gif": _encode_gif})
 
 
@@ -974,8 +1000,9 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
 
     Image rows carry REAL payloads (deterministic gradient patterns sized
     per the row metadata), cycling through every encoder this module can
-    decode back — P6, P3, BMP, PNG, baseline JPEG — so decode/resize
-    exercise all five codecs end-to-end without any external library.
+    decode back — P6, P3, BMP, PNG, baseline JPEG, GIF, progressive JPEG —
+    so decode/resize exercise all seven codec paths end-to-end without any
+    external library.
     Audio rows carry REAL WAV PCM payloads (deterministic two-tone sine
     mixes cycling sample rate 8k/11k/16k/22k, bit depth 8/16/32, and
     mono/stereo) matching their duration_ms; video rows stay opaque blobs
@@ -996,14 +1023,16 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
                 [(x * 3 + i) % 256, (y * 5 + 2 * i) % 256, (x + y + 7 * i) % 256],
                 axis=-1,
             ).astype(np.uint8)
-            fmt = ("p6", "p3", "bmp", "png", "jpeg", "gif")[(i // 3) % 6]
+            fmt = ("p6", "p3", "bmp", "png", "jpeg", "gif",
+                   "jpegp")[(i // 3) % 7]
             if fmt == "gif":
                 img = (img // 64) * 64  # palette-limited (<=64 colors)
             payload = _ENCODERS[fmt](img)
             mime = {"p6": "image/x-portable-pixmap",
                     "p3": "image/x-portable-pixmap",
                     "bmp": "image/bmp", "png": "image/png",
-                    "jpeg": "image/jpeg", "gif": "image/gif"}[fmt]
+                    "jpeg": "image/jpeg", "jpegp": "image/jpeg",
+                    "gif": "image/gif"}[fmt]
         elif kind == "audio":
             arate = (8000, 11025, 16000, 22050)[(i // 3) % 4]
             nsamp = arate * duration_ms // 1000

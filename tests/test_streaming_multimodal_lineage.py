@@ -390,17 +390,114 @@ def test_jpeg_codec_baseline():
         assert np.abs(block.astype(int) - v0).max() <= 1
         assert np.array_equal(block[..., 0], block[..., 1])  # gray replicated
 
-    # dispatch: decode_image routes JPEG; progressive (SOF2) falls to None
+    # dispatch: decode_image routes both sequential and progressive JPEG
     assert detect_image_format(encode_jpeg(img)) == "jpeg"
     assert np.abs(decode_image(encode_jpeg(img)).astype(int) - 130).max() <= 1
-    progressive = b"\xff\xd8" + seg(0xC2, b"\x08\x00\x08\x00\x08\x01" + bytes(3))
-    assert decode_jpeg(progressive) is None
-    assert decode_image(progressive) is None
+    progressive = encode_jpeg(img, quality=90, progressive=True)
+    assert b"\xff\xc2" in progressive[:256]    # SOF2 frame header
+    assert np.array_equal(decode_image(progressive), decode_jpeg(progressive))
+    # a progressive frame with no scan data is corrupt, not "unsupported"
+    with _pt.raises(ValueError):
+        decode_jpeg(b"\xff\xd8"
+                    + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1)
+                          + bytes([1, 0x11, 0])) + b"\xff\xd9")
 
     # corrupt entropy data raises (known format, bad bytes)
     good = bytearray(encode_jpeg(img, quality=90))
     with _pt.raises(ValueError):
         decode_jpeg(bytes(good[:40]))          # truncated mid-headers
+
+
+def test_jpeg_codec_progressive():
+    """Progressive (SOF2) JPEG: both encoder modes quantize IDENTICAL
+    coefficients, so a full progressive decode must be pixel-identical to
+    the baseline decode of the same image — across image kinds that
+    exercise every scan type (EOB runs on flat blocks, ZRL + successive
+    approximation on noise, spectral band splits on gradients, 4:2:0 and
+    odd dims). Plus a hand-built single-component DC-only progression
+    with restart markers, decoded independently of the encoder."""
+    import struct
+
+    import numpy as np
+
+    from spikex_spark.jpeg import (
+        _DC_LUMA,
+        _BitWriter,
+        _encode_codes,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:37, 0:29]
+    spikes = np.zeros((9, 70, 3), np.uint8)
+    spikes[::7, ::5] = 255                     # sparse hi-freq: ZRL paths
+    cases = [
+        (np.full((24, 40, 3), 130, np.uint8), 90, False),   # flat: EOBn runs
+        (rng.integers(0, 256, (33, 17, 3)).astype(np.uint8), 95, False),
+        (rng.integers(0, 256, (16, 16, 3)).astype(np.uint8), 35, True),
+        (rng.integers(0, 256, (1, 1, 3)).astype(np.uint8), 85, False),
+        (np.stack([(yy * 4 + xx * 3) % 256, (255 - xx * 5) % 256,
+                   (yy * yy // 7) % 256], -1).astype(np.uint8), 85, True),
+        (spikes, 98, False),
+    ]
+    for img, q, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub,
+                                       progressive=True))
+        assert np.array_equal(base, prog), (img.shape, q, sub)
+
+    # hand-built grayscale DC-only progression (no AC scans — a legal
+    # partial progression): DC-first at Al=1 then DC-refine at Al=0, DRI=1
+    # so every block is its own restart segment (per-scan predictor/EOBRUN
+    # reset path). Flat quant 16 makes the pixel value analytic:
+    # v = 2*dc + 128 with dc = round(8*(v0-128)/16), exact for these v0.
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dc_codes = _encode_codes(*_DC_LUMA)
+    vals = (60, 150, 200)                      # dc = -34, 11, 36: odd + even
+    first_chunks, refine_chunks = [], []
+    for v0 in vals:
+        dc = round(8 * (v0 - 128) / 16)
+        t = dc >> 1                            # point transform (arith shift)
+        wtr = _BitWriter()
+        s = int(abs(t)).bit_length()
+        code, length = dc_codes[s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(t if t >= 0 else t + (1 << s) - 1, s)
+        first_chunks.append(wtr.flush())
+        wtr = _BitWriter()
+        wtr.write(dc & 1, 1)                   # refinement: one raw bit
+        refine_chunks.append(wtr.flush())
+
+    def rst_join(chunks):
+        out = bytearray()
+        for idx, chunk in enumerate(chunks):
+            if idx:
+                out += bytes([0xFF, 0xD0 + (idx - 1) % 8])
+            out += chunk
+        return bytes(out)
+
+    gray = (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([16] * 64))
+            + seg(0xC2, struct.pack(">BHHB", 8, 8, 24, 1)
+                  + bytes([1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0])
+                  + bytes(_DC_LUMA[1]))
+            + seg(0xDD, struct.pack(">H", 1))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))   # DC first, Al=1
+            + rst_join(first_chunks)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))   # DC refine, Al=0
+            + rst_join(refine_chunks)
+            + b"\xff\xd9")
+    dec = decode_jpeg(gray)
+    assert dec.shape == (8, 24, 3)
+    for mcu, v0 in enumerate(vals):
+        block = dec[:, mcu * 8:(mcu + 1) * 8]
+        assert np.abs(block.astype(int) - v0).max() <= 1
+        assert np.array_equal(block[..., 0], block[..., 1])
 
 
 def test_resize_preserves_input_format(spark):
@@ -422,7 +519,8 @@ def test_resize_preserves_input_format(spark):
     rows = media.where("kind = 'image'").collect()
     in_fmt = {r["media_id"]: detect_image_format(bytes(r["payload"]))
               for r in rows}
-    assert set(in_fmt.values()) == {"p6", "p3", "bmp", "png", "jpeg", "gif"}
+    assert set(in_fmt.values()) == {"p6", "p3", "bmp", "png", "jpeg",
+                                    "jpegp", "gif"}
     originals = {r["media_id"]: bytes(r["payload"]) for r in rows}
     for r in resize_images(media.where("kind = 'image'"), 16, 16).collect():
         out = bytes(r["resized"])
@@ -431,7 +529,7 @@ def test_resize_preserves_input_format(spark):
         expect = _resize_nearest(decode_image(originals[r["media_id"]]),
                                  16, 16)
         got = decode_image(out)
-        if fmt == "jpeg":   # lossy re-encode: close, not byte-equal
+        if fmt in ("jpeg", "jpegp"):   # lossy re-encode: close, not equal
             assert got.shape == expect.shape
             assert np.abs(got.astype(int) - expect.astype(int)).mean() < 10
         else:
