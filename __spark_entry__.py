@@ -2199,6 +2199,83 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "q_stream_windowed", mode="complete")
 
 
+# WARC ingest golden: the deterministic fixture's 24 response records as
+# pinned literals (html md5 computed from gen_crawl_records' exact bytes;
+# DuckDB md5() is VARCHAR-only, so the binary hash cannot run SQL-side).
+# Pins the full record-splitter behavior: gzip member chain traversal,
+# Content-Length framing (bodies contain CRLF pairs), warcinfo/non-response
+# skipping, 404 statuses, empty bodies, non-HTML mimes.
+_WARC_GOLDEN = [
+    ('https://example.org/page/13/0', '2020-09-13 12:00:00',
+     'e7c4f5230b36546482ad8eeec1d755f1', 200, 'text/html; charset=UTF-8'),
+    ('https://news.example.com/page/13/1', '2020-09-13 12:01:07',
+     'ea6ec5ff5c1c59af926cb83f0fa254e7', 200, 'text/html; charset=UTF-8'),
+    ('https://wiki.example.net/page/13/2', '2020-09-13 12:02:14',
+     '47316d719dc1a8f1826776c5b04a0940', 200, 'text/html; charset=UTF-8'),
+    ('https://example.org/page/13/3', '2020-09-13 12:03:21',
+     'a7b9421109104b17cdbd753f40da326c', 200, 'text/html; charset=UTF-8'),
+    ('https://news.example.com/page/13/4', '2020-09-13 12:04:28',
+     '4e9efe39e40eaa5bcbcc5672df74f1e4', 200, 'text/html; charset=UTF-8'),
+    ('https://wiki.example.net/page/13/5', '2020-09-13 12:05:35',
+     '5cf32bc7aced9d2143f85e51180e5773', 200, 'text/html; charset=UTF-8'),
+    ('https://example.org/page/13/6', '2020-09-13 12:06:42',
+     '2ca6ea4d1f42dea92d4e5a751aa500b9', 404, 'text/html; charset=UTF-8'),
+    ('https://news.example.com/page/13/7', '2020-09-13 12:07:49',
+     '9d8d289598320d3bfbe32c0d56e33b21', 200, 'text/html; charset=UTF-8'),
+    ('https://wiki.example.net/page/13/8', '2020-09-13 12:08:56',
+     'd41d8cd98f00b204e9800998ecf8427e', 200, 'text/html; charset=UTF-8'),
+    ('https://example.org/page/13/9', '2020-09-13 12:09:03',
+     '600b7eaa26c26e7c436c3e951c5b3b61', 200, 'text/html; charset=UTF-8'),
+    ('https://news.example.com/page/13/10', '2020-09-13 12:10:10',
+     'dbe8283c41f1c802df12e66965674ea9', 200, 'application/pdf'),
+    ('https://wiki.example.net/page/13/11', '2020-09-13 12:11:17',
+     '4c89dbcc2bef6810179dac24f2118c6a', 200, 'text/html; charset=UTF-8'),
+    ('https://example.org/page/13/12', '2020-09-13 12:12:24',
+     '043ccab6446101404ea63d37e005b7a4', 200, 'text/html; charset=UTF-8'),
+    ('https://news.example.com/page/13/13', '2020-09-13 12:13:31',
+     '9e0ac08137250ce182ebb1f681c5dc59', 404, 'text/html; charset=UTF-8'),
+    ('https://wiki.example.net/page/13/14', '2020-09-13 12:14:38',
+     '3666f8c39b24a43433fe06ae332c78ae', 200, 'text/html; charset=UTF-8'),
+    ('https://example.org/page/13/15', '2020-09-13 12:15:45',
+     'fab36c10860bdcf405a9b0e189f99417', 200, 'text/html; charset=UTF-8'),
+    ('https://news.example.com/page/13/16', '2020-09-13 12:16:52',
+     'b79acbe37544dccc684220d8bab34dfa', 200, 'text/html; charset=UTF-8'),
+    ('https://wiki.example.net/page/13/17', '2020-09-13 12:17:59',
+     'd41d8cd98f00b204e9800998ecf8427e', 200, 'text/html; charset=UTF-8'),
+    ('https://example.org/page/13/18', '2020-09-13 12:18:06',
+     '53a030d3ccc84374213550b7fc20cb18', 200, 'text/html; charset=UTF-8'),
+    ('https://news.example.com/page/13/19', '2020-09-13 12:19:13',
+     'cc17eabd65f8756ba4498264753ac3cd', 200, 'text/html; charset=UTF-8'),
+    ('https://wiki.example.net/page/13/20', '2020-09-13 12:20:20',
+     '0a0d68b44d22022e1f5f6ce5bcdd42ac', 404, 'text/html; charset=UTF-8'),
+    ('https://example.org/page/13/21', '2020-09-13 12:21:27',
+     'bb1ec5862373c9fcc8bb3af2eba9cd98', 200, 'application/pdf'),
+    ('https://news.example.com/page/13/22', '2020-09-13 12:22:34',
+     '49cb8c50fe0bc0e645497d5bcd5c74af', 200, 'text/html; charset=UTF-8'),
+    ('https://wiki.example.net/page/13/23', '2020-09-13 12:23:41',
+     '160e9c496b1918e70e16fd7ea04dcd8a', 200, 'text/html; charset=UTF-8'),
+]
+
+
+def _sql_warc_ingest() -> str:
+    vals = ",\n  ".join(
+        f"('{u}', '{ts}', '{h}', {st}, '{m}')"
+        for u, ts, h, st, m in _WARC_GOLDEN)
+    return ("SELECT url, ts::timestamp AS warc_ts, h AS html_md5,"
+            " st::int AS http_status, m AS mime FROM (VALUES\n  " + vals
+            + ") AS t(url, ts, h, st, m)")
+
+
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-surface: Common-Crawl-style .warc.gz shard scan (warc.py) — one
+    task per shard, streamed record split, html kept binary for pruning."""
+    from spikex_spark.warc import ensure_warc_fixture, read_warc_df
+    path = ensure_warc_fixture()
+    return read_warc_df(spark, path).select(
+        "url", "warc_ts", F.md5("html").alias("html_md5"),
+        "http_status", "mime")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.multimodal import MEDIA_SCHEMA, decode_features, gen_media
     media = spark.createDataFrame(gen_media(30), schema=MEDIA_SCHEMA)
@@ -2604,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_signature_dedup": _q_stream_signature_dedup,
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
+        "warc_ingest": _q_warc_ingest,
         "media_resize": _q_media_resize,
         "media_audio_resample": _q_media_audio_resample,
         "media_video_meta": _q_media_video_meta,
@@ -2695,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         "phrases": _SQL_PHRASES,
         "nb_train_probs": _sql_nb_train(),
         "media_features": _sql_media(),
+        "warc_ingest": _sql_warc_ingest(),
         "media_audio_resample": _sql_media_audio_resample(),
         "media_video_meta": _sql_media_video_meta(),
         "media_resize": _sql_media_resize(),
