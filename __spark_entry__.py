@@ -1831,6 +1831,96 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# URL-canonicalization fixture: RAW inputs shared by both sides; the
+# canonical form is computed INDEPENDENTLY (Catalyst expressions vs DuckDB
+# RE2/list functions), so this oracle checks the algorithm, not a pinned
+# output. ASCII-only by design (the param sort is byte order on both
+# engines).
+_URL_FIXTURE = [
+    "https://Example.COM/Path?b=2&a=1",
+    "https://example.com:443/Path?a=1&b=2#frag",
+    "https://www.example.com/Path?utm_source=x&a=1&b=2",
+    "http://example.com:80/",
+    "http://example.com",
+    "HTTP://EXAMPLE.com/UPPER/Path",
+    "https://example.com/x?",
+    "https://example.com/x?utm_source=a&utm_medium=b",
+    "ftp://Example.com/File",
+    "example.com/no-scheme",
+    "  https://pad.example.com/x  ",
+    "https://example.com/a%7Eb?z=1&y=2",
+    "https://example.com#onlyfrag",
+    "https://example.com:8080/x",
+    "https://example.com/x?a=1&a=0",
+    "https://news.example.com/x?fbclid=abc123",
+    "http://192.168.0.1:80/x",
+    "https://example.com/x?a=1&&b=2",
+    "https://wwwx.example.com/keep-www-like-host",
+    "http://example.com:443/not-default-for-http",
+]
+
+
+def _sql_url_canonical() -> str:
+    vals = ",\n    ".join(f"({i}, '{u}')"
+                           for i, u in enumerate(_URL_FIXTURE))
+    return """
+WITH raw AS (
+  SELECT * FROM (VALUES
+    """ + vals + """
+  ) AS t(url_id, url)
+), s1 AS (
+  SELECT url_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM raw
+), s2 AS (
+  SELECT *, regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+         AS raw_auth FROM s1
+), s3 AS (
+  SELECT *, substr(u, length(raw_auth) + 1) AS rest,
+         regexp_replace(regexp_replace(regexp_replace(lower(raw_auth),
+             '^(https?://)www\\.', '\\1'),
+             '^(http://[^/?#]*):80$', '\\1'),
+             '^(https://[^/?#]*):443$', '\\1') AS auth
+  FROM s2
+), s4 AS (
+  SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         CASE WHEN strpos(rest, '?') > 0
+              THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS qs
+  FROM s3
+), s5 AS (
+  SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         array_to_string(list_sort(list_filter(string_split(qs, '&'),
+             p -> p <> '' AND NOT starts_with(p, 'utm_')
+                  AND NOT starts_with(p, 'gclid=')
+                  AND NOT starts_with(p, 'fbclid='))), '&') AS qs2
+  FROM s4
+), canon AS (
+  SELECT url_id, url,
+         CASE WHEN raw_auth = '' THEN u
+              ELSE auth || path ||
+                   CASE WHEN qs2 <> '' THEN '?' || qs2 ELSE '' END
+         END AS canonical_url
+  FROM s5
+)
+SELECT url_id, url, canonical_url,
+       row_number() OVER (PARTITION BY canonical_url ORDER BY url_id) = 1
+         AS is_kept
+FROM canon
+"""
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.urls import url_dedup
+    df = spark.createDataFrame(list(enumerate(_URL_FIXTURE)),
+                               "url_id long, url string")
+    return url_dedup(df, "url", "url_id", keep_col="is_kept").select(
+        "url_id", "url", "canonical_url", "is_kept")
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import repetition_stats
+    return repetition_stats(_read(spark, sf_dir, "documents"),
+                            "doc_id", "text")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import language_id
     return language_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
@@ -2197,6 +2287,31 @@ def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "q_stream_windowed", mode="complete")
+
+
+_SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+), b AS (
+  SELECT id, len(w)::bigint AS n_words,
+         len(list_distinct(w))::bigint AS n_distinct,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM w WHERE len(w) >= 2
+), c AS (
+  SELECT id, n_words, n_distinct, g, count(*) AS c
+  FROM b GROUP BY 1, 2, 3, 4
+), s AS (
+  SELECT id, n_words, n_distinct, sum(c) AS nb, max(c) AS top_c,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT id, n_words,
+       round((n_words - n_distinct) / n_words::double, 6) AS dup_word_frac,
+       round(top_c / nb::double, 6) AS top_bigram_frac,
+       round(dup_c / nb::double, 6) AS dup_bigram_frac
+FROM s
+"""
 
 
 # WARC ingest golden: the deterministic fixture's 24 response records as
@@ -2658,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_near_dups": _q_minhash_near_dups,
         "lang_id": _q_lang_id,
+        "repetition_stats": _q_repetition,
+        "url_canonical": _q_url_canonical,
         "quality_scores": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
@@ -2748,6 +2865,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SQL_NGRAM_JACC,
         "minhash_near_dups": _SQL_MINHASH_NEAR,
         "lang_id": _sql_lang_id(),
+        "repetition_stats": _SQL_REPETITION,
+        "url_canonical": _sql_url_canonical(),
         "quality_scores": _sql_quality(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,

@@ -115,3 +115,58 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.md5(F.array_join(toks, " ")).alias("fp"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_words, dup_word_frac, top_bigram_frac, dup_bigram_frac):
+    Gopher-style repetition filters (Rae et al. 2021 §A1.1) — the standard
+    LLM-corpus signal for boilerplate/degenerate pages.
+
+    * dup_word_frac    — 1 - distinct/total words (word-level repetition)
+    * top_bigram_frac  — occurrences of the most frequent word bigram over
+      all bigram instances
+    * dup_bigram_frac  — fraction of bigram instances whose bigram occurs
+      more than once in the document
+
+    Shape at scale: one explode keyed (id, bigram) with map-side partial
+    aggregation (hot documents combine before the shuffle), then a per-id
+    roll-up — both shuffles carry counts, never text. Documents with
+    fewer than two space-separated words are dropped (no bigram exists).
+    Pure Catalyst end to end.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("w"),
+    ).where(F.size("w") >= 2).select(
+        "id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        # bigrams via zip_with over offset slices — TOTAL even on 1-word
+        # rows (slice length 0 → []). An indexed transform(sequence(...))
+        # here blows up: InferFiltersFromGenerate copies the expression
+        # into the scan-side Filter where the size(w) >= 2 guard no longer
+        # shields the w[i] access on short rows.
+        F.expr("zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+               " (a, b) -> concat(a, ' ', b))").alias("bg"),
+    )
+    counts = (base
+              .select("id", "n_words", "n_distinct",
+                      F.explode("bg").alias("g"))
+              .groupBy("id", "n_words", "n_distinct", "g")
+              .agg(F.count("*").alias("c")))
+    return (counts
+            .groupBy("id", "n_words", "n_distinct")
+            .agg(F.sum("c").alias("nb"),
+                 F.max("c").alias("top_c"),
+                 F.sum(F.when(F.col("c") > 1, F.col("c"))
+                       .otherwise(F.lit(0))).alias("dup_c"))
+            .select(
+                "id", "n_words",
+                F.round((F.col("n_words") - F.col("n_distinct"))
+                        / F.col("n_words"), 6).alias("dup_word_frac"),
+                F.round(F.col("top_c") / F.col("nb"), 6)
+                 .alias("top_bigram_frac"),
+                F.round(F.col("dup_c") / F.col("nb"), 6)
+                 .alias("dup_bigram_frac"),
+            ))

@@ -268,3 +268,61 @@ def test_ivf_assign_incremental_matches_full_rebuild(spark, tmp_path):
         sorted(map(tuple, full.collect()))
     assert [s["stage"] for s in ledger_summary(str(tmp_path / "new"))] == \
         ["10_assign"]
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computable documents: analytic dup/top-bigram fractions."""
+    from spikex_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame([
+        (1, "a b a b a"),        # words: 5, distinct 2; bigrams: ab ba ab ba
+        (2, "x y z w"),          # all unique; bigrams xy yz zw all once
+        (3, "q q q q"),          # 4 words 1 distinct; bigrams qq x3
+        (4, "solo"),             # <2 words: dropped
+        (5, ""),                 # split('') -> [''] -> 1 word: dropped
+    ], "doc_id long, text string")
+    out = {r["id"]: r for r in
+           repetition_stats(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert r1["n_words"] == 5
+    assert r1["dup_word_frac"] == 0.6          # (5-2)/5
+    assert r1["top_bigram_frac"] == 0.5        # 'a b' twice of 4
+    assert r1["dup_bigram_frac"] == 1.0        # every bigram repeats
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_bigram_frac"] == round(1 / 3, 6)
+    assert r2["dup_bigram_frac"] == 0.0
+    r3 = out[3]
+    assert r3["dup_word_frac"] == 0.75
+    assert r3["top_bigram_frac"] == 1.0
+    assert r3["dup_bigram_frac"] == 1.0
+
+
+def test_canonical_url_axes(spark):
+    """Each normalization axis independently + pass-through for opaque
+    strings; dedup keeps the smallest id per canonical form."""
+    from spikex_spark.operators.urls import url_dedup
+
+    urls = [
+        (0, "https://Example.COM/Path?b=2&a=1"),
+        (1, "https://www.example.com:443/Path?utm_source=x&a=1&b=2#f"),
+        (2, "http://example.com:80"),
+        (3, "not a url at all"),
+        (4, "https://example.com/CaseKept/Path"),
+        (5, "https://example.com/x?gclid=1&z=9&y=8"),
+    ]
+    df = spark.createDataFrame(urls, "url_id long, url string")
+    rows = {r["url_id"]: r for r in
+            url_dedup(df, "url", "url_id", keep_col="is_kept").collect()}
+    assert rows[0]["canonical_url"] == "https://example.com/Path?a=1&b=2"
+    assert rows[1]["canonical_url"] == "https://example.com/Path?a=1&b=2"
+    assert rows[0]["is_kept"] and not rows[1]["is_kept"]
+    assert rows[2]["canonical_url"] == "http://example.com/"
+    assert rows[3]["canonical_url"] == "not a url at all"
+    assert rows[4]["canonical_url"] == "https://example.com/CaseKept/Path"
+    assert rows[5]["canonical_url"] == "https://example.com/x?y=8&z=9"
+
+    # filtered form: only winners survive
+    kept = url_dedup(df, "url", "url_id").count()
+    assert kept == 5
