@@ -1915,6 +1915,93 @@ def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_id", "url", "canonical_url", "is_kept")
 
 
+# PII-scrub fixture: raw inputs shared; scrub + counts computed
+# INDEPENDENTLY on both sides (Java regex vs RE2 — patterns restricted to
+# constructs with identical semantics, see textstats.PII_PATTERNS).
+_PII_FIXTURE = [
+    (0, "Contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+    (1, "server at 192.168.1.10 and 10.0.0.1; version 1.2.3 stays"),
+    (2, "no pii here, just text with number 42"),
+    (3, "a@b.io b@c.org same line, ip 8.8.8.8, phone 555-123-9876"),
+    (4, "order #12345678 is not a phone but 0800 555 0199 is"),
+    (5, "edge: trailing dot host x@y.com. and bracketed (10.1.2.3)"),
+]
+
+
+def _sql_pii_scrub() -> str:
+    vals = ",\n    ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _PII_FIXTURE)
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    phone = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+    return f"""
+WITH raw AS (SELECT * FROM (VALUES
+    {vals}
+  ) AS t(id, text))
+SELECT id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '<EMAIL>', 'g'),
+           '{ipv4}', '<IP>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{email}'))::bigint AS n_email,
+       len(regexp_extract_all(text, '{ipv4}'))::bigint AS n_ipv4,
+       len(regexp_extract_all(text, '{phone}'))::bigint AS n_phone
+FROM raw
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import pii_scrub
+    df = spark.createDataFrame(_PII_FIXTURE, "id long, text string")
+    return pii_scrub(df, "id", "text")
+
+
+# corpus-level line-dedup fixture: shared boilerplate lines across docs,
+# unique body lines, empty lines as structure. Both sides compute the
+# hot-line set and the order-preserving reassembly independently.
+_LINEDEDUP_FIXTURE = [
+    (0, "Unique opening\nSubscribe to our newsletter\n\nBody zero"),
+    (1, "Subscribe to our newsletter\nBody one\n(c) 2020 Example Corp"),
+    (2, "Body two\n(c) 2020 Example Corp\nAll original here"),
+    (3, "Subscribe to our newsletter\n(c) 2020 Example Corp"),
+    (4, "Nothing shared at all\n\n\nJust content"),
+    (5, "Body five"),
+]
+
+
+def _sql_line_dedup() -> str:
+    def lit(t: str) -> str:
+        parts = t.split("\n")
+        return " || chr(10) || ".join(
+            "'" + p.replace("'", "''") + "'" for p in parts)
+
+    vals = ",\n    ".join(f"({i}, {lit(t)})" for i, t in _LINEDEDUP_FIXTURE)
+    return f"""
+WITH raw AS (SELECT * FROM (VALUES
+    {vals}
+  ) AS t(id, text)),
+sp AS (SELECT id, string_split(text, chr(10)) AS ln FROM raw),
+l AS (SELECT id, unnest(range(1, len(ln) + 1)) AS posn, unnest(ln) AS line
+      FROM sp),
+c AS (SELECT line, count(*) AS n FROM l WHERE line <> '' GROUP BY 1),
+k AS (SELECT l.id, l.posn, l.line,
+             (l.line = '' OR coalesce(c.n, 0) < 2) AS keep
+      FROM l LEFT JOIN c ON l.line = c.line)
+SELECT id, count(*)::bigint AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY posn), '') AS cleaned_text
+FROM k GROUP BY id
+"""
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import line_dedup_docs
+    df = spark.createDataFrame(_LINEDEDUP_FIXTURE, "id long, text string")
+    return line_dedup_docs(df, "id", "text")
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import repetition_stats
     return repetition_stats(_read(spark, sf_dir, "documents"),
@@ -2775,6 +2862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "repetition_stats": _q_repetition,
         "url_canonical": _q_url_canonical,
+        "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
         "quality_scores": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
@@ -2867,6 +2956,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "repetition_stats": _SQL_REPETITION,
         "url_canonical": _sql_url_canonical(),
+        "pii_scrub": _sql_pii_scrub(),
+        "line_dedup": _sql_line_dedup(),
         "quality_scores": _sql_quality(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,

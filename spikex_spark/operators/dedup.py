@@ -234,3 +234,43 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def line_dedup_docs(df: DataFrame, id_col: str, text_col: str,
+                    min_dup: int = 2) -> DataFrame:
+    """Corpus-level boilerplate line removal (RefinedWeb-style): drop every
+    line whose EXACT text occurs at least ``min_dup`` times across the
+    whole corpus (nav bars, cookie banners, footers), keep document line
+    order, report kept/total counts.
+
+    Returns (id, n_lines, n_kept, cleaned_text). Empty lines never count
+    as boilerplate (they are document structure, not content).
+
+    Shape at scale: one shuffle keyed on the line text with map-side
+    partial counts (the boilerplate lines ARE the hot keys — partial agg
+    collapses them executor-side), a shuffle join back on the same key,
+    then a per-document roll-up. collect_list holds one document's lines,
+    bounded by the upstream max-document-size filter, never the corpus.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (lines.where(F.col("line") != "")
+           .groupBy("line").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= min_dup)
+           .select("line", F.lit(True).alias("_hot")))
+    flagged = (lines.join(hot, "line", "left")
+               .select("id", "pos", "line",
+                       F.coalesce(~F.col("_hot"), F.lit(True)).alias("keep")))
+    return (flagged.groupBy("id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(
+                             F.array_sort(F.collect_list(
+                                 F.struct("pos", "line", "keep"))),
+                             lambda s: s["keep"]),
+                         lambda s: s["line"]),
+                     "\n").alias("cleaned_text")))

@@ -170,3 +170,38 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.round(F.col("dup_c") / F.col("nb"), 6)
                  .alias("dup_bigram_frac"),
             ))
+
+
+# PII patterns: identical semantics under Java regex (Spark) and RE2
+# (DuckDB oracle) — character classes spelled out (no \s: Java includes
+# \x0B, RE2 does not), no lookaround, no backrefs. Scrub order matters:
+# emails first (they contain dots and digits), then IPv4, then phone-like
+# runs.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+     "<IP>"),
+    ("phone", "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, scrubbed, n_email, n_ipv4, n_phone): redact emails, IPv4
+    addresses, and phone-number-shaped digit runs — the minimum scrub a
+    public-web training corpus runs before anything else sees the text.
+
+    Counts are measured on the ORIGINAL text per class independently
+    (an email's digits never double-count as a phone because scrubbing
+    replaces left to right in PII_PATTERNS order, but the counts report
+    raw per-class matches). Pure Catalyst: a narrow map, no shuffle.
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name}"))
+    for name, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(id_col).alias("id"),
+                     scrubbed.alias("scrubbed"), *counts)

@@ -61,3 +61,32 @@ def test_minhash_near_dups(spark, docs):
     assert pairs[(1, 2)] == 1.0
     assert pairs[(5, 6)] == 1.0
     assert (1, 4) not in pairs
+
+
+def test_line_dedup_docs_boilerplate_removal(spark):
+    """Corpus-hot lines go, unique lines and empty-line structure stay,
+    order preserved; fully-boilerplate docs come back with empty text."""
+    from spikex_spark.operators.dedup import line_dedup_docs
+
+    boiler, foot = "Subscribe now", "(c) corp"
+    docs = spark.createDataFrame([
+        (1, f"Unique A\n{boiler}\n\nBody 1"),
+        (2, f"{boiler}\nBody 2\n{foot}"),
+        (3, f"Body 3\n{foot}"),
+        (4, f"{boiler}\n{foot}"),               # nothing survives
+    ], "doc_id long, text string")
+    out = {r["id"]: r for r in
+           line_dedup_docs(docs, "doc_id", "text").collect()}
+    assert out[1]["cleaned_text"] == "Unique A\n\nBody 1"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (4, 3)
+    assert out[2]["cleaned_text"] == "Body 2"
+    assert out[3]["cleaned_text"] == "Body 3"
+    assert out[4]["cleaned_text"] == ""
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (2, 0)
+
+    # threshold: both boilerplate lines occur 3 times; min_dup=4 keeps
+    # them, min_dup=3 (the assertions above run at the default 2) drops
+    out4 = {r["id"]: r for r in
+            line_dedup_docs(docs, "doc_id", "text", min_dup=4).collect()}
+    assert foot in out4[2]["cleaned_text"]
+    assert boiler in out4[1]["cleaned_text"]

@@ -326,3 +326,18 @@ def test_canonical_url_axes(spark):
     # filtered form: only winners survive
     kept = url_dedup(df, "url", "url_id").count()
     assert kept == 5
+
+
+def test_pii_scrub_classes_and_counts(spark):
+    from spikex_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame([
+        (1, "mail a.b+c@d-e.org, ip 10.0.0.1, call +44 (0)20 7946-0958 ok"),
+        (2, "not-an-ip 1.2.3 and not-a-phone 12345"),
+        (3, "two mails x@y.io z@w.dev"),
+    ], "doc_id long, text string")
+    out = {r["id"]: r for r in pii_scrub(docs, "doc_id", "text").collect()}
+    assert out[1]["scrubbed"] == "mail <EMAIL>, ip <IP>, call <PHONE> ok"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["scrubbed"] == "not-an-ip 1.2.3 and not-a-phone 12345"
+    assert out[3]["n_email"] == 2 and "<EMAIL> <EMAIL>" in out[3]["scrubbed"]
