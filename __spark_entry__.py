@@ -2002,6 +2002,50 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_docs(df, "id", "text")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import stratified_sample
+    return stratified_sample(_read(spark, sf_dir, "documents"),
+                             "lang", "doc_id", 5)
+
+
+_SQL_STRATIFIED = """
+SELECT * FROM (
+  SELECT doc_id AS id, lang AS key,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(lang || ':' || doc_id::varchar), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import pack_sequences
+    return pack_sequences(_read(spark, sf_dir, "documents"),
+                          "doc_id", "text", block_tokens=256)
+
+
+# oracle: single-node window cumsum — the distributed two-phase prefix in
+# pack_sequences must reproduce it exactly at any partition count
+_SQL_PACK = """
+WITH t AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::bigint
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY id) - n_tokens)::bigint AS start_token
+  FROM t
+)
+SELECT id, n_tokens, start_token,
+       start_token // 256 AS block_id,
+       start_token % 256 AS block_offset
+FROM c
+"""
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import repetition_stats
     return repetition_stats(_read(spark, sf_dir, "documents"),
@@ -2864,6 +2908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "quality_scores": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
@@ -2958,6 +3004,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _sql_url_canonical(),
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
+        "stratified_sample": _SQL_STRATIFIED,
+        "pack_sequences": _SQL_PACK,
         "quality_scores": _sql_quality(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,

@@ -1,0 +1,76 @@
+"""Corpus-assembly operators: deterministic sampling + sequence packing.
+
+The last mile of a training-data pipeline: pick a reproducible subset
+per stratum (language/source quotas) and lay documents out into
+fixed-size token blocks for the trainer. Both are deterministic
+functions of the data — rerunning on the same table gives byte-identical
+assignments, which is what makes checkpoint/resume and multi-team
+reproduction possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(df: DataFrame, key_col: str, id_col: str,
+                      k: int) -> DataFrame:
+    """Keep a deterministic pseudo-random ``k`` rows per ``key_col``
+    stratum: rank by ``md5(key:id)`` (a stable shuffle, not "first k in
+    storage order" — that would bias toward old crawl segments), tie-break
+    on id. One shuffle on the stratum key; row_number needs no global
+    sort. Returns (id, key, sample_rank).
+    """
+    h = F.md5(F.concat_ws(":", F.col(key_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(key_col).alias("key"),
+                      F.row_number().over(w).alias("sample_rank"))
+            .where(F.col("sample_rank") <= k))
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   block_tokens: int = 2048,
+                   num_ranges: int = 64) -> DataFrame:
+    """Assign each document its position in the packed token stream:
+    documents concatenate in ``id_col`` order and fixed blocks of
+    ``block_tokens`` are cut across document boundaries (standard LM
+    packing). Returns (id, n_tokens, start_token, block_id, block_offset)
+    where block_id/block_offset locate the document's first token.
+
+    Scale shape: a naive ``Window.orderBy(id)`` running sum would drag
+    the whole corpus through ONE partition. Instead: range-repartition by
+    id, per-partition running sums (window partitioned by the range id),
+    and a driver-side prefix of the ~``num_ranges`` per-partition
+    subtotals broadcast-joined back — the classic two-phase scan. The
+    only all-data shuffle is the range partitioning itself.
+
+    Token count = non-empty single-space words (mirrors the repetition /
+    textstats tokenization so the oracle can reproduce it exactly).
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), " "),
+                           lambda t: t != "")).cast("long")
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("n_tokens"))
+            .repartitionByRange(num_ranges, F.col("id"))
+            .withColumn("_pid", F.spark_partition_id()))
+    # ~num_ranges rows: the per-range subtotals ARE driver-size by design
+    subtotals = (base.groupBy("_pid").agg(F.sum("n_tokens").alias("_sub"))
+                 .orderBy("_pid").collect())
+    prefix, acc = [], 0
+    for r in subtotals:
+        prefix.append((r["_pid"], acc))
+        acc += r["_sub"]
+    pref_df = F.broadcast(
+        base.sparkSession.createDataFrame(prefix, "_pid int, _prefix long"))
+    w = Window.partitionBy("_pid").orderBy("id")
+    return (base.join(pref_df, "_pid")
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .select(
+                "id", "n_tokens",
+                (F.col("_prefix") + F.col("_cum") - F.col("n_tokens"))
+                .alias("start_token"))
+            .withColumn("block_id",
+                        F.floor(F.col("start_token") / block_tokens))
+            .withColumn("block_offset",
+                        F.col("start_token") % block_tokens))

@@ -341,3 +341,45 @@ def test_pii_scrub_classes_and_counts(spark):
     assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
     assert out[2]["scrubbed"] == "not-an-ip 1.2.3 and not-a-phone 12345"
     assert out[3]["n_email"] == 2 and "<EMAIL> <EMAIL>" in out[3]["scrubbed"]
+
+
+def test_stratified_sample_deterministic_quota(spark):
+    from spikex_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(60)],
+        "doc_id long, lang string")
+    out = stratified_sample(docs, "lang", "doc_id", 4).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append((r["sample_rank"], r["id"]))
+    assert set(by_key) == {"en", "de", "fr"}
+    assert all(len(v) == 4 for v in by_key.values())
+    # reproducible: same rows on a second run
+    again = stratified_sample(docs, "lang", "doc_id", 4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # hash order, not id order: at least one stratum's sample is not the
+    # first ids (astronomically unlikely otherwise)
+    assert any(sorted(i for _, i in v)[0] > 2 for v in by_key.values())
+
+
+def test_pack_sequences_two_phase_prefix(spark):
+    """The distributed two-phase running sum equals the sequential scan at
+    every partition count, and blocks cut exactly at block_tokens."""
+    from spikex_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + (i * 7) % 40))) for i in range(200)],
+        "doc_id long, text string")
+    expect_start, cur = {}, 0
+    for i in range(200):
+        expect_start[i] = cur
+        cur += 3 + (i * 7) % 40
+    for nr in (1, 5, 64):
+        rows = pack_sequences(docs, "doc_id", "text",
+                              block_tokens=128, num_ranges=nr).collect()
+        assert len(rows) == 200
+        for r in rows:
+            assert r["start_token"] == expect_start[r["id"]], (nr, r)
+            assert r["block_id"] == r["start_token"] // 128
+            assert r["block_offset"] == r["start_token"] % 128
