@@ -2512,6 +2512,20 @@ def _sql_warc_ingest() -> str:
             + ") AS t(url, ts, h, st, m)")
 
 
+def _q_warc_ingest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same records as warc_ingest, read through the registered Spark 4
+    Python Data Source (one InputPartition per shard) instead of the
+    binaryFile + mapInPandas composition — both must hash-equal the same
+    pinned oracle."""
+    from spikex_spark.warc import ensure_warc_fixture
+    from spikex_spark.warc_source import WarcDataSource
+    spark.dataSource.register(WarcDataSource)
+    path = ensure_warc_fixture()
+    return spark.read.format("warc").load(path).select(
+        "url", "warc_ts", F.md5("html").alias("html_md5"),
+        "http_status", "mime")
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-surface: Common-Crawl-style .warc.gz shard scan (warc.py) — one
     task per shard, streamed record split, html kept binary for pruning."""
@@ -2934,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
         "warc_ingest": _q_warc_ingest,
+        "warc_ingest_source": _q_warc_ingest_source,
         "media_resize": _q_media_resize,
         "media_audio_resample": _q_media_audio_resample,
         "media_video_meta": _q_media_video_meta,
@@ -3032,6 +3047,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_train_probs": _sql_nb_train(),
         "media_features": _sql_media(),
         "warc_ingest": _sql_warc_ingest(),
+        "warc_ingest_source": _sql_warc_ingest(),
         "media_audio_resample": _sql_media_audio_resample(),
         "media_video_meta": _sql_media_video_meta(),
         "media_resize": _sql_media_resize(),
