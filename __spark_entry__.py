@@ -2512,6 +2512,75 @@ def _sql_warc_ingest() -> str:
             + ") AS t(url, ts, h, st, m)")
 
 
+def _q_warc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full landing chain of BASELINE.json's input_hint: WARC shards →
+    (url, warc_ts, html) → utf-8 decode → byte-identical extractor (Arrow
+    stage) → language-ID — the pipeline that MAKES the engine's
+    (url, warc_ts, html, text, lang) flagship table."""
+    from spikex_spark.operators.textstats import language_id
+    from spikex_spark.extract import extract_stage
+    from spikex_spark.warc import ensure_warc_fixture, read_warc_df
+    pages = (read_warc_df(spark, ensure_warc_fixture())
+             .where((F.col("http_status") == 200)
+                    & F.col("mime").startswith("text/html"))
+             .select("url", F.decode("html", "UTF-8").alias("text")))
+    ext = extract_stage(pages, "text", "extracted").select(
+        "url", F.md5("extracted").alias("extracted_md5"))
+    lang = language_id(pages, "url", "text").select(
+        F.col("id").alias("url"), "lang_guess")
+    return ext.join(lang, "url")
+
+
+def _sql_warc_landing() -> str:
+    import hashlib as _h
+    from spikex_spark.textutils import extract_text
+    from spikex_spark.warc import gen_crawl_records
+
+    def lit(t: str) -> str:
+        # SQL literal with control chars via chr() splices
+        parts, buf = [], ""
+        for ch in t:
+            if ch in ("\r", "\n"):
+                if buf:
+                    parts.append("'" + buf.replace("'", "''") + "'")
+                    buf = ""
+                parts.append(f"chr({ord(ch)})")
+            else:
+                buf += ch
+        if buf or not parts:
+            parts.append("'" + buf.replace("'", "''") + "'")
+        return " || ".join(parts)
+
+    rows = []
+    for r in gen_crawl_records():
+        if r["status"] != 200 or not r["mime"].startswith("text/html"):
+            continue
+        text = r["html"].decode("utf-8")
+        emd5 = _h.md5(extract_text(text).encode("utf-8")).hexdigest()
+        rows.append(f"('{r['url']}', {lit(text)}, '{emd5}')")
+    vals = ",\n    ".join(rows)
+    from spikex_spark.operators.textstats import STOPWORDS
+    lang_rows = ", ".join(
+        f"({_sql_stopword_hits(STOPWORDS[lang])}, '{lang}')"
+        for lang in sorted(STOPWORDS))
+    return f"""
+WITH pages AS (SELECT * FROM (VALUES
+    {vals}
+  ) AS t(url, text, extracted_md5)),
+scored AS (
+  SELECT url, extracted_md5, h.hits, h.lang,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY h.hits DESC, h.lang DESC) AS rn
+  FROM pages, LATERAL (
+    SELECT * FROM (VALUES {lang_rows}) AS v(hits, lang)
+  ) h
+)
+SELECT url, extracted_md5,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess
+FROM scored WHERE rn = 1
+"""
+
+
 def _q_warc_ingest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same records as warc_ingest, read through the registered Spark 4
     Python Data Source (one InputPartition per shard) instead of the
@@ -2949,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "warc_ingest": _q_warc_ingest,
         "warc_ingest_source": _q_warc_ingest_source,
+        "warc_landing": _q_warc_landing,
         "media_resize": _q_media_resize,
         "media_audio_resample": _q_media_audio_resample,
         "media_video_meta": _q_media_video_meta,
@@ -3048,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _sql_media(),
         "warc_ingest": _sql_warc_ingest(),
         "warc_ingest_source": _sql_warc_ingest(),
+        "warc_landing": _sql_warc_landing(),
         "media_audio_resample": _sql_media_audio_resample(),
         "media_video_meta": _sql_media_video_meta(),
         "media_resize": _sql_media_resize(),
