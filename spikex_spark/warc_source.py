@@ -23,9 +23,11 @@ Usage::
     spark.read.format("warc").load("/crawl/segments/")          # batch
     spark.readStream.format("warc").load("/crawl/segments/")    # stream
 
-Rows are plain tuples (correctness-grade; the Arrow-batch fast path of
-the same API is a drop-in upgrade if the splitter ever bottlenecks —
-today decompression dominates).
+Batch reads use the API's Arrow fast path (bounded RecordBatches, html
+bytes crossing the worker boundary as columnar buffers, not pickled
+rows); ``option("arrow", "false")`` drops to the plain-tuple path, and a
+test pins both paths row-identical. The stream reader stays on tuples —
+micro-batches are small by construction.
 """
 
 from __future__ import annotations
@@ -60,20 +62,57 @@ def _read_shard(path: str):
         yield tuple(rec[c] for c in WARC_COLUMNS)
 
 
+_ARROW_BATCH_ROWS = 1000
+
+
+def _read_shard_arrow(path: str):
+    """Arrow fast path: yield bounded RecordBatches instead of per-row
+    tuples — rows cross the worker boundary as columnar buffers (html
+    bytes zero-copy) instead of pickled Python objects."""
+    import pyarrow as pa
+
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("http_status", pa.int32()),
+        ("mime", pa.string()),
+    ])
+
+    def flush(rows):
+        cols = list(zip(*rows))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(cols[i], schema.field(i).type) for i in range(5)],
+            schema=schema)
+
+    rows = []
+    for rec in _read_shard(path):
+        rows.append(rec)
+        if len(rows) >= _ARROW_BATCH_ROWS:
+            yield flush(rows)
+            rows = []
+    if rows:
+        yield flush(rows)
+
+
 class _ShardPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
 
 
 class _WarcBatchReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, arrow: bool = True):
         self.shards = _list_shards(path)
+        self.arrow = arrow
 
     def partitions(self):
         return [_ShardPartition(p) for p in self.shards]
 
     def read(self, partition):
-        yield from _read_shard(partition.path)
+        if self.arrow:
+            yield from _read_shard_arrow(partition.path)
+        else:
+            yield from _read_shard(partition.path)
 
 
 class _WarcStreamReader(DataSourceStreamReader):
@@ -112,7 +151,9 @@ class WarcDataSource(DataSource):
                 " http_status int, mime string")
 
     def reader(self, schema) -> DataSourceReader:
-        return _WarcBatchReader(self.options["path"])
+        # option("arrow", "false") drops to the tuple path (debug aid)
+        arrow = self.options.get("arrow", "true").lower() != "false"
+        return _WarcBatchReader(self.options["path"], arrow=arrow)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _WarcStreamReader(self.options["path"])

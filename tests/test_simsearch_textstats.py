@@ -383,3 +383,28 @@ def test_pack_sequences_two_phase_prefix(spark):
             assert r["start_token"] == expect_start[r["id"]], (nr, r)
             assert r["block_id"] == r["start_token"] // 128
             assert r["block_offset"] == r["start_token"] % 128
+
+
+def test_canonical_url_idempotent_property(spark):
+    """canonical(canonical(u)) == canonical(u) — canonical forms are fixed
+    points, over generated gnarly URLs (hypothesis-style enumeration kept
+    deterministic for CI)."""
+    from pyspark.sql import functions as F
+
+    from spikex_spark.operators.urls import canonicalize_urls
+
+    schemes = ["http", "https", "HTTP", "ftp"]
+    hosts = ["Example.COM", "www.example.com", "a.b.example.net:8080",
+             "example.com:443", "example.com:80"]
+    paths = ["", "/", "/A/b", "/x%20y"]
+    qss = ["", "?", "?b=2&a=1", "?utm_source=x", "?a=1&&b=2#f", "#frag"]
+    urls = [(i, f"{s}://{h}{p}{q}")
+            for i, (s, h, p, q) in enumerate(
+                (s, h, p, q) for s in schemes for h in hosts
+                for p in paths for q in qss)]
+    df = spark.createDataFrame(urls, "url_id long, url string")
+    once = canonicalize_urls(df, "url").select(
+        "url_id", F.col("canonical_url").alias("url"))
+    twice = canonicalize_urls(once, "url")
+    bad = twice.where(F.col("url") != F.col("canonical_url")).collect()
+    assert not bad, bad[:5]

@@ -509,6 +509,11 @@ def test_warc_python_datasource_batch(spark, tmp_path):
     got = {r["url"]: bytes(r["html"]) for r in df.collect()}
     expect = {r["url"]: r["html"] for r in parse_warc(encode_warc(recs))}
     assert got == expect
+    # the Arrow fast path (default) and the tuple path agree row-for-row
+    tup = (spark.read.format("warc").option("arrow", "false")
+           .load(str(tmp_path)))
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple,
+                                                          tup.collect()))
 
 
 def test_warc_python_datasource_streaming(spark, tmp_path):
