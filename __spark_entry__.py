@@ -2002,6 +2002,105 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_docs(df, "id", "text")
 
 
+# exact substring dedup (Lee et al. 2022) — W=12-token windows, duplicated
+# iff the exact window text occurs at >=2 (doc,pos) positions corpus-wide
+_SUBSTR_W = 12
+
+# shared oracle prelude: space tokens -> all W-windows -> duplicated-window
+# positions -> gaps-and-islands merge into maximal spans
+_SQL_SUBSTR_SPANS_CTE = f"""
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+w AS (SELECT id, i AS pos,
+             array_to_string(toks[i:i + {_SUBSTR_W} - 1], ' ') AS win
+      FROM t CROSS JOIN unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS u(i)),
+c AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+d AS (SELECT w.id, w.pos FROM w JOIN c USING (win)),
+b AS (SELECT id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+                  OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                           + {_SUBSTR_W}
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+isl AS (SELECT id, pos,
+               sum(brk) OVER (PARTITION BY id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM b),
+sp AS (SELECT id, min(pos)::bigint AS span_start,
+              (max(pos) + {_SUBSTR_W} - 1)::bigint AS span_end
+       FROM isl GROUP BY id, island)
+"""
+
+_SQL_SUBSTR_SPANS = _SQL_SUBSTR_SPANS_CTE + """
+SELECT id, span_start, span_end FROM sp
+"""
+
+_SQL_SUBSTR_DEDUP = _SQL_SUBSTR_SPANS_CTE + """
+, agg AS (SELECT id, sum(span_end - span_start + 1)::bigint AS dup_tokens,
+                 count(*)::bigint AS n_spans
+          FROM sp GROUP BY id),
+tok AS (SELECT id, unnest(range(1, len(toks) + 1)) AS p, unnest(toks) AS tk
+        FROM t),
+cov AS (SELECT DISTINCT tok.id, tok.p
+        FROM tok JOIN sp ON tok.id = sp.id
+                        AND tok.p BETWEEN sp.span_start AND sp.span_end),
+keep AS (SELECT tok.id, tok.p, tok.tk
+         FROM tok LEFT JOIN cov ON tok.id = cov.id AND tok.p = cov.p
+         WHERE cov.p IS NULL),
+ct AS (SELECT id, string_agg(tk, ' ' ORDER BY p) AS cleaned_text
+       FROM keep GROUP BY id)
+SELECT t.id, len(t.toks)::bigint AS n_tokens,
+       coalesce(agg.dup_tokens, 0)::bigint AS dup_tokens,
+       CASE WHEN len(t.toks) > 0
+            THEN round(coalesce(agg.dup_tokens, 0) / len(t.toks), 6)
+            ELSE 0.0 END AS dup_ratio,
+       coalesce(agg.n_spans, 0)::bigint AS n_spans,
+       coalesce(ct.cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN agg ON t.id = agg.id LEFT JOIN ct ON t.id = ct.id
+"""
+
+
+def _q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import substring_dup_spans
+    return substring_dup_spans(_read(spark, sf_dir, "documents"),
+                               "doc_id", "text", window=_SUBSTR_W)
+
+
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import substring_dedup
+    return substring_dedup(_read(spark, sf_dir, "documents"),
+                           "doc_id", "text", window=_SUBSTR_W)
+
+
+# GPT-3-style 13-gram decontamination; benchmark set = doc_id % 17 == 0
+_DECON_N = 13
+_DECON_MOD = 17
+
+_SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+w AS (SELECT id, array_to_string(toks[i:i + {_DECON_N} - 1], ' ') AS win
+      FROM t CROSS JOIN unnest(range(1, len(toks) - {_DECON_N} + 2)) AS u(i)),
+bg AS (SELECT DISTINCT win FROM w WHERE id % {_DECON_MOD} = 0),
+hits AS (SELECT id, count(*)::bigint AS n_hit_windows
+         FROM w WHERE win IN (SELECT win FROM bg) GROUP BY id)
+SELECT t.id, coalesce(hits.n_hit_windows, 0)::bigint AS n_hit_windows,
+       coalesce(hits.n_hit_windows, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits ON t.id = hits.id
+WHERE t.id % {_DECON_MOD} <> 0
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    return decontaminate(train, "doc_id", "text", bench, n=_DECON_N)
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.corpus import stratified_sample
     return stratified_sample(_read(spark, sf_dir, "documents"),
@@ -2991,6 +3090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
+        "substring_dup_spans": _q_substring_spans,
+        "substring_dedup": _q_substring_dedup,
+        "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "quality_scores": _q_quality,
@@ -3089,6 +3191,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _sql_url_canonical(),
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
+        "substring_dup_spans": _SQL_SUBSTR_SPANS,
+        "substring_dedup": _SQL_SUBSTR_DEDUP,
+        "decontaminate": _SQL_DECONTAMINATE,
         "stratified_sample": _SQL_STRATIFIED,
         "pack_sequences": _SQL_PACK,
         "quality_scores": _sql_quality(),

@@ -10,6 +10,10 @@ Five channels, each a ``queries()`` entry with a DuckDB oracle:
 * ngram_jaccard— token n-gram Jaccard via explode + join + group (exact
   similarity, no approximation; quadratic within shared-gram groups).
 * embedding    — cosine near-dup over an embedding column (simsearch.py).
+* substring    — exact duplicated-span detection/removal via fixed-width
+  window fingerprints (the distributed stand-in for Lee et al.'s suffix
+  array) + GPT-3-style 13-gram benchmark decontamination.
+* line-level   — corpus-wide boilerplate line removal (RefinedWeb-style).
 
 Scale notes: every channel is explode → shuffle-on-key → partial-agg; the
 quadratic risk is always the bucket/gram group size, capped the same way as
@@ -20,7 +24,7 @@ hamming check).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import blocking as B
@@ -234,6 +238,150 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _space_tokens(text_col: str) -> F.Column:
+    """Space-split non-empty tokens — the pack_sequences/decontamination
+    tokenization (positions must survive a re-join with ' ')."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def _token_windows(toks: F.Column, window: int) -> F.Column:
+    """All ``window``-token windows as joined strings; [] when the doc is
+    shorter than one window. The when() guard keeps the expression TOTAL —
+    InferFiltersFromGenerate copies generator inputs into scan-side
+    Filters where an outer guard would no longer protect an index."""
+    return F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - window + 1),
+            lambda i: F.array_join(F.slice(toks, i, window), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def substring_dup_spans(df: DataFrame, id_col: str, text_col: str,
+                        window: int = 12) -> DataFrame:
+    """(id, span_start, span_end): maximal exact-duplicated token spans —
+    the detection half of suffix-style training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed for Spark as fixed-width window fingerprints instead of
+    a monolithic suffix array.
+
+    A ``window``-token window is duplicated iff its exact text occurs at
+    ≥2 (doc, pos) positions corpus-wide; overlapping/adjacent duplicated
+    windows merge into maximal spans (1-based token offsets, inclusive).
+
+    Shape at scale: the corpus-wide count shuffles 64-bit xxhash64
+    fingerprints with map-side partial agg — never window text. The
+    duplicated-fingerprint set (rare by construction) joins back
+    broadcast-style under AQE, and an exact recount on the surviving
+    window TEXT shields against hash collisions before any span is
+    declared — the text recount touches only candidate rows. Span merge
+    is a per-doc window function (docs are the partition key, no skew).
+    """
+    toks = _space_tokens(text_col)
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_token_windows(toks, window)).alias("p", "win"),
+    ).select("id", (F.col("p") + 1).cast("long").alias("pos"),
+             F.xxhash64("win").alias("h"), "win")
+    # the explode feeds the hash count AND the join back — checkpoint so
+    # the window construction runs once (same pattern as minhash_near_dups)
+    wins = wins.localCheckpoint(eager=False)
+    dup_h = (wins.groupBy("h").agg(F.count("*").alias("n"))
+             .where(F.col("n") >= 2).select("h"))
+    cand = wins.join(dup_h, "h").localCheckpoint(eager=False)
+    dup_win = (cand.groupBy("win").agg(F.count("*").alias("n"))
+               .where(F.col("n") >= 2).select("win"))
+    dup = cand.join(dup_win, "win").select("id", "pos")
+    byid = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(byid)
+    brk = (prev.isNull() | (F.col("pos") > prev + window)).cast("int")
+    islands = dup.select(
+        "id", "pos",
+        F.sum(brk).over(byid.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"))
+    return (islands.groupBy("id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + window - 1).alias("span_end"))
+            .select("id", "span_start", "span_end"))
+
+
+def substring_dedup(df: DataFrame, id_col: str, text_col: str,
+                    window: int = 12) -> DataFrame:
+    """(id, n_tokens, dup_tokens, dup_ratio, n_spans, cleaned_text):
+    per-document rollup of :func:`substring_dup_spans` plus the text with
+    every duplicated span removed.
+
+    Removal is symmetric (ALL occurrences of a duplicated span go) —
+    the deterministic variant of Lee et al.'s keep-one policy, which
+    needs a global canonical choice; corpus curation normally filters on
+    ``dup_ratio`` anyway. Covers ALL input docs (zeros when clean).
+    Cleaned text is rebuilt from the per-doc span list (few spans) with
+    an indexed array filter — no second shuffle of the token explode.
+    """
+    spans = substring_dup_spans(df, id_col, text_col, window=window)
+    per_doc = (spans.groupBy("id")
+               .agg(F.collect_list(F.struct("span_start", "span_end"))
+                    .alias("spans"),
+                    F.sum(F.col("span_end") - F.col("span_start") + 1)
+                    .alias("dup_tokens"),
+                    F.count("*").alias("n_spans")))
+    base = df.select(F.col(id_col).alias("id"),
+                     _space_tokens(text_col).alias("toks"))
+    j = base.join(per_doc, "id", "left").select(
+        "id", "toks",
+        F.coalesce("spans", F.array().cast(
+            "array<struct<span_start:long,span_end:long>>")).alias("spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"))
+    covered = lambda i: F.exists(  # noqa: E731 — 1-based token position
+        F.col("spans"),
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]))
+    n_tokens = F.size("toks").cast("long")
+    return j.select(
+        "id", n_tokens.alias("n_tokens"), "dup_tokens",
+        F.when(n_tokens > 0,
+               F.round(F.col("dup_tokens") / n_tokens, 6))
+        .otherwise(F.lit(0.0)).alias("dup_ratio"),
+        "n_spans",
+        F.array_join(
+            F.filter(F.col("toks"), lambda t, i: ~covered(i)), " ")
+        .alias("cleaned_text"))
+
+
+def decontaminate(df: DataFrame, id_col: str, text_col: str,
+                  bench_df: DataFrame, bench_text_col: str | None = None,
+                  n: int = 13) -> DataFrame:
+    """(id, n_hit_windows, contaminated): flag training documents sharing
+    any exact ``n``-gram with a benchmark/eval set — GPT-3-style 13-gram
+    decontamination (Brown et al. 2020 §C), the step every training
+    corpus runs so eval numbers stay meaningful.
+
+    ``n_hit_windows`` counts the doc's window positions whose n-gram
+    appears anywhere in ``bench_df``; output covers ALL training docs.
+
+    Shape at scale: the benchmark gram set is small by definition (eval
+    suites, not the corpus) — distinct-ed and broadcast, so the training
+    side is explode → broadcast-hash semi-join → per-doc partial-agg
+    count: the 100-TB side never shuffles on the gram.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (bench_df.select(
+        F.explode(_token_windows(_space_tokens(bcol), n)).alias("win"))
+        .distinct())
+    train = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_token_windows(_space_tokens(text_col), n)).alias("win"))
+    hits = (train.join(F.broadcast(bench_grams), "win", "left_semi")
+            .groupBy("id").agg(F.count("*").alias("n_hit_windows")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(hits, "id", "left")
+            .select("id",
+                    F.coalesce("n_hit_windows", F.lit(0)).cast("long")
+                    .alias("n_hit_windows"))
+            .withColumn("contaminated", F.col("n_hit_windows") > 0))
 
 
 def line_dedup_docs(df: DataFrame, id_col: str, text_col: str,

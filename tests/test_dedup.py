@@ -90,3 +90,69 @@ def test_line_dedup_docs_boilerplate_removal(spark):
             line_dedup_docs(docs, "doc_id", "text", min_dup=4).collect()}
     assert foot in out4[2]["cleaned_text"]
     assert boiler in out4[1]["cleaned_text"]
+
+
+def test_substring_dup_spans(spark):
+    """Cross-doc and within-doc duplicated windows, overlapping-window
+    merge, distant spans NOT merged, sub-window docs produce nothing."""
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "x alpha beta gamma delta y"),
+        (3, "unique words only here nothing shared"),
+        (4, "rep rep rep rep rep rep rep rep"),
+        (5, "a b c d p q r s a b c d"),
+        (6, "a b c d"),
+        (7, "tiny doc"),
+    ], "doc_id long, text string")
+    spans = sorted(
+        (r["id"], r["span_start"], r["span_end"]) for r in
+        D.substring_dup_spans(docs, "doc_id", "text", window=4).collect())
+    assert spans == [
+        (1, 1, 4),            # "alpha beta gamma delta" shared with doc 2
+        (2, 2, 5),
+        (4, 1, 8),            # 5 overlapping within-doc windows -> one span
+        (5, 1, 4), (5, 9, 12),  # gap of 4 non-dup tokens -> two spans
+        (6, 1, 4),
+    ]
+
+
+def test_substring_dedup_rollup_and_cleaned_text(spark):
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "x alpha beta gamma delta y"),
+        (3, "unique words only here nothing shared"),
+        (4, "rep rep rep rep rep rep rep rep"),
+        (5, "a b c d p q r s a b c d"),
+        (6, "a b c d"),
+        (7, "tiny doc"),
+    ], "doc_id long, text string")
+    out = {r["id"]: r for r in
+           D.substring_dedup(docs, "doc_id", "text", window=4).collect()}
+    assert len(out) == 7                      # clean docs covered with zeros
+    assert out[1]["cleaned_text"] == "epsilon zeta"
+    assert (out[1]["n_tokens"], out[1]["dup_tokens"],
+            out[1]["n_spans"]) == (6, 4, 1)
+    assert out[1]["dup_ratio"] == pytest.approx(0.666667)
+    assert out[2]["cleaned_text"] == "x y"
+    assert out[3]["dup_tokens"] == 0 and out[3]["cleaned_text"] == (
+        "unique words only here nothing shared")
+    assert out[4]["cleaned_text"] == "" and out[4]["dup_ratio"] == 1.0
+    assert out[5]["cleaned_text"] == "p q r s" and out[5]["n_spans"] == 2
+    assert out[6]["cleaned_text"] == "" and out[6]["n_tokens"] == 4
+    assert out[7]["cleaned_text"] == "tiny doc" and out[7]["n_spans"] == 0
+
+
+def test_decontaminate_flags_benchmark_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(100, "secret eval answer is here")], "doc_id long, text string")
+    train = spark.createDataFrame([
+        (1, "the eval answer is forty two"),     # hits "eval answer is"
+        (2, "completely clean training text"),
+        (3, "short"),                            # < n tokens, still covered
+    ], "doc_id long, text string")
+    out = {r["id"]: r for r in
+           D.decontaminate(train, "doc_id", "text", bench, n=3).collect()}
+    assert len(out) == 3
+    assert out[1]["contaminated"] and out[1]["n_hit_windows"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hit_windows"] == 0
+    assert not out[3]["contaminated"]
