@@ -10,6 +10,11 @@ Reference parity: spikex kNN = gensim ``most_similar`` (J7,
   md5-seeded projections) bucket the corpus; candidates come from matching
   buckets (multi-probe = all bands), then exact cosine re-rank. Sub-linear
   candidate sets at 100 TB; recall tunable via bands×bits.
+* ``ivf_cosine_topk``  — IVF-flat inverted lists (k-means / k-means‖
+  trained centroids), nprobe probing, exact re-rank.
+* ``pq_cosine_topk``   — product quantization (Jégou et al. 2011): per-
+  subspace k-means codebooks compress each vector to m bytes; ADC LUT
+  scan + exact re-rank — the memory-bound path at 10^12 vectors.
 
 Scores are computed in float64 from the float32 column (cast first so the
 DuckDB oracle — which must also cast — matches bit-for-bit).
@@ -466,6 +471,181 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def _unit_df(df: DataFrame, id_col: str, vec_col: str,
+             label: str = "id") -> DataFrame:
+    """(label, u): unit-normalized double vectors; zero-norm rows pass
+    through unchanged. Norm = sequential fold (DuckDB parity)."""
+    e = _as_double(F.col(vec_col))
+    n = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        F.col(id_col).alias(label),
+        F.when(n > 0, F.transform(e, lambda x: x / n)).otherwise(e)
+        .alias("u"))
+
+
+def _pq_code_udf(cb: "np.ndarray"):
+    """pandas_udf: PQ codes per vector — per subspace, argmin of the
+    squared L2 distance to the ``ksub`` codewords, ONE numpy matmul per
+    Arrow batch per subspace (the inline-Catalyst alternative is the
+    lsh_signs codegen wall). d² is rounded to 7 digits HALF-AWAY before
+    the argmin so the selection lands on the same codeword as an ANSI-SQL
+    oracle recomputing it with sequential folds; ties → lowest code
+    (np.argmin) mirroring ORDER BY d2, cid."""
+    m, ksub, sd = cb.shape
+    cc = np.einsum("skj,skj->sk", cb, cb)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((M.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            S = M[:, s * sd:(s + 1) * sd]
+            d2 = _round_half_away(
+                np.einsum("ij,ij->i", S, S)[:, None]
+                - 2 * (S @ cb[s].T) + cc[s][None, :], 7)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return udf
+
+
+def pq_train(corpus: DataFrame, m: int = 4, ksub: int = 8, iters: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_digits: int = 6) -> "np.ndarray":
+    """Product-quantization codebooks (Jégou et al. 2011), deterministic
+    and oracle-reproducible: the vector is split into ``m`` subspaces and
+    each subspace gets its own ``ksub``-codeword k-means codebook.
+
+    Init = subvectors of the first ``ksub`` corpus rows by id (no RNG —
+    resumable); each Lloyd iteration assigns every subvector to its
+    nearest codeword (rounded d², ties → lowest code) and replaces each
+    codeword with the per-dimension MEAN of its members rounded to
+    ``round_digits`` (pins the value against float summation-order
+    differences so a DuckDB oracle recomputing avg() lands on the same
+    doubles); empty cells keep their previous codeword. Runs on UNIT
+    vectors so ADC dot-sums approximate cosine.
+
+    Scale shape per iteration: one corpus scan (Arrow-batch assignment) +
+    a groupBy(s, cid, j) partial-agg shuffle of m·ksub·subdim rows; only
+    the codebook (m·ksub·subdim floats) reaches the driver. At 10^12
+    vectors train on a sample — codebooks need samples, not the corpus.
+
+    Returns codebook array of shape (m, ksub, dim/m).
+    """
+    u_df = _unit_df(corpus, id_col, vec_col).localCheckpoint(eager=False)
+    seeds = u_df.orderBy("id").limit(ksub).collect()
+    dim = len(seeds[0]["u"])
+    sd = dim // m
+    cb = np.array([[list(r["u"][s * sd:(s + 1) * sd]) for r in seeds]
+                   for s in range(m)])          # m × ksub × sd
+    for _ in range(iters):
+        codes = u_df.select("id", _pq_code_udf(cb)(F.col("u")).alias("codes"))
+        rows = (
+            codes.join(u_df, "id")
+            .select("codes", F.posexplode("u").alias("p", "val"))
+            .select(F.floor(F.col("p") / sd).cast("int").alias("s"),
+                    (F.col("p") % sd + 1).alias("j"), "val", "codes")
+            .withColumn("cid", F.element_at("codes", F.col("s") + 1))
+            .groupBy("s", "cid", "j")
+            .agg(F.round(F.avg("val"), round_digits).alias("mval"))
+            .collect()
+        )
+        new = cb.copy()
+        for r in rows:
+            new[r["s"], r["cid"], r["j"] - 1] = r["mval"]
+        cb = new
+    return cb
+
+
+def pq_codes(df: DataFrame, cb: "np.ndarray", id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): the PQ index — m uint codes per vector, the 100-TB
+    compressed representation (dim·4 bytes → m bytes per vector)."""
+    u_df = _unit_df(df, id_col, vec_col)
+    return u_df.select("id", _pq_code_udf(cb)(F.col("u")).alias("codes"))
+
+
+def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   m: int = 4, ksub: int = 8, rerank: int = 50,
+                   iters: int = 1, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   round_digits: int = 4) -> DataFrame:
+    """PQ-ADC ANN top-k: asymmetric-distance scan over the compressed
+    codes, exact cosine re-rank of the best ``rerank`` candidates.
+
+    ADC: per query, a LUT of dot(query_sub, codeword) per (subspace,
+    code) — m·ksub doubles, rounded to 7 digits; the approximate score of
+    a corpus row is the ordered sum of its m LUT entries (rounded to 6).
+    Both roundings make the scan oracle-mirrorable: each engine sums the
+    SAME m doubles in the same subspace order.
+
+    Scale shape: the corpus side is scanned as codes only (m bytes/row) —
+    a narrow map against a broadcast LUT, no shuffle until the per-query
+    top-``rerank`` window; the exact re-rank touches ``rerank`` vectors
+    per query. This is the memory-bound path brute-force cosine cannot
+    take at 10^12 vectors.
+    """
+    spark = corpus.sparkSession
+    cb = pq_train(corpus, m=m, ksub=ksub, iters=iters,
+                  id_col=id_col, vec_col=vec_col)
+    sd = cb.shape[2]
+    codes = pq_codes(corpus, cb, id_col, vec_col)
+
+    # driver-side LUTs for the (few) queries — sequential folds throughout
+    # (list_dot_product parity)
+    q_rows = queries.select(F.col(id_col).alias("qid"),
+                            _as_double(F.col(vec_col)).alias("e")).collect()
+
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    lut_rows = []
+    for r in q_rows:
+        qu = _unit_seq(list(r["e"]))
+        lut = [[float(_round_half_away(
+            np.array(_seq_dot(qu[s * sd:(s + 1) * sd], cb[s][c])), 7))
+            for c in range(ksub)] for s in range(m)]
+        lut_rows.append((r["qid"], lut))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>")
+
+    approx = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("id") != F.col("query_id"))
+        .select(F.col("query_id"), F.col("id").alias("neighbor_id"),
+                F.round(
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+                        lambda acc, s: acc + F.element_at(
+                            F.element_at("lut", s + 1),
+                            F.element_at("codes", s + 1) + 1)),
+                    6).alias("ap"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("ap"),
+                                                F.asc("neighbor_id"))
+    cands = (approx.withColumn("arn", F.row_number().over(wa))
+             .where(F.col("arn") <= rerank)
+             .select("query_id", "neighbor_id"))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")),
+                                   round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
 
 
 def _hyperplane(dim: int, bit: int) -> list[float]:

@@ -408,3 +408,47 @@ def test_canonical_url_idempotent_property(spark):
     twice = canonicalize_urls(once, "url")
     bad = twice.where(F.col("url") != F.col("canonical_url")).collect()
     assert not bad, bad[:5]
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Codes are m ints in [0, ksub); two runs produce identical codes
+    (no RNG anywhere in training or encoding)."""
+    from pyspark.sql import functions as F
+
+    from spikex_spark.operators.simsearch import pq_codes, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, ksub=8, iters=1)
+    assert cb.shape == (4, 8, 16)
+    codes = {r["id"]: list(r["codes"]) for r in
+             pq_codes(emb, cb, "vec_id", "embedding").collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in codes.values())
+    cb2 = pq_train(emb, m=4, ksub=8, iters=1)
+    assert (cb == cb2).all()
+    codes2 = {r["id"]: list(r["codes"]) for r in
+              pq_codes(emb, cb2, "vec_id", "embedding").collect()}
+    assert codes == codes2
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """ADC over 4x8 codebooks with exact re-rank of 50 candidates must
+    recover most of the brute-force top-5; with rerank = corpus size the
+    scan is exhaustive and must match brute force exactly."""
+    from pyspark.sql import functions as F
+
+    from spikex_spark.operators.simsearch import cosine_topk, pq_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in pq_cosine_topk(emb, q, k=5, m=4, ksub=8,
+                                  rerank=50).collect()}
+    assert len(pq & exact) / len(exact) >= 0.6   # bounded-rerank recall
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in pq_cosine_topk(emb, q, k=5, m=4, ksub=8,
+                                    rerank=n).collect()}
+    assert full == exact
