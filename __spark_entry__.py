@@ -2177,6 +2177,96 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "doc_id", "text", window=_SUBSTR_W)
 
 
+# BPE tokenizer training — 8 merge rounds unrolled in SQL. The symbol
+# sequence is '(s1)(s2)...' so plain replace() is greedy-left-to-right in
+# both engines without shared-boundary bugs (see operators/bpe.py).
+_BPE_ROUNDS = 8
+_BPE_SYM_RE = r"\(([^)]*)\)"
+
+
+def _sql_bpe_ctes(rounds: int = _BPE_ROUNDS) -> str:
+    """Shared CTE chain: word table -> wrapped char sequences -> one
+    (pairs, best, re-sequenced) block per unrolled merge round."""
+    parts = [f"""
+w0 AS MATERIALIZED (
+  SELECT word, count(*)::bigint AS freq FROM (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        t -> t <> '')) AS word
+    FROM documents) GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq, freq, word
+  FROM w0
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT ls, rs, sum(freq)::bigint AS cnt FROM (
+    SELECT freq, unnest(syms[1:len(syms) - 1]) AS ls,
+           unnest(syms[2:len(syms)]) AS rs
+    FROM (SELECT regexp_extract_all(seq, '{_BPE_SYM_RE}', 1) AS syms, freq
+          FROM s{r - 1})
+    WHERE len(syms) >= 2) GROUP BY ls, rs
+),
+b{r} AS MATERIALIZED (SELECT ls, rs, cnt FROM p{r}
+         ORDER BY cnt DESC, ls, rs LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT replace(seq,
+      coalesce('(' || (SELECT ls FROM b{r}) || ')('
+               || (SELECT rs FROM b{r}) || ')', chr(1)),
+      coalesce('(' || (SELECT ls FROM b{r})
+               || (SELECT rs FROM b{r}) || ')', '')) AS seq, freq, word
+  FROM s{r - 1}
+)""")
+    return "WITH " + ",".join(parts)
+
+
+def _sql_bpe_merges(rounds: int = _BPE_ROUNDS) -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT {r} AS round, ls, rs, cnt FROM b{r}"
+        for r in range(1, rounds + 1))
+    return f"""{_sql_bpe_ctes(rounds)}
+SELECT round, ls AS left_sym, rs AS right_sym,
+       ls || rs AS merged, cnt AS pair_count
+FROM ({union})
+"""
+
+
+def _sql_bpe_encode(rounds: int = _BPE_ROUNDS) -> str:
+    return f"""{_sql_bpe_ctes(rounds)},
+enc AS (
+  SELECT word, len(regexp_extract_all(seq, '{_BPE_SYM_RE}', 1))::bigint AS n
+  FROM s{rounds}
+),
+dw AS (
+  SELECT doc_id AS id, unnest(list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      t -> t <> '')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT dw.id, sum(enc.n)::bigint AS n_bpe_tokens
+  FROM dw JOIN enc USING (word) GROUP BY dw.id
+)
+SELECT d.doc_id AS id, coalesce(per_doc.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.id
+"""
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.bpe import bpe_merge_table
+    return bpe_merge_table(_read(spark, sf_dir, "documents"), "text",
+                           num_merges=_BPE_ROUNDS)
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.bpe import bpe_encode, train_bpe
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=_BPE_ROUNDS)
+    return bpe_encode(docs, "doc_id", "text", merges)
+
+
 # GPT-3-style 13-gram decontamination; benchmark set = doc_id % 17 == 0
 _DECON_N = 13
 _DECON_MOD = 17
@@ -3208,6 +3298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup": _q_substring_dedup,
         "decontaminate": _q_decontaminate,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "quality_scores": _q_quality,
@@ -3310,6 +3402,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": _SQL_SUBSTR_SPANS,
         "substring_dedup": _SQL_SUBSTR_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
+        "bpe_merges": _sql_bpe_merges(),
+        "bpe_encode": _sql_bpe_encode(),
         "stratified_sample": _SQL_STRATIFIED,
         "pack_sequences": _SQL_PACK,
         "quality_scores": _sql_quality(),
