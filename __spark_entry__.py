@@ -2177,6 +2177,39 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "doc_id", "text", window=_SUBSTR_W)
 
 
+# session windows over the events table: gap-merged per-user sessions;
+# the oracle recomputes Spark's session_window semantics (break when
+# ts >= prev + gap; end = last event + gap) via gaps-and-islands
+_SESSION_GAP = "6 hours"
+
+_SQL_SESSIONIZE = """
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts >= lag(ts) OVER w + INTERVAL '6 hours'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+i AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '6 hours' AS session_end,
+       count(*)::bigint AS n_events, round(sum(value), 4) AS sum_value
+FROM i GROUP BY user_id, sess
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.streaming.stream import sessionize
+    return sessionize(_read(spark, sf_dir, "events"), "user_id", "ts",
+                      gap=_SESSION_GAP, value_col="value")
+
+
 # BPE tokenizer training — 8 merge rounds unrolled in SQL. The symbol
 # sequence is '(s1)(s2)...' so plain replace() is greedy-left-to-right in
 # both engines without shared-boundary bugs (see operators/bpe.py).
@@ -3300,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "sessionize_events": _q_sessionize,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "quality_scores": _q_quality,
@@ -3404,6 +3438,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
+        "sessionize_events": _SQL_SESSIONIZE,
         "stratified_sample": _SQL_STRATIFIED,
         "pack_sequences": _SQL_PACK,
         "quality_scores": _sql_quality(),

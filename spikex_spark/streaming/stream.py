@@ -12,6 +12,8 @@ so the same functions compose behind ``readStream``. Provided here:
 * ``streaming_dedup``     — stateful exact dedup via
   ``dropDuplicatesWithinWatermark`` (the streaming face of
   dedup.exact_duplicates; state per hash expires past the watermark).
+* ``sessionize``          — native session windows (``F.session_window``)
+  per user key, batch and streaming.
 * ``run_to_memory``       — test/bench harness: drain a stream into an
   in-memory table and return the result.
 
@@ -127,6 +129,37 @@ def streaming_canonical_assign(stream: DataFrame, key_col: str = "block_key",
         stateStructType=f"min_id {id_t}",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap: str = "6 hours", value_col: str | None = None,
+               watermark: str | None = None) -> DataFrame:
+    """(user, session_start, session_end, n_events, [sum_value]): session
+    windows — events of a user belong to one session while each arrives
+    within ``gap`` of the previous; ``session_end`` = last event + gap
+    (Spark ``F.session_window`` semantics).
+
+    Works on BATCH and STREAMING inputs alike (pass ``watermark`` on a
+    stream so session state closes once event time passes the gap). The
+    batch contract query is oracle-mirrored with a gaps-and-islands SQL
+    recompute. Scale shape: one shuffle on the user key; session merge is
+    Spark's native session-window state machine, state bounded by open
+    sessions (streams) or per-key group size (batch).
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                    F.col(user_col))
+        .agg(*aggs)
+        .select(F.col(user_col),
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                *[F.col(c) for c in
+                  (["n_events", "sum_value"] if value_col else ["n_events"])])
     )
 
 

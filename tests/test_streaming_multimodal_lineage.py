@@ -1264,3 +1264,51 @@ def test_gif_interlace_and_errors():
         decode_gif(b"GIF89a\x05\x00")
     with pytest.raises(ValueError):
         decode_gif(encode_gif(img)[:-10])        # truncated LZW data
+
+
+def test_sessionize_batch_semantics(spark):
+    """Hand-built fixture: gap merge, session_end = last event + gap,
+    singleton sessions, per-user isolation."""
+    from datetime import datetime as dt
+
+    from spikex_spark.streaming.stream import sessionize
+
+    rows = [
+        (1, 1, dt(2024, 1, 1, 10, 0, 0), 1.0),
+        (2, 1, dt(2024, 1, 1, 10, 30, 0), 2.0),   # +30m -> same session
+        (3, 1, dt(2024, 1, 1, 12, 0, 0), 4.0),    # +90m -> new session
+        (4, 2, dt(2024, 1, 1, 10, 45, 0), 8.0),   # other user, own session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r["user_id"], r["session_start"]): r for r in
+           sessionize(df, "user_id", "ts", gap="1 hour",
+                      value_col="value").collect()}
+    s1 = got[(1, dt(2024, 1, 1, 10, 0, 0))]
+    assert s1["session_end"] == dt(2024, 1, 1, 11, 30, 0)   # last + gap
+    assert s1["n_events"] == 2 and s1["sum_value"] == 3.0
+    s2 = got[(1, dt(2024, 1, 1, 12, 0, 0))]
+    assert s2["session_end"] == dt(2024, 1, 1, 13, 0, 0)
+    assert s2["n_events"] == 1
+    assert got[(2, dt(2024, 1, 1, 10, 45, 0))]["n_events"] == 1
+    assert len(got) == 3
+
+
+def test_sessionize_streaming_matches_batch(spark, pages_dir):
+    """The same sessionize() runs behind readStream (complete mode) and
+    lands on the batch result."""
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        sessionize,
+        stream_pages,
+    )
+
+    stream = stream_pages(spark, pages_dir)
+    got = run_to_memory(
+        sessionize(stream, "lang", "warc_ts", gap="30 minutes"),
+        "sessions_stream", mode="complete")
+    batch = sessionize(spark.read.parquet(pages_dir), "lang", "warc_ts",
+                       gap="30 minutes")
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b and len(g) > 0
