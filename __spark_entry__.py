@@ -2372,6 +2372,37 @@ FROM c
 """
 
 
+_CHUNK_TOKENS, _CHUNK_STRIDE = 64, 48
+
+_SQL_CHUNKS = f"""
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+n AS (SELECT id, toks, len(toks)::bigint AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT id, toks, n,
+             unnest(range(0, 1 + (greatest(n - {_CHUNK_TOKENS}, 0)
+                                  + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}))
+             AS i
+      FROM n)
+SELECT id, i::int AS chunk_id,
+       (1 + i * {_CHUNK_STRIDE})::bigint AS start_token,
+       least({_CHUNK_TOKENS}, n - (1 + i * {_CHUNK_STRIDE}) + 1)::bigint
+         AS n_tokens,
+       array_to_string(
+         toks[(1 + i * {_CHUNK_STRIDE})
+              : (1 + i * {_CHUNK_STRIDE}) + {_CHUNK_TOKENS} - 1], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import chunk_documents
+    return chunk_documents(_read(spark, sf_dir, "documents"),
+                           "doc_id", "text",
+                           chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import repetition_stats
     return repetition_stats(_read(spark, sf_dir, "documents"),
@@ -3336,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         "quality_scores": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
@@ -3441,6 +3473,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SQL_SESSIONIZE,
         "stratified_sample": _SQL_STRATIFIED,
         "pack_sequences": _SQL_PACK,
+        "chunk_documents": _SQL_CHUNKS,
         "quality_scores": _sql_quality(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,

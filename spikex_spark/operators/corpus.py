@@ -30,6 +30,45 @@ def stratified_sample(df: DataFrame, key_col: str, id_col: str,
             .where(F.col("sample_rank") <= k))
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64, stride: int = 48) -> DataFrame:
+    """(id, chunk_id, start_token, n_tokens, chunk_text): overlapping
+    fixed-size token windows per document — the chunking step every
+    embedding/RAG pipeline runs before vectorizing.
+
+    Chunks start at token 1, 1+stride, 1+2·stride, … (1-based over the
+    space-split non-empty tokens); the last chunk may be short; a doc
+    shorter than one chunk yields a single chunk with all its tokens;
+    empty docs yield nothing. ``stride < chunk_tokens`` gives overlap.
+
+    Pure Catalyst narrow map (one explode, no shuffle) — chunk count per
+    doc is 1 + ceil(max(n-chunk,0)/stride), computed in integer math so
+    the DuckDB oracle reproduces it exactly. The when() guard keeps the
+    sequence() total (sequence(0,-1) DESCENDS — see _token_windows).
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"),
+                     F.size(toks).cast("long").alias("n"))
+    extra = (F.greatest(F.col("n") - chunk_tokens, F.lit(0))
+             + (stride - 1)) / stride
+    nc = F.lit(1) + F.floor(extra).cast("int")
+    chunks = F.when(
+        F.col("n") > 0, F.sequence(F.lit(0), nc - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    start = lambda i: (F.lit(1) + i * stride).cast("long")  # noqa: E731
+    return (base.select("id", "t", "n", F.explode(chunks).alias("i"))
+            .select(
+                "id", F.col("i").alias("chunk_id"),
+                start(F.col("i")).alias("start_token"),
+                F.least(F.lit(chunk_tokens).cast("long"),
+                        F.col("n") - start(F.col("i")) + 1).alias("n_tokens"),
+                F.array_join(
+                    F.slice("t", start(F.col("i")).cast("int"), chunk_tokens),
+                    " ").alias("chunk_text")))
+
+
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                    block_tokens: int = 2048,
                    num_ranges: int = 64) -> DataFrame:

@@ -452,3 +452,30 @@ def test_pq_topk_recall_vs_brute_force(spark):
             for r in pq_cosine_topk(emb, q, k=5, m=4, ksub=8,
                                     rerank=n).collect()}
     assert full == exact
+
+
+def test_chunk_documents_shapes(spark):
+    """Coverage, overlap, short-doc single chunk, empty-doc drop."""
+    from spikex_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame([
+        (1, " ".join(f"t{i}" for i in range(1, 101))),   # 100 tokens
+        (2, "just five little tokens here"),             # 5 tokens
+        (3, ""),                                         # empty
+    ], "id long, text string")
+    out = [r for r in chunk_documents(docs, "id", "text", chunk_tokens=64,
+                                      stride=48).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["start_token"], r["n_tokens"]) for r in c1] == [(1, 64),
+                                                               (49, 52)]
+    assert c1[0]["chunk_text"].split(" ")[0] == "t1"
+    assert c1[1]["chunk_text"].split(" ")[0] == "t49"
+    assert c1[1]["chunk_text"].split(" ")[-1] == "t100"
+    # overlap region t49..t64 appears in both chunks
+    assert "t64" in c1[0]["chunk_text"] and "t64" in c1[1]["chunk_text"]
+    assert [(r["start_token"], r["n_tokens"], r["chunk_text"])
+            for r in by_doc[2]] == [(1, 5, "just five little tokens here")]
+    assert 3 not in by_doc
