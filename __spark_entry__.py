@@ -334,6 +334,85 @@ _SQL_FINGERPRINT = (
     " t -> t <> ''), ' '), '')) AS fp FROM documents"
 )
 
+# bigram-LM perplexity filter (operators/lm.py): the oracle retrains the
+# add-k model from scratch in SQL — per-bigram logp scaled to int64
+# (round(ln*1e7)) so the per-doc sum is EXACT integer arithmetic (a float
+# sum is engine-order-dependent and flips the 6th decimal at corpus size);
+# ppl derives from the exact scaled sum, mirroring the Spark tree exactly.
+_SQL_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, list_prepend('<s>', list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+),
+bgc AS (SELECT w1, w2, count(*)::double AS cbw FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*)::double AS cw FROM bg GROUP BY 1),
+voc AS (SELECT count(DISTINCT w2)::double AS V FROM bg),
+lm AS (
+  SELECT b.w1, b.w2,
+         round(ln((b.cbw + 0.5) / (c.cw + 0.5 * v.V)) * 10000000.0)::bigint
+           AS logp
+  FROM bgc b JOIN ctx c ON b.w1 = c.w1 CROSS JOIN voc v
+),
+docbg AS (SELECT doc_id, w1, w2, count(*)::bigint AS c FROM bg GROUP BY 1, 2, 3),
+s AS (
+  SELECT doc_id AS id, sum(c)::bigint AS n_bigrams,
+         sum(c * logp)::bigint AS lps
+  FROM docbg JOIN lm USING (w1, w2) GROUP BY 1
+)
+SELECT id, n_bigrams, lps AS logprob_e7,
+  round(exp(-(lps / 10000000.0) / n_bigrams), 6) AS ppl,
+  (round(exp(-(lps / 10000000.0) / n_bigrams), 6) <= 30.0)::int AS keep
+FROM s
+"""
+
+# BM25 top-k retrieval (operators/retrieval.py): self-queries = first 8
+# normalized tokens of every 100th doc; idf and per-term contributions
+# rounded to 7 before the score sum (6); ties break on doc_id. Literal
+# arithmetic (k1+1 = 2.2, 1-b = 0.25) verified bit-identical across engines.
+_SQL_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+),
+postings AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+corpus AS (SELECT count(*)::double AS N, avg(dl) AS avgdl FROM doclen),
+termstats AS (SELECT term, count(*)::double AS df_t FROM postings GROUP BY 1),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')[1:8]) AS term
+  FROM documents WHERE doc_id % 100 = 0
+),
+idf AS (
+  SELECT term, round(ln(1.0 + (c.N - df_t + 0.5) / (df_t + 0.5)), 7) AS idf
+  FROM termstats CROSS JOIN corpus c
+),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+    round(i.idf * (p.tf * 2.2)
+      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)), 7) AS w
+  FROM postings p
+  JOIN qterms q ON p.term = q.term
+  JOIN doclen d ON p.doc_id = d.doc_id
+  JOIN idf i ON p.term = i.term
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), 6) AS score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
 _SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -2320,6 +2399,44 @@ WHERE t.id % {_DECON_MOD} <> 0
 """
 
 
+# Bloom-filter decontamination: the bitset is relational (distinct md5-derived
+# positions), so the oracle reproduces it bit-for-bit; k=3 probes over m=2^20.
+_SQL_BLOOM_DECON = f"""
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+w AS (SELECT id, array_to_string(toks[i:i + {_DECON_N} - 1], ' ') AS win
+      FROM t CROSS JOIN unnest(range(1, len(toks) - {_DECON_N} + 2)) AS u(i)),
+bwin AS (SELECT DISTINCT win FROM w WHERE id % {_DECON_MOD} = 0),
+bits AS (SELECT DISTINCT
+           ('0x' || substr(md5(win || ':' || i::varchar), 1, 15))::bigint
+             % 1048576 AS pos
+         FROM bwin CROSS JOIN unnest(range(0, 3)) AS u(i)),
+grams AS (SELECT DISTINCT id, win FROM w WHERE id % {_DECON_MOD} <> 0),
+probe AS (SELECT id, win,
+            ('0x' || substr(md5(win || ':' || i::varchar), 1, 15))::bigint
+              % 1048576 AS pos
+          FROM grams CROSS JOIN unnest(range(0, 3)) AS u(i)),
+maybe AS (SELECT id, count(*) AS n FROM (
+            SELECT id, win, count(*) AS hits FROM probe
+            WHERE pos IN (SELECT pos FROM bits) GROUP BY id, win)
+          WHERE hits = 3 GROUP BY id)
+SELECT t.id, coalesce(maybe.n, 0)::bigint AS n_maybe_grams,
+       coalesce(maybe.n, 0) > 0 AS contaminated
+FROM t LEFT JOIN maybe ON t.id = maybe.id
+WHERE t.id % {_DECON_MOD} <> 0
+"""
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import bloom_decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    return bloom_decontaminate(train, "doc_id", "text", bench,
+                               n=_DECON_N, m=1 << 20, k=3)
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.dedup import decontaminate
     docs = _read(spark, sf_dir, "documents")
@@ -2427,6 +2544,19 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import fingerprint
     return fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.lm import perplexity
+    return perplexity(_read(spark, sf_dir, "documents"), "doc_id", "text",
+                      k=0.5, threshold=30.0)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.retrieval import bm25_topk, corpus_queries
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, corpus_queries(docs, "doc_id", "text"),
+                     "doc_id", "text", k=5)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3362,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup": _q_substring_dedup,
         "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "sessionize_events": _q_sessionize,
@@ -3371,6 +3502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
+        "lm_perplexity": _q_lm_perplexity,
+        "bm25_topk": _q_bm25_topk,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -3468,6 +3601,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": _SQL_SUBSTR_SPANS,
         "substring_dedup": _SQL_SUBSTR_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
+        "bloom_decontaminate": _SQL_BLOOM_DECON,
         "bpe_merges": _sql_bpe_merges(),
         "bpe_encode": _sql_bpe_encode(),
         "sessionize_events": _SQL_SESSIONIZE,
@@ -3477,6 +3611,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _sql_quality(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,
+        "lm_perplexity": _SQL_LM_PERPLEXITY,
+        "bm25_topk": _SQL_BM25,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

@@ -422,3 +422,57 @@ def line_dedup_docs(df: DataFrame, id_col: str, text_col: str,
                              lambda s: s["keep"]),
                          lambda s: s["line"]),
                      "\n").alias("cleaned_text")))
+
+
+def bloom_decontaminate(df: DataFrame, id_col: str, text_col: str,
+                        bench_df: DataFrame, bench_text_col: str | None = None,
+                        n: int = 13, m: int = 1 << 20,
+                        k: int = 3) -> DataFrame:
+    """(id, n_maybe_grams, contaminated): Bloom-filter n-gram
+    decontamination — the constant-memory variant of :func:`decontaminate`.
+
+    At 100 TB the exact method's broadcast is the benchmark's full distinct
+    n-gram STRING set; the Bloom variant broadcasts only ``k`` bit
+    positions per gram out of an ``m``-bit space — a fixed-size structure
+    independent of gram length, the standard trick when the membership set
+    outgrows a string broadcast (and the first pass before exact
+    confirmation). One-sided error: every truly shared gram is flagged
+    (no false negatives); ``n_maybe_grams`` counts the doc's DISTINCT
+    grams the filter cannot rule out, so a (rare) hash collision can
+    overcount — callers confirm flagged docs with the exact join.
+
+    Bit positions are md5-derived (``_md5_60(win || ':' || i) % m``) so the
+    DuckDB oracle reproduces them bit-for-bit; the relational form keeps
+    the whole thing pure Catalyst: the position table IS the bitset, and
+    the probe is explode → broadcast-hash join → all-k check — the corpus
+    side never shuffles on the gram.
+    """
+    bcol = bench_text_col or text_col
+    ks = F.sequence(F.lit(0), F.lit(k - 1))
+
+    def positions(win: F.Column) -> F.Column:
+        return F.explode(
+            F.transform(ks, lambda i: F.pmod(
+                _md5_60(F.concat(win, F.lit(":"), i.cast("string"))),
+                F.lit(m))))
+
+    bits = (bench_df.select(
+        F.explode(_token_windows(_space_tokens(bcol), n)).alias("win"))
+        .distinct()
+        .select(positions(F.col("win")).alias("pos"))
+        .distinct())
+    grams = (df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_token_windows(_space_tokens(text_col), n)).alias("win"))
+        .distinct())
+    probe = grams.select("id", "win", positions(F.col("win")).alias("pos"))
+    maybe = (probe.join(F.broadcast(bits), "pos", "left_semi")
+             .groupBy("id", "win").agg(F.count("*").alias("hits"))
+             .where(F.col("hits") == k)
+             .groupBy("id").agg(F.count("*").alias("n_maybe_grams")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(maybe, "id", "left")
+            .select("id",
+                    F.coalesce("n_maybe_grams", F.lit(0)).cast("long")
+                    .alias("n_maybe_grams"))
+            .withColumn("contaminated", F.col("n_maybe_grams") > 0))

@@ -156,3 +156,22 @@ def test_decontaminate_flags_benchmark_ngrams(spark):
     assert out[1]["contaminated"] and out[1]["n_hit_windows"] == 1
     assert not out[2]["contaminated"] and out[2]["n_hit_windows"] == 0
     assert not out[3]["contaminated"]
+
+
+def test_bloom_decontaminate_matches_exact_flags(spark):
+    bench = spark.createDataFrame(
+        [(100, "secret eval answer is here")], "doc_id long, text string")
+    train = spark.createDataFrame([
+        (1, "the eval answer is forty two"),     # shares "eval answer is"
+        (2, "completely clean training text"),
+        (3, "short"),
+    ], "doc_id long, text string")
+    out = {r["id"]: r for r in
+           D.bloom_decontaminate(train, "doc_id", "text", bench,
+                                 n=3, m=1 << 20, k=3).collect()}
+    assert len(out) == 3
+    # no false negatives: the truly shared gram is always flagged
+    assert out[1]["contaminated"] and out[1]["n_maybe_grams"] == 1
+    # at m=2^20 with a 3-gram benchmark set, clean docs stay clean
+    assert not out[2]["contaminated"] and out[2]["n_maybe_grams"] == 0
+    assert not out[3]["contaminated"]
