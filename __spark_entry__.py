@@ -396,7 +396,8 @@ idf AS (
 contrib AS (
   SELECT q.query_id, p.doc_id,
     round(i.idf * (p.tf * 2.2)
-      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)), 7) AS w
+      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl))
+      * 10000000.0)::bigint AS w
   FROM postings p
   JOIN qterms q ON p.term = q.term
   JOIN doclen d ON p.doc_id = d.doc_id
@@ -404,7 +405,7 @@ contrib AS (
   CROSS JOIN corpus c
 ),
 scored AS (
-  SELECT query_id, doc_id, round(sum(w), 6) AS score
+  SELECT query_id, doc_id, sum(w)::bigint / 10000000.0 AS score
   FROM contrib GROUP BY 1, 2
 )
 SELECT query_id, doc_id, score, rank FROM (
@@ -2546,6 +2547,71 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# KMV/theta distinct sketch: integer hashes in, ONE double division out —
+# no harmonic float sums (why KMV and not HLL is the oracle-exact choice).
+_SQL_KMV = """
+WITH toks AS (
+  SELECT g, w[i] || ' ' || w[i+1] AS tok FROM (
+    SELECT lang AS g, list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+    FROM documents), unnest(range(1, len(w))) AS t(i)
+),
+hashed AS (SELECT DISTINCT g,
+             ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM toks),
+topk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+         FROM hashed),
+agg AS (SELECT g, count(*)::bigint AS n_hashes, max(h) AS theta_hash
+        FROM topk WHERE rk <= 256 GROUP BY g),
+exact AS (SELECT g, count(DISTINCT tok)::bigint AS true_distinct
+          FROM toks GROUP BY g)
+SELECT agg.g AS grp, n_hashes, theta_hash,
+  CASE WHEN n_hashes < 256 THEN n_hashes::double
+       ELSE round((255.0 * 1152921504606846976.0) / theta_hash::double, 4)
+  END AS est_distinct,
+  true_distinct
+FROM agg JOIN exact ON agg.g = exact.g
+"""
+
+# Count-min sketch: the (row, col, count) table IS the sketch; estimates
+# for the deterministic top-20 probe set, exact counts alongside.
+_SQL_CMS = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents
+),
+truth AS (SELECT tok AS token, count(*)::bigint AS true_count
+          FROM toks GROUP BY tok ORDER BY true_count DESC, token LIMIT 20),
+sketch AS (
+  SELECT r.rw,
+         ('0x' || substr(md5(tok || '#' || r.rw::varchar), 1, 15))::bigint
+           % 2048 AS col,
+         count(*)::bigint AS c
+  FROM toks CROSS JOIN unnest(range(0, 4)) AS r(rw) GROUP BY 1, 2
+),
+probes AS (SELECT token, r.rw,
+             ('0x' || substr(md5(token || '#' || r.rw::varchar), 1, 15))::bigint
+               % 2048 AS col
+           FROM truth CROSS JOIN unnest(range(0, 4)) AS r(rw)),
+est AS (SELECT token, min(coalesce(s.c, 0))::bigint AS est
+        FROM probes p LEFT JOIN sketch s ON p.rw = s.rw AND p.col = s.col
+        GROUP BY token)
+SELECT truth.token, true_count, est FROM truth JOIN est ON truth.token = est.token
+"""
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.sketch import kmv_distinct_bigrams
+    return kmv_distinct_bigrams(_read(spark, sf_dir, "documents"),
+                                "lang", "text", k=256)
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.sketch import cms_heavy_hitters
+    return cms_heavy_hitters(_read(spark, sf_dir, "documents"), "text",
+                             top=20, depth=4, width=2048)
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.lm import perplexity
     return perplexity(_read(spark, sf_dir, "documents"), "doc_id", "text",
@@ -3504,6 +3570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprint,
         "lm_perplexity": _q_lm_perplexity,
         "bm25_topk": _q_bm25_topk,
+        "kmv_distinct_bigrams": _q_kmv_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -3613,6 +3681,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "bm25_topk": _SQL_BM25,
+        "kmv_distinct_bigrams": _SQL_KMV,
+        "cms_heavy_hitters": _SQL_CMS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

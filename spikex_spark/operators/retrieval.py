@@ -17,9 +17,12 @@ return the top-k documents per query.
   one keyed aggregation. No all-pairs anything.
 * **top-k**: one window over (query_id) — k rows per query survive.
 
-Determinism for the DuckDB oracle: idf and each per-term contribution are
-rounded to 7 digits before summation, the BM25 sum to 6; ties break on
-doc id ascending.
+Determinism for the DuckDB oracle: idf is rounded to 7 digits, each
+per-term contribution is scaled to an int64 (``round(w·1e7)``) so the
+per-document score sum is EXACT integer arithmetic (float sums are
+engine-order-dependent and land on decimal rounding ties — observed at
+sf0.001); the reported score is the single exact division ``sum/1e7``.
+Ties break on doc id ascending.
 """
 
 from __future__ import annotations
@@ -103,13 +106,14 @@ def bm25_topk(
             F.round(
                 F.col("idf")
                 * (F.col("tf") * (F.lit(k1) + 1.0))
-                / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))),
-                7,
-            ).alias("w"),
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+                * F.lit(1e7),
+                0,
+            ).cast("long").alias("w"),
         )
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("w"), 6).alias("score")
+        (F.sum("w") / F.lit(1e7)).alias("score")
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

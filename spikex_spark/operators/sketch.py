@@ -1,0 +1,157 @@
+"""Distributed cardinality / frequency sketches with exact oracles.
+
+Corpus statistics a 100-TB pipeline needs without exact shuffles:
+
+* **KMV (k-minimum-values / theta) distinct-count sketch** — the
+  DataSketches-theta recipe: hash every value to a 60-bit integer, keep
+  the k smallest distinct hashes, estimate ``D ≈ (k-1) · 2^60 / h_k``.
+  One map + one top-k; the sketch is k longs, mergeable across groups
+  (union = k smallest of the concatenation). Unlike HyperLogLog there is
+  no harmonic float sum, so the estimate is bit-for-bit reproducible in
+  the DuckDB oracle — integer hashes in, one double division out.
+* **Count-min sketch** — ``depth`` rows of ``width`` counters; the
+  estimate for a key is the min over rows of counter[row, h_row(key)].
+  Built relationally: the (row, col, count) table IS the sketch (at
+  cluster scale: ``depth·width`` longs, broadcastable), counts come from
+  one map-side-combined groupBy — never a per-key shuffle of the corpus.
+
+Hashes are md5-derived (same convention as dedup/blocking), so both
+engines reproduce every position exactly. Pure Catalyst throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 1 << 60  # md5_60 hash space (dedup._md5_60 convention)
+
+
+def _md5_60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _tokens(col: F.Column) -> F.Column:
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 256) -> DataFrame:
+    """(group, n_hashes, theta_hash, est_distinct, true_distinct) — per-group
+    KMV distinct-count estimate alongside the exact count.
+
+    When a group holds fewer than ``k`` distinct values the sketch IS the
+    exact distinct set and the estimate equals ``n_hashes`` (the standard
+    KMV exact regime). ``true_distinct`` is included for verification —
+    a production run at scale drops it (that column is the exact
+    countDistinct the sketch exists to avoid).
+
+    Shape at scale: hash is a narrow map; the k-smallest per group is one
+    shuffle on the group key where the map side can pre-prune to its local
+    k minima; the sketch that crosses the wire is k longs per group.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        _md5_60(F.col(value_col)).alias("h"),
+    ).distinct()
+    win = Window.partitionBy("grp").orderBy("h")
+    topk = (hashed.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k))
+    agg = topk.groupBy("grp").agg(
+        F.count("*").alias("n_hashes"),
+        F.max("h").alias("theta_hash"),
+    )
+    exact = (df.select(F.col(group_col).alias("grp"),
+                       F.col(value_col).alias("v"))
+             .groupBy("grp").agg(F.countDistinct("v").alias("true_distinct")))
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round((F.lit(float(k - 1)) * F.lit(float(_SCALE)))
+                / F.col("theta_hash").cast("double"), 4))
+    return (agg.join(exact, "grp")
+            .select(F.col("grp").alias("grp"), "n_hashes", "theta_hash",
+                    est.alias("est_distinct"), "true_distinct"))
+
+
+def kmv_distinct_tokens(df: DataFrame, group_col: str, text_col: str,
+                        k: int = 256) -> DataFrame:
+    """KMV over the token stream of a text column, grouped (e.g. per lang):
+    the per-shard vocabulary-size estimator."""
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    return kmv_distinct(toks, "g", "tok", k=k)
+
+
+def kmv_distinct_bigrams(df: DataFrame, group_col: str, text_col: str,
+                         k: int = 256) -> DataFrame:
+    """KMV over token BIGRAMS per group — the bigram space is large enough
+    to exercise the estimate regime (single tokens on a capped vocabulary
+    sit in the exact-set regime where the sketch is just the distinct set).
+    zip_with over slices keeps the bigram expression total (see
+    textstats.repetition_stats on InferFiltersFromGenerate)."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        _tokens(F.col(text_col)).alias("w"),
+    ).select("g", F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+        " (a, b) -> concat(a, ' ', b))").alias("bg"))
+    pairs = base.select("g", F.explode("bg").alias("v"))
+    return kmv_distinct(pairs, "g", "v", k=k)
+
+
+def cms_build(df: DataFrame, value_col: str, depth: int = 4,
+              width: int = 2048) -> DataFrame:
+    """(row, col, c) — count-min sketch of the value stream, relationally.
+
+    ``h_row(v) = md5_60(v || '#' || row) % width``. One explode over the
+    ``depth`` rows and one map-side-combined groupBy; the result is at
+    most ``depth·width`` rows regardless of corpus size.
+    """
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    return (df.select(F.col(value_col).alias("v"))
+            .select(F.explode(rows).alias("row"), "v")
+            .select("row", F.pmod(
+                _md5_60(F.concat(F.col("v"), F.lit("#"),
+                                 F.col("row").cast("string"))),
+                F.lit(width)).alias("col"))
+            .groupBy("row", "col").agg(F.count("*").alias("c")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 2048) -> DataFrame:
+    """(key, est) — min-over-rows CMS point estimate for each probe key.
+
+    Keys absent from every counter they hash to would join nothing; the
+    left join + coalesce keeps them at their floor (0 only if some counter
+    cell is empty — with a built sketch the min cell count is the bound).
+    """
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    probes = (keys.select(F.col(key_col).alias("key")).distinct()
+              .select("key", F.explode(rows).alias("row"))
+              .select("key", "row", F.pmod(
+                  _md5_60(F.concat(F.col("key"), F.lit("#"),
+                                   F.col("row").cast("string"))),
+                  F.lit(width)).alias("col")))
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (joined.groupBy("key")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")))
+
+
+def cms_heavy_hitters(df: DataFrame, text_col: str, top: int = 20,
+                      depth: int = 4, width: int = 2048) -> DataFrame:
+    """(token, true_count, est) — CMS estimates for the corpus's ``top``
+    most frequent tokens (deterministic probe set: count desc, token asc),
+    with the exact counts alongside for verification. est >= true_count
+    always (CMS never underestimates)."""
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+    truth = (toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+             .orderBy(F.col("true_count").desc(), F.col("tok").asc())
+             .limit(top))
+    sketch = cms_build(toks, "tok", depth=depth, width=width)
+    est = cms_estimate(sketch, truth, "tok", depth=depth, width=width)
+    return (truth.withColumnRenamed("tok", "token")
+            .join(est.withColumnRenamed("key", "token"), "token")
+            .select("token", "true_count", "est"))

@@ -98,9 +98,9 @@ def test_bm25_ranks_tf_and_rarity(spark, corpus):
     idf = round(math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)), 7)
 
     def w(tf, dl):
-        return round(round(
+        return int(round(
             idf * (tf * 2.2)
-            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 7), 6)
+            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1e7)) / 1e7
 
     expected = {0: w(1.0, 3.0), 1: w(3.0, 4.0), 3: w(1.0, 2.0)}
     for r in got:
