@@ -2612,6 +2612,130 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                              top=20, depth=4, width=2048)
 
 
+# As-of join: last click at-or-before each error, per user. The engine
+# runs the merge-sorted union (ONE shuffle+sort, match-multiplicity-
+# independent); the oracle is the naive range join + QUALIFY — two
+# genuinely different algorithms that must agree row-for-row.
+_SQL_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+r AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS click_id, r.value AS click_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+QUALIFY row_number() OVER (
+  PARTITION BY l.event_id
+  ORDER BY r.ts DESC NULLS LAST, r.event_id DESC) = 1
+"""
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.asof import asof_join
+    ev = _read(spark, sf_dir, "events")
+    left = (ev.where(F.col("event_type") == "error")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.where(F.col("event_type") == "click")
+             .select("event_id", "user_id", "ts", "value"))
+    out = asof_join(left, right, key="user_id", left_ts="ts",
+                    right_ts="ts", right_cols=["event_id", "value"],
+                    right_tie="event_id")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_value").alias("click_value"),
+        F.col("asof_gap_us").alias("gap_us"))
+
+
+# Integer-exact PageRank over the (customer, supplier) trade graph,
+# symmetrized. 5 power-method rounds in int64 fixed point (10^12):
+# truncating division makes both engines bit-identical — the oracle
+# unrolls the rounds as CTEs (the BPE-oracle recipe).
+_PR_ITERS = 5
+
+
+def _sql_pagerank(iters: int = _PR_ITERS) -> str:
+    s = "1000000000000"
+    ctes = [
+        "base AS (SELECT DISTINCT 'c' || o_custkey AS src,"
+        " 's' || l_suppkey AS dst"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT id, ({s} // nn.n)::BIGINT AS r FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(p.r // od.outdeg) AS s"
+            f" FROM e JOIN r{k - 1} p ON e.src = p.id"
+            f" JOIN od ON od.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{k} AS (SELECT n.id,"
+            f" ((15 * ({s} // nn.n)) // 100"
+            f" + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r"
+            f" FROM nodes n CROSS JOIN nn"
+            f" LEFT JOIN c{k} c ON n.id = c.id)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, r AS rank_scaled, r / {s}.0 AS rank"
+            f" FROM r{iters}")
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import pagerank, undirected
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(undirected(edges), iterations=_PR_ITERS)
+
+
+# ROLLUP corpus accounting: per-(lang, source), per-lang, and grand
+# total in ONE Expand+aggregate pass; '<all>' marks subtotal levels so
+# no grouping-id portability question arises.
+_SQL_ROLLUP = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*)::BIGINT AS n_rows,
+       sum(n_chars)::BIGINT AS total_size,
+       (sum(n_chars)::BIGINT)::DOUBLE / count(*) AS avg_size
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import corpus_rollup
+    return corpus_rollup(_read(spark, sf_dir, "documents"),
+                         ["lang", "source"], "n_chars")
+
+
+# Exact per-group quantiles (type-7 linear interpolation in BOTH
+# engines: Spark percentile == DuckDB quantile_cont).
+_SQL_QUANTILES = """
+SELECT lang AS grp, count(*)::BIGINT AS n,
+       min(n_chars) AS vmin, max(n_chars) AS vmax,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90
+FROM documents GROUP BY lang
+"""
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import group_quantiles
+    return group_quantiles(_read(spark, sf_dir, "documents"),
+                           "lang", "n_chars")
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.lm import perplexity
     return perplexity(_read(spark, sf_dir, "documents"), "doc_id", "text",
@@ -3572,6 +3696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "kmv_distinct_bigrams": _q_kmv_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "asof_join_events": _q_asof_join,
+        "pagerank_trade_graph": _q_pagerank,
+        "corpus_rollup": _q_corpus_rollup,
+        "length_quantiles": _q_length_quantiles,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -3683,6 +3811,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25,
         "kmv_distinct_bigrams": _SQL_KMV,
         "cms_heavy_hitters": _SQL_CMS,
+        "asof_join_events": _SQL_ASOF,
+        "pagerank_trade_graph": _sql_pagerank(),
+        "corpus_rollup": _SQL_ROLLUP,
+        "length_quantiles": _SQL_QUANTILES,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

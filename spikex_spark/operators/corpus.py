@@ -10,6 +10,8 @@ reproduction possible.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,3 +115,58 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                         F.floor(F.col("start_token") / block_tokens))
             .withColumn("block_offset",
                         F.col("start_token") % block_tokens))
+
+
+def corpus_rollup(df: DataFrame, dims: Sequence[str], size_col: str,
+                  all_label: str = "<all>") -> DataFrame:
+    """Hierarchical corpus accounting: one ROLLUP over ``dims`` giving
+    per-(d1, d2, ...), per-d1-subtotal, and grand-total rows in a single
+    pass — (dims..., n_rows, total_size, avg_size).
+
+    Subtotal levels show ``all_label`` instead of NULL (real dim values
+    never collide with it), so the output needs no grouping-id column and
+    stays engine-portable. ``avg_size`` is the single exact division
+    total/n (both int64), bit-reproducible.
+
+    Scale shape: Spark executes rollup as ONE Expand + ONE hash aggregate
+    with map-side partial agg — (levels+1)× the agg input rows, zero extra
+    shuffles vs a flat groupBy. The alternative (one groupBy per level +
+    union) re-reads the table per level.
+    """
+    agged = df.rollup(*dims).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(size_col)).alias("total_size"),
+    )
+    out_dims = [F.coalesce(F.col(d).cast("string"), F.lit(all_label)).alias(d)
+                for d in dims]
+    return agged.select(
+        *out_dims, "n_rows", "total_size",
+        (F.col("total_size") / F.col("n_rows")).alias("avg_size"))
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+                    approx: bool = False) -> DataFrame:
+    """Per-group distribution stats: (group, n, min, max, p{25,50,...}).
+
+    Exact mode uses ``percentile`` (linear interpolation, the same type-7
+    estimator DuckDB's ``quantile_cont`` implements) — a per-group sort,
+    fine up to groups that fit a task's spill budget and what the oracle
+    checks. ``approx=True`` switches to ``approx_percentile`` (KLL-style
+    mergeable sketch, no per-group sort) — the 100-TB path, same schema,
+    rows-only checkable since sketch error is implementation-defined.
+    """
+    v = F.col(value_col)
+    if approx:
+        q = F.percentile_approx(v, list(probs))
+    else:
+        q = F.percentile(v, F.array(*[F.lit(p) for p in probs]))
+    names = [f"p{int(p * 100)}" for p in probs]
+    return (df.groupBy(F.col(group_col).alias("grp"))
+            .agg(F.count("*").alias("n"),
+                 F.min(v).alias("vmin"),
+                 F.max(v).alias("vmax"),
+                 q.alias("_q"))
+            .select("grp", "n", "vmin", "vmax",
+                    *[F.round(F.col("_q")[i].cast("double"), 6).alias(nm)
+                      for i, nm in enumerate(names)]))

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_PR_SCALE = 10**12
+
 
 def undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """U2: symmetrize the edge set."""
@@ -55,3 +57,60 @@ def d_hop_neighbors(edges: DataFrame, roots: DataFrame, d: int = 1,
     if not include_roots:
         out = out.where(F.col("dist") > 0)
     return out.select(F.col("node").alias("id"), "dist")
+
+
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping_pct: int = 85) -> DataFrame:
+    """Integer-exact PageRank: (id, rank_scaled, rank).
+
+    All arithmetic is int64 in a 10^12 fixed-point space — float PageRank
+    sums are reduction-order-dependent, so two runs (or two engines)
+    disagree in the last ulps; scaled-integer ranks with truncating
+    division are bit-reproducible, which makes the result oracle-checkable
+    and the job idempotent for lineage gating::
+
+        r0       = SCALE div N                          (uniform)
+        contrib  = r div outdeg          per out-edge   (trunc division)
+        r_{t+1}  = ((100-d)·r0) div 100 + (d·Σ contrib) div 100
+
+    Dangling nodes (no out-edges) leak their mass — the standard
+    simplification; ranks are a fixed multiple short of summing to 1 and
+    ordering is unaffected for ranking use.
+
+    Scale shape: each iteration is ONE shuffle join of the rank table
+    against the (edge ⋈ outdeg) table — precomputed once — plus ONE
+    map-side-combined groupBy on dst. The rank table is |V| rows, edges
+    |E|; nothing driver-side except the scalar node count. Lineage is
+    truncated per iteration (lazy localCheckpoint) so the unrolled plan
+    stays flat at high iteration counts; a cluster run would checkpoint
+    to reliable storage every ~10 rounds instead.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id"))).distinct()
+             .localCheckpoint(eager=False))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ewd = e.join(outdeg, "src").localCheckpoint(eager=False)
+    n = nodes.count()
+    init = _PR_SCALE // n
+    base = ((100 - damping_pct) * init) // 100
+    ranks = nodes.withColumn("r", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(ewd, ranks.id == ewd.src)
+            .select(F.col("dst").alias("id"),
+                    F.expr("r div outdeg").alias("c"))
+            .groupBy("id").agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base)
+                 + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                 ).cast("long").alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "id", F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(_PR_SCALE))).alias("rank"))

@@ -1,0 +1,123 @@
+"""As-of join, integer PageRank, rollup, and group quantiles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spikex_spark.operators.asof import asof_join
+from spikex_spark.operators.corpus import corpus_rollup, group_quantiles
+from spikex_spark.operators.graph import pagerank
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _mk_events(spark, left_rows, right_rows):
+    l = spark.createDataFrame(left_rows, ["event_id", "user_id", "ts"])  # noqa: E741
+    r = spark.createDataFrame(right_rows,
+                              ["event_id", "user_id", "ts", "value"])
+    return l, r
+
+
+def test_asof_backward_latest_prior_wins(spark):
+    l, r = _mk_events(  # noqa: E741
+        spark,
+        [(100, 1, _ts(50)), (101, 1, _ts(5)), (102, 2, _ts(50))],
+        [(1, 1, _ts(10), 1.0), (2, 1, _ts(40), 2.0), (3, 2, _ts(60), 3.0)],
+    )
+    got = {row["event_id"]: row for row in asof_join(
+        l, r, "user_id", "ts", "ts", ["event_id", "value"],
+        right_tie="event_id").collect()}
+    assert got[100]["asof_event_id"] == 2 and got[100]["asof_value"] == 2.0
+    assert got[100]["asof_gap_us"] == 10_000_000
+    assert got[101]["asof_event_id"] is None          # nothing at or before
+    assert got[101]["asof_gap_us"] is None
+    assert got[102]["asof_event_id"] is None          # right is after left
+
+
+def test_asof_equal_ts_visible_and_tie_breaks_on_max_id(spark):
+    l, r = _mk_events(  # noqa: E741
+        spark,
+        [(100, 1, _ts(10))],
+        [(1, 1, _ts(10), 1.0), (2, 1, _ts(10), 2.0)],
+    )
+    row = asof_join(l, r, "user_id", "ts", "ts", ["event_id", "value"],
+                    right_tie="event_id").collect()[0]
+    assert row["asof_event_id"] == 2 and row["asof_gap_us"] == 0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    l, r = _mk_events(  # noqa: E741
+        spark,
+        [(100, 1, _ts(100))],
+        [(1, 1, _ts(10), 1.0)],
+    )
+    row = asof_join(l, r, "user_id", "ts", "ts", ["value"],
+                    right_tie="event_id",
+                    tolerance_us=5_000_000).collect()[0]
+    assert row["asof_value"] is None and row["asof_gap_us"] is None
+
+
+def _pr_expected(edges, iters=5, scale=10**12):
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    init = scale // n
+    base = (15 * init) // 100
+    r = {v: init for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // out[a]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_recurrence(spark):
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r for r in pagerank(df, iterations=5).collect()}
+    want = _pr_expected(edges)
+    assert {k: v["rank_scaled"] for k, v in got.items()} == want
+    for v in got.values():
+        assert v["rank"] == v["rank_scaled"] / 1e12
+
+
+def test_pagerank_symmetric_two_cycle_is_stationary(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    got = {r["id"]: r["rank_scaled"]
+           for r in pagerank(df, iterations=3).collect()}
+    assert got["a"] == got["b"] == 5 * 10**11
+
+
+def test_corpus_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [("en", "web", 10), ("en", "web", 30), ("en", "book", 20),
+         ("de", "web", 40)],
+        ["lang", "source", "n_chars"])
+    got = {(r["lang"], r["source"]): r
+           for r in corpus_rollup(df, ["lang", "source"], "n_chars").collect()}
+    assert got[("en", "web")]["n_rows"] == 2
+    assert got[("en", "web")]["total_size"] == 40
+    assert got[("en", "<all>")]["n_rows"] == 3
+    assert got[("en", "<all>")]["avg_size"] == 20.0
+    assert got[("<all>", "<all>")]["total_size"] == 100
+    assert len(got) == 3 + 2 + 1   # 3 leaf pairs + 2 lang subtotals + total
+
+
+def test_group_quantiles_exact_and_approx_schema(spark):
+    df = spark.createDataFrame(
+        [("en", v) for v in [1, 2, 3, 4, 5]] + [("de", 10)],
+        ["lang", "n_chars"])
+    exact = {r["grp"]: r for r in
+             group_quantiles(df, "lang", "n_chars").collect()}
+    assert exact["en"]["p50"] == 3.0 and exact["en"]["p25"] == 2.0
+    assert exact["en"]["vmin"] == 1 and exact["en"]["vmax"] == 5
+    assert exact["de"]["p90"] == 10.0
+    approx = group_quantiles(df, "lang", "n_chars", approx=True)
+    assert approx.columns == exact["en"].__fields__
