@@ -2698,6 +2698,83 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(undirected(edges), iterations=_PR_ITERS)
 
 
+# Triangle counting over the customer–supplier–part trade graph (each
+# lineitem closes a c–s–p triangle). The engine runs the degree-ordered
+# node-iterator (O(m^1.5) wedges, hub-safe); the oracle enumerates
+# lexicographic triples naively — different algorithm, same triangles.
+_SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s, 'p' || l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ue AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+    SELECT c AS a, s AS b FROM raw
+    UNION ALL SELECT s, p FROM raw
+    UNION ALL SELECT c, p FROM raw) WHERE a <> b
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1 JOIN ue e2 ON e1.b = e2.a
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pn AS (
+  SELECT id, count(*)::BIGINT AS t FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY id
+),
+nodes AS (SELECT a AS id FROM ue UNION SELECT b FROM ue)
+SELECT n.id, coalesce(pn.t, 0)::BIGINT AS triangles
+FROM nodes n LEFT JOIN pn ON n.id = pn.id
+"""
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import triangle_counts
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    raw = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                   F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+                   F.concat(F.lit("p"), F.col("l_partkey")).alias("p")))
+    edges = (raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionAll(raw.select(F.col("s").alias("src"),
+                                  F.col("p").alias("dst")))
+             .unionAll(raw.select(F.col("c").alias("src"),
+                                  F.col("p").alias("dst"))))
+    return triangle_counts(edges)
+
+
+# TF-IDF keyword extraction: top-5 terms per doc; idf int64-scaled
+# before the tf product (exact integer score, single division out).
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+),
+postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM toks GROUP BY doc_id, term),
+ts AS (SELECT term, count(*)::DOUBLE AS df_t FROM postings GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+    p.tf * round(ln(1.0 + nd.n / ts.df_t) * 10000000.0)::BIGINT AS w
+  FROM postings p JOIN ts ON p.term = ts.term CROSS JOIN nd
+)
+SELECT doc_id, term, w / 10000000.0 AS score, rank FROM (
+  SELECT doc_id, term, w,
+    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.retrieval import tfidf_top_terms
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"),
+                           "doc_id", "text", k=5)
+
+
 # ROLLUP corpus accounting: per-(lang, source), per-lang, and grand
 # total in ONE Expand+aggregate pass; '<all>' marks subtotal levels so
 # no grouping-id portability question arises.
@@ -3698,6 +3775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "asof_join_events": _q_asof_join,
         "pagerank_trade_graph": _q_pagerank,
+        "triangle_counts": _q_triangles,
+        "tfidf_top_terms": _q_tfidf,
         "corpus_rollup": _q_corpus_rollup,
         "length_quantiles": _q_length_quantiles,
         "ann_cosine_topk": _q_ann_topk,
@@ -3813,6 +3892,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _SQL_CMS,
         "asof_join_events": _SQL_ASOF,
         "pagerank_trade_graph": _sql_pagerank(),
+        "triangle_counts": _SQL_TRIANGLES,
+        "tfidf_top_terms": _SQL_TFIDF,
         "corpus_rollup": _SQL_ROLLUP,
         "length_quantiles": _SQL_QUANTILES,
         "ann_cosine_topk": _SQL_ANN_TOPK,

@@ -114,3 +114,54 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     return ranks.select(
         "id", F.col("r").alias("rank_scaled"),
         (F.col("r") / F.lit(float(_PR_SCALE))).alias("rank"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation: (id, triangles), zero-inclusive.
+
+    Triangles measure local closure — the spam/link-farm and community
+    signal over a web graph. The naive 3-way self-join enumerates every
+    wedge at every hub (a degree-d node contributes O(d²) wedges: one
+    viral page breaks the job). This is the degree-ordered node-iterator
+    instead (Suri & Vassilvitskii's MapReduce formulation): orient every
+    undirected edge from the (degree, id)-smaller endpoint to the larger,
+    build wedges only at each edge's SMALLEST endpoint, and close them
+    with one semi-join back on the oriented edge set. Wedge count is
+    bounded by O(m^1.5) total and O(√m) per node regardless of hub
+    degree — the skew is structurally removed, not salted around.
+
+    Input may contain duplicates, self-loops, or both orientations; each
+    triangle is counted exactly once.
+    """
+    ue = (edges.where(F.col("src") != F.col("dst"))
+          .select(F.least("src", "dst").alias("a"),
+                  F.greatest("src", "dst").alias("b"))
+          .distinct())
+    deg = (ue.select(F.col("a").alias("id"))
+           .union(ue.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count("*").alias("deg")))
+    da, db = [deg.select(F.col("id").alias(c),
+                         F.struct(F.col("deg"), F.col("id")).alias(f"rk_{c}"))
+              for c in ("a", "b")]
+    with_rk = ue.join(da, "a").join(db, "b")
+    o = with_rk.select(
+        F.when(F.col("rk_a") < F.col("rk_b"), F.col("a"))
+        .otherwise(F.col("b")).alias("src"),
+        F.when(F.col("rk_a") < F.col("rk_b"), F.col("b"))
+        .otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("rk_a") < F.col("rk_b"), F.col("rk_b"))
+        .otherwise(F.col("rk_a")).alias("rk_dst"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+              .where(F.col("e1.rk_dst") < F.col("e2.rk_dst"))
+              .select(F.col("e1.src").alias("x"),
+                      F.col("e1.dst").alias("y"),
+                      F.col("e2.dst").alias("z")))
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closing, ["y", "z"], "left_semi")
+    per_node = (tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+                .groupBy("id").agg(F.count("*").alias("triangles")))
+    return (deg.select("id").join(per_node, "id", "left")
+            .select("id", F.coalesce("triangles", F.lit(0))
+                    .cast("long").alias("triangles")))

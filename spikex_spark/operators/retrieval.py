@@ -139,3 +139,34 @@ def corpus_queries(df: DataFrame, id_col: str, text_col: str,
             F.array_join(F.slice(toks, 1, n_tokens), " ").alias("qtext"),
         )
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """(doc_id, term, score, rank) — the k most characteristic terms per
+    document by tf·idf: keyword extraction / topic labeling over a crawl.
+
+    Reuses the inverted-index statistics (one explode + map-side-combined
+    counts; shuffles carry counts, never text). idf = ln(1 + N/df_t),
+    int64-scaled before the tf product so the score is exact integer
+    arithmetic divided once (the BM25 determinism recipe); ranks break
+    ties on term ascending.
+
+    Scale: corpus-size stats are two narrow roll-ups of the postings
+    table; the per-doc top-k is one window on doc_id — no global sort.
+    """
+    postings, _, termstats = build_index(df, id_col, text_col)
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    idf = F.round(
+        F.log(F.lit(1.0) + F.col("n") / F.col("df_t")) * F.lit(1e7), 0
+    ).cast("long")
+    scored = (postings.crossJoin(F.broadcast(n_docs))
+              .join(termstats, "term")
+              .select("doc_id", "term",
+                      (F.col("tf").cast("long") * idf).alias("w")))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term",
+                    (F.col("w") / F.lit(1e7)).alias("score"), "rank"))

@@ -121,3 +121,39 @@ def test_group_quantiles_exact_and_approx_schema(spark):
     assert exact["de"]["p90"] == 10.0
     approx = group_quantiles(df, "lang", "n_chars", approx=True)
     assert approx.columns == exact["en"].__fields__
+
+
+def test_triangle_counts_known_graph(spark):
+    from spikex_spark.operators.graph import triangle_counts
+    # K4 on a,b,c,d (4 triangles, each node in 3) + pendant e (0) +
+    # duplicate/self-loop/reverse noise that must not change counts
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("b", "a"), ("a", "a"), ("a", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from spikex_spark.operators.graph import triangle_counts
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    got = triangle_counts(df).collect()
+    assert all(r["triangles"] == 0 for r in got) and len(got) == 4
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    import math
+    from spikex_spark.operators.retrieval import tfidf_top_terms
+    df = spark.createDataFrame(
+        [(0, "common rare common"), (1, "common common"), (2, "common"),
+         (3, "common")],
+        ["doc_id", "text"])
+    got = {(r["doc_id"], r["rank"]): r
+           for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()}
+    # rare: ln(1+4/1)=1.609 beats common's tf=2 · ln(1+4/4)=1.386
+    assert got[(0, 1)]["term"] == "rare"
+    assert got[(0, 2)]["term"] == "common"
+    w_rare = int(round(math.log(1.0 + 4.0 / 1.0) * 1e7))
+    assert got[(0, 1)]["score"] == w_rare / 1e7
+    assert got[(1, 1)]["term"] == "common" and (2, 2) not in got
