@@ -3156,6 +3156,57 @@ def _sql_stream_signature_dedup() -> str:
             f"SELECT DISTINCT md5({sig_concat}) AS sig FROM mh")
 
 
+# Stream-stream interval self-join: clicks within 30 min before each
+# error, correlated live. The two-sided event-time range + watermarks
+# bound join state (see stream.stream_interval_join); drained in one
+# micro-batch so the inner join is complete. Oracle = batch range join.
+_SQL_STREAM_IVJ = """
+SELECT l.event_id AS error_id, l.user_id, l.ts AS error_ts,
+       r.event_id AS click_id, r.ts AS click_ts, r.value AS click_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL '30 minutes'
+WHERE l.event_type = 'error' AND r.event_type = 'click'
+"""
+
+
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        stream_interval_join,
+    )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "events"))
+    errors = (stream.where(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"), "user_id",
+                      F.col("ts").alias("error_ts")))
+    clicks = (stream.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"),
+                      F.col("value").alias("click_value")))
+    joined = stream_interval_join(errors, clicks, "user_id",
+                                  "error_ts", "click_ts",
+                                  tolerance="30 minutes")
+    out = joined.select(
+        "error_id", "user_id", "error_ts", "click_id", "click_ts",
+        "click_value",
+        F.timestamp_diff("MICROSECOND", F.col("click_ts"),
+                         F.col("error_ts")).alias("gap_us"))
+    return run_to_memory(out, "q_stream_interval_join",
+                         shuffle_partitions=8)
+
+
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming tumbling-window agg over the events table,
     drained with availableNow — oracle = the equivalent batch SQL."""
@@ -3797,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentences,
         "nb_train_probs": _q_nb_train,
         "stream_windowed_counts": _q_stream_windowed,
+        "stream_interval_join": _q_stream_interval_join,
         "stream_signature_dedup": _q_stream_signature_dedup,
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
@@ -3932,6 +3984,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM events GROUP BY 1, 2"
         ),
         "stream_block_canonical": _SQL_STREAM_CANONICAL,
+        "stream_interval_join": _SQL_STREAM_IVJ,
         "stream_signature_dedup": _sql_stream_signature_dedup(),
         "embedding_mean_per_label": (
             "SELECT label, i AS pos, round(avg(embedding[i]), 6) AS mean_val"

@@ -14,6 +14,8 @@ so the same functions compose behind ``readStream``. Provided here:
   dedup.exact_duplicates; state per hash expires past the watermark).
 * ``sessionize``          — native session windows (``F.session_window``)
   per user key, batch and streaming.
+* ``stream_interval_join`` — stream-stream inner join bounded by a
+  two-sided event-time range (state evictable ⇒ unbounded streams OK).
 * ``run_to_memory``       — test/bench harness: drain a stream into an
   in-memory table and return the result.
 
@@ -163,18 +165,62 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str,
-                  mode: str = "append") -> DataFrame:
-    """Drain all available input into an in-memory table (tests/bench)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
+                         left_ts: str, right_ts: str,
+                         tolerance: str = "10 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream INNER join on ``key`` where the right event lands in
+    ``(left_ts - tolerance, left_ts]`` — every click within the window
+    before each error, correlated live at ingest.
+
+    This is the join Structured Streaming CAN do unbounded: the two-sided
+    event-time range condition plus watermarks on BOTH inputs lets the
+    state store evict a buffered row as soon as no future row on the
+    other side could still match it (state ≈ rows inside
+    watermark + tolerance, independent of stream length). Without the
+    range condition the same join would buffer both streams forever.
+
+    Column names must be disjoint apart from ``key`` (rename upstream);
+    the joined ``key`` column appears once.
+    """
+    l = left.withWatermark(left_ts, watermark)  # noqa: E741
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (r[right_ts] <= l[left_ts])
+        & (r[right_ts] > l[left_ts] - F.expr(f"INTERVAL {tolerance}"))
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return l.join(r, (l[key] == r[key]) & cond).drop(r[key])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append",
+                  shuffle_partitions: int | None = None) -> DataFrame:
+    """Drain all available input into an in-memory table (tests/bench).
+
+    ``shuffle_partitions`` scopes a state-partition override to this drain
+    (restored after): stateful operators pay a fixed state-store open/commit
+    cost PER shuffle partition per micro-batch, so a small local drain of a
+    stream-stream join (4 state stores per partition) wants few partitions,
+    while a production stream sizes this to its key cardinality. The result
+    is a set either way — partitioning never changes it.
+    """
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 def streaming_signature_dedup(stream: DataFrame, ts_col: str = "warc_ts",

@@ -1312,3 +1312,52 @@ def test_sessionize_streaming_matches_batch(spark, pages_dir):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert g == b and len(g) > 0
+
+
+def test_stream_interval_join_bounded_window(spark, tmp_path_factory):
+    """Stream-stream interval self-join: rights within (l.ts - tol, l.ts]
+    match; older or later rights don't; key must agree."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    d = tmp_path_factory.mktemp("ivj_stream")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("kind", T.StringType()),
+    ])
+    rows = [
+        (1, 1, ts(0), "click"),    # 60 min before error: outside tol
+        (2, 1, ts(55), "click"),   # inside
+        (3, 1, ts(60), "click"),   # equal ts: inside (<= bound)
+        (4, 1, ts(61), "click"),   # after: outside
+        (5, 2, ts(59), "click"),   # wrong user
+        (100, 1, ts(60), "error"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(d / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(d) + "/*")
+    errors = (stream.where(F.col("kind") == "error")
+              .select(F.col("event_id").alias("error_id"), "user_id",
+                      F.col("ts").alias("error_ts")))
+    clicks = (stream.where(F.col("kind") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts")))
+    out = run_to_memory(
+        stream_interval_join(errors, clicks, "user_id",
+                             "error_ts", "click_ts",
+                             tolerance="10 minutes"),
+        "t_ivj", shuffle_partitions=4).collect()
+    assert sorted(r["click_id"] for r in out) == [2, 3]
+    assert all(r["error_id"] == 100 for r in out)
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "4"  # restored
