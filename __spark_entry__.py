@@ -2794,6 +2794,30 @@ def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["lang", "source"], "n_chars")
 
 
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+# priority -ln(u)/w, u md5-derived → deterministic draw ∝ n_chars.
+_SQL_WSAMPLE = """
+WITH pri AS (
+  SELECT lang AS key, doc_id AS id, n_chars AS weight,
+    round(-ln((('0x' || substr(md5(lang || ':' || doc_id::varchar), 1, 15)
+      )::BIGINT + 1)::DOUBLE / 1152921504606846976.0)
+      / n_chars::DOUBLE * 1000000000.0)::BIGINT AS priority_scaled
+  FROM documents WHERE n_chars > 0
+)
+SELECT key, id, weight, priority_scaled, rk AS sample_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY key ORDER BY priority_scaled, id) AS rk FROM pri)
+WHERE rk <= 10
+"""
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import weighted_sample
+    out = weighted_sample(_read(spark, sf_dir, "documents"),
+                          "lang", "doc_id", "n_chars", k=10)
+    return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
+
+
 # Exact per-group quantiles (type-7 linear interpolation in BOTH
 # engines: Spark percentile == DuckDB quantile_cont).
 _SQL_QUANTILES = """
@@ -3830,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf,
         "corpus_rollup": _q_corpus_rollup,
         "length_quantiles": _q_length_quantiles,
+        "weighted_sample": _q_weighted_sample,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -3948,6 +3973,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _SQL_TFIDF,
         "corpus_rollup": _SQL_ROLLUP,
         "length_quantiles": _SQL_QUANTILES,
+        "weighted_sample": _SQL_WSAMPLE,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

@@ -170,3 +170,37 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
             .select("grp", "n", "vmin", "vmax",
                     *[F.round(F.col("_q")[i].cast("double"), 6).alias(nm)
                       for i, nm in enumerate(names)]))
+
+
+def weighted_sample(df: DataFrame, key_col: str, id_col: str,
+                    weight_col: str, k: int) -> DataFrame:
+    """Deterministic weighted sampling without replacement, ``k`` rows per
+    stratum (Efraimidis–Spirakis A-ES): item i gets priority
+    ``-ln(u_i)/w_i`` with ``u_i`` md5-derived from (key, id); the k
+    SMALLEST priorities win, which selects each item with probability
+    proportional to its weight — the quality-weighted corpus subsample.
+
+    The md5-derived ``u`` makes the draw a pure function of the data
+    (rerun-stable, resume-safe — the stratified_sample contract, with
+    weights). Priorities are int64-scaled (×1e9) so ordering is engine-
+    exact; ties break on id. Non-positive weights are excluded (they have
+    no sampling probability).
+
+    Scale shape: one narrow map for the priority, one shuffle on the
+    stratum key for the per-key top-k; the map side could pre-prune to
+    local k minima (same as any top-k). No global sort.
+    """
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(key_col), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    p = F.round(-F.log(u) / w * F.lit(1e9), 0).cast("long")
+    base = (df.where(w > 0)
+            .select(F.col(key_col).alias("key"),
+                    F.col(id_col).alias("id"),
+                    F.col(weight_col).alias("weight"),
+                    p.alias("priority_scaled")))
+    win = Window.partitionBy("key").orderBy("priority_scaled", "id")
+    return (base.withColumn("sample_rank", F.row_number().over(win))
+            .where(F.col("sample_rank") <= k))

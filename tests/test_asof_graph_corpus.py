@@ -157,3 +157,36 @@ def test_tfidf_top_terms_ranks_rare_terms_first(spark):
     w_rare = int(round(math.log(1.0 + 4.0 / 1.0) * 1e7))
     assert got[(0, 1)]["score"] == w_rare / 1e7
     assert got[(1, 1)]["term"] == "common" and (2, 2) not in got
+
+
+def test_weighted_sample_matches_aes_recompute(spark):
+    import hashlib
+    import math
+
+    from spikex_spark.operators.corpus import weighted_sample
+    rows = [("en", i, (i % 7) * 100 + 1) for i in range(40)] + \
+           [("en", 99, 0), ("en", 98, -5)]          # non-positive excluded
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "n_chars"])
+    got = weighted_sample(df, "lang", "doc_id", "n_chars", k=5).collect()
+
+    def pri(key, i, w):
+        h = int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        return int(round(-math.log(u) / w * 1e9))
+
+    want = sorted(((pri("en", i, w), i) for _, i, w in rows if w > 0))[:5]
+    assert [(r["priority_scaled"], r["id"]) for r in
+            sorted(got, key=lambda r: r["sample_rank"])] == want
+    assert all(r["id"] not in (98, 99) for r in got)
+
+
+def test_weighted_sample_prefers_heavy_items(spark):
+    from spikex_spark.operators.corpus import weighted_sample
+    # 200 light (w=1) vs 200 heavy (w=1000) items: a proportional draw of
+    # 50 should be overwhelmingly heavy (P[light] ~ 1/1000 per slot)
+    rows = [("x", i, 1) for i in range(200)] + \
+           [("x", 1000 + i, 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "i", "w"])
+    got = weighted_sample(df, "k", "i", "w", k=50).collect()
+    heavy = sum(1 for r in got if r["id"] >= 1000)
+    assert len(got) == 50 and heavy >= 45
