@@ -1353,11 +1353,13 @@ def test_stream_interval_join_bounded_window(spark, tmp_path_factory):
     clicks = (stream.where(F.col("kind") == "click")
               .select(F.col("event_id").alias("click_id"), "user_id",
                       F.col("ts").alias("click_ts")))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     out = run_to_memory(
         stream_interval_join(errors, clicks, "user_id",
                              "error_ts", "click_ts",
                              tolerance="10 minutes"),
-        "t_ivj", shuffle_partitions=4).collect()
+        "t_ivj", shuffle_partitions=3).collect()
     assert sorted(r["click_id"] for r in out) == [2, 3]
     assert all(r["error_id"] == 100 for r in out)
-    assert spark.conf.get("spark.sql.shuffle.partitions") != "4"  # restored
+    # the scoped override is restored to whatever the session had before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
