@@ -2794,6 +2794,47 @@ def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["lang", "source"], "n_chars")
 
 
+# Semi-structured JSON column analytics: parse props.k JVM-side at the
+# scan (no UDF), aggregate per event_type; value summed as int64 cents.
+_SQL_JSON_STATS = """
+SELECT event_type AS grp, count(*)::BIGINT AS n,
+       min(k) AS min_k, max(k) AS max_k, sum(k)::BIGINT AS sum_k,
+       sum(round(value * 100))::BIGINT AS sum_value_cents
+FROM (SELECT event_type, value,
+        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
+def _q_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.relational import json_field_stats
+    return json_field_stats(_read(spark, sf_dir, "events"),
+                            "event_type", "props", "$.k", "value")
+
+
+# Wide-format pivot: per-user event-type counts in ONE conditional
+# aggregate (explicit value list — no driver distinct pass).
+_EVENT_TYPES = ["click", "view", "error", "signup", "purchase"]
+
+_SQL_PIVOT = """
+SELECT user_id AS key,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*)::BIGINT AS n_total
+FROM events GROUP BY user_id
+"""
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.relational import pivot_counts
+    return pivot_counts(_read(spark, sf_dir, "events"),
+                        "user_id", "event_type", _EVENT_TYPES)
+
+
 # Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
 # priority -ln(u)/w, u md5-derived → deterministic draw ∝ n_chars.
 _SQL_WSAMPLE = """
@@ -3855,6 +3896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _q_corpus_rollup,
         "length_quantiles": _q_length_quantiles,
         "weighted_sample": _q_weighted_sample,
+        "json_props_stats": _q_json_stats,
+        "events_pivot": _q_pivot,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -3974,6 +4017,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_rollup": _SQL_ROLLUP,
         "length_quantiles": _SQL_QUANTILES,
         "weighted_sample": _SQL_WSAMPLE,
+        "json_props_stats": _SQL_JSON_STATS,
+        "events_pivot": _SQL_PIVOT,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

@@ -97,3 +97,52 @@ def id_title_lookup(titles: DataFrame, ids: DataFrame,
     return ids.join(F.broadcast(dim), ids[id_col] == dim.pageid, "left").drop(
         dim.pageid
     )
+
+
+def json_field_stats(df: DataFrame, group_col: str, json_col: str,
+                     path: str, value_col: str) -> DataFrame:
+    """Semi-structured column analytics: extract an integer field from a
+    JSON string column and aggregate per group — (grp, n, min_k, max_k,
+    sum_k, sum_value_scaled).
+
+    JSON payload columns (event props, crawl metadata sidecars) are the
+    norm in web-pipeline tables; ``get_json_object`` evaluates JVM-side
+    in one narrow map, so the parse rides the scan — no UDF, no shuffle
+    beyond the aggregate. Rows where the path is missing or non-numeric
+    drop out (``try_cast`` null). The companion double column is summed
+    as int64 cents (×100) so the aggregate is reduction-order-exact.
+    """
+    k = F.get_json_object(F.col(json_col), path).try_cast("long")
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return (df.select(F.col(group_col).alias("grp"), k.alias("k"),
+                      cents.alias("cents"))
+            .where(F.col("k").isNotNull())
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.sum("cents").alias("sum_value_cents")))
+
+
+def pivot_counts(df: DataFrame, key_col: str, pivot_col: str,
+                 values: list[str]) -> DataFrame:
+    """Wide-format counts: one row per key, one ``n_<value>`` column per
+    pivot value, plus ``n_total``.
+
+    ``values`` must be EXPLICIT: with the value list pinned, ``pivot``
+    compiles to a single map-side-combined aggregate of conditional
+    counts (one shuffle on the key, no Expand); omitting it would add a
+    driver-side distinct pass over the pivot column first — at corpus
+    scale that is a full extra job before the real one. Unmatched pivot
+    cells are 0, and rows with other pivot values still count toward
+    ``n_total``.
+    """
+    agged = (df.groupBy(F.col(key_col).alias("key"))
+             .pivot(pivot_col, values)
+             .agg(F.count(F.lit(1))))
+    total = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_total"))
+    cols = [F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long")
+            .alias(f"n_{v}") for v in values]
+    return agged.join(total, "key").select("key", *cols, "n_total")

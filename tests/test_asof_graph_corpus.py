@@ -190,3 +190,30 @@ def test_weighted_sample_prefers_heavy_items(spark):
     got = weighted_sample(df, "k", "i", "w", k=50).collect()
     heavy = sum(1 for r in got if r["id"] >= 1000)
     assert len(got) == 50 and heavy >= 45
+
+
+def test_json_field_stats_parses_and_drops_bad_rows(spark):
+    from spikex_spark.operators.relational import json_field_stats
+    rows = [("click", '{"k": 3}', 1.25), ("click", '{"k": 7}', 2.50),
+            ("view", '{"x": 1}', 9.0),          # path missing -> dropped
+            ("view", 'not json', 9.0),          # unparseable -> dropped
+            ("view", '{"k": "ten"}', 9.0),      # non-numeric -> dropped
+            ("view", '{"k": 10}', 0.01)]
+    df = spark.createDataFrame(rows, ["event_type", "props", "value"])
+    got = {r["grp"]: r for r in json_field_stats(
+        df, "event_type", "props", "$.k", "value").collect()}
+    assert got["click"]["n"] == 2 and got["click"]["sum_k"] == 10
+    assert got["click"]["sum_value_cents"] == 375
+    assert got["view"]["n"] == 1 and got["view"]["min_k"] == 10
+
+
+def test_pivot_counts_explicit_values(spark):
+    from spikex_spark.operators.relational import pivot_counts
+    rows = [(1, "click"), (1, "click"), (1, "view"), (2, "error"),
+            (2, "other")]                        # 'other' only in total
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    got = {r["key"]: r for r in pivot_counts(
+        df, "user_id", "event_type", ["click", "view", "error"]).collect()}
+    assert got[1]["n_click"] == 2 and got[1]["n_view"] == 1
+    assert got[1]["n_error"] == 0 and got[1]["n_total"] == 3
+    assert got[2]["n_error"] == 1 and got[2]["n_total"] == 2
