@@ -2794,6 +2794,46 @@ def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["lang", "source"], "n_chars")
 
 
+# Exact token-set Jaccard join via PPJoin prefix filtering. The engine
+# joins only on rarest-prefix tokens (lossless, skew-free); the oracle
+# is the NAIVE all-shared-token join — agreement proves the prefix
+# filter drops no qualifying pair.
+_SQL_JACCARD_PREFIX = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT id, gram FROM (
+    SELECT id, unnest(
+      CASE WHEN len(toks) >= 3
+           THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' ')))
+           ELSE [array_to_string(toks, ' ')]
+      END) AS gram
+    FROM t) WHERE gram <> ''
+),
+counts AS (SELECT id, count(*)::BIGINT AS n FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
+WHERE round(i::DOUBLE / (ca.n + cb.n - i), 6) >= 0.5
+"""
+
+
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import jaccard_prefix_pairs
+    return jaccard_prefix_pairs(_read(spark, sf_dir, "documents"),
+                                "doc_id", "text", threshold=0.5, n=3)
+
+
 # Semi-structured JSON column analytics: parse props.k JVM-side at the
 # scan (no UDF), aggregate per event_type; value summed as int64 cents.
 _SQL_JSON_STATS = """
@@ -3898,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "json_props_stats": _q_json_stats,
         "events_pivot": _q_pivot,
+        "jaccard_prefix_pairs": _q_jaccard_prefix,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -4019,6 +4060,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WSAMPLE,
         "json_props_stats": _SQL_JSON_STATS,
         "events_pivot": _SQL_PIVOT,
+        "jaccard_prefix_pairs": _SQL_JACCARD_PREFIX,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

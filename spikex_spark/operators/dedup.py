@@ -476,3 +476,81 @@ def bloom_decontaminate(df: DataFrame, id_col: str, text_col: str,
                     F.coalesce("n_maybe_grams", F.lit(0)).cast("long")
                     .alias("n_maybe_grams"))
             .withColumn("contaminated", F.col("n_maybe_grams") > 0))
+
+
+def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
+                         threshold: float = 0.5, n: int = 1) -> DataFrame:
+    """(id_a, id_b, jaccard): EXACT token-n-gram-set Jaccard ≥ threshold
+    via prefix filtering (AllPairs/PPJoin) — the exact-similarity join
+    that scales WITHOUT the hub-gram cap ngram_jaccard_pairs needs.
+    ``n=1`` joins on unigram token sets; ``n≥2`` on token n-grams (the
+    granularity where near-dup thresholds are discriminative — unigram
+    SETS of templated web text overlap heavily across unrelated docs).
+
+    Order every token by global rarity (document frequency asc, token
+    asc). Two sets with ``J(a,b) ≥ t`` MUST share a token inside each
+    set's prefix of length ``|x| − ⌈t·|x|⌉ + 1`` under that shared order
+    (if all prefix tokens mismatched, the overlap left in the suffixes is
+    too small to reach t). So candidates come only from prefix-token
+    collisions — and prefixes hold each document's RAREST tokens, which
+    makes the candidate self-join structurally skew-free: the "of the"
+    hub token that detonates the naive shared-token join never enters a
+    prefix of a document with more than a handful of tokens. No recall
+    loss, no cap semantics — the filter is lossless by construction (the
+    oracle runs the naive all-shared-token join and must agree exactly).
+
+    Shape at scale: one shuffle to attach document frequencies, one
+    groupBy(doc) to build the sorted set, one self-join on PREFIX tokens
+    only, then per-candidate exact verification with ``array_intersect``
+    on the carried sorted sets (bounded by per-doc set size). Jaccard is
+    one exact division, rounded to 6.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    if n > 1:
+        units = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    else:
+        units = toks
+    tok_rows = (df.select(F.col(id_col).alias("id"),
+                          F.explode(F.array_distinct(units)).alias("tok"))
+                .where(F.col("tok") != ""))
+    dfreq = tok_rows.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    per_doc = (tok_rows.join(dfreq, "tok")
+               .groupBy("id")
+               .agg(F.array_sort(F.collect_list(
+                        F.struct("dfreq", "tok"))).alias("ordered"),
+                    F.count("*").alias("n_tok")))
+    prefix_len = (F.col("n_tok")
+                  - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int")
+    prefixes = per_doc.select(
+        "id",
+        F.explode(F.slice(
+            F.transform(F.col("ordered"), lambda x: x["tok"]),
+            F.lit(1), prefix_len)).alias("tok"))
+    cand = (prefixes.alias("a").join(prefixes.alias("b"), "tok")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    sets = per_doc.select(
+        "id", F.transform(F.col("ordered"), lambda x: x["tok"]).alias("ts"),
+        "n_tok")
+    out = (cand
+           .join(sets.withColumnsRenamed(
+               {"id": "id_a", "ts": "ta", "n_tok": "na"}), "id_a")
+           .join(sets.withColumnsRenamed(
+               {"id": "id_b", "ts": "tb", "n_tok": "nb"}), "id_b")
+           .withColumn("inter",
+                       F.size(F.array_intersect("ta", "tb")).cast("long"))
+           .withColumn("jaccard", F.round(
+               F.col("inter").cast("double")
+               / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+               6)))
+    return (out.where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -175,3 +175,47 @@ def test_bloom_decontaminate_matches_exact_flags(spark):
     # at m=2^20 with a 3-gram benchmark set, clean docs stay clean
     assert not out[2]["contaminated"] and out[2]["n_maybe_grams"] == 0
     assert not out[3]["contaminated"]
+
+
+def test_jaccard_prefix_pairs_matches_naive(spark):
+    """Prefix filtering is lossless: results equal the naive all-shared-
+    token join at every threshold, including pairs whose shared tokens
+    are all CORPUS-COMMON (the prefix theorem's worst case)."""
+    from spikex_spark.operators.dedup import jaccard_prefix_pairs
+    docs = [
+        (0, "the quick brown fox jumps"),
+        (1, "the quick brown fox leaps"),       # J=4/6 with 0
+        (2, "the quick brown cat sits"),        # J=3/7 with 0
+        (3, "totally different words here"),
+        (4, "the the quick quick"),             # dup tokens collapse
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def naive(t):
+        sets = {i: set(s.split()) for i, s in docs}
+        out = set()
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] & sets[b]:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if round(j, 6) >= t:
+                        out.add((a, b, round(j, 6)))
+        return out
+
+    for t in (0.3, 0.5, 0.66, 0.9):
+        got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+               jaccard_prefix_pairs(df, "doc_id", "text",
+                                    threshold=t).collect()}
+        assert got == naive(t), f"threshold {t}"
+
+
+def test_jaccard_prefix_pairs_ngram_mode(spark):
+    from spikex_spark.operators.dedup import jaccard_prefix_pairs
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f"), (2, "x y")],
+        ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.4,
+                                n=3).collect()}
+    # 3-grams of 0: {abc,bcd,cde}; of 1: {abc,bcd,cdf} -> J = 2/4 = 0.5
+    assert got == {(0, 1): 0.5}
