@@ -2794,6 +2794,62 @@ def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["lang", "source"], "n_chars")
 
 
+# Distributed pair-set evaluation: SimHash near-dup predictions scored
+# against the exact n-gram-Jaccard reference — tp/fp/fn from one full
+# outer join of canonical pairs, metrics as single exact divisions.
+_SQL_PAIR_METRICS = f"""
+WITH p AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM ({_SQL_SIMHASH_PAIRS}) WHERE id_a <> id_b
+),
+r AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM ({_SQL_NGRAM_JACC}) WHERE id_a <> id_b
+),
+j AS (
+  SELECT coalesce(p.a, r.a) AS a, coalesce(p.b, r.b) AS b,
+         p.a IS NOT NULL AS in_p, r.a IS NOT NULL AS in_r
+  FROM p FULL OUTER JOIN r ON p.a = r.a AND p.b = r.b
+),
+c AS (
+  SELECT count(*) FILTER (in_p AND in_r)::BIGINT AS tp,
+         count(*) FILTER (in_p AND NOT in_r)::BIGINT AS fp,
+         count(*) FILTER (in_r AND NOT in_p)::BIGINT AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN 2 * tp + fp + fn > 0
+        THEN (2 * tp) / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+FROM c
+"""
+
+
+def _q_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.evaluation import pair_metrics
+    pred = _q_simhash_near_dups(spark, sf_dir)
+    ref = _q_ngram_jaccard(spark, sf_dir)
+    return pair_metrics(pred, ref)
+
+
+# ER output accounting: cluster-size histogram of the flagship document
+# resolution (giant component / all-singletons detector).
+_SQL_ER_SIZES = f"""
+SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM ({_SQL_ER_CLUSTERS}) GROUP BY cluster_id
+) GROUP BY cluster_size
+"""
+
+
+def _q_er_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.evaluation import cluster_size_histogram
+    return cluster_size_histogram(_q_er_doc_clusters(spark, sf_dir))
+
+
 # Exact token-set Jaccard join via PPJoin prefix filtering. The engine
 # joins only on rarest-prefix tokens (lossless, skew-free); the oracle
 # is the NAIVE all-shared-token join — agreement proves the prefix
@@ -3939,6 +3995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _q_json_stats,
         "events_pivot": _q_pivot,
         "jaccard_prefix_pairs": _q_jaccard_prefix,
+        "pair_metrics_simhash": _q_pair_metrics,
+        "er_cluster_sizes": _q_er_cluster_sizes,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -4061,6 +4119,8 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": _SQL_JSON_STATS,
         "events_pivot": _SQL_PIVOT,
         "jaccard_prefix_pairs": _SQL_JACCARD_PREFIX,
+        "pair_metrics_simhash": _SQL_PAIR_METRICS,
+        "er_cluster_sizes": _SQL_ER_SIZES,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

@@ -1,0 +1,71 @@
+"""Evaluation operators: comparing pair/cluster outputs at corpus scale.
+
+An ER pipeline ships with its measurements: when two dedup strategies (or
+two releases of one) disagree over 10^9 candidate pairs, the comparison
+itself must be a distributed job — collecting either side to a driver is
+the anti-pattern. Both operators here are joins + counts with exactly one
+floating division per metric, so the DuckDB oracle reproduces every digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_metrics(pred: DataFrame, ref: DataFrame,
+                 id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """One row: (tp, fp, fn, precision, recall, f1) of predicted pairs
+    against reference pairs.
+
+    Pairs are undirected — both inputs are canonicalized to
+    (min, max) and deduplicated before counting, so orientation and
+    duplicates in either input cannot skew the counts. tp/fp/fn come from
+    one full outer join of the two canonical pair sets (two shuffles
+    total, each carrying only id pairs); the metrics are single exact
+    divisions of those int64 counts. Empty sides yield 0.0 metrics, not
+    nulls, so downstream gates can threshold directly.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return (df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+    p = canon(pred).withColumn("_p", F.lit(1))
+    r = canon(ref).withColumn("_r", F.lit(1))
+    joined = p.join(r, ["a", "b"], "full_outer")
+    counts = joined.agg(
+        F.count(F.when(F.col("_p").isNotNull()
+                       & F.col("_r").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("_p").isNotNull()
+                       & F.col("_r").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("_p").isNull()
+                       & F.col("_r").isNotNull(), 1)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(2 * tp + fp + fn > 0,
+                (2 * tp) / (2 * tp + fp + fn)).otherwise(F.lit(0.0))
+    return counts.select(
+        "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
+
+
+def cluster_size_histogram(clusters: DataFrame,
+                           cluster_col: str = "cluster_id") -> DataFrame:
+    """(cluster_size, n_clusters): the size distribution of a clustering —
+    the first thing to inspect after any ER run (a giant component means
+    a too-loose threshold; all-singletons means a too-tight one).
+
+    Two map-side-combined aggregates; the second one's input is one row
+    per cluster, so the histogram costs ~nothing beyond the first count.
+    """
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters")))

@@ -217,3 +217,36 @@ def test_pivot_counts_explicit_values(spark):
     assert got[1]["n_click"] == 2 and got[1]["n_view"] == 1
     assert got[1]["n_error"] == 0 and got[1]["n_total"] == 3
     assert got[2]["n_error"] == 1 and got[2]["n_total"] == 2
+
+
+def test_pair_metrics_counts_and_divisions(spark):
+    from spikex_spark.operators.evaluation import pair_metrics
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (2, 1), (7, 7)],   # dup orient + self
+        ["id_a", "id_b"])
+    ref = spark.createDataFrame(
+        [(2, 1), (3, 4), (8, 9)], ["id_a", "id_b"])
+    row = pair_metrics(pred, ref).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (2, 1, 1)
+    assert row["precision"] == round(2 / 3, 6)
+    assert row["recall"] == 0.666667
+    assert row["f1"] == round(4 / 6, 6)     # 2tp / (2tp + fp + fn)
+
+
+def test_pair_metrics_empty_pred_is_zero_not_null(spark):
+    from spikex_spark.operators.evaluation import pair_metrics
+    pred = spark.createDataFrame([], "id_a long, id_b long")
+    ref = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    row = pair_metrics(pred, ref).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (0, 0, 1)
+    assert row["precision"] == 0.0 and row["f1"] == 0.0
+
+
+def test_cluster_size_histogram(spark):
+    from spikex_spark.operators.evaluation import cluster_size_histogram
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate([10, 10, 10, 20, 20, 30])],
+        ["doc_id", "cluster_id"])
+    got = {r["cluster_size"]: r["n_clusters"]
+           for r in cluster_size_histogram(df).collect()}
+    assert got == {3: 1, 2: 1, 1: 1}
