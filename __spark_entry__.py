@@ -2794,6 +2794,65 @@ def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["lang", "source"], "n_chars")
 
 
+# Fellegi–Sunter probabilistic linkage over the flagship candidate
+# pairs: self-labeled training (combined score ≥ 0.80 = match), count-
+# based m/u with add-one smoothing, int64-scaled log-likelihood weights
+# summed exactly per pair. Oracle recomputes estimation AND scoring.
+_SQL_FS_LINKAGE = f"""
+WITH s AS ({_SQL_SCORED}),
+lab AS (
+  SELECT id_a, id_b,
+         round(0.5 * jw + 0.5 * jacc, 6) >= 0.80 AS match,
+         round(jw, 6) >= 0.9 AS a_jw,
+         round(jacc, 6) >= 0.5 AS a_jacc
+  FROM s
+),
+c AS (
+  SELECT count(*) FILTER (match)::BIGINT AS nm,
+         count(*) FILTER (NOT match)::BIGINT AS nu,
+         count(*) FILTER (match AND a_jw)::BIGINT AS am_jw,
+         count(*) FILTER (NOT match AND a_jw)::BIGINT AS au_jw,
+         count(*) FILTER (match AND a_jacc)::BIGINT AS am_jacc,
+         count(*) FILTER (NOT match AND a_jacc)::BIGINT AS au_jacc
+  FROM lab
+),
+w AS (
+  SELECT
+    round(ln(((am_jw + 1) / (nm + 2)) / ((au_jw + 1) / (nu + 2)))
+          * 10000000.0)::BIGINT AS wa_jw,
+    round(ln((1 - (am_jw + 1) / (nm + 2)) / (1 - (au_jw + 1) / (nu + 2)))
+          * 10000000.0)::BIGINT AS wd_jw,
+    round(ln(((am_jacc + 1) / (nm + 2)) / ((au_jacc + 1) / (nu + 2)))
+          * 10000000.0)::BIGINT AS wa_jacc,
+    round(ln((1 - (am_jacc + 1) / (nm + 2))
+             / (1 - (au_jacc + 1) / (nu + 2)))
+          * 10000000.0)::BIGINT AS wd_jacc
+  FROM c
+)
+SELECT l.id_a, l.id_b, l.a_jw, l.a_jacc,
+  (CASE WHEN a_jw THEN wa_jw ELSE wd_jw END
+   + CASE WHEN a_jacc THEN wa_jacc ELSE wd_jacc END)::BIGINT AS fs_scaled,
+  (CASE WHEN a_jw THEN wa_jw ELSE wd_jw END
+   + CASE WHEN a_jacc THEN wa_jacc ELSE wd_jacc END) / 10000000.0
+    AS fs_score
+FROM lab l CROSS JOIN w
+"""
+
+
+def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import fs_score, fs_weights
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs)     # (id_a, id_b, jw, jacc, score)
+    lab = scored.select(
+        "id_a", "id_b",
+        (F.col("score") >= 0.80).alias("match"),
+        (F.col("jw") >= 0.9).alias("a_jw"),
+        (F.col("jacc") >= 0.5).alias("a_jacc"))
+    weights = fs_weights(lab, "match", ["a_jw", "a_jacc"])
+    return fs_score(lab, weights, ["a_jw", "a_jacc"])
+
+
 # Distributed pair-set evaluation: SimHash near-dup predictions scored
 # against the exact n-gram-Jaccard reference — tp/fp/fn from one full
 # outer join of canonical pairs, metrics as single exact divisions.
@@ -3996,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_pivot,
         "jaccard_prefix_pairs": _q_jaccard_prefix,
         "pair_metrics_simhash": _q_pair_metrics,
+        "fs_linkage_scores": _q_fs_linkage,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -4120,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _SQL_PIVOT,
         "jaccard_prefix_pairs": _SQL_JACCARD_PREFIX,
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
+        "fs_linkage_scores": _SQL_FS_LINKAGE,
         "er_cluster_sizes": _SQL_ER_SIZES,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),

@@ -250,3 +250,35 @@ def test_cluster_size_histogram(spark):
     got = {r["cluster_size"]: r["n_clusters"]
            for r in cluster_size_histogram(df).collect()}
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_fs_weights_and_score_exact(spark):
+    import math
+
+    from spikex_spark.operators.linkage import fs_score, fs_weights
+    # 4 matches (3 agree on f), 6 non-matches (1 agrees on f)
+    rows = ([(i, i + 100, True, i < 3) for i in range(4)]
+            + [(i, i + 200, False, i == 0) for i in range(6)])
+    df = spark.createDataFrame(rows, ["id_a", "id_b", "match", "f"])
+    w = {r["field"]: r for r in fs_weights(df, "match", ["f"]).collect()}
+    m, u = (3 + 1) / (4 + 2), (1 + 1) / (6 + 2)
+    assert w["f"]["m"] == round(m, 6) and w["f"]["u"] == round(u, 6)
+    assert w["f"]["w_agree"] == int(round(math.log(m / u) * 1e7))
+    assert w["f"]["w_disagree"] == int(round(
+        math.log((1 - m) / (1 - u)) * 1e7))
+    scored = {(r["id_a"], r["id_b"]): r for r in fs_score(
+        df, fs_weights(df, "match", ["f"]), ["f"]).collect()}
+    assert scored[(0, 100)]["fs_scaled"] == w["f"]["w_agree"]
+    assert scored[(3, 103)]["fs_scaled"] == w["f"]["w_disagree"]
+    assert scored[(0, 100)]["fs_score"] == w["f"]["w_agree"] / 1e7
+
+
+def test_fs_weights_smoothing_keeps_ln_finite(spark):
+    from spikex_spark.operators.linkage import fs_weights
+    # field NEVER agrees in matches and ALWAYS in non-matches: raw m=0,
+    # u=1 would blow ln(); add-one keeps every weight finite
+    rows = [(1, 2, True, False), (3, 4, False, True)]
+    df = spark.createDataFrame(rows, ["id_a", "id_b", "match", "f"])
+    r = fs_weights(df, "match", ["f"]).collect()[0]
+    assert r["w_agree"] is not None and r["w_disagree"] is not None
+    assert r["m"] == round(1 / 3, 6) and r["u"] == round(2 / 3, 6)
