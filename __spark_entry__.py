@@ -2794,6 +2794,42 @@ def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["lang", "source"], "n_chars")
 
 
+# Per-user value trend: closed-form least squares from five exact
+# integer sufficient statistics, combined in one fixed double expression.
+_SQL_TREND = """
+WITH b AS (
+  SELECT user_id AS grp,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+           // 60000000 AS x,
+         round(value * 100)::BIGINT AS y
+  FROM events
+),
+s AS (
+  SELECT grp, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx
+  FROM b GROUP BY grp
+)
+SELECT grp, n,
+  round(CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+    THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) END, 6)
+    AS slope,
+  round(CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+    THEN (sy::DOUBLE
+          - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * sx::DOUBLE) / n::DOUBLE END, 6) AS intercept
+FROM s
+"""
+
+
+def _q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import group_trend
+    return group_trend(_read(spark, sf_dir, "events"),
+                       "user_id", "ts", "value")
+
+
 # Fellegi–Sunter probabilistic linkage over the flagship candidate
 # pairs: self-labeled training (combined score ≥ 0.80 = match), count-
 # based m/u with add-one smoothing, int64-scaled log-likelihood weights
@@ -4056,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_pairs": _q_jaccard_prefix,
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
+        "group_trend_events": _q_group_trend,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -4181,6 +4218,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix_pairs": _SQL_JACCARD_PREFIX,
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
+        "group_trend_events": _SQL_TREND,
         "er_cluster_sizes": _SQL_ER_SIZES,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),

@@ -204,3 +204,46 @@ def weighted_sample(df: DataFrame, key_col: str, id_col: str,
     win = Window.partitionBy("key").orderBy("priority_scaled", "id")
     return (base.withColumn("sample_rank", F.row_number().over(win))
             .where(F.col("sample_rank") <= k))
+
+
+def group_trend(df: DataFrame, group_col: str, ts_col: str,
+                value_col: str) -> DataFrame:
+    """(grp, n, slope, intercept): closed-form least-squares trend of a
+    value over time per group — drift detection over event streams /
+    crawl-quality time series without any iterative fitting.
+
+    x = whole minutes since the group's first event (exact int64 via
+    timestamp_diff, works for TIMESTAMP and _NTZ); y = value in int64
+    cents. The five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    exact integer sums; the slope/intercept combine them in ONE fixed
+    double expression, identical in both engines. Degenerate groups
+    (single point / zero time spread) yield NULL slope rather than a
+    division blow-up.
+
+    Shape: one window (min ts per group) + one groupBy on the SAME key —
+    the aggregate reuses the window's partitioning, so the whole operator
+    costs a single shuffle.
+    """
+    g = F.col(group_col)
+    w = Window.partitionBy(group_col)
+    diff = F.timestamp_diff("MICROSECOND", F.min(ts_col).over(w),
+                            F.col(ts_col))
+    y = F.round(F.col(value_col) * 100, 0).cast("long")
+    # integer `div`, NOT double /-then-cast: a double quotient of an exact
+    # multiple can land at k−ε and truncate to k−1
+    base = (df.select(g.alias("grp"), diff.alias("diff_us"), y.alias("y"))
+            .select("grp", F.expr("diff_us div 60000000").alias("x"), "y"))
+    s = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = nd * sxx - sx * sx
+    slope = F.when(denom != 0, (nd * sxy - sx * sy) / denom)
+    intercept = F.when(denom != 0, (sy - (nd * sxy - sx * sy) / denom * sx) / nd)
+    return s.select("grp", "n",
+                    F.round(slope, 6).alias("slope"),
+                    F.round(intercept, 6).alias("intercept"))

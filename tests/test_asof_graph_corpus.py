@@ -282,3 +282,41 @@ def test_fs_weights_smoothing_keeps_ln_finite(spark):
     r = fs_weights(df, "match", ["f"]).collect()[0]
     assert r["w_agree"] is not None and r["w_disagree"] is not None
     assert r["m"] == round(1 / 3, 6) and r["u"] == round(2 / 3, 6)
+
+
+def test_asof_join_randomized_vs_naive(spark):
+    """Seeded random corpus: the merge-sorted-union as-of join must equal
+    the O(n·m) naive recompute on every row."""
+    import random
+
+    rng = random.Random(42)
+    lefts = [(i, rng.randint(1, 5), _ts(rng.randint(0, 500)))
+             for i in range(120)]
+    rights = [(1000 + i, rng.randint(1, 5), _ts(rng.randint(0, 500)),
+               float(i)) for i in range(200)]
+    l = spark.createDataFrame(lefts, ["event_id", "user_id", "ts"])  # noqa: E741
+    r = spark.createDataFrame(rights,
+                              ["event_id", "user_id", "ts", "value"])
+    got = {row["event_id"]: (row["asof_event_id"], row["asof_value"])
+           for row in asof_join(l, r, "user_id", "ts", "ts",
+                                ["event_id", "value"],
+                                right_tie="event_id").collect()}
+    for eid, u, ts in lefts:
+        cands = [(rts, rid, v) for rid, ru, rts, v in rights
+                 if ru == u and rts <= ts]
+        want = (None, None) if not cands else (
+            max(cands)[1], max(cands)[2])
+        assert got[eid] == want, eid
+
+
+def test_group_trend_recovers_exact_line(spark):
+    from spikex_spark.operators.corpus import group_trend
+    # y = 2.00·x + 5.00 (x in minutes): slope in cents/min = 200
+    rows = [(1, _ts(60 * x), 2.0 * x + 5.0) for x in (0, 1, 2, 3, 10)]
+    rows += [(2, _ts(0), 9.99)]                     # degenerate group
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r["grp"]: r for r in
+           group_trend(df, "user_id", "ts", "value").collect()}
+    assert got[1]["slope"] == 200.0 and got[1]["intercept"] == 500.0
+    assert got[2]["slope"] is None and got[2]["intercept"] is None
+    assert got[2]["n"] == 1
