@@ -2794,6 +2794,57 @@ def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["lang", "source"], "n_chars")
 
 
+# JSONL ingest: the webtext interchange format (Dolma/RedPajama-style
+# one-JSON-object-per-line shards). The corpus is staged to .jsonl once
+# (deterministic: doc_id order, sorted keys, ascii escapes), read back
+# through Spark's native JSON reader with a PINNED schema (schema
+# inference on a 100-TB corpus is a full extra pass), and must
+# hash-equal the parquet truth — the full escape/decode roundtrip.
+_SQL_JSONL = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents
+"""
+
+
+def _stage_jsonl_dir(sf_dir: str) -> str:
+    import hashlib as _hl
+    import json as _json
+    from pathlib import Path
+
+    import duckdb as _duck
+    src = Path(f"{sf_dir}/documents.parquet")
+    d = Path("/tmp/spikex_jsonl") / _hl.md5(str(src).encode()).hexdigest()
+    dst = d / "documents.jsonl"
+    if not dst.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        rows = _duck.connect().execute(
+            f"SELECT doc_id, text, lang, source, n_chars FROM '{src}' "
+            "ORDER BY doc_id").fetchall()
+        tmp = dst.with_suffix(".tmp")
+        with open(tmp, "w") as fh:
+            for doc_id, text, lang, source, n_chars in rows:
+                fh.write(_json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": lang,
+                     "source": source, "n_chars": n_chars},
+                    sort_keys=True, ensure_ascii=True) + "\n")
+        tmp.rename(dst)
+    return str(d)
+
+
+def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    df = spark.read.schema(schema).json(_stage_jsonl_dir(sf_dir))
+    return df.select("doc_id", "lang", "source", "n_chars",
+                     F.md5(F.col("text")).alias("text_md5"))
+
+
 # Per-user value trend: closed-form least squares from five exact
 # integer sufficient statistics, combined in one fixed double expression.
 _SQL_TREND = """
@@ -4093,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
         "group_trend_events": _q_group_trend,
+        "jsonl_ingest": _q_jsonl_ingest,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -4219,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "group_trend_events": _SQL_TREND,
+        "jsonl_ingest": _SQL_JSONL,
         "er_cluster_sizes": _SQL_ER_SIZES,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),

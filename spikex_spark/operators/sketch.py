@@ -155,3 +155,51 @@ def cms_heavy_hitters(df: DataFrame, text_col: str, top: int = 20,
     return (truth.withColumnRenamed("tok", "token")
             .join(est.withColumnRenamed("key", "token"), "token")
             .select("token", "true_count", "est"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two per-group KMV sketch tables (schema of ``kmv_distinct``):
+    the union sketch is the k smallest DISTINCT hashes of the concatenated
+    inputs — exactly what makes KMV shippable: each shard sketches locally,
+    one tiny merge answers the global distinct count. Input theta/n_hashes
+    columns are recomputed, so merging is associative and idempotent.
+
+    This operates on the EXPANDED sketch rows (grp, h) — callers that kept
+    only (n_hashes, theta_hash) aggregates must retain hashes to merge;
+    ``kmv_hashes`` below produces that representation.
+    """
+    hashes = a.unionByName(b).select("grp", "h").distinct()
+    win = Window.partitionBy("grp").orderBy("h")
+    topk = (hashes.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k))
+    agg = topk.groupBy("grp").agg(
+        F.count("*").alias("n_hashes"),
+        F.max("h").alias("theta_hash"))
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round((F.lit(float(k - 1)) * F.lit(float(_SCALE)))
+                / F.col("theta_hash").cast("double"), 4))
+    return agg.select("grp", "n_hashes", "theta_hash",
+                      est.alias("est_distinct"))
+
+
+def kmv_hashes(df: DataFrame, group_col: str, value_col: str,
+               k: int = 256) -> DataFrame:
+    """(grp, h): the mergeable representation — each group's k smallest
+    distinct hashes (the sketch itself, k longs per group)."""
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        _md5_60(F.col(value_col)).alias("h"),
+    ).distinct()
+    win = Window.partitionBy("grp").orderBy("h")
+    return (hashed.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k).select("grp", "h"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches (schema of ``cms_build``) by cell-wise
+    addition — CMS is a linear sketch, so the merged table answers queries
+    over the union stream exactly as a single-pass build would."""
+    return (a.unionByName(b).groupBy("row", "col")
+            .agg(F.sum("c").alias("c")))

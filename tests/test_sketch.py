@@ -56,3 +56,29 @@ def test_cms_build_shape_bounded(spark):
     sk = SK.cms_build(df, "v", depth=4, width=64).collect()
     assert len(sk) <= 4 * 64
     assert sum(r["c"] for r in sk) == 4 * 500      # every value hits each row
+
+
+def test_kmv_union_equals_single_pass(spark):
+    df1 = spark.createDataFrame([("x", f"v{i}") for i in range(800)],
+                                ["g", "v"])
+    df2 = spark.createDataFrame([("x", f"v{i}") for i in range(400, 1200)],
+                                ["g", "v"])
+    both = df1.union(df2)
+    single = SK.kmv_distinct(both, "g", "v", k=64).collect()[0]
+    merged = SK.kmv_union(SK.kmv_hashes(df1, "g", "v", k=64),
+                          SK.kmv_hashes(df2, "g", "v", k=64),
+                          k=64).collect()[0]
+    assert merged["theta_hash"] == single["theta_hash"]
+    assert merged["est_distinct"] == single["est_distinct"]
+    assert merged["n_hashes"] == 64
+
+
+def test_cms_merge_equals_single_pass(spark):
+    d1 = spark.createDataFrame([(f"t{i % 5}",) for i in range(50)], ["v"])
+    d2 = spark.createDataFrame([(f"t{i % 3}",) for i in range(30)], ["v"])
+    single = {(r["row"], r["col"]): r["c"] for r in
+              SK.cms_build(d1.union(d2), "v", depth=3, width=32).collect()}
+    merged = {(r["row"], r["col"]): r["c"] for r in
+              SK.cms_merge(SK.cms_build(d1, "v", depth=3, width=32),
+                           SK.cms_build(d2, "v", depth=3, width=32)).collect()}
+    assert merged == single
