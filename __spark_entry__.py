@@ -2648,6 +2648,27 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_gap_us").alias("gap_us"))
 
 
+def _q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe bucketed as-of variant under the SAME naive
+    range-join oracle as asof_join_events — per-task data bounded by one
+    (user, hour) even when one user owns the whole stream."""
+    from spikex_spark.operators.asof import asof_join_bucketed
+    ev = _read(spark, sf_dir, "events")
+    left = (ev.where(F.col("event_type") == "error")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.where(F.col("event_type") == "click")
+             .select("event_id", "user_id", "ts", "value"))
+    out = asof_join_bucketed(left, right, key="user_id", left_ts="ts",
+                             right_ts="ts",
+                             right_cols=["event_id", "value"],
+                             right_tie="event_id", bucket="hour")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_value").alias("click_value"),
+        F.col("asof_gap_us").alias("gap_us"))
+
+
 # Integer-exact PageRank over the (customer, supplier) trade graph,
 # symmetrized. 5 power-method rounds in int64 fixed point (10^12):
 # truncating division makes both engines bit-identical — the oracle
@@ -4132,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_bigrams": _q_kmv_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "asof_join_events": _q_asof_join,
+        "asof_join_events_bucketed": _q_asof_join_bucketed,
         "pagerank_trade_graph": _q_pagerank,
         "triangle_counts": _q_triangles,
         "tfidf_top_terms": _q_tfidf,
@@ -4259,6 +4281,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_bigrams": _SQL_KMV,
         "cms_heavy_hitters": _SQL_CMS,
         "asof_join_events": _SQL_ASOF,
+        "asof_join_events_bucketed": _SQL_ASOF,
         "pagerank_trade_graph": _sql_pagerank(),
         "triangle_counts": _SQL_TRIANGLES,
         "tfidf_top_terms": _SQL_TFIDF,

@@ -101,3 +101,94 @@ def asof_join(
     cols += [F.col(f"__carried.{c}").alias(f"{prefix}{c}") for c in right_cols]
     cols.append(gap.alias(f"{prefix}gap_us"))
     return out.select(*cols)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    right_tie: Optional[str] = None,
+    bucket: str = "day",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical semantics to :func:`asof_join`,
+    different shuffle geometry.
+
+    ``asof_join`` sorts each key's FULL history in one task — correct,
+    but a single hot key (one user / one instrument with 10^8 events)
+    concentrates in one partition. This variant shuffles on
+    ``(key, date_trunc(bucket, ts))`` so per-task data is bounded by one
+    key-bucket, then repairs bucket boundaries with a per-bucket summary
+    table (one row per non-empty (key, bucket): the bucket's LAST right
+    payload) that is itself windowed per key — rows proportional to
+    buckets, not events. A left row's answer is its within-bucket carry,
+    else the latest prior bucket's summary: ``coalesce(local, prev)``,
+    exact because the local carry already dominates anything earlier
+    whenever it exists.
+
+    Costs one extra small shuffle (the summary table) in exchange for
+    bounded partitions; pick ``bucket`` so a key-bucket fits a task.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    tie = F.col(right_tie) if right_tie else F.lit(0)
+    r = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__t"),
+        F.date_trunc(bucket, F.col(right_ts)).alias("__bkt"),
+        F.lit(0).alias("__side"),
+        tie.cast("long").alias("__tie"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in left.schema.fields],
+    )
+    l = left.select(  # noqa: E741
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__t"),
+        F.date_trunc(bucket, F.col(left_ts)).alias("__bkt"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(f.name) for f in left.schema.fields],
+    )
+    merged = r.unionByName(l)
+    # local pass: per (key, bucket) — the bounded partitions
+    w_local = (
+        Window.partitionBy("__key", "__bkt")
+        .orderBy("__t", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = merged.withColumn(
+        "__local", F.last("__payload", ignorenulls=True).over(w_local))
+    # summary pass: one row per (key, bucket) = the bucket's last right
+    # payload; carried across buckets per key (rows ∝ buckets, not events)
+    bucket_last = (
+        merged.where(F.col("__side") == 0)
+        .groupBy("__key", "__bkt")
+        .agg(F.max_by(
+            "__payload",
+            F.struct(F.col("__t"), F.col("__tie"))).alias("__blast"))
+    )
+    all_buckets = merged.select("__key", "__bkt").distinct()
+    w_bkts = (Window.partitionBy("__key").orderBy("__bkt")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prev = (all_buckets.join(bucket_last, ["__key", "__bkt"], "left")
+            .withColumn("__prev",
+                        F.last("__blast", ignorenulls=True).over(w_bkts))
+            .select("__key", "__bkt", "__prev"))
+    out = (local.where(F.col("__side") == 1)
+           .join(prev, ["__key", "__bkt"])
+           .withColumn("__carried",
+                       F.coalesce(F.col("__local"), F.col("__prev"))))
+    gap = F.timestamp_diff(
+        "MICROSECOND", F.col("__carried.__ts"), F.col("__t"))
+    cols = [F.col(f.name) for f in left.schema.fields]
+    cols += [F.col(f"__carried.{c}").alias(f"{prefix}{c}")
+             for c in right_cols]
+    cols.append(gap.alias(f"{prefix}gap_us"))
+    return out.select(*cols)

@@ -320,3 +320,45 @@ def test_group_trend_recovers_exact_line(spark):
     assert got[1]["slope"] == 200.0 and got[1]["intercept"] == 500.0
     assert got[2]["slope"] is None and got[2]["intercept"] is None
     assert got[2]["n"] == 1
+
+
+def test_asof_join_bucketed_equals_plain(spark):
+    """The hot-key-safe bucketed variant is semantics-identical to the
+    single-window join — randomized data forced across 'minute' bucket
+    boundaries, including empty buckets between activity bursts."""
+    import random
+
+    from spikex_spark.operators.asof import asof_join_bucketed
+
+    rng = random.Random(7)
+    lefts = [(i, rng.randint(1, 3), _ts(rng.randint(0, 1800)))
+             for i in range(150)]
+    rights = [(1000 + i, rng.randint(1, 3), _ts(rng.randint(0, 1800)),
+               float(i)) for i in range(80)]
+    l = spark.createDataFrame(lefts, ["event_id", "user_id", "ts"])  # noqa: E741
+    r = spark.createDataFrame(rights,
+                              ["event_id", "user_id", "ts", "value"])
+    plain = {row["event_id"]: (row["asof_event_id"], row["asof_value"],
+                               row["asof_gap_us"])
+             for row in asof_join(l, r, "user_id", "ts", "ts",
+                                  ["event_id", "value"],
+                                  right_tie="event_id").collect()}
+    bucketed = {row["event_id"]: (row["asof_event_id"], row["asof_value"],
+                                  row["asof_gap_us"])
+                for row in asof_join_bucketed(
+                    l, r, "user_id", "ts", "ts", ["event_id", "value"],
+                    right_tie="event_id", bucket="minute").collect()}
+    assert bucketed == plain and len(bucketed) == 150
+
+
+def test_asof_join_bucketed_equal_ts_ties(spark):
+    from spikex_spark.operators.asof import asof_join_bucketed
+    l = spark.createDataFrame([(100, 1, _ts(10))],  # noqa: E741
+                              ["event_id", "user_id", "ts"])
+    r = spark.createDataFrame(
+        [(1, 1, _ts(10), 1.0), (2, 1, _ts(10), 2.0)],
+        ["event_id", "user_id", "ts", "value"])
+    row = asof_join_bucketed(l, r, "user_id", "ts", "ts",
+                             ["event_id", "value"], right_tie="event_id",
+                             bucket="minute").collect()[0]
+    assert row["asof_event_id"] == 2 and row["asof_gap_us"] == 0
