@@ -3002,6 +3002,42 @@ def _q_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_metrics(pred, ref)
 
 
+# End of the dedup story: per ER cluster keep ONE survivor (longest
+# text, tie-break min doc_id) and map every member to it — the table a
+# user actually joins against to drop duplicates from the corpus.
+_SQL_CANONICAL_DOCS = f"""
+WITH clusters AS ({_SQL_ER_CLUSTERS}),
+sized AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+keep AS (
+  SELECT cluster_id, doc_id AS keep_id
+  FROM sized
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
+)
+SELECT s.doc_id, s.cluster_id, k.keep_id,
+       (s.doc_id = k.keep_id) AS is_kept
+FROM sized s JOIN keep k ON s.cluster_id = k.cluster_id
+"""
+
+
+def _q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    clusters = _q_er_doc_clusters(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = clusters.join(docs, "doc_id")
+    win = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    keep = (sized.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("keep_id")))
+    return (sized.join(keep, "cluster_id")
+            .select("doc_id", "cluster_id", "keep_id",
+                    (F.col("doc_id") == F.col("keep_id")).alias("is_kept")))
+
+
 # ER output accounting: cluster-size histogram of the flagship document
 # resolution (giant component / all-singletons detector).
 _SQL_ER_SIZES = f"""
@@ -4168,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_trend_events": _q_group_trend,
         "jsonl_ingest": _q_jsonl_ingest,
         "er_cluster_sizes": _q_er_cluster_sizes,
+        "dedup_canonical_docs": _q_canonical_docs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -4296,6 +4333,7 @@ def oracle_sql() -> dict[str, str]:
         "group_trend_events": _SQL_TREND,
         "jsonl_ingest": _SQL_JSONL,
         "er_cluster_sizes": _SQL_ER_SIZES,
+        "dedup_canonical_docs": _SQL_CANONICAL_DOCS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

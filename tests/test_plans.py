@@ -270,7 +270,8 @@ def test_no_row_python_in_any_contract_query():
     # Python stages are the same extract/score stages er_doc_pairs carries,
     # so skipping them here loses no plan surface
     skip = {"er_doc_clusters", "er_doc_clusters_incremental",
-            "er_pages_clusters", "er_cluster_sizes"}
+            "er_pages_clusters", "er_cluster_sizes",
+            "dedup_canonical_docs"}
     offenders = {}
     for name, fn in entry.queries().items():
         if name in skip:
