@@ -3158,6 +3158,26 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
 
 
+# Deterministic train/val/test split: md5-bucket basis points — a
+# narrow map, stable under corpus growth (no leakage-by-reshuffle).
+_SQL_SPLIT = """
+SELECT doc_id AS id, bucket,
+  CASE WHEN bucket < 9800 THEN 'train'
+       WHEN bucket < 9900 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5('split:' || doc_id::varchar), 1, 15))::BIGINT
+      % 10000 AS bucket
+  FROM documents)
+"""
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import corpus_split
+    return corpus_split(_read(spark, sf_dir, "documents"), "doc_id")
+
+
 # Exact per-group quantiles (type-7 linear interpolation in BOTH
 # engines: Spark percentile == DuckDB quantile_cont).
 _SQL_QUANTILES = """
@@ -4203,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage_scores": _q_fs_linkage,
         "group_trend_events": _q_group_trend,
         "jsonl_ingest": _q_jsonl_ingest,
+        "corpus_split": _q_corpus_split,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "dedup_canonical_docs": _q_canonical_docs,
         "ann_cosine_topk": _q_ann_topk,
@@ -4332,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "group_trend_events": _SQL_TREND,
         "jsonl_ingest": _SQL_JSONL,
+        "corpus_split": _SQL_SPLIT,
         "er_cluster_sizes": _SQL_ER_SIZES,
         "dedup_canonical_docs": _SQL_CANONICAL_DOCS,
         "ann_cosine_topk": _SQL_ANN_TOPK,

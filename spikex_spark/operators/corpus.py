@@ -247,3 +247,36 @@ def group_trend(df: DataFrame, group_col: str, ts_col: str,
     return s.select("grp", "n",
                     F.round(slope, 6).alias("slope"),
                     F.round(intercept, 6).alias("intercept"))
+
+
+def corpus_split(df: DataFrame, id_col: str,
+                 ratios: Sequence[tuple[str, int]] = (
+                     ("train", 9800), ("val", 100), ("test", 100)),
+                 salt: str = "split") -> DataFrame:
+    """(id, bucket, split): deterministic train/val/test assignment —
+    bucket = md5(salt:id) mod 10000, split by cumulative basis points.
+
+    Hash-based (not row-number-based) so membership depends ONLY on the
+    id: re-running on a grown corpus never moves an existing document
+    between splits (the leakage-by-reshuffle failure mode), and any shard
+    can be assigned independently — a narrow map, no shuffle at all.
+    ``salt`` versions the split; ratios are integer basis points summing
+    to ≤ 10000 (any remainder falls into the last split).
+    """
+    bps = [b for _, b in ratios]
+    if sum(bps) > 10000:
+        raise ValueError("ratios exceed 10000 basis points")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(10000))
+    expr = None
+    acc = 0
+    for name, width in ratios:
+        acc += width
+        cond = bucket < acc
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    expr = expr.otherwise(ratios[-1][0])
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"),
+                     expr.alias("split"))

@@ -362,3 +362,32 @@ def test_asof_join_bucketed_equal_ts_ties(spark):
                              ["event_id", "value"], right_tie="event_id",
                              bucket="minute").collect()[0]
     assert row["asof_event_id"] == 2 and row["asof_gap_us"] == 0
+
+
+def test_corpus_split_deterministic_and_growth_stable(spark):
+    import hashlib
+
+    from spikex_spark.operators.corpus import corpus_split
+    df1 = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    df2 = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"])
+    s1 = {r["id"]: r["split"] for r in
+          corpus_split(df1, "doc_id").collect()}
+    s2 = {r["id"]: r["split"] for r in
+          corpus_split(df2, "doc_id").collect()}
+    # growing the corpus never reassigns an existing doc
+    assert all(s2[i] == s1[i] for i in s1)
+    # matches the md5 recompute and the declared boundaries
+    for i in (0, 7, 123):
+        b = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:15],
+                16) % 10000
+        want = "train" if b < 9800 else ("val" if b < 9900 else "test")
+        assert s1[i] == want
+
+
+def test_corpus_split_rejects_overflowing_ratios(spark):
+    import pytest
+
+    from spikex_spark.operators.corpus import corpus_split
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        corpus_split(df, "doc_id", ratios=(("a", 9000), ("b", 2000)))
