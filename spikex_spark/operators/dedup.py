@@ -527,8 +527,13 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
                .agg(F.array_sort(F.collect_list(
                         F.struct("dfreq", "tok"))).alias("ordered"),
                     F.count("*").alias("n_tok")))
+    # ε-guard: if t·n is mathematically an integer k but the float product
+    # lands at k+ε, ceil() returns k+1 and the prefix goes one token short
+    # — a silent false-negative. Realistic |t·n| keeps float error ≪ 1e-9,
+    # so subtracting it never under-rounds a genuine fraction.
     prefix_len = (F.col("n_tok")
-                  - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int")
+                  - F.ceil(F.lit(threshold) * F.col("n_tok") - F.lit(1e-9))
+                  + 1).cast("int")
     prefixes = per_doc.select(
         "id",
         F.explode(F.slice(
