@@ -32,6 +32,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_reserved(left: DataFrame) -> None:
+    clash = [c for c in left.columns if c.startswith("__")]
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with the join's internal "
+            "__-prefixed working columns; rename them first")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -54,6 +62,7 @@ def asof_join(
     wins); required for determinism when (key, ts) is not unique on the
     right. ``tolerance_us``: matches older than this are nulled out.
     """
+    _check_reserved(left)
     payload_fields = [F.col(c).alias(c) for c in right_cols]
     payload = F.struct(
         F.col(right_ts).alias("__ts"),
@@ -132,6 +141,7 @@ def asof_join_bucketed(
     Costs one extra small shuffle (the summary table) in exchange for
     bounded partitions; pick ``bucket`` so a key-bucket fits a task.
     """
+    _check_reserved(left)
     payload = F.struct(
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(c) for c in right_cols],
