@@ -43,6 +43,12 @@ _HEADLINE = [
     "er_doc_pairs", "er_doc_clusters", "minhash_near_dups", "dedup_exact",
     "ann_cosine_topk", "lang_id", "quality_scores", "topk_orders",
     "semi_join_orders", "group_agg_events",
+    # round-4 additions: all pure-Catalyst — zero Python stages expected
+    "asof_join_events", "asof_join_events_bucketed", "triangle_counts",
+    "pagerank_trade_graph", "jaccard_prefix_pairs", "tfidf_top_terms",
+    "corpus_rollup", "weighted_sample", "json_props_stats", "events_pivot",
+    "group_trend_events", "fs_linkage_scores", "kmv_distinct_bigrams",
+    "cms_heavy_hitters", "corpus_split",
 ]
 
 
