@@ -3158,6 +3158,30 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
 
 
+# Sliding event-time windows (2h window / 1h slide): each event lands
+# in exactly 2 windows; oracle reproduces Spark's epoch-aligned window
+# arithmetic with integer µs floor division.
+_SQL_SLIDING = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+w AS (
+  SELECT event_type,
+         make_timestamp(((t // 3600000000) - k.k) * 3600000000)
+           AS window_start
+  FROM e CROSS JOIN unnest(range(0, 2)) AS k(k)
+)
+SELECT window_start, window_start + INTERVAL '2 hours' AS window_end,
+       event_type AS key, count(*)::BIGINT AS n
+FROM w GROUP BY window_start, event_type
+"""
+
+
+def _q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.streaming.stream import sliding_window_counts
+    return sliding_window_counts(_read(spark, sf_dir, "events"),
+                                 "ts", "event_type",
+                                 window="2 hours", slide="1 hour")
+
+
 # Deterministic train/val/test split: md5-bucket basis points — a
 # narrow map, stable under corpus growth (no leakage-by-reshuffle).
 _SQL_SPLIT = """
@@ -4224,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_trend_events": _q_group_trend,
         "jsonl_ingest": _q_jsonl_ingest,
         "corpus_split": _q_corpus_split,
+        "sliding_window_counts": _q_sliding_windows,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "dedup_canonical_docs": _q_canonical_docs,
         "ann_cosine_topk": _q_ann_topk,
@@ -4354,6 +4379,7 @@ def oracle_sql() -> dict[str, str]:
         "group_trend_events": _SQL_TREND,
         "jsonl_ingest": _SQL_JSONL,
         "corpus_split": _SQL_SPLIT,
+        "sliding_window_counts": _SQL_SLIDING,
         "er_cluster_sizes": _SQL_ER_SIZES,
         "dedup_canonical_docs": _SQL_CANONICAL_DOCS,
         "ann_cosine_topk": _SQL_ANN_TOPK,

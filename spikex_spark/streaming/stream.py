@@ -66,6 +66,29 @@ def windowed_mention_counts(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_window_counts(df: DataFrame, ts_col: str, key_col: str,
+                          window: str = "2 hours", slide: str = "1 hour",
+                          watermark: str | None = None) -> DataFrame:
+    """(window_start, window_end, key, n): SLIDING event-time windows —
+    each event lands in ``window/slide`` overlapping windows (Spark
+    epoch-aligned ``F.window`` semantics, [start, end) bounds). With
+    tumbling (``windowed_mention_counts``) and session (``sessionize``)
+    windows this completes the window-type triad; batch and streaming
+    run the same code (pass ``watermark`` on a stream).
+
+    Scale: one shuffle; the window expansion is a narrow ``Expand`` of
+    window/slide rows per event before the map-side partial aggregate.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("w"),
+                    F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "key", "n")
+    )
+
+
 def streaming_dedup(stream: DataFrame, ts_col: str = "warc_ts",
                     text_col: str = "text",
                     watermark: str = "2 hours") -> DataFrame:

@@ -1363,3 +1363,52 @@ def test_stream_interval_join_bounded_window(spark, tmp_path_factory):
     assert all(r["error_id"] == 100 for r in out)
     # the scoped override is restored to whatever the session had before
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_sliding_window_counts_batch_and_stream_agree(spark,
+                                                      tmp_path_factory):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        sliding_window_counts,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    rows = [(1, "a", ts(10)), (2, "a", ts(70)), (3, "b", ts(10)),
+            (4, "a", ts(130))]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    batch = {(r["window_start"], r["key"]): r["n"]
+             for r in sliding_window_counts(
+                 df, "ts", "k", window="2 hours",
+                 slide="1 hour").collect()}
+    # event@0:10 lands in windows starting 23:00(-1h) and 00:00
+    assert batch[(ts(-60), "a")] == 1       # [23:00, 01:00): event 1
+    assert batch[(ts(0), "a")] == 2          # [00:00, 02:00): events 1, 2
+    assert batch[(ts(60), "a")] == 2         # [01:00, 03:00): events 2, 4
+    assert batch[(ts(0), "b")] == 1
+    # same code on a stream (availableNow drain, append w/ watermark)
+    d = tmp_path_factory.mktemp("slide_stream")
+    df.coalesce(1).write.parquet(str(d / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(d) + "/*")
+    out = run_to_memory(
+        sliding_window_counts(stream, "ts", "k", window="2 hours",
+                              slide="1 hour", watermark="1 minute"),
+        "t_slide", shuffle_partitions=4)
+    got = {(r["window_start"], r["key"]): r["n"] for r in out.collect()}
+    # append mode emits only windows CLOSED by the final watermark
+    # (last event 02:10 → watermark 02:09): the two still-open windows
+    # ending 03:00/04:00 are correctly withheld, the rest match batch
+    closed = {k: v for k, v in batch.items()
+              if k[0] <= ts(9)}                 # end = start+2h <= 02:09
+    assert got == closed and (ts(60), "a") not in got
+    assert all(batch[k] == v for k, v in got.items())
