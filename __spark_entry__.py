@@ -3158,6 +3158,36 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
 
 
+# Z-order layout keys over (user_id, value-cents): Morton interleave +
+# top-bits file bucket; oracle mirrors the bit arithmetic.
+def _sql_zorder(bits: int = 16, file_bits: int = 6) -> str:
+    ta = " | ".join(f"(((za >> {i}) & 1) << {2 * i})" for i in range(bits))
+    tb = " | ".join(
+        f"(((zb >> {i}) & 1) << {2 * i + 1})" for i in range(bits))
+    mask = (1 << bits) - 1
+    return f"""
+WITH d AS (
+  SELECT event_id,
+         user_id & {mask} AS za,
+         round(value * 100)::BIGINT & {mask} AS zb
+  FROM events
+),
+k AS (SELECT event_id, (({ta}) | ({tb}))::BIGINT AS zkey FROM d)
+SELECT event_id, zkey,
+       (zkey >> {2 * bits - file_bits})::BIGINT AS file_bucket
+FROM k
+"""
+
+
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import zorder_key
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    return zorder_key(ev, "user_id", "cents").select(
+        "event_id", "zkey", "file_bucket")
+
+
 # Sliding event-time windows (2h window / 1h slide): each event lands
 # in exactly 2 windows; oracle reproduces Spark's epoch-aligned window
 # arithmetic with integer µs floor division.
@@ -4249,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "corpus_split": _q_corpus_split,
         "sliding_window_counts": _q_sliding_windows,
+        "zorder_layout": _q_zorder,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "dedup_canonical_docs": _q_canonical_docs,
         "ann_cosine_topk": _q_ann_topk,
@@ -4380,6 +4411,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_ingest": _SQL_JSONL,
         "corpus_split": _SQL_SPLIT,
         "sliding_window_counts": _SQL_SLIDING,
+        "zorder_layout": _sql_zorder(),
         "er_cluster_sizes": _SQL_ER_SIZES,
         "dedup_canonical_docs": _SQL_CANONICAL_DOCS,
         "ann_cosine_topk": _SQL_ANN_TOPK,

@@ -280,3 +280,35 @@ def corpus_split(df: DataFrame, id_col: str,
     expr = expr.otherwise(ratios[-1][0])
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"),
                      expr.alias("split"))
+
+
+def zorder_key(df: DataFrame, col_a: str, col_b: str,
+               bits: int = 16, file_bits: int = 6) -> DataFrame:
+    """(…df columns…, zkey, file_bucket): Morton/Z-order interleaving of
+    two non-negative integer dimensions — the lakehouse layout primitive
+    (Delta ``OPTIMIZE ZORDER``): rows close in BOTH dimensions land in
+    the same file bucket, so a scan filtering on either column prunes
+    most buckets instead of only the one it was range-partitioned by.
+
+    The low ``bits`` bits of each dimension interleave (a→even, b→odd
+    positions); ``file_bucket`` is the key's top ``file_bits`` bits —
+    the 2^file_bits-way layout assignment a writer would partition by.
+    Pure integer bit arithmetic in one narrow map: no shuffle here; the
+    shuffle is whatever repartition the caller does ON the bucket.
+    """
+    mask = (1 << bits) - 1
+    terms_a = " | ".join(
+        f"(((__za >> {i}) & 1) << {2 * i})" for i in range(bits))
+    terms_b = " | ".join(
+        f"(((__zb >> {i}) & 1) << {2 * i + 1})" for i in range(bits))
+    with_dims = df.withColumns({
+        "__za": F.col(col_a).cast("long").bitwiseAND(F.lit(mask)),
+        "__zb": F.col(col_b).cast("long").bitwiseAND(F.lit(mask)),
+    })
+    keyed = with_dims.withColumn(
+        "zkey", F.expr(f"({terms_a}) | ({terms_b})").cast("long"))
+    return (keyed
+            .withColumn("file_bucket",
+                        F.expr(f"zkey >> {2 * bits - file_bits}")
+                        .cast("long"))
+            .drop("__za", "__zb"))

@@ -391,3 +391,26 @@ def test_corpus_split_rejects_overflowing_ratios(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with pytest.raises(ValueError):
         corpus_split(df, "doc_id", ratios=(("a", 9000), ("b", 2000)))
+
+
+def test_zorder_key_interleaves_and_buckets(spark):
+    from spikex_spark.operators.corpus import zorder_key
+    df = spark.createDataFrame(
+        [(0, 0b1010, 0b0110), (1, 0, 0), (2, 0xFFFF, 0xFFFF),
+         (3, 0x1FFFF, 0)],                    # overflow bit masked off
+        ["i", "a", "b"])
+    got = {r["i"]: r for r in zorder_key(df, "a", "b").collect()}
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got[0]["zkey"] == morton(0b1010, 0b0110)
+    assert got[1]["zkey"] == 0
+    assert got[2]["zkey"] == (1 << 32) - 1 and got[2]["file_bucket"] == 63
+    assert got[3]["zkey"] == morton(0xFFFF, 0)   # 17th bit dropped
+    # locality: nearby (a,b) share the bucket, far-apart points don't
+    assert got[1]["file_bucket"] != got[2]["file_bucket"]
