@@ -3645,6 +3645,43 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          shuffle_partitions=8)
 
 
+# Stream-static enrichment: the most common production streaming shape —
+# a fact stream broadcast-joined to a static dimension at ingest. The
+# static side re-reads per micro-batch (picks up dimension updates);
+# no state store is involved at all. Oracle = the plain batch join.
+_SQL_STREAM_ENRICH = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       c.c_name, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+"""
+
+
+def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from spikex_spark.streaming.stream import run_to_memory
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .parquet(_stage_stream_dir(sf_dir, "orders"))
+              .where(F.col("o_orderstatus") == "O"))
+    dim = F.broadcast(
+        _read(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey"))
+    enriched = (stream.join(dim, stream.o_custkey == dim.c_custkey)
+                .select("o_orderkey", "o_custkey", "o_totalprice",
+                        "c_name", "c_nationkey"))
+    return run_to_memory(enriched, "q_stream_static_enrich",
+                         shuffle_partitions=8)
+
+
 def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming tumbling-window agg over the events table,
     drained with availableNow — oracle = the equivalent batch SQL."""
@@ -4301,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_train_probs": _q_nb_train,
         "stream_windowed_counts": _q_stream_windowed,
         "stream_interval_join": _q_stream_interval_join,
+        "stream_static_enrich": _q_stream_static_enrich,
         "stream_signature_dedup": _q_stream_signature_dedup,
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
@@ -4451,6 +4489,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_block_canonical": _SQL_STREAM_CANONICAL,
         "stream_interval_join": _SQL_STREAM_IVJ,
+        "stream_static_enrich": _SQL_STREAM_ENRICH,
         "stream_signature_dedup": _sql_stream_signature_dedup(),
         "embedding_mean_per_label": (
             "SELECT label, i AS pos, round(avg(embedding[i]), 6) AS mean_val"
