@@ -3158,6 +3158,63 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
 
 
+# SCD-2 validity intervals: each user's event value holds until the
+# next event (valid_to null on the open row) — the warehouse
+# slowly-changing-dimension materialization, one lead() window.
+_SQL_SCD2 = """
+SELECT user_id, event_id, value AS v, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.col("value").alias("v"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"))
+
+
+# Ordered funnel: users who did view → click → purchase IN ORDER
+# (earliest-occurrence comparison — one conditional aggregate, no
+# self-joins); reports each stage's first timestamp.
+_SQL_FUNNEL = """
+WITH s AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS t_view,
+         min(ts) FILTER (event_type = 'click') AS t_click,
+         min(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase
+FROM s
+WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+  AND t_purchase IS NOT NULL
+  AND t_view < t_click AND t_click < t_purchase
+"""
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view",
+                     F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click",
+                     F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("t_purchase"))
+    return s.where(
+        F.col("t_view").isNotNull() & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase")))
+
+
 # Z-order layout keys over (user_id, value-cents): Morton interleave +
 # top-bits file bucket; oracle mirrors the bit arithmetic.
 def _sql_zorder(bits: int = 16, file_bits: int = 6) -> str:
@@ -4317,6 +4374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "sliding_window_counts": _q_sliding_windows,
         "zorder_layout": _q_zorder,
+        "scd2_intervals": _q_scd2,
+        "funnel_users": _q_funnel,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "dedup_canonical_docs": _q_canonical_docs,
         "ann_cosine_topk": _q_ann_topk,
@@ -4450,6 +4509,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _SQL_SPLIT,
         "sliding_window_counts": _SQL_SLIDING,
         "zorder_layout": _sql_zorder(),
+        "scd2_intervals": _SQL_SCD2,
+        "funnel_users": _SQL_FUNNEL,
         "er_cluster_sizes": _SQL_ER_SIZES,
         "dedup_canonical_docs": _SQL_CANONICAL_DOCS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
