@@ -3158,6 +3158,51 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sample_rank", F.col("sample_rank").cast("long"))
 
 
+# Robust outlier detection: per-lang median + MAD (median absolute
+# deviation) over doc lengths, flag |x − med| > 3·MAD — the robust
+# filter that survives the heavy tails that break mean/stddev cuts.
+# Exact medians (type-7), deviations as exact integer |x − med·2|/2
+# arithmetic? No — med can be half-integral: work in DOUBLED units so
+# everything stays integer until the final comparison.
+_SQL_MAD = """
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars, m.med,
+         abs(2 * d.n_chars - (2.0 * m.med)::BIGINT)::BIGINT AS dev2
+  FROM documents d JOIN med m ON d.lang = m.lang
+),
+mad AS (
+  SELECT lang, quantile_cont(dev2, 0.5) AS mad2 FROM dev GROUP BY lang
+)
+SELECT dev.doc_id, dev.lang, dev.n_chars,
+       round(dev.med, 6) AS med,
+       round(mad.mad2 / 2, 6) AS mad,
+       dev.dev2 > 3 * mad.mad2 AS is_outlier
+FROM dev JOIN mad ON dev.lang = mad.lang
+"""
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med"))
+    dev = (docs.join(med, "lang")
+           .select("doc_id", "lang", "n_chars", "med",
+                   F.abs(2 * F.col("n_chars")
+                         - (2.0 * F.col("med")).cast("long"))
+                   .cast("long").alias("dev2")))
+    mad = dev.groupBy("lang").agg(
+        F.percentile("dev2", F.lit(0.5)).alias("mad2"))
+    return (dev.join(mad, "lang")
+            .select("doc_id", "lang", "n_chars",
+                    F.round(F.col("med"), 6).alias("med"),
+                    F.round(F.col("mad2") / 2, 6).alias("mad"),
+                    (F.col("dev2") > 3 * F.col("mad2")).alias("is_outlier")))
+
+
 # SCD-2 validity intervals: each user's event value holds until the
 # next event (valid_to null on the open row) — the warehouse
 # slowly-changing-dimension materialization, one lead() window.
@@ -4376,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder,
         "scd2_intervals": _q_scd2,
         "funnel_users": _q_funnel,
+        "mad_outliers": _q_mad_outliers,
         "er_cluster_sizes": _q_er_cluster_sizes,
         "dedup_canonical_docs": _q_canonical_docs,
         "ann_cosine_topk": _q_ann_topk,
@@ -4511,6 +4557,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _sql_zorder(),
         "scd2_intervals": _SQL_SCD2,
         "funnel_users": _SQL_FUNNEL,
+        "mad_outliers": _SQL_MAD,
         "er_cluster_sizes": _SQL_ER_SIZES,
         "dedup_canonical_docs": _SQL_CANONICAL_DOCS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
