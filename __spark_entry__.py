@@ -3083,7 +3083,7 @@ inter AS (
 SELECT id_a, id_b,
        round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
 FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
-WHERE round(i::DOUBLE / (ca.n + cb.n - i), 6) >= 0.5
+WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
 """
 
 

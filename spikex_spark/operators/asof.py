@@ -40,6 +40,73 @@ def _check_reserved(left: DataFrame) -> None:
             "__-prefixed working columns; rename them first")
 
 
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    right_tie: Optional[str],
+    bucket: Optional[str] = None,
+) -> DataFrame:
+    """The shared merge-sorted-union input: right rows carry a payload
+    struct, left rows carry their own columns; optional (key, bucket)
+    co-partitioning column for the hot-key-safe variant. BOTH as-of
+    variants build on this — one definition of payload/tie/side."""
+    _check_reserved(left)
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    tie = F.col(right_tie) if right_tie else F.lit(0)
+    bkt_r = ([F.date_trunc(bucket, F.col(right_ts)).alias("__bkt")]
+             if bucket else [])
+    bkt_l = ([F.date_trunc(bucket, F.col(left_ts)).alias("__bkt")]
+             if bucket else [])
+    r = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__t"),
+        *bkt_r,
+        F.lit(0).alias("__side"),
+        tie.cast("long").alias("__tie"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in left.schema.fields],
+    )
+    l = left.select(  # noqa: E741
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__t"),
+        *bkt_l,
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(f.name) for f in left.schema.fields],
+    )
+    return r.unionByName(l)
+
+
+def _finish(out: DataFrame, left: DataFrame, right_cols: Sequence[str],
+            tolerance_us: Optional[int], prefix: str) -> DataFrame:
+    """Shared tail: tolerance null-out + output projection."""
+    def _gap() -> F.Column:  # works for TIMESTAMP and TIMESTAMP_NTZ alike
+        return F.timestamp_diff(
+            "MICROSECOND", F.col("__carried.__ts"), F.col("__t"))
+
+    gap = _gap()
+    if tolerance_us is not None:
+        out = out.withColumn(
+            "__carried",
+            F.when(gap <= F.lit(tolerance_us), F.col("__carried")),
+        )
+        gap = _gap()
+    cols = [F.col(f.name) for f in left.schema.fields]
+    cols += [F.col(f"__carried.{c}").alias(f"{prefix}{c}")
+             for c in right_cols]
+    cols.append(gap.alias(f"{prefix}gap_us"))
+    return out.select(*cols)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,54 +129,17 @@ def asof_join(
     wins); required for determinism when (key, ts) is not unique on the
     right. ``tolerance_us``: matches older than this are nulled out.
     """
-    _check_reserved(left)
-    payload_fields = [F.col(c).alias(c) for c in right_cols]
-    payload = F.struct(
-        F.col(right_ts).alias("__ts"),
-        *payload_fields,
-    )
-    tie = F.col(right_tie) if right_tie else F.lit(0)
-    r = right.select(
-        F.col(key).alias("__key"),
-        F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
-        tie.cast("long").alias("__tie"),
-        payload.alias("__payload"),
-        *[F.lit(None).cast(f.dataType).alias(f.name)
-          for f in left.schema.fields],
-    )
-    l = left.select(  # noqa: E741
-        F.col(key).alias("__key"),
-        F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.lit(0).cast("long").alias("__tie"),
-        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
-        *[F.col(f.name) for f in left.schema.fields],
-    )
+    merged = _tagged_union(left, right, key, left_ts, right_ts,
+                           right_cols, right_tie)
     w = (
         Window.partitionBy("__key")
         .orderBy("__t", "__side", "__tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = F.last("__payload", ignorenulls=True).over(w)
-    merged = r.unionByName(l).withColumn("__carried", carried)
-    out = merged.where(F.col("__side") == 1)
-
-    def _gap() -> F.Column:  # works for TIMESTAMP and TIMESTAMP_NTZ alike
-        return F.timestamp_diff(
-            "MICROSECOND", F.col("__carried.__ts"), F.col("__t"))
-
-    gap = _gap()
-    if tolerance_us is not None:
-        out = out.withColumn(
-            "__carried",
-            F.when(gap <= F.lit(tolerance_us), F.col("__carried")),
-        )
-        gap = _gap()
-    cols = [F.col(f.name) for f in left.schema.fields]
-    cols += [F.col(f"__carried.{c}").alias(f"{prefix}{c}") for c in right_cols]
-    cols.append(gap.alias(f"{prefix}gap_us"))
-    return out.select(*cols)
+    out = (merged.withColumn("__carried", carried)
+           .where(F.col("__side") == 1))
+    return _finish(out, left, right_cols, tolerance_us, prefix)
 
 
 def asof_join_bucketed(
@@ -120,11 +150,13 @@ def asof_join_bucketed(
     right_ts: str,
     right_cols: Sequence[str],
     right_tie: Optional[str] = None,
+    tolerance_us: Optional[int] = None,
     bucket: str = "day",
     prefix: str = "asof_",
 ) -> DataFrame:
-    """Hot-key-safe as-of join: identical semantics to :func:`asof_join`,
-    different shuffle geometry.
+    """Hot-key-safe as-of join: identical semantics to :func:`asof_join`
+    (every left row survives — NULL keys/timestamps included — and the
+    same tolerance contract), different shuffle geometry.
 
     ``asof_join`` sorts each key's FULL history in one task — correct,
     but a single hot key (one user / one instrument with 10^8 events)
@@ -136,37 +168,15 @@ def asof_join_bucketed(
     buckets, not events. A left row's answer is its within-bucket carry,
     else the latest prior bucket's summary: ``coalesce(local, prev)``,
     exact because the local carry already dominates anything earlier
-    whenever it exists.
+    whenever it exists. The summary join is NULL-SAFE, matching the
+    window semantics of the plain variant (window partitioning groups
+    NULL keys together; a plain equality join would drop those rows).
 
     Costs one extra small shuffle (the summary table) in exchange for
     bounded partitions; pick ``bucket`` so a key-bucket fits a task.
     """
-    _check_reserved(left)
-    payload = F.struct(
-        F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(c) for c in right_cols],
-    )
-    tie = F.col(right_tie) if right_tie else F.lit(0)
-    r = right.select(
-        F.col(key).alias("__key"),
-        F.col(right_ts).alias("__t"),
-        F.date_trunc(bucket, F.col(right_ts)).alias("__bkt"),
-        F.lit(0).alias("__side"),
-        tie.cast("long").alias("__tie"),
-        payload.alias("__payload"),
-        *[F.lit(None).cast(f.dataType).alias(f.name)
-          for f in left.schema.fields],
-    )
-    l = left.select(  # noqa: E741
-        F.col(key).alias("__key"),
-        F.col(left_ts).alias("__t"),
-        F.date_trunc(bucket, F.col(left_ts)).alias("__bkt"),
-        F.lit(1).alias("__side"),
-        F.lit(0).cast("long").alias("__tie"),
-        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
-        *[F.col(f.name) for f in left.schema.fields],
-    )
-    merged = r.unionByName(l)
+    merged = _tagged_union(left, right, key, left_ts, right_ts,
+                           right_cols, right_tie, bucket=bucket)
     # local pass: per (key, bucket) — the bounded partitions
     w_local = (
         Window.partitionBy("__key", "__bkt")
@@ -190,15 +200,12 @@ def asof_join_bucketed(
     prev = (all_buckets.join(bucket_last, ["__key", "__bkt"], "left")
             .withColumn("__prev",
                         F.last("__blast", ignorenulls=True).over(w_bkts))
-            .select("__key", "__bkt", "__prev"))
-    out = (local.where(F.col("__side") == 1)
-           .join(prev, ["__key", "__bkt"])
+            .select(F.col("__key").alias("__pkey"),
+                    F.col("__bkt").alias("__pbkt"), "__prev"))
+    lhs = local.where(F.col("__side") == 1)
+    cond = (lhs["__key"].eqNullSafe(prev["__pkey"])
+            & lhs["__bkt"].eqNullSafe(prev["__pbkt"]))
+    out = (lhs.join(prev, cond, "left")
            .withColumn("__carried",
                        F.coalesce(F.col("__local"), F.col("__prev"))))
-    gap = F.timestamp_diff(
-        "MICROSECOND", F.col("__carried.__ts"), F.col("__t"))
-    cols = [F.col(f.name) for f in left.schema.fields]
-    cols += [F.col(f"__carried.{c}").alias(f"{prefix}{c}")
-             for c in right_cols]
-    cols.append(gap.alias(f"{prefix}gap_us"))
-    return out.select(*cols)
+    return _finish(out, left, right_cols, tolerance_us, prefix)

@@ -123,10 +123,11 @@ def corpus_rollup(df: DataFrame, dims: Sequence[str], size_col: str,
     per-(d1, d2, ...), per-d1-subtotal, and grand-total rows in a single
     pass — (dims..., n_rows, total_size, avg_size).
 
-    Subtotal levels show ``all_label`` instead of NULL (real dim values
-    never collide with it), so the output needs no grouping-id column and
-    stays engine-portable. ``avg_size`` is the single exact division
-    total/n (both int64), bit-reproducible.
+    Subtotal levels show ``all_label`` instead of NULL, distinguished from
+    GENUINE NULL dim values via ``grouping()`` (a real NULL group renders
+    as ``<null>``, never conflated with a subtotal), so the output needs
+    no grouping-id column and stays engine-portable. ``avg_size`` is the
+    single exact division total/n (both int64), bit-reproducible.
 
     Scale shape: Spark executes rollup as ONE Expand + ONE hash aggregate
     with map-side partial agg — (levels+1)× the agg input rows, zero extra
@@ -136,9 +137,13 @@ def corpus_rollup(df: DataFrame, dims: Sequence[str], size_col: str,
     agged = df.rollup(*dims).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col(size_col)).alias("total_size"),
+        *[F.grouping(d).alias(f"_g_{d}") for d in dims],
     )
-    out_dims = [F.coalesce(F.col(d).cast("string"), F.lit(all_label)).alias(d)
-                for d in dims]
+    out_dims = [
+        F.when(F.col(f"_g_{d}") == 1, all_label)
+        .otherwise(F.coalesce(F.col(d).cast("string"), F.lit("<null>")))
+        .alias(d)
+        for d in dims]
     return agged.select(
         *out_dims, "n_rows", "total_size",
         (F.col("total_size") / F.col("n_rows")).alias("avg_size"))
@@ -161,7 +166,7 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
         q = F.percentile_approx(v, list(probs))
     else:
         q = F.percentile(v, F.array(*[F.lit(p) for p in probs]))
-    names = [f"p{int(p * 100)}" for p in probs]
+    names = [f"p{int(round(p * 100))}" for p in probs]  # 0.57*100=56.999…
     return (df.groupBy(F.col(group_col).alias("grp"))
             .agg(F.count("*").alias("n"),
                  F.min(v).alias("vmin"),

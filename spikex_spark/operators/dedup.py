@@ -553,9 +553,12 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
                {"id": "id_b", "ts": "tb", "n_tok": "nb"}), "id_b")
            .withColumn("inter",
                        F.size(F.array_intersect("ta", "tb")).cast("long"))
-           .withColumn("jaccard", F.round(
-               F.col("inter").cast("double")
-               / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-               6)))
-    return (out.where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+           .withColumn("_j",
+                       F.col("inter").cast("double")
+                       / (F.col("na") + F.col("nb") - F.col("inter"))
+                       .cast("double")))
+    # threshold on the UNROUNDED value: the prefix theorem guarantees
+    # candidates only for true J >= t — filtering on round(J, 6) would
+    # admit pairs at J in [t−5e-7, t) that never became candidates
+    return (out.where(F.col("_j") >= threshold)
+            .select("id_a", "id_b", F.round(F.col("_j"), 6).alias("jaccard")))

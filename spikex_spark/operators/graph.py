@@ -92,6 +92,10 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ewd = e.join(outdeg, "src").localCheckpoint(eager=False)
     n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id", F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"))
     init = _PR_SCALE // n
     base = ((100 - damping_pct) * init) // 100
     ranks = nodes.withColumn("r", F.lit(init).cast("long"))

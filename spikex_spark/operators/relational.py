@@ -141,8 +141,11 @@ def pivot_counts(df: DataFrame, key_col: str, pivot_col: str,
     agged = (df.groupBy(F.col(key_col).alias("key"))
              .pivot(pivot_col, values)
              .agg(F.count(F.lit(1))))
-    total = df.groupBy(F.col(key_col).alias("key")).agg(
+    total = df.groupBy(F.col(key_col).alias("_tkey")).agg(
         F.count("*").alias("n_total"))
     cols = [F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long")
             .alias(f"n_{v}") for v in values]
-    return agged.join(total, "key").select("key", *cols, "n_total")
+    # null-safe join: a NULL key is a legitimate group (GROUP BY emits
+    # it); a plain equality join would silently drop it
+    return (agged.join(total, agged["key"].eqNullSafe(total["_tkey"]))
+            .select("key", *cols, "n_total"))

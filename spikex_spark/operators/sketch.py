@@ -24,15 +24,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_SCALE = 1 << 60  # md5_60 hash space (dedup._md5_60 convention)
+# the ONE md5-60 hash / tokenizer convention — imported, not copied, so
+# the cross-operator determinism contract has a single definition
+from .dedup import _md5_60
+from .retrieval import _tokens
+
+_SCALE = 1 << 60  # md5_60 hash space
 
 
-def _md5_60(col: F.Column) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+def _kmv_topk(hashed: DataFrame, k: int) -> DataFrame:
+    """(grp, h): the k smallest distinct hashes per group — the sketch."""
+    win = Window.partitionBy("grp").orderBy("h")
+    return (hashed.distinct()
+            .withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k).select("grp", "h"))
 
 
-def _tokens(col: F.Column) -> F.Column:
-    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+def _kmv_estimate(topk: DataFrame, k: int) -> DataFrame:
+    """(grp, n_hashes, theta_hash, est_distinct) from sketch rows."""
+    agg = topk.groupBy("grp").agg(
+        F.count("*").alias("n_hashes"),
+        F.max("h").alias("theta_hash"))
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round((F.lit(float(k - 1)) * F.lit(float(_SCALE)))
+                / F.col("theta_hash").cast("double"), 4))
+    return agg.select("grp", "n_hashes", "theta_hash",
+                      est.alias("est_distinct"))
 
 
 def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
@@ -53,25 +72,14 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     hashed = df.select(
         F.col(group_col).alias("grp"),
         _md5_60(F.col(value_col)).alias("h"),
-    ).distinct()
-    win = Window.partitionBy("grp").orderBy("h")
-    topk = (hashed.withColumn("rk", F.row_number().over(win))
-            .where(F.col("rk") <= k))
-    agg = topk.groupBy("grp").agg(
-        F.count("*").alias("n_hashes"),
-        F.max("h").alias("theta_hash"),
     )
     exact = (df.select(F.col(group_col).alias("grp"),
                        F.col(value_col).alias("v"))
              .groupBy("grp").agg(F.countDistinct("v").alias("true_distinct")))
-    est = F.when(
-        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
-    ).otherwise(
-        F.round((F.lit(float(k - 1)) * F.lit(float(_SCALE)))
-                / F.col("theta_hash").cast("double"), 4))
-    return (agg.join(exact, "grp")
-            .select(F.col("grp").alias("grp"), "n_hashes", "theta_hash",
-                    est.alias("est_distinct"), "true_distinct"))
+    return (_kmv_estimate(_kmv_topk(hashed, k), k)
+            .join(exact, "grp")
+            .select("grp", "n_hashes", "theta_hash", "est_distinct",
+                    "true_distinct"))
 
 
 def kmv_distinct_tokens(df: DataFrame, group_col: str, text_col: str,
@@ -90,14 +98,23 @@ def kmv_distinct_bigrams(df: DataFrame, group_col: str, text_col: str,
     """KMV over token BIGRAMS per group — the bigram space is large enough
     to exercise the estimate regime (single tokens on a capped vocabulary
     sit in the exact-set regime where the sketch is just the distinct set).
-    zip_with over slices keeps the bigram expression total (see
-    textstats.repetition_stats on InferFiltersFromGenerate)."""
-    base = df.select(
+    zip_with over slices keeps the bigram expression total w.r.t.
+    indexing, and the ``when(size >= 2, …)`` wrapper keeps slice() total
+    too — a token-less or one-token doc would pass slice a NEGATIVE
+    length and fail the stage. The guard must live INSIDE the expression,
+    not in a ``.where()`` above it: InferFiltersFromGenerate copies the
+    explode's input expression into filters BELOW any row guard (the
+    repetition_stats lesson), so only a total expression is safe."""
+    bg = F.when(
+        F.size("w") >= 2,
+        F.expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+            " (a, b) -> concat(a, ' ', b))"),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (df.select(
         F.col(group_col).alias("g"),
         _tokens(F.col(text_col)).alias("w"),
-    ).select("g", F.expr(
-        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
-        " (a, b) -> concat(a, ' ', b))").alias("bg"))
+    ).select("g", bg.alias("bg")))
     pairs = base.select("g", F.explode("bg").alias("v"))
     return kmv_distinct(pairs, "g", "v", k=k)
 
@@ -158,43 +175,25 @@ def cms_heavy_hitters(df: DataFrame, text_col: str, top: int = 20,
 
 
 def kmv_union(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
-    """Merge two per-group KMV sketch tables (schema of ``kmv_distinct``):
+    """Merge two per-group KMV sketch ROW tables — the ``(grp, h)`` shape
+    ``kmv_hashes`` produces (NOT the aggregate rows of ``kmv_distinct``):
     the union sketch is the k smallest DISTINCT hashes of the concatenated
     inputs — exactly what makes KMV shippable: each shard sketches locally,
-    one tiny merge answers the global distinct count. Input theta/n_hashes
-    columns are recomputed, so merging is associative and idempotent.
-
-    This operates on the EXPANDED sketch rows (grp, h) — callers that kept
-    only (n_hashes, theta_hash) aggregates must retain hashes to merge;
-    ``kmv_hashes`` below produces that representation.
+    one tiny merge answers the global distinct count. theta/n_hashes are
+    recomputed from the merged rows, so merging is associative and
+    idempotent.
     """
-    hashes = a.unionByName(b).select("grp", "h").distinct()
-    win = Window.partitionBy("grp").orderBy("h")
-    topk = (hashes.withColumn("rk", F.row_number().over(win))
-            .where(F.col("rk") <= k))
-    agg = topk.groupBy("grp").agg(
-        F.count("*").alias("n_hashes"),
-        F.max("h").alias("theta_hash"))
-    est = F.when(
-        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
-    ).otherwise(
-        F.round((F.lit(float(k - 1)) * F.lit(float(_SCALE)))
-                / F.col("theta_hash").cast("double"), 4))
-    return agg.select("grp", "n_hashes", "theta_hash",
-                      est.alias("est_distinct"))
+    hashes = a.unionByName(b).select("grp", "h")
+    return _kmv_estimate(_kmv_topk(hashes, k), k)
 
 
 def kmv_hashes(df: DataFrame, group_col: str, value_col: str,
                k: int = 256) -> DataFrame:
     """(grp, h): the mergeable representation — each group's k smallest
     distinct hashes (the sketch itself, k longs per group)."""
-    hashed = df.select(
+    return _kmv_topk(df.select(
         F.col(group_col).alias("grp"),
-        _md5_60(F.col(value_col)).alias("h"),
-    ).distinct()
-    win = Window.partitionBy("grp").orderBy("h")
-    return (hashed.withColumn("rk", F.row_number().over(win))
-            .where(F.col("rk") <= k).select("grp", "h"))
+        _md5_60(F.col(value_col)).alias("h")), k)
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:

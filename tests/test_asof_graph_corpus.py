@@ -414,3 +414,74 @@ def test_zorder_key_interleaves_and_buckets(spark):
     assert got[3]["zkey"] == morton(0xFFFF, 0)   # 17th bit dropped
     # locality: nearby (a,b) share the bucket, far-apart points don't
     assert got[1]["file_bucket"] != got[2]["file_bucket"]
+
+
+def test_pivot_counts_keeps_null_key_group(spark):
+    from pyspark.sql import types as T
+
+    from spikex_spark.operators.relational import pivot_counts
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    rows = [(1, "click"), (None, "click"), (None, "view")]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["key"]: r for r in pivot_counts(
+        df, "user_id", "event_type", ["click", "view"]).collect()}
+    assert got[None]["n_click"] == 1 and got[None]["n_view"] == 1
+    assert got[None]["n_total"] == 2 and got[1]["n_total"] == 1
+
+
+def test_corpus_rollup_distinguishes_real_null_dims(spark):
+    from pyspark.sql import types as T
+
+    from spikex_spark.operators.corpus import corpus_rollup
+    schema = T.StructType([
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [("en", "web", 10), (None, "web", 20)], schema)
+    got = {(r["lang"], r["source"]): r["n_rows"] for r in
+           corpus_rollup(df, ["lang", "source"], "n_chars").collect()}
+    assert got[("<null>", "web")] == 1         # genuine NULL group
+    assert got[("<null>", "<all>")] == 1       # its lang subtotal
+    assert got[("<all>", "<all>")] == 2        # grand total over ALL rows
+
+
+def test_asof_bucketed_keeps_null_key_and_ts_rows(spark):
+    from pyspark.sql import types as T
+
+    from spikex_spark.operators.asof import asof_join, asof_join_bucketed
+    ls = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rs = T.StructType(ls.fields + [T.StructField("value", T.DoubleType())])
+    l = spark.createDataFrame(  # noqa: E741
+        [(100, None, _ts(10)), (101, 1, None), (102, 1, _ts(10))], ls)
+    r = spark.createDataFrame([(1, 1, _ts(5), 1.0)], rs)
+    kw = dict(key="user_id", left_ts="ts", right_ts="ts",
+              right_cols=["value"], right_tie="event_id")
+    plain = {x["event_id"]: x["asof_value"]
+             for x in asof_join(l, r, **kw).collect()}
+    bucketed = {x["event_id"]: x["asof_value"]
+                for x in asof_join_bucketed(l, r, bucket="minute",
+                                            **kw).collect()}
+    assert set(bucketed) == set(plain) == {100, 101, 102}
+    assert bucketed[102] == plain[102] == 1.0
+    assert bucketed[100] is None
+
+
+def test_asof_bucketed_supports_tolerance(spark):
+    from spikex_spark.operators.asof import asof_join_bucketed
+    l = spark.createDataFrame([(100, 1, _ts(100))],  # noqa: E741
+                              ["event_id", "user_id", "ts"])
+    r = spark.createDataFrame([(1, 1, _ts(10), 1.0)],
+                              ["event_id", "user_id", "ts", "value"])
+    row = asof_join_bucketed(l, r, "user_id", "ts", "ts", ["value"],
+                             right_tie="event_id", bucket="minute",
+                             tolerance_us=5_000_000).collect()[0]
+    assert row["asof_value"] is None and row["asof_gap_us"] is None

@@ -198,7 +198,7 @@ def test_jaccard_prefix_pairs_matches_naive(spark):
             for b in sets:
                 if a < b and sets[a] & sets[b]:
                     j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
-                    if round(j, 6) >= t:
+                    if j >= t:              # threshold on UNROUNDED j
                         out.add((a, b, round(j, 6)))
         return out
 

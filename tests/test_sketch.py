@@ -82,3 +82,16 @@ def test_cms_merge_equals_single_pass(spark):
               SK.cms_merge(SK.cms_build(d1, "v", depth=3, width=32),
                            SK.cms_build(d2, "v", depth=3, width=32)).collect()}
     assert merged == single
+
+
+def test_kmv_bigrams_survives_tokenless_docs(spark):
+    # empty / punctuation-only / one-token docs must not kill the stage
+    # (slice(w, 1, -1) is a hard Spark error without the size guard)
+    df = spark.createDataFrame(
+        [("en", "alpha beta gamma"), ("en", "!!! ..."), ("en", ""),
+         ("en", "solo"), ("de", "???")],
+        ["lang", "text"])
+    got = {r["grp"]: r for r in
+           SK.kmv_distinct_bigrams(df, "lang", "text", k=16).collect()}
+    assert got["en"]["true_distinct"] == 2     # alpha-beta, beta-gamma
+    assert "de" not in got                     # no bigram-bearing docs
