@@ -2572,6 +2572,49 @@ SELECT agg.g AS grp, n_hashes, theta_hash,
 FROM agg JOIN exact ON agg.g = exact.g
 """
 
+# Sketch MERGEABILITY under the gate: the engine sketches the corpus in
+# two shards (doc_id parity) and MERGES the per-shard KMV sketches; the
+# oracle computes the single-pass sketch over the whole corpus — hash
+# equality IS the merge-equals-single-pass theorem on real data.
+_SQL_KMV_MERGE = """
+WITH toks AS (
+  SELECT g, w[i] || ' ' || w[i+1] AS tok FROM (
+    SELECT lang AS g, list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+    FROM documents), unnest(range(1, len(w))) AS t(i)
+),
+hashed AS (SELECT DISTINCT g,
+             ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM toks),
+topk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+         FROM hashed)
+SELECT g AS grp, count(*)::bigint AS n_hashes, max(h) AS theta_hash,
+  CASE WHEN count(*) < 256 THEN count(*)::double
+       ELSE round((255.0 * 1152921504606846976.0)
+                  / max(h)::double, 4)
+  END AS est_distinct
+FROM topk WHERE rk <= 256 GROUP BY g
+"""
+
+
+def _q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.sketch import kmv_hashes, kmv_union
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    bg = F.when(
+        F.size("w") >= 2,
+        F.expr("zip_with(slice(w, 1, size(w) - 1), slice(w, 2,"
+               " size(w) - 1), (a, b) -> concat(a, ' ', b))"),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (docs.select("doc_id", F.col("lang").alias("g"),
+                         toks.alias("w"))
+             .select("doc_id", "g", F.explode(bg).alias("v")))
+    shard_a = pairs.where(F.col("doc_id") % 2 == 0)
+    shard_b = pairs.where(F.col("doc_id") % 2 == 1)
+    return kmv_union(kmv_hashes(shard_a, "g", "v", k=256),
+                     kmv_hashes(shard_b, "g", "v", k=256), k=256)
+
+
 # Count-min sketch: the (row, col, count) table IS the sketch; estimates
 # for the deterministic top-20 probe set, exact counts alongside.
 _SQL_CMS = """
@@ -4400,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "bm25_topk": _q_bm25_topk,
         "kmv_distinct_bigrams": _q_kmv_distinct,
+        "kmv_merge_shards": _q_kmv_merge,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "asof_join_events": _q_asof_join,
         "asof_join_events_bucketed": _q_asof_join_bucketed,
@@ -4536,6 +4580,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "bm25_topk": _SQL_BM25,
         "kmv_distinct_bigrams": _SQL_KMV,
+        "kmv_merge_shards": _SQL_KMV_MERGE,
         "cms_heavy_hitters": _SQL_CMS,
         "asof_join_events": _SQL_ASOF,
         "asof_join_events_bucketed": _SQL_ASOF,
