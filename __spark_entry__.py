@@ -4402,6 +4402,271 @@ def _q_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ER toolchain round-out: SNM, meta-blocking, blocking QC, sweep, cohesion,
+# survivorship (SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+# normalized token LIST (the inner list of _SQL_NORM_WS, un-joined) — the
+# reversed-key SNM pass needs the array before array_to_string
+_SQL_NORM_TOKS_LIST = (
+    "list_filter(list_transform("
+    "regexp_split_to_array(lower({col}), '[_ ]+'),"
+    " t -> regexp_replace(t, '[^a-z0-9]+', '', 'g')), t -> t <> '')"
+)
+
+_SNM_WINDOW = 4          # each record pairs with its 3 rank successors
+_SNM_KEYLEN = 24         # sort-key prefix length
+
+_SQL_SNM = f"""
+WITH n AS (
+  SELECT doc_id AS id,
+    substr(coalesce(array_to_string(
+      {_SQL_NORM_TOKS_LIST.format(col='text')}, ' '), ''),
+      1, {_SNM_KEYLEN}) AS k_fwd,
+    substr(coalesce(array_to_string(list_reverse(
+      {_SQL_NORM_TOKS_LIST.format(col='text')}), ' '), ''),
+      1, {_SNM_KEYLEN}) AS k_rev
+  FROM documents
+),
+r1 AS (SELECT id, row_number() OVER (ORDER BY k_fwd, id) AS rnk FROM n),
+p1 AS (
+  SELECT a.id AS id_l, b.id AS id_r
+  FROM r1 a JOIN r1 b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {_SNM_WINDOW - 1}
+),
+r2 AS (SELECT id, row_number() OVER (ORDER BY k_rev, id) AS rnk FROM n),
+p2 AS (
+  SELECT a.id AS id_l, b.id AS id_r
+  FROM r2 a JOIN r2 b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {_SNM_WINDOW - 1}
+)
+SELECT least(id_l, id_r) AS id_a, greatest(id_l, id_r) AS id_b,
+       count(*) AS n_passes
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+GROUP BY 1, 2
+"""
+
+
+def _q_snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.blocking import _norm_tokens
+    from spikex_spark.operators.snm import sorted_neighborhood
+    docs = _read(spark, sf_dir, "documents")
+    toks = _norm_tokens(F.col("text"))
+    fwd = F.substring(F.array_join(toks, " "), 1, _SNM_KEYLEN)
+    rev = F.substring(F.array_join(F.reverse(toks), " "), 1, _SNM_KEYLEN)
+    return sorted_neighborhood(docs, [fwd, rev], "doc_id",
+                               window=_SNM_WINDOW)
+
+
+# CBS + WEP meta-blocking over the LSH band buckets: block purge at 1000
+# (mirrors DOC_BUCKET_CAP), integer-exact mean pruning (cbs·n ≥ Σcbs)
+_SQL_METABLOCK = f"""
+WITH buckets0 AS ({_SQL_BUCKETS}),
+b AS (
+  SELECT doc_id, band::varchar || ':' || bucket AS block_id
+  FROM buckets0
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000
+),
+cbs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::bigint AS cbs
+  FROM b x JOIN b y ON x.block_id = y.block_id AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+s AS (SELECT count(*)::bigint AS n, sum(cbs)::bigint AS tot FROM cbs)
+SELECT id_a, id_b, cbs FROM cbs, s WHERE cbs * n >= tot
+"""
+
+
+def _q_metablocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.operators.metablocking import meta_block_pairs
+    docs = _read(spark, sf_dir, "documents")
+    sig = B.minhash_signatures(B.shingle_df(docs, "doc_id", "text", k=5), 16)
+    buckets = B.lsh_buckets(sig, bands=4, rows_per_band=4)
+    blocks = buckets.select(
+        F.concat_ws(":", F.col("band"), F.col("bucket")).alias("block_id"),
+        F.col("id").alias("id_a"))
+    return (meta_block_pairs(blocks, id_col="id_a", max_block_size=1000)
+            .select("id_a", "id_b", "cbs"))
+
+
+# blocking QC: the LSH candidate channel graded against the exact n-gram
+# Jaccard reference — reduction ratio / pairs completeness / pairs quality
+_SQL_BLOCKING_QUALITY = f"""
+WITH cand AS ({_SQL_CAND_PAIRS}),
+gold AS (SELECT id_a, id_b FROM ({_SQL_NGRAM_JACC})),
+c AS (
+  SELECT count(*)::bigint AS n_candidates, count(g.id_a)::bigint AS tp
+  FROM cand LEFT JOIN gold g ON cand.id_a = g.id_a AND cand.id_b = g.id_b
+),
+ng AS (SELECT count(*)::bigint AS n_gold FROM gold),
+nr AS (SELECT count(*)::bigint AS n_records FROM documents)
+SELECT n_records, n_candidates, n_gold, tp,
+  round(CASE WHEN n_records > 1
+        THEN 1 - n_candidates / (n_records * (n_records - 1) / 2)
+        ELSE 0.0 END, 6) AS reduction_ratio,
+  round(CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END, 6)
+    AS pairs_completeness,
+  round(CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END, 6)
+    AS pairs_quality
+FROM c, ng, nr
+"""
+
+
+def _q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import blocking_metrics
+    from spikex_spark.pipeline import doc_candidate_pairs
+    docs = _read(spark, sf_dir, "documents")
+    cand = doc_candidate_pairs(docs)
+    gold = _q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return blocking_metrics(cand, gold, docs)
+
+
+_SWEEP_THRESHOLDS = [0.50, 0.55, 0.60, 0.65, 0.70,
+                     0.75, 0.80, 0.85, 0.90, 0.95]
+
+# P/R/F1 of the scorer across thresholds in ONE pass; gold pairs the
+# blocker never proposed count as fn at every threshold (full outer join)
+_SQL_SWEEP = f"""
+WITH s0 AS ({_SQL_SCORED}),
+scored AS (
+  SELECT id_a, id_b, round(0.5 * jw + 0.5 * jacc, 6) AS score FROM s0
+),
+gold AS (SELECT id_a, id_b FROM ({_SQL_NGRAM_JACC})),
+j AS (
+  SELECT s.score, g.id_a IS NOT NULL AS is_gold
+  FROM scored s FULL OUTER JOIN gold g
+    ON s.id_a = g.id_a AND s.id_b = g.id_b
+),
+t AS (SELECT unnest([{", ".join(f"{x}::double" for x in _SWEEP_THRESHOLDS)}])
+      AS threshold),
+c AS (
+  SELECT threshold,
+    count(*) FILTER (j.score >= threshold AND is_gold)::bigint AS tp,
+    count(*) FILTER (j.score >= threshold AND NOT is_gold)::bigint AS fp,
+    count(*) FILTER (is_gold AND (j.score IS NULL OR j.score < threshold))
+      ::bigint AS fn
+  FROM j, t GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN 2 * tp + fp + fn > 0
+        THEN (2 * tp) / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+FROM c
+"""
+
+
+def _q_er_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import threshold_sweep
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs).select("id_a", "id_b", "score")
+    gold = _q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return threshold_sweep(scored, gold, _SWEEP_THRESHOLDS)
+
+
+# per-cluster cohesion: edge density + score floor after transitive
+# closure — the over-merge (chain-merge) diagnostic
+_SQL_COHESION = f"""
+WITH clusters AS ({_SQL_ER_CLUSTERS}),
+s0 AS ({_SQL_SCORED}),
+edges AS (
+  SELECT id_a, id_b, round(0.5 * jw + 0.5 * jacc, 6) AS score FROM s0
+  WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80
+),
+e AS (
+  SELECT ca.cluster_id AS cl, round(score * 1000000.0)::bigint AS u
+  FROM edges
+  JOIN clusters ca ON ca.doc_id = id_a
+  JOIN clusters cb ON cb.doc_id = id_b
+  WHERE ca.cluster_id = cb.cluster_id
+),
+es AS (
+  SELECT cl, count(*)::bigint AS n_edges, min(u) AS min_u,
+         sum(u)::bigint AS sum_u
+  FROM e GROUP BY cl
+),
+sz AS (
+  SELECT cluster_id, count(*)::bigint AS n_members
+  FROM clusters GROUP BY cluster_id
+)
+SELECT s.cluster_id, s.n_members,
+  coalesce(es.n_edges, 0)::bigint AS n_edges,
+  round(CASE WHEN s.n_members > 1
+        THEN coalesce(es.n_edges, 0) / (s.n_members * (s.n_members - 1) / 2)
+        ELSE 0.0 END, 6) AS density,
+  round(coalesce(es.min_u / 1000000.0, 0.0), 6) AS min_score,
+  round(coalesce((es.sum_u::double / es.n_edges) / 1000000.0, 0.0), 6)
+    AS avg_score
+FROM sz s LEFT JOIN es ON es.cl = s.cluster_id
+"""
+
+
+def _q_er_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import cluster_cohesion
+    from spikex_spark.pipeline import doc_scored_pairs, resolve_documents
+    docs = _read(spark, sf_dir, "documents")
+    clusters = resolve_documents(docs, threshold=0.80)
+    edges = (doc_scored_pairs(docs).select("id_a", "id_b", "score")
+             .where(F.col("score") >= 0.80))
+    return cluster_cohesion(clusters, edges)
+
+
+# survivorship: one golden row per cluster — modal lang/source, longest-
+# text representative
+_SQL_GOLDEN = f"""
+WITH clusters AS ({_SQL_ER_CLUSTERS}),
+base AS (
+  SELECT c.doc_id, c.cluster_id, d.lang, d.source, d.n_chars
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+keep AS (
+  SELECT cluster_id, doc_id AS keep_id FROM base
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
+),
+sz AS (
+  SELECT cluster_id, count(*)::bigint AS n_members
+  FROM base GROUP BY cluster_id
+),
+lv AS (
+  SELECT cluster_id, lang, count(*) AS n FROM base
+  WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+lm AS (
+  SELECT cluster_id, lang FROM lv
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n DESC, lang) = 1
+),
+sv AS (
+  SELECT cluster_id, source, count(*) AS n FROM base
+  WHERE source IS NOT NULL GROUP BY 1, 2
+),
+sm AS (
+  SELECT cluster_id, source FROM sv
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n DESC, source) = 1
+)
+SELECT s.cluster_id, s.n_members, k.keep_id, l.lang, m.source
+FROM sz s
+JOIN keep k ON k.cluster_id = s.cluster_id
+LEFT JOIN lm l ON l.cluster_id = s.cluster_id
+LEFT JOIN sm m ON m.cluster_id = s.cluster_id
+"""
+
+
+def _q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.survivorship import golden_records
+    from spikex_spark.pipeline import resolve_documents
+    docs = _read(spark, sf_dir, "documents")
+    clusters = resolve_documents(docs, threshold=0.80)
+    return golden_records(
+        clusters, docs.select("doc_id", "lang", "source", "n_chars"),
+        ["lang", "source"], size_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -4505,6 +4770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_candidates_nested": _q_mentions_nested,
         "er_pages_pairs": _q_er_pages_pairs,
         "er_pages_clusters": _q_er_pages_clusters,
+        "snm_candidates": _q_snm_candidates,
+        "metablocking_pairs": _q_metablocking_pairs,
+        "blocking_quality": _q_blocking_quality,
+        "er_threshold_sweep": _q_er_threshold_sweep,
+        "er_cluster_cohesion": _q_er_cluster_cohesion,
+        "golden_records": _q_golden_records,
     }
 
 
@@ -4654,6 +4925,12 @@ def oracle_sql() -> dict[str, str]:
         "mention_candidates_nested": _sql_mentions_nested(),
         "er_pages_pairs": _sql_er_pages("pairs"),
         "er_pages_clusters": _sql_er_pages("clusters"),
+        "snm_candidates": _SQL_SNM,
+        "metablocking_pairs": _SQL_METABLOCK,
+        "blocking_quality": _SQL_BLOCKING_QUALITY,
+        "er_threshold_sweep": _SQL_SWEEP,
+        "er_cluster_cohesion": _SQL_COHESION,
+        "golden_records": _SQL_GOLDEN,
     }
 
 

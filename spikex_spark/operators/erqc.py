@@ -1,0 +1,170 @@
+"""ER quality control — the measurements that tune a linkage pipeline.
+
+``evaluation.pair_metrics`` scores one fixed prediction set; the three
+operators here answer the *tuning* questions asked before and after it:
+
+* ``blocking_metrics`` — is the blocking stage keeping enough true
+  pairs (pairs completeness) while killing enough of the quadratic
+  space (reduction ratio)? The standard blocking triple (Christen,
+  "Data Matching", ch. 7).
+* ``threshold_sweep`` — the precision/recall/F1 curve of the scorer
+  across match thresholds, in ONE distributed pass (not one job per
+  threshold).
+* ``cluster_cohesion`` — per-cluster edge density and score floor
+  after transitive closure; a near-zero density on a big cluster is
+  the signature of chain-merging (A~B~C where A≁C), the classic
+  over-merge failure of connected-components ER.
+
+All three are joins + counts with exact integer cores and one rounded
+division per metric, so the DuckDB oracle reproduces every digit.
+Beyond-reference toolchain (SURVEY.md §2.11).
+
+Scale shape: every operator reduces to per-key or scalar aggregates
+over pair tables — no driver-side loops, no per-threshold re-scans
+(the sweep crossJoins a broadcast literal threshold list and
+aggregates once), no collect beyond the one-row outputs Spark already
+returns.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_U_SCALE = 1e6   # int64 micro-units for exact score sums
+
+
+def _canon_pairs(df: DataFrame, id_a: str, id_b: str,
+                 keep: Sequence[str] = ()) -> DataFrame:
+    """Undirected-pair canonical form: (a, b) with a < b, deduplicated."""
+    return (df.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        *[F.col(c) for c in keep])
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"]))
+
+
+def blocking_metrics(candidates: DataFrame, gold: DataFrame,
+                     records: DataFrame,
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """One row: (n_records, n_candidates, n_gold, tp, reduction_ratio,
+    pairs_completeness, pairs_quality).
+
+    * reduction_ratio   = 1 − n_candidates / (n·(n−1)/2)
+    * pairs_completeness = tp / n_gold        (blocking recall)
+    * pairs_quality      = tp / n_candidates  (blocking precision)
+
+    Three scalar aggregates crossJoined into one row (each is one
+    map-side-combined count); ``tp`` comes from a semi-join of the two
+    canonical pair sets.
+    """
+    cand = _canon_pairs(candidates, id_a, id_b)
+    ref = _canon_pairs(gold, id_a, id_b)
+    n_rec = records.agg(F.count("*").cast("long").alias("n_records"))
+    counts = (cand.join(ref.withColumn("_g", F.lit(1)), ["a", "b"],
+                        "left")
+              .agg(F.count("*").alias("n_candidates"),
+                   F.count("_g").alias("tp")))
+    n_gold = ref.agg(F.count("*").alias("n_gold"))
+    one = counts.crossJoin(n_gold).crossJoin(n_rec)
+    n, nc, ng, tp = (F.col("n_records"), F.col("n_candidates"),
+                     F.col("n_gold"), F.col("tp"))
+    total_pairs = n * (n - 1) / 2
+    rr = F.when(total_pairs > 0, 1 - nc / total_pairs).otherwise(F.lit(0.0))
+    pc = F.when(ng > 0, tp / ng).otherwise(F.lit(0.0))
+    pq = F.when(nc > 0, tp / nc).otherwise(F.lit(0.0))
+    return one.select(
+        "n_records", "n_candidates", "n_gold", "tp",
+        F.round(rr, 6).alias("reduction_ratio"),
+        F.round(pc, 6).alias("pairs_completeness"),
+        F.round(pq, 6).alias("pairs_quality"))
+
+
+def threshold_sweep(scored: DataFrame, gold: DataFrame,
+                    thresholds: Sequence[float],
+                    score_col: str = "score",
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(threshold, tp, fp, fn, precision, recall, f1) — one row per
+    threshold, computed in ONE pass.
+
+    Scored candidate pairs are full-outer-joined with the gold pairs
+    (gold pairs the blocker never proposed count as fn at EVERY
+    threshold — sweeping only over candidates would flatter recall),
+    crossJoined with the broadcast literal threshold list, and
+    aggregated once. The score must already be decimal-rounded (the
+    repo convention: ``round(score, 6)`` hash-matches the oracle), so
+    ``score ≥ t`` is engine-exact for decimal thresholds.
+    """
+    s = _canon_pairs(scored, id_a, id_b, keep=[score_col])
+    g = _canon_pairs(gold, id_a, id_b).withColumn("_g", F.lit(1))
+    joined = s.join(g, ["a", "b"], "full_outer")
+    spark = scored.sparkSession
+    tdf = F.broadcast(spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"))
+    pred = F.col(score_col) >= F.col("threshold")   # null score → false
+    is_gold = F.col("_g").isNotNull()
+    agg = (joined.crossJoin(tdf).groupBy("threshold").agg(
+        F.count(F.when(pred & is_gold, 1)).alias("tp"),
+        F.count(F.when(pred & ~is_gold, 1)).alias("fp"),
+        F.count(F.when(is_gold & (~pred | F.col(score_col).isNull()),
+                       1)).alias("fn")))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(2 * tp + fp + fn > 0,
+                (2 * tp) / (2 * tp + fp + fn)).otherwise(F.lit(0.0))
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
+
+
+def cluster_cohesion(clusters: DataFrame, match_edges: DataFrame,
+                     cluster_col: str = "cluster_id",
+                     id_col: str = "doc_id",
+                     score_col: str = "score",
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(cluster_id, n_members, n_edges, density, min_score, avg_score)
+    — the over-merge diagnostic, one row per cluster.
+
+    Only edges whose BOTH endpoints sit in the same cluster count
+    (under transitive closure that is all of them, but the operator
+    does not assume its input came from CC). density =
+    n_edges / (n·(n−1)/2); singletons and edge-less clusters report
+    0.0 metrics, not nulls. Scores are summed in int64 micro-units
+    (``round(score·1e6)``) so ``avg_score`` is a single exact division
+    — float sum order can never move a digit.
+    """
+    memb = clusters.select(F.col(id_col).alias("_m_id"),
+                           F.col(cluster_col).alias("_m_cl"))
+    e = _canon_pairs(match_edges, id_a, id_b, keep=[score_col])
+    u = F.round(F.col(score_col) * _U_SCALE, 0).cast("long")
+    e = (e.join(memb.withColumnsRenamed(
+            {"_m_id": "a", "_m_cl": "_cl_a"}), "a")
+         .join(memb.withColumnsRenamed(
+            {"_m_id": "b", "_m_cl": "_cl_b"}), "b")
+         .where(F.col("_cl_a").eqNullSafe(F.col("_cl_b")))
+         .select(F.col("_cl_a").alias("_cl"),
+                 u.alias("_u")))
+    edge_stats = e.groupBy("_cl").agg(
+        F.count("*").alias("n_edges"),
+        F.min("_u").alias("_min_u"),
+        F.sum("_u").alias("_sum_u"))
+    sizes = clusters.groupBy(F.col(cluster_col).alias("_cl")).agg(
+        F.count("*").alias("n_members"))
+    j = sizes.join(edge_stats, "_cl", "left")
+    n, ne = F.col("n_members"), F.coalesce(F.col("n_edges"), F.lit(0))
+    dens = F.when(n > 1, ne / (n * (n - 1) / 2)).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("_cl").alias(cluster_col), "n_members",
+        ne.alias("n_edges"),
+        F.round(dens, 6).alias("density"),
+        F.round(F.coalesce(F.col("_min_u") / _U_SCALE, F.lit(0.0)),
+                6).alias("min_score"),
+        F.round(F.coalesce(
+            (F.col("_sum_u").cast("double") / F.col("n_edges"))
+            / _U_SCALE, F.lit(0.0)), 6).alias("avg_score"))

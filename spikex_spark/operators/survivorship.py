@@ -1,0 +1,75 @@
+"""Survivorship — collapse each entity cluster to one golden record.
+
+After blocking → scoring → clustering, an MDM/ER pipeline ends by
+*merging*: pick, per cluster and per attribute, the value to publish.
+``dedup.canonical_docs`` keeps one whole SURVIVOR ROW (longest text);
+``golden_records`` instead fuses attribute-wise — each attribute takes
+its modal value across the cluster's members (most frequent, ties to
+the smallest value), which is the standard majority-vote fusion rule
+and is deliberately NOT always any single member's row.
+
+Reference parity: beyond-reference ER toolchain (SURVEY.md §2.11) —
+spikex stops at linking, it never fuses.
+
+Scale shape: one groupBy per attribute over (cluster, value) plus one
+row_number window on the grouped output (already one row per distinct
+value — tiny), then 1-row-per-cluster joins. Attribute votes are
+map-side combined; nothing touches the driver. NULLs never vote (a
+cluster whose attribute is all-NULL publishes NULL), and the tie-break
+orders values ascending with an explicit cast to string-stable
+ordering in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def modal_value(df: DataFrame, group_col: str, value_col: str,
+                out_col: str | None = None) -> DataFrame:
+    """(group, modal value): most frequent non-NULL value per group,
+    ties broken by the smallest value. Groups with no non-NULL values
+    are absent (callers left-join)."""
+    out = out_col or value_col
+    votes = (df.where(F.col(value_col).isNotNull())
+             .groupBy(F.col(group_col).alias("_g"),
+                      F.col(value_col).alias("_v"))
+             .agg(F.count("*").alias("_n")))
+    w = Window.partitionBy("_g").orderBy(F.col("_n").desc(), F.col("_v"))
+    return (votes.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(F.col("_g").alias(group_col), F.col("_v").alias(out)))
+
+
+def golden_records(clusters: DataFrame, records: DataFrame,
+                   attr_cols: Sequence[str],
+                   cluster_col: str = "cluster_id",
+                   id_col: str = "doc_id",
+                   size_col: str | None = None) -> DataFrame:
+    """One golden row per cluster: (cluster_id, n_members, keep_id,
+    <modal attr columns>).
+
+    ``keep_id`` is the representative member (largest ``size_col``,
+    ties to the smallest id; smallest id when ``size_col`` is None) —
+    the row a consumer dereferences for payload columns that cannot be
+    majority-voted (full text, binary blobs). Modal attributes are
+    fused independently per column.
+    """
+    base = (clusters.select(F.col(id_col).alias("_id"),
+                            F.col(cluster_col).alias("_cl"))
+            .join(records.withColumnRenamed(id_col, "_id"), "_id"))
+    order = ([F.col(size_col).desc(), F.col("_id")]
+             if size_col else [F.col("_id")])
+    w = Window.partitionBy("_cl").orderBy(*order)
+    keep = (base.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(F.col("_cl"), F.col("_id").alias("keep_id")))
+    sizes = base.groupBy("_cl").agg(F.count("*").alias("n_members"))
+    out = sizes.join(keep, "_cl")
+    for a in attr_cols:
+        out = out.join(modal_value(base, "_cl", a), "_cl", "left")
+    return out.select(F.col("_cl").alias(cluster_col), "n_members",
+                      "keep_id", *attr_cols)

@@ -1,0 +1,199 @@
+"""SNM blocking, meta-blocking, ER quality control, survivorship."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# snm.global_rank / sorted_neighborhood
+# --------------------------------------------------------------------------
+
+def _rank_rows(spark, num_ranges):
+    from spikex_spark.operators.snm import global_rank
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 1), ("b", 1), ("c", 9), ("a", 7), ("c", 3)],
+        "k string, id long")
+    out = global_rank(df, ["k", "id"], num_ranges=num_ranges)
+    return sorted((r["k"], r["id"], r["rank"]) for r in out.collect())
+
+
+def test_global_rank_matches_sorted_order(spark):
+    rows = _rank_rows(spark, 4)
+    expect = sorted((k, i) for k, i, _ in rows)
+    assert [(k, i) for k, i, r in sorted(rows, key=lambda t: t[2])] == expect
+    assert sorted(r for _, _, r in rows) == [1, 2, 3, 4, 5, 6]
+
+
+def test_global_rank_partition_count_invariant(spark):
+    assert _rank_rows(spark, 2) == _rank_rows(spark, 16) == _rank_rows(spark, 1)
+
+
+def test_sorted_neighborhood_window_pairs(spark):
+    from spikex_spark.operators.snm import sorted_neighborhood
+    # sorted by key: ids 10(a) 11(b) 12(c) 13(d); window=2 pairs adjacent only
+    df = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "c"), (13, "d")], "id long, k string")
+    out = sorted_neighborhood(df, [F.col("k")], "id", window=2)
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert got == [(10, 11), (11, 12), (12, 13)]
+
+
+def test_sorted_neighborhood_multipass_counts_agreement(spark):
+    from spikex_spark.operators.snm import sorted_neighborhood
+    # pass1 sorts by k1 (10,11 adjacent); pass2 by k2 (10,11 adjacent too,
+    # 12 moves first) -> (10,11) proposed twice
+    df = spark.createDataFrame(
+        [(10, "a", "y"), (11, "b", "z"), (12, "c", "a")],
+        "id long, k1 string, k2 string")
+    out = sorted_neighborhood(df, [F.col("k1"), F.col("k2")], "id", window=2)
+    got = {(r["id_a"], r["id_b"]): r["n_passes"] for r in out.collect()}
+    assert got == {(10, 11): 2, (11, 12): 1, (10, 12): 1}
+
+
+def test_sorted_neighborhood_crosses_range_boundaries(spark):
+    """Every consecutive pair must appear even when ranks span range
+    partitions — the failure mode a per-partition lead() would have."""
+    from spikex_spark.operators.snm import sorted_neighborhood
+    n = 40
+    df = spark.createDataFrame(
+        [(i, f"k{i:03d}") for i in range(n)], "id long, k string")
+    out = sorted_neighborhood(df, [F.col("k")], "id", window=2, num_ranges=8)
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert got == [(i, i + 1) for i in range(n - 1)]
+
+
+# --------------------------------------------------------------------------
+# metablocking
+# --------------------------------------------------------------------------
+
+def test_cbs_pairs_counts_common_blocks(spark):
+    from spikex_spark.operators.metablocking import cbs_pairs
+    rows = [("b1", 1), ("b1", 2), ("b2", 1), ("b2", 2), ("b2", 3)]
+    df = spark.createDataFrame(rows, "block_id string, id long")
+    got = {(r["id_a"], r["id_b"]): r["cbs"]
+           for r in cbs_pairs(df).collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_purge_blocks_drops_whole_oversize_block(spark):
+    from spikex_spark.operators.metablocking import cbs_pairs
+    rows = ([("hub", i) for i in range(5)]
+            + [("b1", 1), ("b1", 2)])
+    df = spark.createDataFrame(rows, "block_id string, id long")
+    got = {(r["id_a"], r["id_b"]): r["cbs"]
+           for r in cbs_pairs(df, max_block_size=4).collect()}
+    assert got == {(1, 2): 1}          # hub contributed nothing at all
+
+
+def test_wep_prune_keeps_at_or_above_mean(spark):
+    from spikex_spark.operators.metablocking import wep_prune
+    # weights 1,1,4 -> mean 2: keep only the 4 (exact integer compare)
+    df = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 3, 4)], "id_a long, id_b long, cbs long")
+    got = [(r["id_a"], r["id_b"]) for r in wep_prune(df).collect()]
+    assert got == [(2, 3)]
+    # weights 2,2 -> mean 2: >= keeps both
+    df2 = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 2)], "id_a long, id_b long, cbs long")
+    assert wep_prune(df2).count() == 2
+
+
+# --------------------------------------------------------------------------
+# erqc
+# --------------------------------------------------------------------------
+
+def test_blocking_metrics_triple(spark):
+    from spikex_spark.operators.erqc import blocking_metrics
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 1), (4, 5)], "id_a long, id_b long")
+    gold = spark.createDataFrame(
+        [(2, 1), (1, 3), (6, 7)], "id_a long, id_b long")
+    recs = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    r = blocking_metrics(cand, gold, recs).collect()[0]
+    assert (r["n_records"], r["n_candidates"], r["n_gold"], r["tp"]) \
+        == (8, 3, 3, 2)
+    assert r["reduction_ratio"] == round(1 - 3 / 28, 6)
+    assert r["pairs_completeness"] == round(2 / 3, 6)
+    assert r["pairs_quality"] == round(2 / 3, 6)
+
+
+def test_threshold_sweep_counts_uncandidated_gold_as_fn(spark):
+    from spikex_spark.operators.erqc import threshold_sweep
+    scored = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.6), (4, 5, 0.9)],
+        "id_a long, id_b long, score double")
+    gold = spark.createDataFrame(
+        [(1, 2), (1, 3), (8, 9)], "id_a long, id_b long")
+    out = {r["threshold"]: (r["tp"], r["fp"], r["fn"])
+           for r in threshold_sweep(scored, gold, [0.5, 0.8]).collect()}
+    assert out[0.5] == (2, 1, 1)       # (8,9) never scored -> fn
+    assert out[0.8] == (1, 1, 2)       # (1,3) drops below, (8,9) still fn
+    r = [x for x in threshold_sweep(scored, gold, [0.8]).collect()][0]
+    assert r["precision"] == 0.5 and r["recall"] == round(1 / 3, 6)
+
+
+def test_cluster_cohesion_chain_density(spark):
+    from spikex_spark.operators.erqc import cluster_cohesion
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (9, 900)],
+        "doc_id long, cluster_id long")
+    # chain 1-2-3: 2 edges of 3 possible -> density 2/3; 9 is a singleton
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8)], "id_a long, id_b long, score double")
+    got = {r["cluster_id"]: r for r in
+           cluster_cohesion(clusters, edges).collect()}
+    c = got[100]
+    assert (c["n_members"], c["n_edges"]) == (3, 2)
+    assert c["density"] == round(2 / 3, 6)
+    assert c["min_score"] == 0.8 and c["avg_score"] == 0.85
+    s = got[900]
+    assert (s["n_members"], s["n_edges"], s["density"],
+            s["min_score"], s["avg_score"]) == (1, 0, 0.0, 0.0, 0.0)
+
+
+def test_cluster_cohesion_ignores_cross_cluster_edges(spark):
+    from spikex_spark.operators.erqc import cluster_cohesion
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 200)], "doc_id long, cluster_id long")
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9)], "id_a long, id_b long, score double")
+    got = {r["cluster_id"]: r["n_edges"]
+           for r in cluster_cohesion(clusters, edges).collect()}
+    assert got == {100: 0, 200: 0}
+
+
+# --------------------------------------------------------------------------
+# survivorship
+# --------------------------------------------------------------------------
+
+def test_golden_records_modal_and_keep(spark):
+    from spikex_spark.operators.survivorship import golden_records
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40)],
+        "doc_id long, cluster_id long")
+    recs = spark.createDataFrame(
+        [(1, "en", "s1", 5), (2, "en", "s2", 9), (3, "de", "s2", 9),
+         (4, None, "s3", 1)],
+        "doc_id long, lang string, source string, n_chars long")
+    got = {r["cluster_id"]: r for r in golden_records(
+        clusters, recs, ["lang", "source"],
+        size_col="n_chars").collect()}
+    g = got[10]
+    # lang: en(2) beats de(1); source: s2(2) beats s1(1)
+    assert (g["n_members"], g["lang"], g["source"]) == (3, "en", "s2")
+    # keep: longest n_chars=9 tie -> min doc_id=2
+    assert g["keep_id"] == 2
+    s = got[40]
+    assert (s["n_members"], s["keep_id"], s["lang"], s["source"]) \
+        == (1, 4, None, "s3")          # all-NULL lang publishes NULL
+
+
+def test_golden_records_tie_breaks_to_smallest_value(spark):
+    from spikex_spark.operators.survivorship import golden_records
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10)], "doc_id long, cluster_id long")
+    recs = spark.createDataFrame(
+        [(1, "fr"), (2, "en")], "doc_id long, lang string")
+    g = golden_records(clusters, recs, ["lang"]).collect()[0]
+    assert g["lang"] == "en" and g["keep_id"] == 1
