@@ -4403,6 +4403,127 @@ def _q_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unsupervised EM-estimated Fellegi–Sunter (the Splink-style core)
+# ---------------------------------------------------------------------------
+
+_EM_ROUNDS = 3
+_EM_FIELDS = ("jw", "jacc")     # SQL param-column suffixes (flags a_<f>)
+
+
+def _fs_em_sql(kind: str) -> str:
+    """Unroll ``linkage.fs_em``'s EM rounds as SQL CTEs (the pagerank /
+    k-means oracle recipe). Parameters live as INT64 micro-units (p{r}
+    CTEs); E-steps evaluate the same literal expression tree Spark
+    builds (params enter as ``x/1000000.0`` divisions — identical
+    doubles); M-step re-estimates are exact HUGEINT half-up divisions
+    mirroring ``linkage._snap_ratio``."""
+    def w_expr(lam_sign: str, mu: str) -> str:
+        lam = ("(lam / 1000000.0)" if lam_sign == "m"
+               else "(1.0 - lam / 1000000.0)")
+        cases = " * ".join(
+            f"(CASE WHEN a_{f} THEN {mu}_{f} / 1000000.0"
+            f" ELSE 1.0 - {mu}_{f} / 1000000.0 END)"
+            for f in _EM_FIELDS)
+        return f"{lam} * {cases}"
+
+    def snap(num: str, den: str) -> str:
+        return (f"greatest(least((2 * ({num}) * 1000000 + ({den}))"
+                f" // (2 * ({den})), 999999), 1)")
+
+    parts = [f"WITH s AS ({_SQL_SCORED})", """
+lab AS (
+  SELECT id_a, id_b,
+         round(jw, 6) >= 0.9 AS a_jw,
+         round(jacc, 6) >= 0.5 AS a_jacc
+  FROM s
+)""", """
+p0 AS (
+  SELECT 100000::hugeint AS lam,
+         900000::hugeint AS m_jw, 900000::hugeint AS m_jacc,
+         100000::hugeint AS u_jw, 100000::hugeint AS u_jacc
+)"""]
+    for r in range(1, _EM_ROUNDS + 1):
+        parts.append(f"""
+e{r}w AS (
+  SELECT a_jw, a_jacc,
+         {w_expr('m', 'm')} AS wm,
+         {w_expr('u', 'u')} AS wu
+  FROM lab, p{r - 1}
+)""")
+        parts.append(f"""
+e{r} AS (
+  SELECT a_jw, a_jacc,
+         round(wm / (wm + wu) * 1000000.0)::bigint AS p_u
+  FROM e{r}w
+)""")
+        sums = ",\n         ".join(
+            f"sum(CASE WHEN a_{f} THEN p_u ELSE 0 END)::hugeint AS spa_{f},"
+            f"\n         sum(CASE WHEN a_{f} THEN 1000000 - p_u ELSE 0 END)"
+            f"::hugeint AS sua_{f}"
+            for f in _EM_FIELDS)
+        parts.append(f"""
+a{r} AS (
+  SELECT count(*)::hugeint AS n, sum(p_u)::hugeint AS sp,
+         {sums}
+  FROM e{r}
+)""")
+        new_params = ",\n         ".join(
+            f"(CASE WHEN sp > 0 THEN {snap(f'spa_{f}', 'sp')}"
+            f" ELSE m_{f} END) AS m_{f},"
+            f"\n         (CASE WHEN n * 1000000 - sp > 0"
+            f" THEN {snap(f'sua_{f}', 'n * 1000000 - sp')}"
+            f" ELSE u_{f} END) AS u_{f}"
+            for f in _EM_FIELDS)
+        parts.append(f"""
+p{r} AS (
+  SELECT {snap('sp', 'n * 1000000')} AS lam,
+         {new_params}
+  FROM a{r}, p{r - 1}
+)""")
+    final = _EM_ROUNDS
+    if kind == "params":
+        sel = "\nUNION ALL\n".join(
+            f"SELECT 'a_{f}' AS field, m_{f} / 1000000.0 AS m,"
+            f" u_{f} / 1000000.0 AS u, lam / 1000000.0 AS lam"
+            f" FROM p{final}"
+            for f in _EM_FIELDS)
+        return ",".join(parts) + "\n" + sel
+    # posteriors: one more E-step over the final params, keeping ids
+    parts.append(f"""
+fw AS (
+  SELECT id_a, id_b, a_jw, a_jacc,
+         {w_expr('m', 'm')} AS wm,
+         {w_expr('u', 'u')} AS wu
+  FROM lab, p{final}
+)""")
+    return (",".join(parts)
+            + "\nSELECT id_a, id_b, a_jw, a_jacc,"
+              " round(wm / (wm + wu), 6) AS p_match FROM fw")
+
+
+def _em_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs)
+    return scored.select(
+        "id_a", "id_b",
+        (F.col("jw") >= 0.9).alias("a_jw"),
+        (F.col("jacc") >= 0.5).alias("a_jacc"))
+
+
+def _q_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import fs_em_params
+    return fs_em_params(_em_lab(spark, sf_dir), ["a_jw", "a_jacc"],
+                        rounds=_EM_ROUNDS)
+
+
+def _q_fs_em_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import fs_em_posteriors
+    return fs_em_posteriors(_em_lab(spark, sf_dir), ["a_jw", "a_jacc"],
+                            rounds=_EM_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # ER toolchain round-out: SNM, meta-blocking, blocking QC, sweep, cohesion,
 # survivorship (SURVEY.md §2.11)
 # ---------------------------------------------------------------------------
@@ -4776,6 +4897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_sweep": _q_er_threshold_sweep,
         "er_cluster_cohesion": _q_er_cluster_cohesion,
         "golden_records": _q_golden_records,
+        "fs_em_params": _q_fs_em_params,
+        "fs_em_posteriors": _q_fs_em_posteriors,
     }
 
 
@@ -4931,6 +5054,8 @@ def oracle_sql() -> dict[str, str]:
         "er_threshold_sweep": _SQL_SWEEP,
         "er_cluster_cohesion": _SQL_COHESION,
         "golden_records": _SQL_GOLDEN,
+        "fs_em_params": _fs_em_sql("params"),
+        "fs_em_posteriors": _fs_em_sql("posteriors"),
     }
 
 

@@ -91,3 +91,123 @@ def fs_score(pairs: DataFrame, weights: DataFrame,
                     total.cast("long").alias("fs_scaled"),
                     (total.cast("long") / F.lit(_W_SCALE))
                     .alias("fs_score")))
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised EM estimation (the Splink-style core): no labeled pairs,
+# parameters learned from the agreement-pattern mixture itself.
+# ---------------------------------------------------------------------------
+
+_P_SCALE = 1e6     # int64 micro-units for exact posterior sums
+
+
+def _snap_ratio(num: int, den: int) -> int:
+    """Half-up-rounded ``num/den`` in integer micro-units, clamped to
+    [1, 999999] — EXACT integer arithmetic (``(2·num·10⁶ + den) // 2den``),
+    so parameter snapping never touches a float rounding mode: Python's
+    banker's ``round()``, Spark's HALF_UP and DuckDB's half-away would
+    otherwise disagree on decimal ties. The clamp keeps every mixture
+    branch probability strictly inside (0, 1)."""
+    micro = (2 * num * 1_000_000 + den) // (2 * den)
+    return min(max(micro, 1), 999_999)
+
+
+def fs_em(pairs: DataFrame, agree_cols: Sequence[str], rounds: int = 3,
+          init_lambda: float = 0.1, init_m: float = 0.9,
+          init_u: float = 0.1) -> dict:
+    """EM-estimate Fellegi–Sunter parameters with NO labels: treat the
+    agreement vectors as a two-component mixture (match / non-match) and
+    iterate E (posterior match probability per pair from current
+    λ, m_f, u_f) and M (probability-weighted re-estimates).
+
+    Returns ``{"lambda": λ, "m": {field: m}, "u": {field: u}}`` after
+    ``rounds`` iterations — driver-size by definition (2·|fields|+1
+    scalars), which is why this returns a dict, not a DataFrame
+    (``fs_em_params`` / ``fs_em_posteriors`` wrap it relationally).
+
+    Determinism contract (what makes the DuckDB oracle able to replay
+    the rounds exactly):
+
+    * parameters are snapped to 6 decimals and clamped to
+      [1e-6, 1−1e-6] after every M-step (``_clamp6``) — each E-step
+      therefore evaluates a FIXED literal expression tree;
+    * posteriors enter the M-step sums as ``round(p·1e6)`` int64
+      micro-units, so the sums are exact integers and the re-estimates
+      are single exact divisions — float reduction order can never move
+      a digit;
+    * the mixture weights are plain products of the (≤ fields+1)
+      snapped decimals in declaration order — no exp/ln, whose libm
+      implementations differ across engines.
+
+    Scale shape: one map-side-combined aggregate per round reduced to
+    ONE row (the same shape as ``fs_weights``); the pair table is never
+    collected, sorted, or re-shuffled. ``rounds`` is small and fixed —
+    this is k scans, not a convergence loop.
+    """
+    def as6(micro: int) -> float:
+        return micro / _P_SCALE       # int/10⁶: identical double both engines
+
+    lam = as6(_snap_ratio(int(round(init_lambda * 1_000_000)), 1_000_000))
+    m = {f: as6(_snap_ratio(int(round(init_m * 1_000_000)), 1_000_000))
+         for f in agree_cols}
+    u = {f: as6(_snap_ratio(int(round(init_u * 1_000_000)), 1_000_000))
+         for f in agree_cols}
+    for _ in range(rounds):
+        w_match = F.lit(lam)
+        w_un = F.lit(1.0) - F.lit(lam)
+        for f in agree_cols:
+            g = F.col(f)
+            w_match = w_match * F.when(g, F.lit(m[f])) \
+                               .otherwise(F.lit(1.0) - F.lit(m[f]))
+            w_un = w_un * F.when(g, F.lit(u[f])) \
+                          .otherwise(F.lit(1.0) - F.lit(u[f]))
+        p_u = F.round(w_match / (w_match + w_un) * F.lit(_P_SCALE), 0) \
+               .cast("long")
+        aggs = [F.count("*").alias("_n"), F.sum(p_u).alias("_sp")]
+        for f in agree_cols:
+            g = F.col(f)
+            aggs.append(F.sum(F.when(g, p_u).otherwise(F.lit(0)))
+                        .alias(f"_spa_{f}"))
+            aggs.append(F.sum(F.when(g, F.lit(int(_P_SCALE)) - p_u)
+                              .otherwise(F.lit(0))).alias(f"_sua_{f}"))
+        row = pairs.agg(*aggs).collect()[0]
+        n, sp = row["_n"], row["_sp"]
+        su = n * int(_P_SCALE) - sp
+        # λ = sp/(n·10⁶) → micro-units = round(sp/n); m = spa/sp; u = sua/su
+        lam = as6(_snap_ratio(sp, n * 1_000_000))
+        for f in agree_cols:
+            if sp > 0:
+                m[f] = as6(_snap_ratio(row[f"_spa_{f}"], sp))
+            if su > 0:
+                u[f] = as6(_snap_ratio(row[f"_sua_{f}"], su))
+    return {"lambda": lam, "m": m, "u": u}
+
+
+def fs_em_params(pairs: DataFrame, agree_cols: Sequence[str],
+                 rounds: int = 3) -> DataFrame:
+    """Relational wrapper over :func:`fs_em`: one row per field —
+    (field, m, u, lam) — built as literals from the trained dict."""
+    est = fs_em(pairs, agree_cols, rounds=rounds)
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(f, est["m"][f], est["u"][f], est["lambda"]) for f in agree_cols],
+        "field string, m double, u double, lam double")
+
+
+def fs_em_posteriors(pairs: DataFrame, agree_cols: Sequence[str],
+                     rounds: int = 3,
+                     id_cols: Sequence[str] = ("id_a", "id_b")) -> DataFrame:
+    """Per-pair posterior match probability under the EM-trained model:
+    (ids..., agreement flags..., p_match) — one extra E-step as a narrow
+    map over literal parameters (zero joins, zero shuffles)."""
+    est = fs_em(pairs, agree_cols, rounds=rounds)
+    w_match = F.lit(est["lambda"])
+    w_un = F.lit(1.0) - F.lit(est["lambda"])
+    for f in agree_cols:
+        g = F.col(f)
+        w_match = w_match * F.when(g, F.lit(est["m"][f])) \
+                           .otherwise(F.lit(1.0) - F.lit(est["m"][f]))
+        w_un = w_un * F.when(g, F.lit(est["u"][f])) \
+                      .otherwise(F.lit(1.0) - F.lit(est["u"][f]))
+    p = F.round(w_match / (w_match + w_un), 6)
+    return pairs.select(*id_cols, *agree_cols, p.alias("p_match"))

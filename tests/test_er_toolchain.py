@@ -197,3 +197,66 @@ def test_golden_records_tie_breaks_to_smallest_value(spark):
         [(1, "fr"), (2, "en")], "doc_id long, lang string")
     g = golden_records(clusters, recs, ["lang"]).collect()[0]
     assert g["lang"] == "en" and g["keep_id"] == 1
+
+
+# --------------------------------------------------------------------------
+# linkage.fs_em (unsupervised EM)
+# --------------------------------------------------------------------------
+
+def _em_pairs(spark, repartition=None):
+    # 60 clear matches (both fields agree), 40 clear non-matches, a few
+    # noisy rows in each class
+    rows = ([(i, i + 1000, True, True) for i in range(55)]
+            + [(i, i + 1000, True, False) for i in range(55, 60)]
+            + [(i, i + 2000, False, False) for i in range(60, 95)]
+            + [(i, i + 2000, False, True) for i in range(95, 100)])
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, a_x boolean, a_y boolean")
+    return df.repartition(repartition) if repartition else df
+
+
+def test_fs_em_separates_mixture(spark):
+    from spikex_spark.operators.linkage import fs_em
+    est = fs_em(_em_pairs(spark), ["a_x", "a_y"], rounds=3)
+    assert est["m"]["a_x"] > est["u"]["a_x"]
+    assert est["m"]["a_y"] > est["u"]["a_y"]
+    assert 0.3 < est["lambda"] < 0.9          # ~60% of pairs are matches
+
+
+def test_fs_em_partitioning_invariant(spark):
+    from spikex_spark.operators.linkage import fs_em
+    a = fs_em(_em_pairs(spark, 1), ["a_x", "a_y"], rounds=3)
+    b = fs_em(_em_pairs(spark, 16), ["a_x", "a_y"], rounds=3)
+    assert a == b                              # exact — int micro-unit sums
+
+
+def test_fs_em_posteriors_rank_patterns(spark):
+    from spikex_spark.operators.linkage import fs_em_posteriors
+    out = fs_em_posteriors(_em_pairs(spark), ["a_x", "a_y"], rounds=3)
+    by_pattern = {}
+    for r in out.collect():
+        by_pattern.setdefault((r["a_x"], r["a_y"]), set()).add(r["p_match"])
+    # identical agreement pattern -> identical posterior (pure function)
+    assert all(len(v) == 1 for v in by_pattern.values())
+    assert max(by_pattern[(True, True)]) > 0.95
+    assert min(by_pattern[(False, False)]) < 0.05
+
+
+def test_fs_em_params_schema_and_lam_consistency(spark):
+    from spikex_spark.operators.linkage import fs_em_params
+    df = fs_em_params(_em_pairs(spark), ["a_x", "a_y"], rounds=2)
+    rows = df.collect()
+    assert df.columns == ["field", "m", "u", "lam"]
+    assert len({r["lam"] for r in rows}) == 1  # shared scalar
+
+
+def test_snap_ratio_half_up_exact():
+    from spikex_spark.operators.linkage import _snap_ratio
+    assert _snap_ratio(1, 2) == 500000
+    assert _snap_ratio(1, 3) == 333333
+    assert _snap_ratio(2, 3) == 666667
+    # exact decimal tie rounds HALF-UP (python round() would give 0)
+    assert _snap_ratio(1, 2_000_000) == 1      # 0.0000005 -> 1 micro
+    # clamp
+    assert _snap_ratio(0, 5) == 1
+    assert _snap_ratio(5, 5) == 999_999

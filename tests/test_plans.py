@@ -273,8 +273,9 @@ def test_no_row_python_in_any_contract_query():
             "er_pages_clusters", "er_cluster_sizes",
             "dedup_canonical_docs",
             # run jobs at build too: global_rank's prefix collect /
-            # resolve_documents' CC rounds
-            "snm_candidates", "er_cluster_cohesion", "golden_records"}
+            # resolve_documents' CC rounds / EM training aggregates
+            "snm_candidates", "er_cluster_cohesion", "golden_records",
+            "fs_em_params", "fs_em_posteriors"}
     offenders = {}
     for name, fn in entry.queries().items():
         if name in skip:
