@@ -4403,6 +4403,73 @@ def _q_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Phonetic blocking keys (Soundex with the h/w rule)
+# ---------------------------------------------------------------------------
+
+# a..z -> soundex code; h/w -> '9' (deleted before dedup: the h/w rule)
+_SOUNDEX_TR = "01230129022455012623019202"
+
+
+def _soundex_sql() -> str:
+    """Closed-form Soundex mirror (see ``operators/phonetic.py``): h/w
+    deleted first, adjacent-dedup via indexed list_filter, leading code
+    dropped unless the word starts with h/w, vowel zeros stripped."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, 1 AS pos, toks[1] AS tok FROM t
+  UNION ALL SELECT doc_id, 2, toks[2] FROM t
+  UNION ALL SELECT doc_id, 3, toks[3] FROM t
+),
+e2 AS (SELECT doc_id, pos, tok FROM e WHERE tok IS NOT NULL AND tok <> ''),
+c AS (
+  SELECT doc_id, pos, tok,
+         replace(translate(tok, 'abcdefghijklmnopqrstuvwxyz',
+                           '{_SOUNDEX_TR}'), '9', '') AS cs
+  FROM e2
+),
+l AS (
+  SELECT doc_id, pos, tok, cs,
+         list_transform(range(1, length(cs) + 1),
+                        i -> substr(cs, i, 1)) AS cl
+  FROM c
+),
+d AS (
+  SELECT doc_id, pos, tok,
+         coalesce(array_to_string(
+             list_filter(cl, (x, i) -> i = 1 OR x <> cl[i - 1]), ''),
+             '') AS dd
+  FROM l
+),
+s AS (
+  SELECT doc_id, pos,
+         upper(substr(tok, 1, 1)) || substr(rpad(replace(
+             CASE WHEN substr(tok, 1, 1) IN ('h', 'w') THEN dd
+                  ELSE substr(dd, 2) END,
+             '0', ''), 3, '0'), 1, 3) AS sx
+  FROM d
+),
+k AS (
+  SELECT doc_id, array_to_string(list(sx ORDER BY pos), '-')
+         AS phonetic_key
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id AS id, coalesce(k.phonetic_key, '') AS phonetic_key
+FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+"""
+
+
+def _q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.phonetic import soundex_blocking_keys
+    docs = _read(spark, sf_dir, "documents")
+    return soundex_blocking_keys(docs, "doc_id", "text", n_tokens=3)
+
+
+# ---------------------------------------------------------------------------
 # Unsupervised EM-estimated Fellegi–Sunter (the Splink-style core)
 # ---------------------------------------------------------------------------
 
@@ -4899,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": _q_golden_records,
         "fs_em_params": _q_fs_em_params,
         "fs_em_posteriors": _q_fs_em_posteriors,
+        "soundex_blocking_keys": _q_soundex_keys,
     }
 
 
@@ -5056,6 +5124,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_records": _SQL_GOLDEN,
         "fs_em_params": _fs_em_sql("params"),
         "fs_em_posteriors": _fs_em_sql("posteriors"),
+        "soundex_blocking_keys": _soundex_sql(),
     }
 
 

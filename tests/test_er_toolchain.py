@@ -260,3 +260,43 @@ def test_snap_ratio_half_up_exact():
     # clamp
     assert _snap_ratio(0, 5) == 1
     assert _snap_ratio(5, 5) == 999_999
+
+
+# --------------------------------------------------------------------------
+# phonetic (soundex) blocking keys
+# --------------------------------------------------------------------------
+
+# the classics that distinguish soundex variants: Spark implements the
+# full h/w rule (same-code letters across h/w collapse; across vowels
+# they repeat) — these pins keep the DuckDB oracle honest
+_SOUNDEX_CLASSICS = {
+    "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+    "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+    "honeyman": "H555", "white": "W300", "wright": "W623",
+    "wheaton": "W350", "burroughs": "B620", "burrows": "B620",
+    "lukasiewicz": "L222", "lloyd": "L300", "oooo": "O000",
+    "h": "H000", "w": "W000", "a": "A000",
+}
+
+
+def test_soundex_classics_and_key_format(spark):
+    from spikex_spark.operators.phonetic import soundex_blocking_keys
+    rows = [(i, w) for i, w in enumerate(_SOUNDEX_CLASSICS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["phonetic_key"]
+           for r in soundex_blocking_keys(df).collect()}
+    for i, (w, want) in enumerate(_SOUNDEX_CLASSICS.items()):
+        assert got[i] == want, (w, got[i], want)
+
+
+def test_soundex_key_joins_first_n_tokens(spark):
+    from spikex_spark.operators.phonetic import soundex_blocking_keys
+    df = spark.createDataFrame(
+        [(1, "Robert C. WRIGHT  jr the2nd extra words"),
+         (2, ""), (3, "12 34")],
+        "doc_id long, text string")
+    got = {r["id"]: r["phonetic_key"]
+           for r in soundex_blocking_keys(df).collect()}
+    # non-alpha splits tokens; first 3 alphabetic tokens only
+    assert got[1] == "R163-C000-W623"
+    assert got[2] == "" and got[3] == ""
