@@ -4855,6 +4855,242 @@ def _q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang", "source"], size_col="n_chars")
 
 
+# ---------------------------------------------------------------------------
+# clustering-vs-clustering evaluation: B-cubed + ARI of the flagship ER
+# clustering against the exact-hash clustering (how much near-dup
+# resolution coarsens byte-exact dedup). All accumulations are integer
+# (10^9 fixed-point B-cubed terms, exact binomials for ARI); only the
+# final single divisions are floating, so both engines agree bit-for-bit.
+_SQL_CLUSTEREVAL_CELLS = f"""
+pred AS (SELECT doc_id AS it, cluster_id AS p FROM ({_SQL_ER_CLUSTERS})),
+gold AS (
+  SELECT h.id AS it, min(h2.id) AS g
+  FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h
+  JOIN (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h2
+    ON h.text_hash = h2.text_hash
+  GROUP BY h.id
+),
+cells AS (
+  SELECT p, g, count(*)::BIGINT AS n
+  FROM pred JOIN gold USING (it) GROUP BY p, g
+)
+"""
+
+_SQL_ER_BCUBED = f"""
+WITH {_SQL_CLUSTEREVAL_CELLS},
+pp AS (SELECT p, sum(n)::BIGINT AS sz, sum(n * n)::BIGINT AS num
+       FROM cells GROUP BY p),
+gg AS (SELECT g, sum(n)::BIGINT AS sz, sum(n * n)::BIGINT AS num
+       FROM cells GROUP BY g),
+ps AS (SELECT sum((num * 1000000000) // sz)::BIGINT AS p_t FROM pp),
+rs AS (SELECT sum((num * 1000000000) // sz)::BIGINT AS r_t FROM gg),
+nn AS (SELECT sum(n)::BIGINT AS n_items FROM cells)
+SELECT n_items,
+  round(CASE WHEN n_items > 0
+        THEN p_t / (n_items::DOUBLE * 1000000000.0) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN n_items > 0
+        THEN r_t / (n_items::DOUBLE * 1000000000.0) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN p_t + r_t > 0
+        THEN 2.0 * p_t * r_t
+             / ((p_t + r_t)::DOUBLE * (n_items::DOUBLE * 1000000000.0))
+        ELSE 0.0 END, 6) AS f1
+FROM nn CROSS JOIN ps CROSS JOIN rs
+"""
+
+
+def _q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.clustereval import bcubed_metrics
+    from spikex_spark.operators.dedup import exact_duplicates
+    docs = _read(spark, sf_dir, "documents")
+    pred = _q_er_doc_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("pred"))
+    gold = exact_duplicates(docs, "doc_id", "text").select(
+        "id", F.col("canonical_id").alias("gold"))
+    return bcubed_metrics(pred, gold)
+
+
+_SQL_ER_ARI = f"""
+WITH {_SQL_CLUSTEREVAL_CELLS},
+sc AS (SELECT sum((n * (n - 1)) >> 1)::BIGINT AS s_cells,
+              sum(n)::BIGINT AS n_items FROM cells),
+sa AS (SELECT sum((sz * (sz - 1)) >> 1)::BIGINT AS s_pred FROM
+       (SELECT sum(n)::BIGINT AS sz FROM cells GROUP BY p)),
+sb AS (SELECT sum((sz * (sz - 1)) >> 1)::BIGINT AS s_gold FROM
+       (SELECT sum(n)::BIGINT AS sz FROM cells GROUP BY g)),
+t AS (
+  SELECT n_items, s_cells, s_pred, s_gold,
+         ((n_items * (n_items - 1)) >> 1)::HUGEINT AS s_n
+  FROM sc CROSS JOIN sa CROSS JOIN sb
+)
+SELECT n_items, s_cells, s_pred, s_gold,
+  round(CASE
+    WHEN s_n * (s_pred + s_gold) - 2::HUGEINT * s_pred * s_gold = 0
+    THEN 1.0
+    ELSE (2::HUGEINT * (s_cells::HUGEINT * s_n
+                        - s_pred::HUGEINT * s_gold))::DOUBLE
+         / (s_n * (s_pred + s_gold)
+            - 2::HUGEINT * s_pred * s_gold)::DOUBLE
+  END, 6) AS ari
+FROM t
+"""
+
+
+def _q_er_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.clustereval import adjusted_rand_index
+    from spikex_spark.operators.dedup import exact_duplicates
+    docs = _read(spark, sf_dir, "documents")
+    pred = _q_er_doc_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("pred"))
+    gold = exact_duplicates(docs, "doc_id", "text").select(
+        "id", F.col("canonical_id").alias("gold"))
+    return adjusted_rand_index(pred, gold)
+
+
+# HyperLogLog per-lang distinct-token counts next to the exact answer.
+# Registers are pure integers (md5-60 bucket + exact bit-length rho), the
+# harmonic sum is the int64 Σ2^(57-rho), linear-counting below 2.5m.
+_SQL_HLL_TOKENS = """
+WITH toks AS (
+  SELECT lang AS grp,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+h AS (
+  SELECT grp, token,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM toks
+),
+sparse AS (
+  SELECT grp, h % 64 AS register,
+         max(CASE WHEN (h >> 6) > 0
+             THEN least(60 - 6 - length(bin(h >> 6)) + 1, 57)
+             ELSE 57 END) AS rho
+  FROM h GROUP BY grp, h % 64
+),
+grps AS (SELECT DISTINCT grp FROM sparse),
+dense AS (
+  SELECT g.grp, r.register, coalesce(s.rho, 0) AS rho
+  FROM grps g CROSS JOIN (SELECT unnest(range(64)) AS register) r
+  LEFT JOIN sparse s ON s.grp = g.grp AND s.register = r.register
+),
+z AS (
+  SELECT grp, sum((1::BIGINT << (57 - rho)))::BIGINT AS z_scaled,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+  FROM dense GROUP BY grp
+),
+tru AS (
+  SELECT grp, count(DISTINCT token)::BIGINT AS true_distinct
+  FROM toks GROUP BY grp
+)
+SELECT z.grp, z.z_scaled, z.v_zero,
+  round(CASE WHEN (0.7213 / (1.0 + 1.079/64) * 64 * 64
+                   * (1::BIGINT << 57) / z_scaled::DOUBLE) <= 160.0
+              AND v_zero > 0
+        THEN 64.0 * ln(64.0 / v_zero::DOUBLE)
+        ELSE 0.7213 / (1.0 + 1.079/64) * 64 * 64
+             * (1::BIGINT << 57) / z_scaled::DOUBLE END, 4)
+    AS est_distinct,
+  tru.true_distinct
+FROM z JOIN tru ON z.grp = tru.grp
+"""
+
+
+def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.hll import hll_distinct_tokens
+    docs = _read(spark, sf_dir, "documents")
+    return hll_distinct_tokens(docs, "lang", "text")
+
+
+# Deterministic synchronous label propagation over the symmetrized
+# customer–supplier trade graph (3 rounds, min-label tie-break). The
+# oracle unrolls the rounds as CTEs — the integer-PageRank recipe.
+_LPA_ROUNDS = 3
+
+
+def _sql_lpa(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = [
+        "base AS (SELECT DISTINCT 'c' || o_custkey AS src,"
+        " 's' || l_suppkey AS dst"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base)",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"v{k} AS (SELECT e.dst AS id, l.label"
+            f" FROM e JOIN l{k - 1} l ON e.src = l.id"
+            f" UNION ALL SELECT id, label FROM l{k - 1})")
+        ctes.append(
+            f"c{k} AS (SELECT id, label, count(*)::BIGINT AS n"
+            f" FROM v{k} GROUP BY id, label)")
+        ctes.append(
+            f"l{k} AS (SELECT id, label FROM c{k}"
+            f" QUALIFY row_number() OVER ("
+            f"PARTITION BY id ORDER BY n DESC, label) = 1)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, label FROM l{rounds}")
+
+
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import undirected
+    from spikex_spark.operators.lpa import label_propagation
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+             .distinct())
+    return label_propagation(undirected(edges), rounds=_LPA_ROUNDS)
+
+
+# Exact tf-idf cosine self-join (AllPairs prefix filter). The engine
+# prunes candidates by the norm-bound prefix; the oracle joins every
+# shared token naively — different plan, identical pairs. Weights are
+# integer-quantized (tf · round(ln(1+N/df)·1000)) so dots and norms are
+# exact int64; the cosine itself is one IEEE-exact expression.
+_COS_T_PCT = 80
+_SQL_COSINE_PAIRS = f"""
+WITH tf AS (
+  SELECT id, tok, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id AS id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS tok
+    FROM documents) GROUP BY id, tok
+),
+nd AS (SELECT count(DISTINCT id)::BIGINT AS n_docs FROM tf),
+dfreq AS (SELECT tok, count(*)::BIGINT AS dfreq FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.id, tf.tok,
+         tf.tf * round(ln(1.0 + nd.n_docs::DOUBLE / dfreq.dfreq)
+                       * 1000)::BIGINT AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nd
+),
+norms AS (SELECT id, sum(w * w)::BIGINT AS norm2 FROM w GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w)::BIGINT AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT d.id_a, d.id_b, d.dot, na.norm2 AS norm_a, nb.norm2 AS norm_b,
+       round(d.dot::DOUBLE / sqrt(na.norm2::DOUBLE * nb.norm2::DOUBLE), 6)
+         AS cosine
+FROM dots d
+JOIN norms na ON d.id_a = na.id
+JOIN norms nb ON d.id_b = nb.id
+WHERE d.dot::DOUBLE / sqrt(na.norm2::DOUBLE * nb.norm2::DOUBLE)
+      >= {_COS_T_PCT} / 100.0
+"""
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cosinejoin import cosine_tfidf_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return cosine_tfidf_pairs(docs, "doc_id", "text",
+                              threshold_pct=_COS_T_PCT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -4967,6 +5203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_params": _q_fs_em_params,
         "fs_em_posteriors": _q_fs_em_posteriors,
         "soundex_blocking_keys": _q_soundex_keys,
+        "er_bcubed": _q_er_bcubed,
+        "er_ari": _q_er_ari,
+        "hll_distinct_tokens": _q_hll_tokens,
+        "lpa_communities": _q_lpa_communities,
+        "cosine_tfidf_pairs": _q_cosine_pairs,
     }
 
 
@@ -5125,6 +5366,11 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_params": _fs_em_sql("params"),
         "fs_em_posteriors": _fs_em_sql("posteriors"),
         "soundex_blocking_keys": _soundex_sql(),
+        "er_bcubed": _SQL_ER_BCUBED,
+        "er_ari": _SQL_ER_ARI,
+        "hll_distinct_tokens": _SQL_HLL_TOKENS,
+        "lpa_communities": _sql_lpa(),
+        "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,
     }
 
 

@@ -1,0 +1,146 @@
+"""Clustering-vs-clustering evaluation: B-cubed and Adjusted Rand Index.
+
+``evaluation.pair_metrics`` scores a PAIR set; these two score a
+CLUSTERING directly, which is how the ER literature actually reports
+quality (Bagga & Baldwin '98 B-cubed; Hubert & Arabie '85 ARI). At corpus
+scale both reduce to the (pred_cluster × gold_cluster) contingency table —
+one groupBy over the item join, never a pair materialization, so a 10^9-item
+clustering is scored with two shuffles.
+
+Determinism contract (same recipe as the integer PageRank / FS-LLR):
+float sums over many cells are reduction-order-dependent, so every
+accumulated quantity here is an int64 (fixed-point for B-cubed, exact
+binomial counts for ARI); the only float ops are single divisions of two
+already-exact integers at the very end, which every engine rounds
+identically. That is what lets the DuckDB oracle hash-match every digit.
+
+Overflow bounds (documented, not checked): B-cubed's per-cluster term is
+``Σ_g n_pg² · 10^9`` which fits int64 while the largest cluster is under
+~3M members — a 3M-duplicate cluster means blocking is broken long before
+arithmetic is. ARI's cross products are computed in decimal(38,0)
+(Spark) / HUGEINT (DuckDB oracle), exact to N ≈ 4·10^9 items.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 10^9 fixed-point: precision/recall contributions are scaled-integer
+# truncating divisions, so cross-engine sums agree bit-for-bit.
+_BC_SCALE = 10**9
+
+
+def _contingency(pred: DataFrame, gold: DataFrame,
+                 id_col: str, pred_col: str, gold_col: str) -> DataFrame:
+    """(p, g, n_pg): the contingency table over the inner-joined item set.
+
+    Items present in only one clustering are dropped — both metrics are
+    defined over a common item universe; the join makes that explicit.
+    """
+    base = (pred.select(F.col(id_col).alias("_it"),
+                        F.col(pred_col).alias("p"))
+            .join(gold.select(F.col(id_col).alias("_it"),
+                              F.col(gold_col).alias("g")), "_it"))
+    return base.groupBy("p", "g").agg(F.count("*").alias("n_pg"))
+
+
+def bcubed_metrics(pred: DataFrame, gold: DataFrame, id_col: str = "id",
+                   pred_col: str = "pred", gold_col: str = "gold") -> DataFrame:
+    """One row (n_items, precision, recall, f1): B-cubed score of ``pred``
+    against ``gold``.
+
+    B-cubed precision = avg over items of |P(i) ∩ G(i)| / |P(i)|, which
+    over the contingency table is ``Σ_cells n²/P_p / N`` — computed here
+    as per-pred-cluster int64 terms ``(Σ_g n_pg²)·10^9 div P_p`` summed
+    exactly, divided by N·10^9 once at the end. Recall is the transpose.
+    Three shuffles total (item join, cell groupBy, two tiny rollups).
+    """
+    cells = _contingency(pred, gold, id_col, pred_col, gold_col)
+    n2 = (F.col("n_pg") * F.col("n_pg")).alias("n2")
+
+    # per-pred-cluster: size P_p and Σ_g n², then the fixed-point term
+    per_p = cells.groupBy("p").agg(
+        F.sum("n_pg").alias("sz"), F.sum(n2).alias("num"))
+    prec_terms = per_p.select(
+        (F.col("num") * F.lit(_BC_SCALE)).cast("long").alias("s_num"),
+        F.col("sz").alias("s_den"))
+    per_g = cells.groupBy("g").agg(
+        F.sum("n_pg").alias("sz"), F.sum(n2).alias("num"))
+    rec_terms = per_g.select(
+        (F.col("num") * F.lit(_BC_SCALE)).cast("long").alias("s_num"),
+        F.col("sz").alias("s_den"))
+
+    def _scaled_sum(terms: DataFrame) -> DataFrame:
+        # num·S div den per cluster, summed — true int64 division (`div`),
+        # never float `/` (whose rounding would break exact truncation)
+        return terms.agg(F.sum(
+            F.expr("s_num div s_den")).alias("t"))
+
+    p_sum = _scaled_sum(prec_terms).select(F.col("t").alias("p_t"))
+    r_sum = _scaled_sum(rec_terms).select(F.col("t").alias("r_t"))
+    n_row = cells.agg(F.sum("n_pg").alias("n_items"))
+
+    out = n_row.crossJoin(p_sum).crossJoin(r_sum)
+    denom = F.col("n_items").cast("double") * F.lit(float(_BC_SCALE))
+    prec = F.when(F.col("n_items") > 0,
+                  F.col("p_t") / denom).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_items") > 0,
+                 F.col("r_t") / denom).otherwise(F.lit(0.0))
+    f1 = F.when(F.col("p_t") + F.col("r_t") > 0,
+                (2.0 * F.col("p_t") * F.col("r_t"))
+                / ((F.col("p_t") + F.col("r_t")).cast("double")
+                   * denom)).otherwise(F.lit(0.0))
+    return out.select(
+        "n_items",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
+
+
+def adjusted_rand_index(pred: DataFrame, gold: DataFrame, id_col: str = "id",
+                        pred_col: str = "pred",
+                        gold_col: str = "gold") -> DataFrame:
+    """One row (n_items, s_cells, s_pred, s_gold, ari): Adjusted Rand
+    Index of ``pred`` against ``gold``.
+
+    With S_c = Σ_cells C(n,2), S_a = Σ_p C(P,2), S_b = Σ_g C(G,2),
+    S_n = C(N,2)::
+
+        ARI = (S_c - S_a·S_b/S_n) / ((S_a+S_b)/2 - S_a·S_b/S_n)
+
+    cleared of fractions to one division of two exact integers::
+
+        ARI = 2·(S_c·S_n - S_a·S_b) / (S_n·(S_a+S_b) - 2·S_a·S_b)
+
+    The products can reach N⁴/4, past int64 — they are computed in
+    decimal(38,0), exact; only the final ratio is floating. Identical
+    clusterings score 1.0; a zero denominator (both sides all-singletons
+    or one giant cluster each — agreement is total) also scores 1.0.
+    """
+    cells = _contingency(pred, gold, id_col, pred_col, gold_col)
+
+    def _pairs(n: F.Column) -> F.Column:
+        # n(n-1) is even and nonnegative, so shiftright 1 == exact /2
+        # (float `/` would round; `div` needs expr-string plumbing)
+        return F.shiftright(n * (n - F.lit(1)), 1)
+
+    sc = cells.agg(F.sum(_pairs(F.col("n_pg"))).alias("s_cells"),
+                   F.sum("n_pg").alias("n_items"))
+    sa = (cells.groupBy("p").agg(F.sum("n_pg").alias("sz"))
+          .agg(F.sum(_pairs(F.col("sz"))).alias("s_pred")))
+    sb = (cells.groupBy("g").agg(F.sum("n_pg").alias("sz"))
+          .agg(F.sum(_pairs(F.col("sz"))).alias("s_gold")))
+
+    out = sc.crossJoin(sa).crossJoin(sb)
+    dec = "decimal(38,0)"
+    s_c = F.col("s_cells").cast(dec)
+    s_a = F.col("s_pred").cast(dec)
+    s_b = F.col("s_gold").cast(dec)
+    s_n = _pairs(F.col("n_items").cast("long")).cast(dec)
+    num2 = F.lit(2).cast(dec) * (s_c * s_n - s_a * s_b)
+    den2 = s_n * (s_a + s_b) - F.lit(2).cast(dec) * s_a * s_b
+    ari = F.when(den2 == 0, F.lit(1.0)).otherwise(
+        num2.cast("double") / den2.cast("double"))
+    return out.select("n_items", "s_cells", "s_pred", "s_gold",
+                      F.round(ari, 6).alias("ari"))

@@ -1,0 +1,190 @@
+"""B-cubed/ARI clustering evaluation, HLL sketch, label propagation,
+and the tf-idf cosine prefix join."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spikex_spark.operators.clustereval import (adjusted_rand_index,
+                                                bcubed_metrics)
+from spikex_spark.operators import hll as H
+from spikex_spark.operators.lpa import community_sizes, label_propagation
+
+
+def _pg(spark):
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        ["id", "pred"])
+    gold = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y"), (6, "z")],
+        ["id", "gold"])
+    return pred, gold
+
+
+def test_bcubed_hand_computed(spark):
+    pred, gold = _pg(spark)
+    row = bcubed_metrics(pred, gold).collect()[0]
+    # per-item precision: 2/3,2/3,1/3,1,1,1 -> 14/18; recall mirrors
+    assert row["n_items"] == 6
+    assert row["precision"] == round(14 / 18, 6)
+    assert row["recall"] == round(14 / 18, 6)
+    assert row["f1"] == round(14 / 18, 6)
+
+
+def test_bcubed_identity_is_perfect(spark):
+    pred, _ = _pg(spark)
+    row = bcubed_metrics(
+        pred, pred.withColumnRenamed("pred", "gold")).collect()[0]
+    assert (row["precision"], row["recall"], row["f1"]) == (1.0, 1.0, 1.0)
+
+
+def test_bcubed_singletons_vs_one_cluster(spark):
+    # pred all-singletons, gold one cluster: precision 1, recall 1/n
+    n = 8
+    pred = spark.createDataFrame([(i, i) for i in range(n)], ["id", "pred"])
+    gold = spark.createDataFrame([(i, 0) for i in range(n)], ["id", "gold"])
+    row = bcubed_metrics(pred, gold).collect()[0]
+    assert row["precision"] == 1.0
+    assert row["recall"] == round(1 / n, 6)
+
+
+def test_ari_hand_computed(spark):
+    pred, gold = _pg(spark)
+    row = adjusted_rand_index(pred, gold).collect()[0]
+    # cells (a,x)=2 (a,y)=1 (b,y)=2 (c,z)=1 -> S_c=2, S_a=4, S_b=4, S_n=15
+    assert (row["s_cells"], row["s_pred"], row["s_gold"]) == (2, 4, 4)
+    assert row["ari"] == round(2 * (2 * 15 - 16) / (15 * 8 - 32), 6)
+
+
+def test_ari_identity_and_degenerate(spark):
+    pred, _ = _pg(spark)
+    assert adjusted_rand_index(
+        pred, pred.withColumnRenamed("pred", "gold")).collect()[0]["ari"] == 1.0
+    # both all-singletons: den2 == 0 -> convention 1.0
+    p = spark.createDataFrame([(i, i) for i in range(4)], ["id", "pred"])
+    g = spark.createDataFrame([(i, i + 10) for i in range(4)], ["id", "gold"])
+    assert adjusted_rand_index(p, g).collect()[0]["ari"] == 1.0
+
+
+def test_hll_registers_dense_and_bounded(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(300)], ["grp", "v"])
+    regs = H.hll_registers(df, "grp", "v").collect()
+    assert len(regs) == 64                      # dense: every register
+    assert all(0 <= r["rho"] <= 57 for r in regs)
+    assert {r["register"] for r in regs} == set(range(64))
+
+
+def test_hll_estimate_raw_and_linear_counting(spark):
+    big = spark.createDataFrame(
+        [("big", f"v{i}") for i in range(2000)], ["grp", "v"])
+    small = spark.createDataFrame(
+        [("small", f"w{i}") for i in range(40)], ["grp", "v"])
+    est = {r["grp"]: r for r in H.hll_estimate(
+        H.hll_registers(big.union(small), "grp", "v")).collect()}
+    # raw regime (m=64 -> ~13% stddev; allow 3 sigma)
+    assert abs(est["big"]["est_distinct"] - 2000) / 2000 < 0.4
+    # linear-counting regime: must engage (v_zero > 0) and be close
+    assert est["small"]["v_zero"] > 0
+    lc = 64.0 * math.log(64.0 / est["small"]["v_zero"])
+    assert est["small"]["est_distinct"] == round(lc, 4)
+    assert abs(est["small"]["est_distinct"] - 40) / 40 < 0.35
+
+
+def test_hll_merge_equals_single_pass(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(500)] +
+        [("h", f"u{i}") for i in range(80)], ["grp", "v"])
+    a = df.where(F.col("v") < "u9")       # split is arbitrary, overlapping
+    b = df.where(F.col("v") >= "u4")
+    merged = H.hll_merge(H.hll_registers(a, "grp", "v"),
+                         H.hll_registers(b, "grp", "v"))
+    full = H.hll_registers(df, "grp", "v")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_hll_group_only_in_one_shard_survives_merge(spark):
+    a = spark.createDataFrame([("only_a", "x1"), ("both", "y1")],
+                              ["grp", "v"])
+    b = spark.createDataFrame([("both", "y2")], ["grp", "v"])
+    merged = H.hll_merge(H.hll_registers(a, "grp", "v"),
+                         H.hll_registers(b, "grp", "v"))
+    grps = {r["grp"] for r in merged.select("grp").distinct().collect()}
+    assert grps == {"only_a", "both"}
+
+
+def test_lpa_two_triangles_with_bridge(spark):
+    from spikex_spark.operators.graph import undirected
+    ed = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")], ["src", "dst"])
+    lab = {r["id"]: r["label"]
+           for r in label_propagation(undirected(ed), rounds=3).collect()}
+    assert lab["a"] == lab["b"] == lab["c"]
+    assert lab["d"] == lab["e"] == lab["f"]
+    assert lab["a"] != lab["d"]          # the bridge must NOT merge them
+    sizes = {r["label"]: r["size"]
+             for r in community_sizes(
+                 label_propagation(undirected(ed), rounds=3)).collect()}
+    assert sorted(sizes.values()) == [3, 3]
+
+
+def test_lpa_deterministic_min_label_ties(spark):
+    from spikex_spark.operators.graph import undirected
+    # a path a-b: round 1 votes tie 1-1 everywhere -> min label wins
+    ed = spark.createDataFrame([("b", "a")], ["src", "dst"])
+    lab = {r["id"]: r["label"]
+           for r in label_propagation(undirected(ed), rounds=2).collect()}
+    assert lab == {"a": "a", "b": "a"}
+
+
+def test_cosine_prefix_join_matches_naive(spark):
+    from spikex_spark.operators.cosinejoin import cosine_tfidf_pairs
+    # deterministic subset (limit() can re-pick rows across jobs)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").where("doc_id <= 150")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_tfidf_pairs(
+               docs, "doc_id", "text", threshold_pct=70).collect()}
+    # naive reference: exact integer weights, all shared-token pairs
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("tok")
+    ).groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = toks.select("id").distinct().count()
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("dfq"))
+    w = (toks.join(dfreq, "tok")
+         .select("id", "tok",
+                 (F.col("tf") * F.round(
+                     F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("dfq"))
+                     * 1000).cast("long")).alias("w")))
+    norms = {r["id"]: r["n"] for r in
+             w.groupBy("id").agg(
+                 F.sum(F.col("w") * F.col("w")).alias("n")).collect()}
+    dots = (w.alias("a").join(w.alias("b"), "tok")
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot")).collect())
+    want = {}
+    for r in dots:
+        c = r["dot"] / math.sqrt(float(norms[r["ia"]]) * float(norms[r["ib"]]))
+        if c >= 0.70:
+            want[(r["ia"], r["ib"])] = round(c, 6)
+    assert got == want
+    assert len(got) > 0                  # synth near-dups must trigger
+
+
+def test_cosine_self_similarity_is_one(spark):
+    from spikex_spark.operators.cosinejoin import cosine_tfidf_pairs
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "zeta eta theta")], ["doc_id", "text"])
+    rows = cosine_tfidf_pairs(docs, "doc_id", "text",
+                              threshold_pct=90).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"])
+            for r in rows] == [(1, 2, 1.0)]
