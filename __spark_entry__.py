@@ -5091,6 +5091,29 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold_pct=_COS_T_PCT)
 
 
+# Exact Levenshtein self-join (PassJoin segment filter) on 30-char doc
+# prefixes: typo-class near-dup detection. Engine generates candidates
+# from untouched-segment equi-matches; the oracle cross-joins naively —
+# different plan, identical pairs, all-integer output (nothing to round).
+_EDIT_K = 2
+_SQL_EDIT_PAIRS = f"""
+WITH kk AS (
+  SELECT doc_id, substr(text, 1, 30) AS key FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key, b.key)::INT AS dist
+FROM kk a JOIN kk b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= {_EDIT_K}
+"""
+
+
+def _q_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.editjoin import edit_distance_join
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.substring("text", 1, 30).alias("key"))
+    return edit_distance_join(keyed, "doc_id", "key", k=_EDIT_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -5208,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
+        "edit_distance_pairs": _q_edit_pairs,
     }
 
 
@@ -5371,6 +5395,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,
+        "edit_distance_pairs": _SQL_EDIT_PAIRS,
     }
 
 

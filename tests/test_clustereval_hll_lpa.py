@@ -188,3 +188,36 @@ def test_cosine_self_similarity_is_one(spark):
                               threshold_pct=90).collect()
     assert [(r["id_a"], r["id_b"], r["cosine"])
             for r in rows] == [(1, 2, 1.0)]
+
+
+def test_edit_join_matches_naive_random_short_strings(spark):
+    # binary alphabet + lengths 0..8 stress the short-bucket path and
+    # every segment-scheme edge; lossless means set-equal to the naive
+    # cross join at every k
+    import random
+    from spikex_spark.operators.editjoin import edit_distance_join
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 8))))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    for k in (1, 2):
+        got = {(r["id_a"], r["id_b"], r["dist"])
+               for r in edit_distance_join(df, "id", "key", k=k).collect()}
+        naive = (df.alias("a").crossJoin(df.alias("b"))
+                 .where(F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("ia"),
+                         F.col("b.id").alias("ib"),
+                         F.levenshtein("a.key", "b.key").alias("d"))
+                 .where(F.col("d") <= k).collect())
+        want = {(r["ia"], r["ib"], r["d"]) for r in naive}
+        assert got == want, (k, len(got), len(want))
+
+
+def test_edit_join_doc_prefixes_nonempty(spark):
+    from spikex_spark.operators.editjoin import edit_distance_join
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs.select("doc_id", F.substring("text", 1, 30).alias("key"))
+    rows = edit_distance_join(keyed, "doc_id", "key", k=2).collect()
+    assert all(0 <= r["dist"] <= 2 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
