@@ -5114,6 +5114,94 @@ def _q_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(keyed, "doc_id", "key", k=_EDIT_K)
 
 
+# One-to-one linkage over the scored ER candidate pairs: distributed
+# mutual-best rounds (deterministic argmax, score desc / partner asc).
+# The oracle unrolls the rounds as CTEs over the same scored-pair SQL.
+_MBM_ROUNDS = 3
+
+
+def _sql_mutual_best(rounds: int = _MBM_ROUNDS) -> str:
+    # AS MATERIALIZED throughout: each a{r}/b{r}/m{r} is referenced more
+    # than once downstream, and DuckDB's default inlining re-expands the
+    # heavy scored-pair chain per reference (observed: minutes instead
+    # of seconds)
+    ctes = [
+        f"p AS MATERIALIZED (SELECT id_a, id_b, score"
+        f" FROM ({_SQL_ER_PAIRS}))",
+        "a0 AS MATERIALIZED"
+        " (SELECT id_a AS node, id_b AS partner, score AS s FROM p"
+        " UNION ALL SELECT id_b, id_a, score FROM p)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT node, partner, s FROM a{r - 1}"
+            f" QUALIFY row_number() OVER ("
+            f"PARTITION BY node ORDER BY s DESC, partner) = 1)")
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT x.node AS id_a,"
+            f" x.partner AS id_b, x.s AS score, {r} AS match_round"
+            f" FROM b{r} x JOIN b{r} y"
+            f" ON x.partner = y.node AND y.partner = x.node"
+            f" WHERE x.node < x.partner)")
+        if r < rounds:
+            ctes.append(
+                f"t{r} AS MATERIALIZED (SELECT id_a AS n FROM m{r}"
+                f" UNION ALL SELECT id_b FROM m{r})")
+            ctes.append(
+                f"a{r} AS MATERIALIZED (SELECT * FROM a{r - 1}"
+                f" WHERE node NOT IN (SELECT n FROM t{r})"
+                f" AND partner NOT IN (SELECT n FROM t{r}))")
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}"
+                               for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def _q_er_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.matching import mutual_best_match
+    pairs = _q_er_doc_pairs(spark, sf_dir)
+    return mutual_best_match(pairs, rounds=_MBM_ROUNDS)
+
+
+# Common-neighbor / neighborhood-Jaccard similarity over the trade
+# graph: wedge centers capped at degree 64 (the hub cut is part of the
+# metric — both engines apply it), degrees from the full graph.
+_CN_MAX_DEG = 64
+_SQL_NODE_SIM = f"""
+WITH base AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+deg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM e GROUP BY src),
+ok AS (SELECT id AS c FROM deg WHERE deg <= {_CN_MAX_DEG}),
+bc AS (SELECT e.src AS c, e.dst AS n FROM e JOIN ok ON e.src = ok.c),
+pairs AS (
+  SELECT l.n AS id_a, r.n AS id_b, count(*)::BIGINT AS common
+  FROM bc l JOIN bc r ON l.c = r.c AND l.n < r.n
+  GROUP BY l.n, r.n
+)
+SELECT p.id_a, p.id_b, p.common, da.deg AS deg_a, db.deg AS deg_b,
+       round(p.common::DOUBLE
+             / (da.deg + db.deg - p.common)::DOUBLE, 6) AS jaccard
+FROM pairs p
+JOIN deg da ON p.id_a = da.id
+JOIN deg db ON p.id_b = db.id
+"""
+
+
+def _q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import (common_neighbor_similarity,
+                                              undirected)
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+             .distinct())
+    return common_neighbor_similarity(undirected(edges),
+                                      max_center_degree=_CN_MAX_DEG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -5232,6 +5320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
         "edit_distance_pairs": _q_edit_pairs,
+        "er_one_to_one": _q_er_one_to_one,
+        "graph_node_similarity": _q_node_similarity,
     }
 
 
@@ -5396,6 +5486,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,
         "edit_distance_pairs": _SQL_EDIT_PAIRS,
+        "er_one_to_one": _sql_mutual_best(),
+        "graph_node_similarity": _SQL_NODE_SIM,
     }
 
 

@@ -169,3 +169,48 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return (deg.select("id").join(per_node, "id", "left")
             .select("id", F.coalesce("triangles", F.lit(0))
                     .cast("long").alias("triangles")))
+
+
+def common_neighbor_similarity(edges: DataFrame,
+                               max_center_degree: int = 64) -> DataFrame:
+    """Link prediction / graph-ER features: (id_a, id_b, common, deg_a,
+    deg_b, jaccard) for every node pair sharing ≥1 neighbor.
+
+    Common-neighbor counts and neighborhood Jaccard are the classic
+    link-prediction scores (Liben-Nowell & Kleinberg '03) and, over an
+    ER similarity graph, the "do these two records co-occur with the
+    same witnesses" feature. Wedges are built at the shared neighbor
+    (one self-join of the edge list on the CENTER column, map-side
+    count); a degree-d center emits O(d²) wedges, so centers above
+    ``max_center_degree`` are excluded — the standard hub cut (a viral
+    node's neighborhood says nothing discriminative, and the cut is part
+    of the metric's definition so the oracle applies it identically).
+    Degrees (for the Jaccard denominator) are computed over the FULL
+    graph, not the hub-cut one. All counts are exact integers; jaccard
+    is the single division common/(deg_a + deg_b - common), rounded 6.
+
+    ``edges`` must be undirected (both directions present).
+    """
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")) \
+           .withColumnRenamed("src", "id")
+    centers_ok = deg.where(F.col("deg") <= max_center_degree) \
+                    .select(F.col("id").alias("c"))
+    # wedges at each kept center: (neighbor_a, neighbor_b) with a < b
+    by_center = e.select(F.col("src").alias("c"), F.col("dst").alias("n")) \
+                 .join(centers_ok, "c")
+    l, r = by_center.alias("l"), by_center.alias("r")
+    pairs = (l.join(r, "c")
+             .where(F.col("l.n") < F.col("r.n"))
+             .groupBy(F.col("l.n").alias("id_a"),
+                      F.col("r.n").alias("id_b"))
+             .agg(F.count("*").alias("common")))
+    da = deg.select(F.col("id").alias("id_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("deg").alias("deg_b"))
+    out = pairs.join(da, "id_a").join(db, "id_b")
+    union = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    return out.select(
+        "id_a", "id_b", "common", "deg_a", "deg_b",
+        F.round(F.col("common").cast("double") / union.cast("double"),
+                6).alias("jaccard"))

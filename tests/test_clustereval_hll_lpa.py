@@ -221,3 +221,45 @@ def test_edit_join_doc_prefixes_nonempty(spark):
     assert all(0 <= r["dist"] <= 2 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+
+
+def test_mutual_best_match_rounds(spark):
+    from spikex_spark.operators.matching import mutual_best_match
+    # 2-3 is the local max; 1 re-points to 4 only after 2 is retired
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.95), (1, 4, 0.7)],
+        ["id_a", "id_b", "score"])
+    got = {(r["id_a"], r["id_b"], r["match_round"])
+           for r in mutual_best_match(pairs, rounds=2).collect()}
+    assert got == {(2, 3, 1), (1, 4, 2)}
+
+
+def test_mutual_best_match_is_one_to_one(spark):
+    from spikex_spark.operators.matching import mutual_best_match
+    import random
+    rng = random.Random(3)
+    pairs = spark.createDataFrame(
+        [(a, b, round(rng.random(), 3))
+         for a in range(20) for b in range(a + 1, 20) if rng.random() < 0.3],
+        ["id_a", "id_b", "score"])
+    rows = mutual_best_match(pairs, rounds=3).collect()
+    seen = [x for r in rows for x in (r["id_a"], r["id_b"])]
+    assert len(seen) == len(set(seen))        # every node matched at most once
+
+
+def test_common_neighbor_similarity_hub_cut(spark):
+    from spikex_spark.operators.graph import (common_neighbor_similarity,
+                                              undirected)
+    ed = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("a", "y"), ("b", "y"), ("c", "y")],
+        ["src", "dst"])
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in common_neighbor_similarity(
+                undirected(ed), max_center_degree=2).collect()}
+    # y (deg 3) is hub-cut as a CENTER: (a,b) counts only x, not y —
+    # but y still contributes to DEGREES (full-graph denominators)
+    assert rows[("a", "b")]["common"] == 1
+    assert rows[("a", "b")]["jaccard"] == round(1 / (2 + 2 - 1), 6)
+    assert rows[("x", "y")]["common"] == 2    # wedges at a and b
+    assert rows[("x", "y")]["jaccard"] == round(2 / (2 + 3 - 2), 6)
+    assert ("a", "c") not in rows             # only shared neighbor is y (cut)
