@@ -5202,6 +5202,55 @@ def _q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       max_center_degree=_CN_MAX_DEG)
 
 
+# Windowed token co-occurrence + PMI. The engine extracts pairs with
+# offset-shifted array zips (no join); the oracle runs the positional
+# self-join — identical counts, PMI mirrored operation-for-operation.
+_COOC_W = 3
+_COOC_MIN = 20
+_SQL_COOC = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, l[i] AS tok, i AS pos
+  FROM base, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+),
+p AS MATERIALIZED (
+  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND {_COOC_W}
+),
+cp AS (
+  SELECT w1, w2, count(*)::BIGINT AS c_pair FROM p GROUP BY w1, w2
+  HAVING count(*) >= {_COOC_MIN}
+),
+uni AS MATERIALIZED (
+  SELECT tok AS w, count(*)::BIGINT AS c FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT (SELECT count(*) FROM toks)::BIGINT AS t_tok,
+         (SELECT count(*) FROM p)::BIGINT AS t_pair
+)
+SELECT cp.w1, cp.w2, cp.c_pair, u1.c AS c_w1, u2.c AS c_w2,
+  round(ln((cp.c_pair::DOUBLE * t_tok::DOUBLE * t_tok::DOUBLE)
+           / (t_pair::DOUBLE * u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+FROM cp
+JOIN uni u1 ON cp.w1 = u1.w
+JOIN uni u2 ON cp.w2 = u2.w
+CROSS JOIN tot
+"""
+
+
+def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cooc import token_cooccurrence
+    docs = _read(spark, sf_dir, "documents")
+    return token_cooccurrence(docs, "doc_id", "text",
+                              window=_COOC_W, min_count=_COOC_MIN)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -5322,6 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": _q_edit_pairs,
         "er_one_to_one": _q_er_one_to_one,
         "graph_node_similarity": _q_node_similarity,
+        "token_cooccurrence": _q_cooccurrence,
     }
 
 
@@ -5488,6 +5538,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _SQL_EDIT_PAIRS,
         "er_one_to_one": _sql_mutual_best(),
         "graph_node_similarity": _SQL_NODE_SIM,
+        "token_cooccurrence": _SQL_COOC,
     }
 
 

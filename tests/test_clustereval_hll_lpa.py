@@ -263,3 +263,33 @@ def test_common_neighbor_similarity_hub_cut(spark):
     assert rows[("x", "y")]["common"] == 2    # wedges at a and b
     assert rows[("x", "y")]["jaccard"] == round(2 / (2 + 3 - 2), 6)
     assert ("a", "c") not in rows             # only shared neighbor is y (cut)
+
+
+def test_cooccurrence_hand_counts_and_short_docs(spark):
+    from spikex_spark.operators.cooc import token_cooccurrence
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x"), (3, ""), (4, "a b")],
+        ["doc_id", "text"])
+    rows = {(r["w1"], r["w2"]): r
+            for r in token_cooccurrence(
+                docs, "doc_id", "text", window=2, min_count=1).collect()}
+    # doc1 window-2 pairs: (a,b)x3 + (a,a) + (b,b); doc4 adds (a,b)
+    assert rows[("a", "b")]["c_pair"] == 4
+    assert rows[("a", "a")]["c_pair"] == 1
+    assert rows[("b", "b")]["c_pair"] == 1
+    # totals: T = 4+1+0+2 = 7 tokens, Tp = (3+2) + 0 + 0 + 1 = 6 pairs
+    r = rows[("a", "b")]
+    assert (r["c_w1"], r["c_w2"]) == (3, 3)
+    assert r["pmi"] == round(math.log((4 * 7 * 7) / (6 * 3 * 3)), 6)
+    # docs 2 and 3 (too short for any window) must not fault the stage
+    assert ("x", "x") not in rows
+
+
+def test_cooccurrence_min_count_bounds_output(spark):
+    from spikex_spark.operators.cooc import token_cooccurrence
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = token_cooccurrence(docs, "doc_id", "text",
+                            window=3, min_count=50).count()
+    hi = token_cooccurrence(docs, "doc_id", "text",
+                            window=3, min_count=5).count()
+    assert 0 < lo < hi
