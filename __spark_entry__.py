@@ -5251,6 +5251,77 @@ def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                               window=_COOC_W, min_count=_COOC_MIN)
 
 
+# Bottom-k hash-sample quantile sketch: deterministic md5-rank sample,
+# order-statistic estimates, exact order statistic alongside. Dyadic +
+# mirrored float q·n keeps both engines on the identical index.
+_QSK_K = 128
+_QSK_QS = (0.25, 0.5, 0.75, 0.95)
+_SQL_QSKETCH = f"""
+WITH r AS MATERIALIZED (
+  SELECT event_type AS grp,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS rank,
+         value
+  FROM events
+),
+s AS (
+  SELECT grp, rank, value FROM (
+    SELECT grp, rank, value,
+           row_number() OVER (PARTITION BY grp ORDER BY rank) AS rn
+    FROM r) WHERE rn <= {_QSK_K}
+),
+pos AS (
+  SELECT grp, value, rank,
+         row_number() OVER (PARTITION BY grp ORDER BY value, rank) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_sample
+  FROM s
+),
+qs AS (SELECT unnest([{", ".join(f"{q}::DOUBLE" for q in _QSK_QS)}]) AS q),
+est AS (
+  SELECT grp, q, value AS est, n_sample::BIGINT AS n_sample
+  FROM pos CROSS JOIN qs
+  WHERE rn = greatest(1, ceil(q * n_sample))
+),
+ex0 AS (
+  SELECT grp, value,
+         row_number() OVER (PARTITION BY grp ORDER BY value, rank) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM r
+),
+exact AS (
+  SELECT grp, q, value AS exact_val FROM ex0 CROSS JOIN qs
+  WHERE rn = greatest(1, ceil(q * n))
+)
+SELECT e.grp, e.q, e.est, e.n_sample, x.exact_val
+FROM est e JOIN exact x ON e.grp = x.grp AND e.q = x.q
+"""
+
+
+def _q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import _md5_60
+    from spikex_spark.operators.qsketch import (bottomk_sample,
+                                                sample_quantiles)
+    from pyspark.sql import Window as W
+    ev = _read(spark, sf_dir, "events")
+    sample = bottomk_sample(ev, "event_type", "event_id", "value",
+                            k=_QSK_K)
+    est = sample_quantiles(sample, qs=_QSK_QS)
+    # exact order statistic over the FULL group, same index definition
+    r = ev.select(F.col("event_type").alias("grp"),
+                  _md5_60(F.col("event_id").cast("string")).alias("rank"),
+                  "value")
+    win = W.partitionBy("grp").orderBy("value", "rank")
+    ex = (r.withColumn("_rn", F.row_number().over(win))
+          .withColumn("n", F.count("*").over(W.partitionBy("grp")))
+          .select("grp", "value", "_rn", "n",
+                  F.explode(F.array(
+                      *[F.lit(float(q)) for q in _QSK_QS])).alias("q"))
+          .where(F.col("_rn") == F.greatest(
+              F.lit(1), F.ceil(F.col("q") * F.col("n"))))
+          .select("grp", "q", F.col("value").alias("exact_val")))
+    return est.join(ex, ["grp", "q"]).select(
+        "grp", "q", "est", "n_sample", "exact_val")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -5372,6 +5443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_one_to_one": _q_er_one_to_one,
         "graph_node_similarity": _q_node_similarity,
         "token_cooccurrence": _q_cooccurrence,
+        "sampled_quantiles_events": _q_sampled_quantiles,
     }
 
 
@@ -5539,6 +5611,7 @@ def oracle_sql() -> dict[str, str]:
         "er_one_to_one": _sql_mutual_best(),
         "graph_node_similarity": _SQL_NODE_SIM,
         "token_cooccurrence": _SQL_COOC,
+        "sampled_quantiles_events": _SQL_QSKETCH,
     }
 
 

@@ -293,3 +293,47 @@ def test_cooccurrence_min_count_bounds_output(spark):
     hi = token_cooccurrence(docs, "doc_id", "text",
                             window=3, min_count=5).count()
     assert 0 < lo < hi
+
+
+def test_bottomk_merge_equals_single_pass(spark):
+    from spikex_spark.operators.qsketch import bottomk_merge, bottomk_sample
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = bottomk_merge(
+        bottomk_sample(a, "event_type", "event_id", "value", k=64),
+        bottomk_sample(b, "event_type", "event_id", "value", k=64), k=64)
+    full = bottomk_sample(ev, "event_type", "event_id", "value", k=64)
+    # set-compare via collect: exceptAll over this union+window plan trips
+    # a Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND rebinding bug
+    ms = sorted(map(tuple, merged.collect()))
+    fs = sorted(map(tuple, full.collect()))
+    assert ms == fs
+
+
+def test_sample_quantiles_small_group_is_exact(spark):
+    from spikex_spark.operators.qsketch import bottomk_sample, sample_quantiles
+    # group smaller than k: the sample IS the group, estimates are exact
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])],
+        ["grp", "id", "v"])
+    est = {r["q"]: r for r in sample_quantiles(
+        bottomk_sample(df, "grp", "id", "v", k=64),
+        qs=(0.25, 0.5, 1.0)).collect()}
+    # sorted values [1,3,5,7,9]; ceil(.25*5)=2 -> 3; ceil(.5*5)=3 -> 5
+    assert est[0.25]["est"] == 3.0
+    assert est[0.5]["est"] == 5.0
+    assert est[1.0]["est"] == 9.0
+    assert est[0.5]["n_sample"] == 5
+
+
+def test_sample_quantiles_close_to_exact_on_large_group(spark):
+    from spikex_spark.operators.qsketch import bottomk_sample, sample_quantiles
+    df = spark.createDataFrame(
+        [("g", i, float((i * 7919) % 10007)) for i in range(5000)],
+        ["grp", "id", "v"])
+    est = {r["q"]: r["est"] for r in sample_quantiles(
+        bottomk_sample(df, "grp", "id", "v", k=256),
+        qs=(0.5,)).collect()}
+    # median of a ~uniform 0..10007 population; k=256 -> stderr ~3%
+    assert abs(est[0.5] - 5003) / 10007 < 0.12
