@@ -5296,6 +5296,46 @@ FROM est e JOIN exact x ON e.grp = x.grp AND e.q = x.q
 """
 
 
+# HLL at ingest: the SAME sparse-register operator over a readStream
+# source (max is a monotone streaming aggregate; complete mode), drained
+# availableNow, then densified/estimated batch-side. Must hash-equal the
+# batch HLL query — same oracle SQL.
+def _q_stream_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from spikex_spark.operators.hll import (hll_densify,
+                                            hll_sparse_registers)
+    from spikex_spark.streaming.stream import run_to_memory
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "documents"))
+    toks = stream.select(
+        F.col("lang").alias("g0"),
+        F.explode(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                           lambda t: t != "")).alias("token"))
+    sparse_stream = hll_sparse_registers(toks, "g0", "token")
+    drained = run_to_memory(sparse_stream, "stream_hll_regs",
+                            mode="complete")
+    from spikex_spark.operators.hll import hll_estimate
+    est = hll_estimate(hll_densify(drained))
+    true = (_read(spark, sf_dir, "documents")
+            .select(F.col("lang").alias("grp"),
+                    F.explode(F.filter(
+                        F.split(F.lower("text"), "[^a-z0-9]+"),
+                        lambda t: t != "")).alias("token"))
+            .groupBy("grp")
+            .agg(F.countDistinct("token").alias("true_distinct")))
+    return (est.join(true, "grp")
+            .select("grp", "z_scaled", "v_zero", "est_distinct",
+                    "true_distinct"))
+
+
 def _q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.dedup import _md5_60
     from spikex_spark.operators.qsketch import (bottomk_sample,
@@ -5444,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_similarity": _q_node_similarity,
         "token_cooccurrence": _q_cooccurrence,
         "sampled_quantiles_events": _q_sampled_quantiles,
+        "stream_hll_tokens": _q_stream_hll_tokens,
     }
 
 
@@ -5612,6 +5653,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node_similarity": _SQL_NODE_SIM,
         "token_cooccurrence": _SQL_COOC,
         "sampled_quantiles_events": _SQL_QSKETCH,
+        "stream_hll_tokens": _SQL_HLL_TOKENS,
     }
 
 

@@ -45,14 +45,15 @@ _RHO_CAP = 57          # keeps Σ 2^(cap-rho) in int64 for m=64
 _ALPHA_M = 0.7213 / (1.0 + 1.079 / _M)
 
 
-def hll_registers(df: DataFrame, group_col: str,
-                  value_col: str) -> DataFrame:
-    """(grp, register, rho): the DENSE m-register HLL sketch per group.
+def hll_sparse_registers(df: DataFrame, group_col: str,
+                         value_col: str) -> DataFrame:
+    """(grp, register, rho): the SPARSE sketch — only touched registers.
 
-    One map + one map-side-combined groupBy(grp, register).max — the
-    shuffle carries at most m rows per group per mapper. The dense form
-    (absent registers as rho=0) makes sketches from different shards
-    align row-for-row, so a merge is a plain groupBy...max over a union.
+    One map + one map-side-combined groupBy(grp, register).max. ``max``
+    is a monotone streaming-safe aggregate, so this same operator runs
+    unchanged over a ``readStream`` source in complete mode — HLL at
+    ingest (the streaming contract query does exactly that and must
+    hash-equal the batch sketch).
     """
     h = _md5_60(F.col(value_col).cast("string"))
     # low p bits pick the register; the remaining 60-p bits feed rho
@@ -69,18 +70,34 @@ def hll_registers(df: DataFrame, group_col: str,
         rest > 0, F.lit(60 - _P) - bitlen + F.lit(1)
     ).otherwise(F.lit(_RHO_CAP))
     rho = F.least(rho_raw, F.lit(_RHO_CAP))
-    sparse = (df.select(F.col(group_col).alias("grp"), reg,
-                        rho.cast("int").alias("rho"))
-              .groupBy("grp", "register").agg(F.max("rho").alias("rho")))
-    # densify: every group × every register, absent → 0
-    spark = df.sparkSession
+    return (df.select(F.col(group_col).alias("grp"), reg,
+                      rho.cast("int").alias("rho"))
+            .groupBy("grp", "register").agg(F.max("rho").alias("rho")))
+
+
+def hll_densify(sparse: DataFrame) -> DataFrame:
+    """Dense m-register form: every group × every register, absent → 0.
+
+    The dense form makes sketches from different shards align
+    row-for-row, so a merge is a plain groupBy...max over a union.
+    """
+    spark = sparse.sparkSession
     regs = spark.range(_M).select(F.col("id").cast("int").alias("register"))
-    groups = sparse.select("grp").distinct()
-    dense = (groups.crossJoin(F.broadcast(regs))
-             .join(sparse, ["grp", "register"], "left")
-             .select("grp", "register",
-                     F.coalesce(F.col("rho"), F.lit(0)).alias("rho")))
-    return dense
+    # double-alias mints fresh attribute ids for the groups side: the
+    # later self-join against `sparse` otherwise hits "Conflicting
+    # attributes" when sparse is a streaming memory-sink view
+    groups = (sparse.select(F.col("grp").alias("__grp")).distinct()
+              .select(F.col("__grp").alias("grp")))
+    return (groups.crossJoin(F.broadcast(regs))
+            .join(sparse, ["grp", "register"], "left")
+            .select("grp", "register",
+                    F.coalesce(F.col("rho"), F.lit(0)).alias("rho")))
+
+
+def hll_registers(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """(grp, register, rho): the DENSE m-register HLL sketch per group."""
+    return hll_densify(hll_sparse_registers(df, group_col, value_col))
 
 
 def hll_estimate(registers: DataFrame) -> DataFrame:

@@ -337,3 +337,22 @@ def test_sample_quantiles_close_to_exact_on_large_group(spark):
         qs=(0.5,)).collect()}
     # median of a ~uniform 0..10007 population; k=256 -> stderr ~3%
     assert abs(est[0.5] - 5003) / 10007 < 0.12
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    from spikex_spark.operators.hll import hll_sparse_registers
+    from spikex_spark.streaming.stream import run_to_memory
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "d"))
+    toks_of = lambda df: df.select(
+        F.col("lang").alias("g0"),
+        F.explode(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                           lambda t: t != "")).alias("token"))
+    stream = spark.readStream.schema(docs.schema).parquet(
+        str(tmp_path / "d"))
+    drained = run_to_memory(
+        hll_sparse_registers(toks_of(stream), "g0", "token"),
+        "t_stream_hll", mode="complete")
+    batch = hll_sparse_registers(toks_of(docs), "g0", "token")
+    assert sorted(map(tuple, drained.collect())) == \
+        sorted(map(tuple, batch.collect()))
