@@ -5362,6 +5362,27 @@ def _q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp", "q", "est", "n_sample", "exact_val")
 
 
+# Leakage-safe split: hash over the ER CLUSTER id so near-dup members
+# co-assign — the dedup-before-split discipline as one operator.
+_SQL_CLUSTER_SPLIT = f"""
+WITH clusters AS MATERIALIZED ({_SQL_ER_CLUSTERS})
+SELECT doc_id AS id, cluster_id AS cluster, bucket,
+  CASE WHEN bucket < 9800 THEN 'train'
+       WHEN bucket < 9900 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+    ('0x' || substr(md5('split:' || cluster_id::varchar), 1, 15))::BIGINT
+      % 10000 AS bucket
+  FROM clusters)
+"""
+
+
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import cluster_split
+    return cluster_split(_q_er_doc_clusters(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -5485,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cooccurrence": _q_cooccurrence,
         "sampled_quantiles_events": _q_sampled_quantiles,
         "stream_hll_tokens": _q_stream_hll_tokens,
+        "cluster_leakage_safe_split": _q_cluster_split,
     }
 
 
@@ -5654,6 +5676,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": _SQL_COOC,
         "sampled_quantiles_events": _SQL_QSKETCH,
         "stream_hll_tokens": _SQL_HLL_TOKENS,
+        "cluster_leakage_safe_split": _SQL_CLUSTER_SPLIT,
     }
 
 

@@ -317,3 +317,32 @@ def zorder_key(df: DataFrame, col_a: str, col_b: str,
                         F.expr(f"zkey >> {2 * bits - file_bits}")
                         .cast("long"))
             .drop("__za", "__zb"))
+
+
+def cluster_split(members: DataFrame, cluster_col: str = "cluster_id",
+                  id_col: str = "doc_id",
+                  ratios: Sequence[tuple[str, int]] = (
+                      ("train", 9800), ("val", 100), ("test", 100)),
+                  salt: str = "split") -> DataFrame:
+    """(id, cluster, bucket, split): LEAKAGE-SAFE train/val/test split —
+    the hash is taken over the CLUSTER id, so every member of a near-dup
+    cluster lands in the same split.
+
+    ``corpus_split`` hashes the document id, which is growth-stable but
+    leaks: two near-duplicate documents hash independently, and a test
+    document with a train-side twin inflates eval scores (the classic
+    contamination mode that motivates dedup-before-split). Splitting on
+    the cluster key closes that channel for every duplicate the ER
+    clustering catches, while keeping all of corpus_split's properties —
+    deterministic, growth-stable (clusters keep their min-id key as they
+    absorb members only if the canonical member is stable; re-clustered
+    corpora re-version via ``salt``), and a narrow map + one equi-join.
+    """
+    assign = corpus_split(
+        members.select(F.col(cluster_col)).distinct(),
+        cluster_col, ratios=ratios, salt=salt)
+    return (members
+            .join(assign.withColumnRenamed("id", cluster_col), cluster_col)
+            .select(F.col(id_col).alias("id"),
+                    F.col(cluster_col).alias("cluster"),
+                    "bucket", "split"))

@@ -356,3 +356,22 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     batch = hll_sparse_registers(toks_of(docs), "g0", "token")
     assert sorted(map(tuple, drained.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_cluster_split_coassigns_members(spark):
+    from spikex_spark.operators.corpus import cluster_split
+    members = spark.createDataFrame(
+        [(i, i // 3) for i in range(60)], ["doc_id", "cluster_id"])
+    out = cluster_split(members)
+    # every cluster maps to exactly ONE split (the leakage-safety claim)
+    per = (out.groupBy("cluster")
+           .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in per)
+    assert out.count() == 60
+    # and the assignment matches corpus_split of the cluster keys
+    from spikex_spark.operators.corpus import corpus_split
+    want = {r["id"]: r["split"] for r in corpus_split(
+        members.select("cluster_id").distinct(), "cluster_id").collect()}
+    got = {r["cluster"]: r["split"]
+           for r in out.select("cluster", "split").distinct().collect()}
+    assert got == want
