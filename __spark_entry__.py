@@ -3004,6 +3004,75 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(lab, weights, ["a_jw", "a_jacc"])
 
 
+# Term-frequency-adjusted FS scoring (Winkler '89 / Splink TF
+# adjustments) on the lang field: agreeing on a rare language is worth
+# more than agreeing on the dominant one. m is trained exactly as in
+# fs_linkage_scores; the agreeing pair's u becomes the agreed VALUE's
+# own relative frequency — the oracle recomputes training, the tf
+# table, and the per-value ln weight.
+_SQL_FS_TF = f"""
+WITH s AS ({_SQL_SCORED}),
+d AS (SELECT doc_id, lang FROM documents),
+lab AS (
+  SELECT s.id_a, s.id_b,
+         round(0.5 * jw + 0.5 * jacc, 6) >= 0.80 AS match,
+         da.lang = db.lang AS a_lang,
+         CASE WHEN da.lang = db.lang THEN da.lang END AS value
+  FROM s
+  JOIN d da ON da.doc_id = s.id_a
+  JOIN d db ON db.doc_id = s.id_b
+),
+c AS (
+  SELECT count(*) FILTER (match)::BIGINT AS nm,
+         count(*) FILTER (NOT match)::BIGINT AS nu,
+         count(*) FILTER (match AND a_lang)::BIGINT AS am,
+         count(*) FILTER (NOT match AND a_lang)::BIGINT AS au
+  FROM lab
+),
+w AS (
+  SELECT round((am + 1) / (nm + 2), 6) AS m,
+         round(ln((1 - (am + 1) / (nm + 2)) / (1 - (au + 1) / (nu + 2)))
+               * 10000000.0)::BIGINT AS wd
+  FROM c
+),
+tf AS (SELECT lang AS value, count(*)::BIGINT AS cnt
+       FROM documents GROUP BY lang),
+n AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+SELECT l.id_a, l.id_b, l.a_lang, l.value,
+  (CASE WHEN l.a_lang
+        THEN round(ln(w.m * n.n_total / tf.cnt) * 10000000.0)::BIGINT
+        ELSE w.wd END) AS fs_tf_scaled,
+  (CASE WHEN l.a_lang
+        THEN round(ln(w.m * n.n_total / tf.cnt) * 10000000.0)::BIGINT
+        ELSE w.wd END) / 10000000.0 AS fs_tf_score
+FROM lab l
+CROSS JOIN w CROSS JOIN n
+LEFT JOIN tf ON tf.value = l.value
+"""
+
+
+def _q_fs_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import (fs_score_tf, fs_weights,
+                                                tf_table)
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs)
+    lang = docs.select("doc_id", "lang")
+    pairs = (scored
+             .join(lang.select(F.col("doc_id").alias("id_a"),
+                               F.col("lang").alias("lang_a")), "id_a")
+             .join(lang.select(F.col("doc_id").alias("id_b"),
+                               F.col("lang").alias("lang_b")), "id_b")
+             .select("id_a", "id_b",
+                     (F.col("score") >= 0.80).alias("match"),
+                     (F.col("lang_a") == F.col("lang_b")).alias("a_lang"),
+                     F.when(F.col("lang_a") == F.col("lang_b"),
+                            F.col("lang_a")).alias("value")))
+    weights = fs_weights(pairs, "match", ["a_lang"])
+    tf = tf_table(docs, "lang")
+    return fs_score_tf(pairs, weights, tf, "a_lang")
+
+
 # Distributed pair-set evaluation: SimHash near-dup predictions scored
 # against the exact n-gram-Jaccard reference — tp/fp/fn from one full
 # outer join of canonical pairs, metrics as single exact divisions.
@@ -4948,6 +5017,51 @@ def _q_er_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adjusted_rand_index(pred, gold)
 
 
+# NMI (sqrt normalization) of the flagship ER clustering vs the exact
+# clustering — micro-nat int64 terms, the 1/N factor cancelled in
+# I/sqrt(Hu·Hv). Same contingency cells CTE as B-cubed/ARI.
+_SQL_ER_NMI = f"""
+WITH {_SQL_CLUSTEREVAL_CELLS},
+nn AS (SELECT sum(n)::BIGINT AS n_items FROM cells),
+pp AS (SELECT p, sum(n)::BIGINT AS a FROM cells GROUP BY p),
+gg AS (SELECT g, sum(n)::BIGINT AS b FROM cells GROUP BY g),
+it AS (
+  SELECT sum(round(c.n * ln((nn.n_items::DOUBLE * c.n)
+                            / (pp.a::DOUBLE * gg.b))
+                   * 1000000.0)::BIGINT)::BIGINT AS i_scaled
+  FROM cells c JOIN pp USING (p) JOIN gg USING (g) CROSS JOIN nn
+),
+hu AS (
+  SELECT sum(round(a * ln(nn.n_items::DOUBLE / a)
+                   * 1000000.0)::BIGINT)::BIGINT AS hu_scaled
+  FROM pp CROSS JOIN nn
+),
+hv AS (
+  SELECT sum(round(b * ln(nn.n_items::DOUBLE / b)
+                   * 1000000.0)::BIGINT)::BIGINT AS hv_scaled
+  FROM gg CROSS JOIN nn
+)
+SELECT n_items, i_scaled, hu_scaled, hv_scaled,
+  round(CASE
+    WHEN hu_scaled = 0 AND hv_scaled = 0 THEN 1.0
+    WHEN hu_scaled = 0 OR hv_scaled = 0 THEN 0.0
+    ELSE i_scaled / sqrt(hu_scaled::DOUBLE * hv_scaled::DOUBLE)
+  END, 6) AS nmi
+FROM nn CROSS JOIN it CROSS JOIN hu CROSS JOIN hv
+"""
+
+
+def _q_er_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.clustereval import nmi_metrics
+    from spikex_spark.operators.dedup import exact_duplicates
+    docs = _read(spark, sf_dir, "documents")
+    pred = _q_er_doc_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("pred"))
+    gold = exact_duplicates(docs, "doc_id", "text").select(
+        "id", F.col("canonical_id").alias("gold"))
+    return nmi_metrics(pred, gold)
+
+
 # HyperLogLog per-lang distinct-token counts next to the exact answer.
 # Registers are pure integers (md5-60 bucket + exact bit-length rho), the
 # harmonic sum is the int64 Σ2^(57-rho), linear-counting below 2.5m.
@@ -5439,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_pairs": _q_jaccard_prefix,
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
+        "fs_tf_scores": _q_fs_tf_scores,
         "group_trend_events": _q_group_trend,
         "jsonl_ingest": _q_jsonl_ingest,
         "corpus_split": _q_corpus_split,
@@ -5497,6 +5612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_blocking_keys": _q_soundex_keys,
         "er_bcubed": _q_er_bcubed,
         "er_ari": _q_er_ari,
+        "er_nmi": _q_er_nmi,
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
@@ -5597,6 +5713,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix_pairs": _SQL_JACCARD_PREFIX,
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
+        "fs_tf_scores": _SQL_FS_TF,
         "group_trend_events": _SQL_TREND,
         "jsonl_ingest": _SQL_JSONL,
         "corpus_split": _SQL_SPLIT,
@@ -5667,6 +5784,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_blocking_keys": _soundex_sql(),
         "er_bcubed": _SQL_ER_BCUBED,
         "er_ari": _SQL_ER_ARI,
+        "er_nmi": _SQL_ER_NMI,
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,

@@ -144,3 +144,67 @@ def adjusted_rand_index(pred: DataFrame, gold: DataFrame, id_col: str = "id",
         num2.cast("double") / den2.cast("double"))
     return out.select("n_items", "s_cells", "s_pred", "s_gold",
                       F.round(ari, 6).alias("ari"))
+
+
+# micro-nat fixed point for NMI terms: n·ln(·) ≤ n·ln(N) ≈ n·45 at
+# N = 10^12 items, so per-term int64 holds while the largest cell is
+# under ~2·10^11 — far past any clustering this engine would score.
+_NMI_SCALE = 10**6
+
+
+def nmi_metrics(pred: DataFrame, gold: DataFrame, id_col: str = "id",
+                pred_col: str = "pred", gold_col: str = "gold") -> DataFrame:
+    """One row (n_items, i_scaled, hu_scaled, hv_scaled, nmi):
+    normalized mutual information of ``pred`` against ``gold``
+    (Strehl & Ghosh '02, sqrt normalization) — the third leg of the
+    clustering-eval triad beside B-cubed and ARI, and the one the
+    community-detection literature reports.
+
+    Everything reduces to the contingency table again:
+    ``I = Σ_cells (n/N)·ln(N·n/(a·b))``, ``H(U) = Σ_p (a/N)·ln(N/a)``;
+    the common 1/N cancels in ``I/√(H(U)·H(V))`` so it is never
+    computed. Each term enters as ``round(n·ln(·)·1e6)`` int64
+    micro-nats — the PMI/FS determinism recipe: float ln sums are
+    reduction-order-dependent, per-term snapped integers are not. ln
+    arguments are assembled double-first (``(N·n)`` would overflow
+    int64 at ~10^9 items squared).
+
+    Degenerate convention (sklearn's): both sides one single cluster →
+    1.0; only one side degenerate (an entropy of zero) → 0.0.
+
+    Scale shape: one item join + one cell groupBy + two tiny rollups —
+    identical cost to ARI, no pair materialization ever.
+    """
+    cells = _contingency(pred, gold, id_col, pred_col, gold_col)
+    per_p = cells.groupBy("p").agg(F.sum("n_pg").alias("a"))
+    per_g = cells.groupBy("g").agg(F.sum("n_pg").alias("b"))
+    nn = cells.agg(F.sum("n_pg").alias("n_items"))
+
+    def _snap(x: F.Column) -> F.Column:
+        return F.round(x * F.lit(float(_NMI_SCALE)), 0).cast("long")
+
+    joined = (cells.join(per_p, "p").join(per_g, "g")
+              .crossJoin(F.broadcast(nn)))
+    ln_arg = ((F.col("n_items").cast("double") * F.col("n_pg"))
+              / (F.col("a").cast("double") * F.col("b")))
+    i_t = joined.agg(
+        F.sum(_snap(F.col("n_pg") * F.log(ln_arg))).alias("i_scaled"))
+
+    def _entropy(per: DataFrame, szcol: str, out: str) -> DataFrame:
+        term = F.col(szcol) * F.log(
+            F.col("n_items").cast("double") / F.col(szcol))
+        return (per.crossJoin(F.broadcast(nn))
+                .agg(F.sum(_snap(term)).alias(out)))
+
+    hu = _entropy(per_p, "a", "hu_scaled")
+    hv = _entropy(per_g, "b", "hv_scaled")
+    out = nn.crossJoin(i_t).crossJoin(hu).crossJoin(hv)
+    nmi = (F.when((F.col("hu_scaled") == 0) & (F.col("hv_scaled") == 0),
+                  F.lit(1.0))
+           .when((F.col("hu_scaled") == 0) | (F.col("hv_scaled") == 0),
+                 F.lit(0.0))
+           .otherwise(F.col("i_scaled") / F.sqrt(
+               F.col("hu_scaled").cast("double")
+               * F.col("hv_scaled").cast("double"))))
+    return out.select("n_items", "i_scaled", "hu_scaled", "hv_scaled",
+                      F.round(nmi, 6).alias("nmi"))

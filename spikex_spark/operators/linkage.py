@@ -211,3 +211,62 @@ def fs_em_posteriors(pairs: DataFrame, agree_cols: Sequence[str],
                       .otherwise(F.lit(1.0) - F.lit(est["u"][f]))
     p = F.round(w_match / (w_match + w_un), 6)
     return pairs.select(*id_cols, *agree_cols, p.alias("p_match"))
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency adjustment (Winkler 1989; Splink's
+# term_frequency_adjustments): agreement on a COMMON value is weak
+# evidence, agreement on a RARE one is strong. The global u treats
+# "both say 'en'" and "both say 'gd'" identically; the TF adjustment
+# replaces u for an agreeing pair with the observed relative frequency
+# of the agreed VALUE, so w_agree(v) = ln(m / tf_v).
+# ---------------------------------------------------------------------------
+
+
+def tf_table(records: DataFrame, value_col: str) -> DataFrame:
+    """(value, cnt, n_total): exact integer term frequencies of
+    ``value_col`` over the record table — one map-side-combined groupBy
+    plus a one-row total crossJoined on (the nbmodel grand-total-grid
+    shape). tf_v is carried as the exact pair (cnt, n_total), never a
+    pre-divided float, so downstream weight math is reproducible."""
+    cnt = (records.groupBy(F.col(value_col).alias("value"))
+           .agg(F.count("*").alias("cnt")))
+    tot = records.agg(F.count("*").alias("n_total"))
+    return cnt.crossJoin(F.broadcast(tot))
+
+
+def fs_score_tf(pairs: DataFrame, weights: DataFrame, tf: DataFrame,
+                field: str, value_col: str = "value",
+                id_cols: Sequence[str] = ("id_a", "id_b")) -> DataFrame:
+    """TF-adjusted Fellegi–Sunter score for ONE comparison field.
+
+    ``pairs`` must carry the boolean agreement column ``field`` and a
+    ``value_col`` holding the agreed value (NULL when the pair
+    disagrees). Agreeing pairs score ``round(ln(m · N / cnt_v)·1e7)``
+    — the trained m over the value's own frequency as u — while
+    disagreeing pairs keep the global ``w_disagree`` from ``weights``.
+    m enters SNAPPED to 6 decimals (exactly as ``fs_weights`` emits it);
+    the snap is part of the operator contract, the determinism recipe
+    shared with ``fs_em``.
+
+    Scale shape: the weights row and the tf table are broadcast (tf has
+    one row per distinct VALUE of the field — languages, surnames,
+    cities — small by construction relative to the pair table); scoring
+    is a narrow map over the pairs, zero extra shuffles.
+    """
+    wide = weights.agg(
+        F.max(F.when(F.col("field") == field, F.col("m"))).alias("_m"),
+        F.max(F.when(F.col("field") == field,
+                     F.col("w_disagree"))).alias("_wd"))
+    w_tf = F.round(
+        F.log(F.col("_m") * F.col("n_total") / F.col("cnt"))
+        * F.lit(_W_SCALE), 0).cast("long")
+    scored = (pairs.crossJoin(F.broadcast(wide))
+              .join(F.broadcast(tf),
+                    pairs[value_col] == tf["value"], "left")
+              .select(*id_cols, F.col(field),
+                      pairs[value_col].alias(value_col),
+                      F.when(F.col(field), w_tf).otherwise(F.col("_wd"))
+                       .alias("fs_tf_scaled")))
+    return scored.withColumn(
+        "fs_tf_score", F.col("fs_tf_scaled") / F.lit(_W_SCALE))

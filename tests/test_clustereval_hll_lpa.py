@@ -375,3 +375,51 @@ def test_cluster_split_coassigns_members(spark):
     got = {r["cluster"]: r["split"]
            for r in out.select("cluster", "split").distinct().collect()}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# clustereval.nmi_metrics
+# --------------------------------------------------------------------------
+
+def _nmi_reference(assign_pred, assign_gold):
+    """Plain-float NMI over two {id: label} dicts for cross-checking."""
+    from collections import Counter
+    n = len(assign_pred)
+    cells = Counter((assign_pred[i], assign_gold[i]) for i in assign_pred)
+    a = Counter(assign_pred.values())
+    b = Counter(assign_gold.values())
+    i = sum(c / n * math.log(n * c / (a[p] * b[g]))
+            for (p, g), c in cells.items())
+    hu = sum(x / n * math.log(n / x) for x in a.values())
+    hv = sum(x / n * math.log(n / x) for x in b.values())
+    if hu == 0 and hv == 0:
+        return 1.0
+    if hu == 0 or hv == 0:
+        return 0.0
+    return i / math.sqrt(hu * hv)
+
+
+def test_nmi_hand_computed(spark):
+    from spikex_spark.operators.clustereval import nmi_metrics
+    pred, gold = _pg(spark)
+    row = nmi_metrics(pred, gold).collect()[0]
+    ap = {1: "a", 2: "a", 3: "a", 4: "b", 5: "b", 6: "c"}
+    ag = {1: "x", 2: "x", 3: "y", 4: "y", 5: "y", 6: "z"}
+    assert row["n_items"] == 6
+    assert abs(row["nmi"] - _nmi_reference(ap, ag)) < 1e-5
+
+
+def test_nmi_identity_and_degenerate(spark):
+    from spikex_spark.operators.clustereval import nmi_metrics
+    pred, _ = _pg(spark)
+    ident = nmi_metrics(
+        pred, pred.withColumnRenamed("pred", "gold")).collect()[0]
+    assert ident["nmi"] == 1.0
+    # one side a single cluster: its entropy is 0 -> NMI 0
+    one = spark.createDataFrame([(i, 0) for i in range(1, 7)],
+                                ["id", "gold"])
+    assert nmi_metrics(pred, one).collect()[0]["nmi"] == 0.0
+    # both sides single clusters -> 1.0 by convention
+    onep = spark.createDataFrame([(i, 9) for i in range(1, 7)],
+                                 ["id", "pred"])
+    assert nmi_metrics(onep, one).collect()[0]["nmi"] == 1.0

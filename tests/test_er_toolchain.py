@@ -300,3 +300,39 @@ def test_soundex_key_joins_first_n_tokens(spark):
     # non-alpha splits tokens; first 3 alphabetic tokens only
     assert got[1] == "R163-C000-W623"
     assert got[2] == "" and got[3] == ""
+
+
+# --------------------------------------------------------------------------
+# linkage.tf_table / fs_score_tf (Winkler term-frequency adjustment)
+# --------------------------------------------------------------------------
+
+def test_fs_tf_rare_value_agreement_outweighs_common(spark):
+    import math
+
+    from spikex_spark.operators.linkage import (fs_score_tf, fs_weights,
+                                                tf_table)
+    # 10 records: 8 share value "en", 2 share value "gd"
+    recs = spark.createDataFrame(
+        [(i, "en") for i in range(8)] + [(8, "gd"), (9, "gd")],
+        "id long, v string")
+    # 4 pairs: two agreeing (one on the common value, one on the rare
+    # one), two disagreeing; labels make m estimable
+    pairs = spark.createDataFrame(
+        [(0, 1, True, True, "en"),
+         (8, 9, True, True, "gd"),
+         (0, 8, False, False, None),
+         (1, 9, False, False, None)],
+        "id_a long, id_b long, match boolean, a_v boolean, value string")
+    weights = fs_weights(pairs, "match", ["a_v"])
+    out = fs_score_tf(pairs, weights, tf_table(recs, "v"), "a_v")
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    # m = (2+1)/(2+2) = 0.75; rare: ln(0.75*10/2), common: ln(0.75*10/8)
+    assert rows[(8, 9)]["fs_tf_scaled"] == round(
+        math.log(0.75 * 10 / 2) * 1e7)
+    assert rows[(0, 1)]["fs_tf_scaled"] == round(
+        math.log(0.75 * 10 / 8) * 1e7)
+    assert rows[(8, 9)]["fs_tf_scaled"] > rows[(0, 1)]["fs_tf_scaled"]
+    # disagreeing pairs keep the global disagreement weight
+    wd = {r["field"]: r["w_disagree"] for r in weights.collect()}["a_v"]
+    assert rows[(0, 8)]["fs_tf_scaled"] == wd
+    assert rows[(1, 9)]["fs_tf_scaled"] == wd
