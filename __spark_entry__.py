@@ -5062,6 +5062,81 @@ def _q_er_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nmi_metrics(pred, gold)
 
 
+# Correlation clustering (serializable parallel KwikCluster) over the
+# same ≥0.80 edges as er_doc_clusters: pivot clusters are stars, so a
+# weak bridge cannot chain-merge two dense groups the way transitive CC
+# does. The oracle unrolls the exact pivot/join/wait rounds as CTEs.
+def _corr_rounds_sql(rounds: int) -> str:
+    """Unroll `rounds` serializable-KwikCluster rounds in DuckDB SQL —
+    the same generated-CTE recipe as the BPE/LPA/PageRank oracles."""
+    parts = [
+        f"s AS MATERIALIZED ({_SQL_SCORED})",
+        ("e0 AS (SELECT id_a AS src, id_b AS dst FROM s"
+         " WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80)"),
+        ("e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+         "SELECT src, dst FROM e0"
+         " UNION ALL SELECT dst AS src, src AS dst FROM e0)"
+         " WHERE src <> dst)"),
+        ("u1 AS MATERIALIZED (SELECT doc_id AS id,"
+         " md5(doc_id::VARCHAR) || ':' ||"
+         " lpad(doc_id::VARCHAR, 20, '0') AS k FROM documents)"),
+        "pall1 AS (SELECT id, k FROM u1 WHERE 1 = 0)",
+    ]
+    finals = []
+    piv = "(least(u_min, p_min) IS NULL OR k < least(u_min, p_min))"
+    joi = (f"(NOT {piv} AND p_min IS NOT NULL"
+           " AND (u_min IS NULL OR p_min < u_min))")
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"nu{r} AS (SELECT e.src, min(ud.k) AS u_min FROM e"
+            f" JOIN u{r} us ON us.id = e.src"
+            f" JOIN u{r} ud ON ud.id = e.dst GROUP BY e.src)")
+        parts.append(
+            f"pm{r} AS (SELECT e.src, min(p.k) AS p_min,"
+            f" min_by(e.dst, p.k) AS p_id FROM e"
+            f" JOIN u{r} us ON us.id = e.src"
+            f" JOIN pall{r} p ON p.id = e.dst GROUP BY e.src)")
+        parts.append(
+            f"st{r} AS MATERIALIZED (SELECT u.id, u.k, n.u_min,"
+            f" p.p_min, p.p_id"
+            f" FROM u{r} u LEFT JOIN nu{r} n ON n.src = u.id"
+            f" LEFT JOIN pm{r} p ON p.src = u.id)")
+        parts.append(
+            f"pv{r} AS MATERIALIZED (SELECT id, k FROM st{r}"
+            f" WHERE {piv})")
+        parts.append(
+            f"j{r} AS (SELECT id, p_id AS cluster_id FROM st{r}"
+            f" WHERE {joi})")
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT id, k FROM st{r}"
+            f" WHERE NOT {piv} AND NOT {joi})")
+        parts.append(
+            f"pall{r + 1} AS MATERIALIZED (SELECT * FROM pall{r}"
+            f" UNION ALL SELECT * FROM pv{r})")
+        finals.append(f"SELECT id, id AS cluster_id FROM pv{r}")
+        finals.append(f"SELECT id, cluster_id FROM j{r}")
+    finals.append(f"SELECT id, id AS cluster_id FROM u{rounds + 1}")
+    union = " UNION ALL ".join(finals)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id AS doc_id, cluster_id FROM ({union})")
+
+
+_SQL_ER_CORR = _corr_rounds_sql(3)
+
+
+def _q_er_correlation_clusters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corrclust import correlation_clusters
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    edges = (doc_scored_pairs(docs)
+             .where(F.col("score") >= 0.80)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = correlation_clusters(edges, nodes, rounds=3)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # HyperLogLog per-lang distinct-token counts next to the exact answer.
 # Registers are pure integers (md5-60 bucket + exact bit-length rho), the
 # harmonic sum is the int64 Σ2^(57-rho), linear-counting below 2.5m.
@@ -5613,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_bcubed": _q_er_bcubed,
         "er_ari": _q_er_ari,
         "er_nmi": _q_er_nmi,
+        "er_correlation_clusters": _q_er_correlation_clusters,
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
@@ -5785,6 +5861,7 @@ def oracle_sql() -> dict[str, str]:
         "er_bcubed": _SQL_ER_BCUBED,
         "er_ari": _SQL_ER_ARI,
         "er_nmi": _SQL_ER_NMI,
+        "er_correlation_clusters": _SQL_ER_CORR,
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,

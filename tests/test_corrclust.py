@@ -1,0 +1,81 @@
+"""Parallel-pivot correlation clustering (serializable KwikCluster)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import defaultdict
+
+from spikex_spark.operators.corrclust import correlation_clusters
+
+
+def _key(i) -> str:
+    s = str(i)
+    return hashlib.md5(s.encode()).hexdigest() + ":" + s.zfill(20)
+
+
+def _serial_kwikcluster(nodes, edges):
+    """Sequential reference: walk the md5 permutation, pivot, grab."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cluster = {}
+    for v in sorted(nodes, key=_key):
+        if v in cluster:
+            continue
+        cluster[v] = v
+        for n in adj[v]:
+            if n not in cluster:
+                cluster[n] = v
+    return cluster
+
+
+def _spark_clusters(spark, nodes, edges, rounds):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(list(edges) or [(0, 0)],
+                                "src long, dst long")
+    if not edges:
+        edf = edf.where("src <> src")
+    out = correlation_clusters(edf, ndf, rounds=rounds)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_matches_serial_kwikcluster_on_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = {(a, b) for a in nodes for b in nodes
+             if a < b and rng.random() < 0.12}
+    got = _spark_clusters(spark, nodes, edges, rounds=40)
+    want = _serial_kwikcluster(nodes, edges)
+    assert got == want
+    # star invariant: every non-pivot member is adjacent to its pivot
+    und = edges | {(b, a) for a, b in edges}
+    assert all(c == i or (i, c) in und for i, c in got.items())
+
+
+def test_bridge_does_not_chain_merge(spark):
+    # two triangles joined by one bridge edge: CC gives ONE cluster;
+    # KwikCluster keeps at least two (a pivot cluster is a star, so no
+    # cluster can span both triangles: no node is adjacent to all).
+    edges = {(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)}
+    got = _spark_clusters(spark, list(range(6)), edges, rounds=12)
+    assert len(set(got.values())) >= 2
+    assert got == _serial_kwikcluster(range(6), edges)
+
+
+def test_isolated_nodes_become_singletons_round_one(spark):
+    got = _spark_clusters(spark, [10, 20, 30], set(), rounds=1)
+    assert got == {10: 10, 20: 20, 30: 30}
+
+
+def test_bounded_rounds_leftovers_are_singletons(spark):
+    # a permutation-descending chain resolves slowly; with rounds=1 the
+    # unresolved tail must come back as singletons, deterministically
+    nodes = list(range(12))
+    edges = {(i, i + 1) for i in range(11)}
+    got = _spark_clusters(spark, nodes, edges, rounds=1)
+    assert set(got) == set(nodes)
+    full = _spark_clusters(spark, nodes, edges, rounds=12)
+    assert full == _serial_kwikcluster(nodes, edges)
