@@ -3073,6 +3073,81 @@ def _q_fs_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score_tf(pairs, weights, tf, "a_lang")
 
 
+# Deequ-style one-pass column profile of the documents table: ONE
+# aggregate (multi-distinct via Expand), exploded to a row per column.
+# Means only for integer columns (exact int64 sums); min/max stringified
+# AFTER aggregation so long->string formatting stays engine-identical.
+_SQL_PROFILE_DOCS = """
+WITH a AS (
+  SELECT count(*)::BIGINT AS n,
+    count(doc_id)::BIGINT AS nn1, count(DISTINCT doc_id)::BIGINT AS nd1,
+    min(doc_id)::VARCHAR AS mi1, max(doc_id)::VARCHAR AS ma1,
+    sum(doc_id)::BIGINT AS s1,
+    count(text)::BIGINT AS nn2, count(DISTINCT text)::BIGINT AS nd2,
+    min(text) AS mi2, max(text) AS ma2,
+    count(lang)::BIGINT AS nn3, count(DISTINCT lang)::BIGINT AS nd3,
+    min(lang) AS mi3, max(lang) AS ma3,
+    count(source)::BIGINT AS nn4, count(DISTINCT source)::BIGINT AS nd4,
+    min(source) AS mi4, max(source) AS ma4,
+    count(n_chars)::BIGINT AS nn5, count(DISTINCT n_chars)::BIGINT AS nd5,
+    min(n_chars)::VARCHAR AS mi5, max(n_chars)::VARCHAR AS ma5,
+    sum(n_chars)::BIGINT AS s5
+  FROM documents
+)
+SELECT 'doc_id' AS column, n AS n_rows, nn1 AS n_nonnull,
+       round(nn1 / n, 6) AS completeness, nd1 AS n_distinct,
+       mi1 AS min_value, ma1 AS max_value,
+       round(s1::DOUBLE / nn1, 6) AS mean FROM a
+UNION ALL
+SELECT 'text', n, nn2, round(nn2 / n, 6), nd2, mi2, ma2,
+       NULL::DOUBLE FROM a
+UNION ALL
+SELECT 'lang', n, nn3, round(nn3 / n, 6), nd3, mi3, ma3,
+       NULL::DOUBLE FROM a
+UNION ALL
+SELECT 'source', n, nn4, round(nn4 / n, 6), nd4, mi4, ma4,
+       NULL::DOUBLE FROM a
+UNION ALL
+SELECT 'n_chars', n, nn5, round(nn5 / n, 6), nd5, mi5, ma5,
+       round(s5::DOUBLE / nn5, 6) FROM a
+"""
+
+
+def _q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.profiling import profile_columns
+    return profile_columns(_read(spark, sf_dir, "documents"))
+
+
+# Key-uniqueness constraint check (Deequ isUnique): doc_id must be a
+# key; text must NOT be (the planted near-dup corpus carries exact
+# duplicate texts) — one groupBy each, never a self-join.
+_SQL_KEY_UNIQUENESS = """
+WITH p1 AS (SELECT doc_id AS k, count(*)::BIGINT AS c
+            FROM documents GROUP BY doc_id),
+p2 AS (SELECT text AS k, count(*)::BIGINT AS c
+       FROM documents GROUP BY text)
+SELECT 'doc_id' AS key, sum(c)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_rows,
+       max(c) <= 1 AS "unique"
+FROM p1
+UNION ALL
+SELECT 'text', sum(c)::BIGINT, count(*)::BIGINT,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT, max(c) <= 1
+FROM p2
+"""
+
+
+def _q_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.profiling import uniqueness_check
+    docs = _read(spark, sf_dir, "documents")
+    a = uniqueness_check(docs, ["doc_id"]).select(
+        F.lit("doc_id").alias("key"), "*")
+    b = uniqueness_check(docs, ["text"]).select(
+        F.lit("text").alias("key"), "*")
+    return a.unionByName(b)
+
+
 # Distributed pair-set evaluation: SimHash near-dup predictions scored
 # against the exact n-gram-Jaccard reference — tp/fp/fn from one full
 # outer join of canonical pairs, metrics as single exact divisions.
@@ -5629,6 +5704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
         "fs_tf_scores": _q_fs_tf_scores,
+        "profile_documents": _q_profile_documents,
+        "key_uniqueness": _q_key_uniqueness,
         "group_trend_events": _q_group_trend,
         "jsonl_ingest": _q_jsonl_ingest,
         "corpus_split": _q_corpus_split,
@@ -5790,6 +5867,8 @@ def oracle_sql() -> dict[str, str]:
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "fs_tf_scores": _SQL_FS_TF,
+        "profile_documents": _SQL_PROFILE_DOCS,
+        "key_uniqueness": _SQL_KEY_UNIQUENESS,
         "group_trend_events": _SQL_TREND,
         "jsonl_ingest": _SQL_JSONL,
         "corpus_split": _SQL_SPLIT,

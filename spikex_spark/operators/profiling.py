@@ -1,0 +1,82 @@
+"""One-pass column profiling: the Deequ/ingest-QC primitive.
+
+Before a 100-TB corpus enters the ER pipeline you profile it: which
+columns are complete, how many distinct values, what ranges — the
+checks that catch a broken crawl shard (all-null lang, duplicated urls,
+truncated text) before a week of compute runs on it. This is the core
+of what AWS Deequ computes as a "column profile", expressed as ONE
+Spark aggregate over the table (Catalyst plans the multi-distinct via
+Expand — still a single pass over the input, map-side partial
+everywhere) and exploded to one row per column.
+
+Determinism contract: completeness is a single exact division of two
+counts; the mean is emitted ONLY for integer-typed columns (an int64
+sum is reduction-order-exact where a double sum is not) as one final
+division; min/max are cast to strings AFTER aggregation (long→string
+formatting is identical across engines; double formatting is not,
+which is the second reason double means/ranges stay out of the exact
+surface).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "long", "integer"}
+
+
+def profile_columns(df: DataFrame,
+                    columns: Sequence[str] | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_nonnull, completeness,
+    n_distinct, min_value, max_value, mean) — n_distinct over non-null
+    values, min/max as strings, mean only for integer columns (exact
+    int64 sum / count), null otherwise."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_mi_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_ma_{c}"))
+        if dtypes.get(c) in _INT_TYPES:
+            aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        mean = (F.round(F.col(f"_s_{c}").cast("double")
+                        / F.col(f"_nn_{c}"), 6)
+                if dtypes.get(c) in _INT_TYPES
+                else F.lit(None).cast("double"))
+        rows.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nn_{c}").alias("n_nonnull"),
+            F.round(F.col(f"_nn_{c}") / F.col("_n"), 6)
+             .alias("completeness"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_mi_{c}").alias("min_value"),
+            F.col(f"_ma_{c}").alias("max_value"),
+            mean.alias("mean"),
+        ))
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
+
+
+def uniqueness_check(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """One row (n_rows, n_keys, n_dup_rows, unique): does ``key_cols``
+    uniquely identify rows? The Deequ `isUnique` constraint — one
+    map-side-combined groupBy, never a self-join. ``n_dup_rows`` counts
+    rows in violation (all members of each duplicated key)."""
+    per = (df.groupBy(*[F.col(c) for c in key_cols])
+           .agg(F.count(F.lit(1)).alias("_c")))
+    return per.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0)))
+         .alias("n_dup_rows"),
+        (F.max("_c") <= 1).alias("unique"),
+    )
