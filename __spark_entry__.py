@@ -3073,6 +3073,109 @@ def _q_fs_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score_tf(pairs, weights, tf, "a_lang")
 
 
+# CDC MERGE-apply: a changelog derived deterministically from orders
+# (updates, inserts of novel keys, deletes; seq = o_orderkey, unique)
+# applied to the customer snapshot — last-writer-wins per key, the
+# snapshot side touched only by a broadcast anti-join (never shuffled).
+_SQL_CDC_APPLY = """
+WITH ch AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS c_custkey,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         'CDC#' || o_orderkey::VARCHAR AS c_name,
+         (o_orderkey % 25)::INT AS c_nationkey,
+         o_totalprice AS c_acctbal,
+         o_orderpriority AS c_mktsegment
+  FROM orders
+),
+latest AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1
+),
+kept AS (
+  SELECT c.* FROM customer c
+  LEFT JOIN latest l ON l.c_custkey = c.c_custkey
+  WHERE l.c_custkey IS NULL
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM kept
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM latest WHERE op <> 'D'
+"""
+
+
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cdc import apply_changes
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 5 == 0,
+               F.col("o_custkey") + 10000000)
+         .otherwise(F.col("o_custkey")).alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("CDC#"), F.col("o_orderkey").cast("string"))
+         .alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"))
+    return apply_changes(cust, changes, ["c_custkey"], "seq")
+
+
+# CDC snapshot diff: recover the minimal I/U/D changelog between two
+# snapshot versions (deletes %7, +100.0 balance updates %3, cloned
+# inserts %10) — one full-outer key join, null-safe payload compare.
+_SQL_CDC_DIFF = """
+WITH oldt AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer
+),
+newt AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 5000000, 'NEW#' || c_custkey::VARCHAR,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT * FROM (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+    CASE WHEN o.c_custkey IS NULL THEN 'I'
+         WHEN n.c_custkey IS NULL THEN 'D'
+         WHEN (o.c_name IS DISTINCT FROM n.c_name)
+           OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+           OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+           OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+         THEN 'U' END AS op,
+    n.c_name, n.c_nationkey, n.c_acctbal, n.c_mktsegment
+  FROM oldt o FULL OUTER JOIN newt n ON n.c_custkey = o.c_custkey
+) WHERE op IS NOT NULL
+"""
+
+
+def _q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cdc import snapshot_diff
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    new = (cust.where(F.col("c_custkey") % 7 != 0)
+           .withColumn("c_acctbal",
+                       F.when(F.col("c_custkey") % 3 == 0,
+                              F.col("c_acctbal") + F.lit(100.0))
+                       .otherwise(F.col("c_acctbal"))))
+    ins = (cust.where(F.col("c_custkey") % 10 == 0)
+           .select((F.col("c_custkey") + 5000000).alias("c_custkey"),
+                   F.concat(F.lit("NEW#"),
+                            F.col("c_custkey").cast("string"))
+                   .alias("c_name"),
+                   "c_nationkey", "c_acctbal", "c_mktsegment"))
+    return snapshot_diff(cust, new.unionByName(ins), ["c_custkey"])
+
+
 # Deequ-style one-pass column profile of the documents table: ONE
 # aggregate (multi-distinct via Expand), exploded to a row per column.
 # Means only for integer columns (exact int64 sums); min/max stringified
@@ -5704,6 +5807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
         "fs_tf_scores": _q_fs_tf_scores,
+        "cdc_apply_changes": _q_cdc_apply,
+        "cdc_snapshot_diff": _q_cdc_diff,
         "profile_documents": _q_profile_documents,
         "key_uniqueness": _q_key_uniqueness,
         "group_trend_events": _q_group_trend,
@@ -5867,6 +5972,8 @@ def oracle_sql() -> dict[str, str]:
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "fs_tf_scores": _SQL_FS_TF,
+        "cdc_apply_changes": _SQL_CDC_APPLY,
+        "cdc_snapshot_diff": _SQL_CDC_DIFF,
         "profile_documents": _SQL_PROFILE_DOCS,
         "key_uniqueness": _SQL_KEY_UNIQUENESS,
         "group_trend_events": _SQL_TREND,
