@@ -3073,6 +3073,59 @@ def _q_fs_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score_tf(pairs, weights, tf, "a_lang")
 
 
+# Shuffle-key skew profile: the measurement step behind every salting
+# guard in the repo — top-10 heaviest event user_ids with exact share
+# and the integer salt factor that bounds one task at 100 rows.
+_SQL_KEY_SKEW = """
+WITH per AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt
+             FROM events GROUP BY user_id),
+tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys
+        FROM per)
+SELECT key, cnt, round(cnt / total, 6) AS share,
+       ((cnt + 99) // 100)::BIGINT AS salt_factor, n_keys, total
+FROM per CROSS JOIN tot
+ORDER BY cnt DESC, key
+LIMIT 10
+"""
+
+
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.profiling import key_skew
+    return key_skew(_read(spark, sf_dir, "events"), ["user_id"],
+                    top_k=10, target_rows=100)
+
+
+# Suffix-array blocking channel (Christen): every >=8-char suffix of
+# the 16-char normalized key, oversize suffix blocks (>50) purged whole.
+_SQL_SUFFIX_KEYS = """
+WITH k AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                1, 16) AS nk
+  FROM documents
+),
+b AS (SELECT id, nk FROM k WHERE length(nk) >= 8),
+sfx AS (
+  SELECT id,
+         unnest(list_transform(range(1, length(nk) - 6),
+                               i -> substr(nk, i))) AS suffix
+  FROM b
+),
+keep AS (
+  SELECT suffix FROM (
+    SELECT suffix, count(*)::BIGINT AS n FROM sfx GROUP BY suffix
+  ) WHERE n <= 50
+)
+SELECT s.id, s.suffix FROM sfx s JOIN keep USING (suffix)
+"""
+
+
+def _q_suffix_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.phonetic import suffix_blocking_keys
+    return suffix_blocking_keys(_read(spark, sf_dir, "documents"),
+                                key_len=16, min_suffix=8, max_block=50)
+
+
 # CDC MERGE-apply: a changelog derived deterministically from orders
 # (updates, inserts of novel keys, deletes; seq = o_orderkey, unique)
 # applied to the customer snapshot — last-writer-wins per key, the
@@ -5807,6 +5860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
         "fs_tf_scores": _q_fs_tf_scores,
+        "key_skew_events": _q_key_skew,
+        "suffix_blocking_keys": _q_suffix_keys,
         "cdc_apply_changes": _q_cdc_apply,
         "cdc_snapshot_diff": _q_cdc_diff,
         "profile_documents": _q_profile_documents,
@@ -5972,6 +6027,8 @@ def oracle_sql() -> dict[str, str]:
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "fs_tf_scores": _SQL_FS_TF,
+        "key_skew_events": _SQL_KEY_SKEW,
+        "suffix_blocking_keys": _SQL_SUFFIX_KEYS,
         "cdc_apply_changes": _SQL_CDC_APPLY,
         "cdc_snapshot_diff": _SQL_CDC_DIFF,
         "profile_documents": _SQL_PROFILE_DOCS,

@@ -47,3 +47,38 @@ def soundex_blocking_keys(df: DataFrame, id_col: str = "doc_id",
         F.transform(F.slice(alpha, 1, n_tokens), F.soundex), "-")
     return df.select(F.col(id_col).alias("id"),
                      key.alias("phonetic_key"))
+
+
+def suffix_blocking_keys(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", key_len: int = 16,
+                         min_suffix: int = 8,
+                         max_block: int | None = None) -> DataFrame:
+    """(id, suffix): suffix-array blocking (Christen's suffix blocking),
+    the truncation/OCR-robust fourth blocking channel beside n-gram,
+    MinHash/LSH and Soundex — records whose keys differ only in a
+    corrupted PREFIX ('smith' vs '_mith') still share every suffix of
+    length ≥ ``min_suffix``.
+
+    The blocking key is the first ``key_len`` chars of the
+    alphanumeric-normalized text; every suffix with at least
+    ``min_suffix`` chars is emitted (a one-explode narrow map — the
+    suffixes of one key are all distinct, no dedup needed). With
+    ``max_block`` set, suffix blocks larger than it are dropped whole —
+    high-frequency tails are boilerplate, not identity evidence (the
+    metablocking block-purging rule, applied identically by the oracle).
+    """
+    nk = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", ""),
+        1, key_len)
+    base = (df.select(F.col(id_col).alias("id"), nk.alias("nk"))
+            .where(F.length("nk") >= min_suffix))
+    sfx = base.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("nk") - F.lit(min_suffix - 1)),
+            lambda i: F.col("nk").substr(i, F.length("nk")))).alias("suffix"))
+    if max_block is None:
+        return sfx
+    sizes = (sfx.groupBy("suffix").agg(F.count(F.lit(1)).alias("_n"))
+             .where(F.col("_n") <= max_block).select("suffix"))
+    return sfx.join(sizes, "suffix").select("id", "suffix")

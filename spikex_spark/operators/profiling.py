@@ -80,3 +80,32 @@ def uniqueness_check(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
          .alias("n_dup_rows"),
         (F.max("_c") <= 1).alias("unique"),
     )
+
+
+def key_skew(df: DataFrame, key_cols: Sequence[str], top_k: int = 20,
+             target_rows: int = 1_000_000) -> DataFrame:
+    """Heavy-hitter diagnosis for a prospective shuffle key: the top_k
+    heaviest keys as (key, cnt, share, salt_factor, n_keys, total) —
+    ``salt_factor = ceil(cnt / target_rows)`` is the split factor the
+    repo's salting guards (blocking.cap_blocks, asof bucketing) would
+    need to bound one task's rows at ``target_rows``. This is the
+    measurement step the north rule's "skew handled explicitly" implies:
+    profile BEFORE the join, salt what the profile names.
+
+    One map-side-combined groupBy + a global top-k (TakeOrdered — no
+    full sort); ceil is exact integer arithmetic; deterministic ties by
+    key string."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    per = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.agg(F.sum("cnt").alias("total"),
+                  F.count(F.lit(1)).alias("n_keys"))
+    t = int(target_rows)
+    return (per.crossJoin(F.broadcast(tot))
+            .select("key", "cnt",
+                    F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+                    # true int64 `div` — float-divide-then-cast would
+                    # truncate, and the double is inexact for huge counts
+                    F.expr(f"(cnt + {t} - 1) div {t}").alias("salt_factor"),
+                    "n_keys", "total")
+            .orderBy(F.col("cnt").desc(), F.col("key").asc())
+            .limit(top_k))

@@ -336,3 +336,31 @@ def test_fs_tf_rare_value_agreement_outweighs_common(spark):
     wd = {r["field"]: r["w_disagree"] for r in weights.collect()}["a_v"]
     assert rows[(0, 8)]["fs_tf_scaled"] == wd
     assert rows[(1, 9)]["fs_tf_scaled"] == wd
+
+
+# --------------------------------------------------------------------------
+# phonetic.suffix_blocking_keys
+# --------------------------------------------------------------------------
+
+def test_suffix_blocking_keys_enumeration_and_cap(spark):
+    from spikex_spark.operators.phonetic import suffix_blocking_keys
+    df = spark.createDataFrame(
+        [(1, "Smithers!"), (2, "X Smithers"), (3, "ab")],
+        "doc_id long, text string")
+    out = suffix_blocking_keys(df, key_len=16, min_suffix=5)
+    got = sorted((r["id"], r["suffix"]) for r in out.collect())
+    # doc 1 key 'smithers' -> suffixes len>=5: smithers, mithers, ithers, thers
+    # doc 2 key 'xsmithers' adds x-prefixed ones; doc 3 too short
+    assert (1, "smithers") in got and (1, "thers") in got
+    assert (2, "xsmithers") in got and (2, "thers") in got
+    assert all(i != 3 for i, _ in got)
+    assert all(len(s) >= 5 for _, s in got)
+    # truncated prefix still shares suffix blocks: docs 1 and 2 co-block
+    shared = {s for i, s in got if i == 1} & {s for i, s in got if i == 2}
+    assert "thers" in shared
+    # cap drops the shared blocks when max_block=1: every suffix of
+    # 'smithers' is also a suffix of 'xsmithers', so only the latter's
+    # full key survives
+    capped = suffix_blocking_keys(df, key_len=16, min_suffix=5, max_block=1)
+    rows = [(r["id"], r["suffix"]) for r in capped.collect()]
+    assert rows == [(2, "xsmithers")]

@@ -37,3 +37,14 @@ def test_uniqueness_check(spark):
     d = uniqueness_check(df, ["k"]).collect()[0]
     assert (d["n_rows"], d["n_keys"], d["n_dup_rows"], d["unique"]) == \
         (6, 3, 5, False)
+
+
+def test_key_skew_top_and_salt(spark):
+    from spikex_spark.operators.profiling import key_skew
+    rows = [(i, "hot") for i in range(10)] + [(100, "a"), (101, "b")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = key_skew(df, ["k"], top_k=2, target_rows=4).collect()
+    assert [(r["key"], r["cnt"], r["salt_factor"]) for r in out] == \
+        [("hot", 10, 3), ("a", 1, 1)]
+    assert out[0]["share"] == round(10 / 12, 6)
+    assert out[0]["n_keys"] == 3 and out[0]["total"] == 12
