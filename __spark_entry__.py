@@ -3073,6 +3073,61 @@ def _q_fs_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score_tf(pairs, weights, tf, "a_lang")
 
 
+# Monge-Elkan hybrid similarity over the flagship candidate pairs:
+# per-token best-JW alignment survives token reordering that collapses
+# whole-string JW. Token lists capped at 8; per-token maxes scaled to
+# int64 micro-units and summed in list order by BOTH engines.
+_SQL_MONGE_ELKAN = f"""
+WITH pairs AS ({_SQL_CAND_PAIRS}),
+t AS (SELECT doc_id,
+             ({_SQL_TOKENS_ALL.format(col='text')})[1:8] AS tk
+      FROM documents),
+m AS (
+  SELECT p.id_a, p.id_b, ta.tk AS a8, tb.tk AS b8
+  FROM pairs p
+  JOIN t ta ON ta.doc_id = p.id_a
+  JOIN t tb ON tb.doc_id = p.id_b
+),
+s AS (
+  SELECT id_a, id_b, len(a8) AS na, len(b8) AS nb,
+    list_aggregate(list_transform(a8, x ->
+      round(list_max(list_transform(b8, y ->
+        jaro_winkler_similarity(x, y))) * 1000000.0)::BIGINT),
+      'sum') AS sa,
+    list_aggregate(list_transform(b8, x ->
+      round(list_max(list_transform(a8, y ->
+        jaro_winkler_similarity(x, y))) * 1000000.0)::BIGINT),
+      'sum') AS sb
+  FROM m
+)
+SELECT id_a, id_b,
+  CASE WHEN na = 0 OR nb = 0 THEN NULL
+       ELSE round(sa / (na * 1000000.0), 6) END AS me_ab,
+  CASE WHEN na = 0 OR nb = 0 THEN NULL
+       ELSE round(sb / (nb * 1000000.0), 6) END AS me_ba,
+  CASE WHEN na = 0 OR nb = 0 THEN NULL
+       ELSE round((sa / (na * 1000000.0)
+                   + sb / (nb * 1000000.0)) * 0.5, 6) END AS me_sym
+FROM s
+"""
+
+
+def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators import scoring as S
+    from spikex_spark.operators.scoring import monge_elkan
+    from spikex_spark.pipeline import doc_candidate_pairs
+    docs = _read(spark, sf_dir, "documents")
+    pairs = doc_candidate_pairs(docs)
+    texts = docs.select(F.col("doc_id").alias("id"),
+                        S._tokens(F.col("text")).alias("tk"))
+    p = (pairs
+         .join(texts.withColumnsRenamed({"id": "id_a", "tk": "toks_a"}),
+               "id_a")
+         .join(texts.withColumnsRenamed({"id": "id_b", "tk": "toks_b"}),
+               "id_b"))
+    return monge_elkan(p)
+
+
 # Shuffle-key skew profile: the measurement step behind every salting
 # guard in the repo — top-10 heaviest event user_ids with exact share
 # and the integer salt factor that bounds one task at 100 rows.
@@ -5860,6 +5915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
         "fs_tf_scores": _q_fs_tf_scores,
+        "monge_elkan_scores": _q_monge_elkan,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
         "cdc_apply_changes": _q_cdc_apply,
@@ -6027,6 +6083,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "fs_tf_scores": _SQL_FS_TF,
+        "monge_elkan_scores": _SQL_MONGE_ELKAN,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,
         "cdc_apply_changes": _SQL_CDC_APPLY,

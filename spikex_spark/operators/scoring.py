@@ -149,3 +149,60 @@ def match_edges(scored: DataFrame, threshold: float = 0.75) -> DataFrame:
     return scored.where(F.col("score") >= threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
     )
+
+
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def me_max_sims_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    """Per-``ta``-token maximum Jaro-Winkler against the ``tb`` tokens
+    (null when either side is empty) — the inner kernel of Monge-Elkan.
+    Only jw + max run in Python: max is reduction-order-independent, so
+    every order-sensitive step (scaling, summation, rounding) stays in
+    the mirrored JVM/SQL layer."""
+    out = []
+    for a, b in zip(ta, tb):
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            out.append(None)
+        else:
+            out.append([max(_jw_py(x, y) for y in b) for x in a])
+    return pd.Series(out)
+
+
+def monge_elkan(pairs: DataFrame, toks_a: str = "toks_a",
+                toks_b: str = "toks_b", max_tokens: int = 8,
+                id_cols=("id_a", "id_b")) -> DataFrame:
+    """(ids..., me_ab, me_ba, me_sym): Monge-Elkan hybrid similarity —
+    mean over one side's tokens of the best JW match on the other side
+    (Monge & Elkan '96), the scorer for multi-token names where token
+    ORDER differs ('united bank of london' vs 'london united bank') so
+    whole-string JW collapses but per-token alignment survives.
+
+    Token lists are capped at ``max_tokens`` per side (ME is
+    O(|a|·|b|) per pair — the cap is the same O(1)-per-pair bound the
+    64-char JW prefix enforces). Scale shape: ONE narrow Arrow-batched
+    map over the pair table, zero shuffles.
+
+    Determinism: per-token maxes are scaled to int64 micro-units and
+    summed via a SEQUENTIAL array fold (``F.aggregate``) in list order,
+    one exact division at the end — float groupBy sums would be
+    reduction-order-dependent. Null when either token list is empty
+    (asymmetric ME is undefined over an empty side)."""
+    d = (pairs
+         .withColumn("_a8", F.slice(F.col(toks_a), 1, max_tokens))
+         .withColumn("_b8", F.slice(F.col(toks_b), 1, max_tokens))
+         .withColumn("_mab", me_max_sims_udf(F.col("_a8"), F.col("_b8")))
+         .withColumn("_mba", me_max_sims_udf(F.col("_b8"), F.col("_a8"))))
+
+    def _scaled_sum(c: str) -> Column:
+        return F.aggregate(
+            F.col(c), F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * F.lit(1000000.0), 0)
+            .cast("long"))
+
+    sa, sb = _scaled_sum("_mab"), _scaled_sum("_mba")
+    na = F.size("_a8") * F.lit(1000000.0)
+    nb = F.size("_b8") * F.lit(1000000.0)
+    return d.select(
+        *id_cols,
+        F.round(sa / na, 6).alias("me_ab"),
+        F.round(sb / nb, 6).alias("me_ba"),
+        F.round((sa / na + sb / nb) * F.lit(0.5), 6).alias("me_sym"))

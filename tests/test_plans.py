@@ -281,7 +281,11 @@ def test_no_row_python_in_any_contract_query():
             # eager checkpoint of the scored-pair input runs at build
             "er_one_to_one",
             # consumes er_doc_clusters -> CC-at-build jobs
-            "cluster_leakage_safe_split"}
+            "cluster_leakage_safe_split",
+            # eager per-round checkpoints run the pivot rounds at build
+            "er_correlation_clusters",
+            # scores er_doc_clusters -> CC-at-build jobs
+            "er_nmi"}
     offenders = {}
     for name, fn in entry.queries().items():
         if name in skip:

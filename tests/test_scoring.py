@@ -60,3 +60,42 @@ def test_jw_fast_matches_plain_udf(spark):
     plain = {(r["a"], r["b"]): r["jw"]
              for r in df.withColumn("jw", jaro_winkler_udf(na, nb)).collect()}
     assert fast == plain
+
+
+# --------------------------------------------------------------------------
+# scoring.monge_elkan
+# --------------------------------------------------------------------------
+
+def test_monge_elkan_token_reorder_robust(spark):
+    from spikex_spark.operators.scoring import monge_elkan
+    from spikex_spark.textutils import jaro_winkler as jw
+    pairs = spark.createDataFrame(
+        [(1, 2, ["united", "bank", "london"], ["london", "united", "bank"]),
+         (3, 4, ["alpha"], ["alphq"]),
+         (5, 6, [], ["x"])],
+        "id_a long, id_b long, toks_a array<string>, toks_b array<string>")
+    rows = {(r["id_a"], r["id_b"]): r for r in monge_elkan(pairs).collect()}
+    # identical token sets in different order -> perfect score
+    assert rows[(1, 2)]["me_ab"] == 1.0
+    assert rows[(1, 2)]["me_ba"] == 1.0
+    assert rows[(1, 2)]["me_sym"] == 1.0
+    # single-token pair reduces to plain JW (snapped to micro-units)
+    expect = round(round(jw("alpha", "alphq") * 1e6) / 1e6, 6)
+    assert rows[(3, 4)]["me_ab"] == expect
+    # empty side -> undefined
+    assert rows[(5, 6)]["me_sym"] is None
+
+
+def test_monge_elkan_hand_computed_asymmetry(spark):
+    from spikex_spark.operators.scoring import monge_elkan
+    from spikex_spark.textutils import jaro_winkler as jw
+    a, b = ["smith", "john"], ["smith"]
+    pairs = spark.createDataFrame(
+        [(1, 2, a, b)],
+        "id_a long, id_b long, toks_a array<string>, toks_b array<string>")
+    r = monge_elkan(pairs).collect()[0]
+    sa = sum(round(max(jw(x, y) for y in b) * 1e6) for x in a)
+    sb = sum(round(max(jw(x, y) for y in a) * 1e6) for x in b)
+    assert r["me_ab"] == round(sa / (len(a) * 1e6), 6)
+    assert r["me_ba"] == round(sb / (len(b) * 1e6), 6)
+    assert r["me_ab"] < r["me_ba"]        # the unmatched 'john' drags ab
