@@ -5352,13 +5352,13 @@ def _q_er_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same ≥0.80 edges as er_doc_clusters: pivot clusters are stars, so a
 # weak bridge cannot chain-merge two dense groups the way transitive CC
 # does. The oracle unrolls the exact pivot/join/wait rounds as CTEs.
-def _corr_rounds_sql(rounds: int) -> str:
+def _corr_rounds_sql(rounds: int, threshold: str = "0.80") -> str:
     """Unroll `rounds` serializable-KwikCluster rounds in DuckDB SQL —
     the same generated-CTE recipe as the BPE/LPA/PageRank oracles."""
     parts = [
         f"s AS MATERIALIZED ({_SQL_SCORED})",
         ("e0 AS (SELECT id_a AS src, id_b AS dst FROM s"
-         " WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80)"),
+         f" WHERE round(0.5 * jw + 0.5 * jacc, 6) >= {threshold})"),
         ("e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
          "SELECT src, dst FROM e0"
          " UNION ALL SELECT dst AS src, src AS dst FROM e0)"
@@ -5421,6 +5421,49 @@ def _q_er_correlation_clusters(spark: SparkSession,
     nodes = docs.select(F.col("doc_id").alias("id"))
     out = correlation_clusters(edges, nodes, rounds=3)
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# Canopy clustering (McCallum et al. KDD'00): overlapping coarse groups
+# — centers are the greedy MIS over the tight (>=0.90) graph, i.e. the
+# KwikCluster pivot set; membership is one loose-edge (>=0.60) join, a
+# record may belong to several canopies. Oracle: the unrolled pivot
+# rounds at 0.90 nested as a subquery + the loose member join.
+_SQL_CANOPY = f"""
+WITH corr AS ({_corr_rounds_sql(3, "0.90")}),
+centers AS (
+  SELECT doc_id AS center_id FROM corr WHERE doc_id = cluster_id
+),
+cs AS MATERIALIZED ({_SQL_SCORED}),
+cl0 AS (SELECT id_a AS src, id_b AS dst FROM cs
+        WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.60),
+cl AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM cl0
+         UNION ALL SELECT dst AS src, src AS dst FROM cl0)
+       WHERE src <> dst),
+near AS (
+  SELECT c.center_id, e.dst AS member_id
+  FROM cl e JOIN centers c ON c.center_id = e.src
+)
+SELECT DISTINCT center_id, member_id FROM (
+  SELECT center_id, member_id FROM near
+  UNION ALL SELECT center_id, center_id FROM centers
+)
+"""
+
+
+def _q_canopy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corrclust import canopy_assign
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs)
+    tight = (scored.where(F.col("score") >= 0.90)
+             .select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    loose = (scored.where(F.col("score") >= 0.60)
+             .select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return canopy_assign(loose, tight, nodes, rounds=3)
 
 
 # HyperLogLog per-lang distinct-token counts next to the exact answer.
@@ -5982,6 +6025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_ari": _q_er_ari,
         "er_nmi": _q_er_nmi,
         "er_correlation_clusters": _q_er_correlation_clusters,
+        "canopy_assign": _q_canopy_assign,
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
@@ -6162,6 +6206,7 @@ def oracle_sql() -> dict[str, str]:
         "er_ari": _SQL_ER_ARI,
         "er_nmi": _SQL_ER_NMI,
         "er_correlation_clusters": _SQL_ER_CORR,
+        "canopy_assign": _SQL_CANOPY,
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,

@@ -122,3 +122,41 @@ def correlation_clusters(edges: DataFrame, nodes: DataFrame | None = None,
 
     leftovers = u.select("id", F.col("id").alias("cluster_id"))
     return assigned.unionByName(leftovers)
+
+
+def canopy_assign(edges_loose: DataFrame, edges_tight: DataFrame,
+                  nodes: DataFrame | None = None,
+                  src: str = "src", dst: str = "dst",
+                  id_col: str = "id", rounds: int = 3) -> DataFrame:
+    """(center_id, member_id): canopy clustering (McCallum, Nigam &
+    Ungar KDD'00) — OVERLAPPING coarse groups from a cheap similarity,
+    the classic pre-blocking step before expensive pairwise scoring.
+
+    Canopy centers are a greedy maximal independent set over the TIGHT
+    (T2) graph: walking the permutation, each record not within T2 of
+    an earlier center becomes one. That is exactly the KwikCluster
+    pivot set, so centers are computed by :func:`correlation_clusters`
+    on the tight edges (``id == cluster_id`` rows — bounded-round
+    leftovers become centers too, keeping every record covered).
+    Membership is then one equi-join: every record within the LOOSE
+    (T1) threshold of a center joins that canopy — records may join
+    SEVERAL canopies (that overlap is the point: near-boundary records
+    are compared in both neighborhoods instead of being cut by a hard
+    partition). Every center is a member of its own canopy.
+
+    Scale shape: the pivot rounds of correlation_clusters plus one
+    symmetrized T1-edge join against the (smaller) center set.
+    """
+    centers = (correlation_clusters(edges_tight, nodes, src=src, dst=dst,
+                                    id_col=id_col, rounds=rounds)
+               .where(F.col("id") == F.col("cluster_id"))
+               .select(F.col("id").alias("center_id")))
+    e0 = edges_loose.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+           .where(F.col("src") != F.col("dst")).distinct())
+    near = (sym.join(centers, sym["src"] == centers["center_id"])
+            .select("center_id", F.col("dst").alias("member_id")))
+    self_rows = centers.select("center_id",
+                               F.col("center_id").alias("member_id"))
+    return near.unionByName(self_rows).distinct()

@@ -79,3 +79,34 @@ def test_bounded_rounds_leftovers_are_singletons(spark):
     assert set(got) == set(nodes)
     full = _spark_clusters(spark, nodes, edges, rounds=12)
     assert full == _serial_kwikcluster(nodes, edges)
+
+
+# --------------------------------------------------------------------------
+# corrclust.canopy_assign
+# --------------------------------------------------------------------------
+
+def test_canopy_centers_are_t2_mis_and_membership_overlaps(spark):
+    from spikex_spark.operators.corrclust import canopy_assign
+    # tight graph: 1-2 (one center among them); loose adds 3 near both
+    # 1 and 2, and 4 near nothing; 5 isolated everywhere
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    tight = spark.createDataFrame([(1, 2)], "src long, dst long")
+    loose = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long")
+    out = canopy_assign(loose, tight, nodes, rounds=8)
+    got = sorted((r["center_id"], r["member_id"]) for r in out.collect())
+    centers = {c for c, _ in got}
+    # exactly one of {1,2} is a center (tight MIS); 3,4,5 all centers
+    assert len(centers & {1, 2}) == 1
+    assert {3, 4, 5} <= centers
+    c12 = (centers & {1, 2}).pop()
+    # 3 overlaps: member of its own canopy AND of c12's AND of 4's? no —
+    # 3 is loose-adjacent to c12 and 4; membership rows:
+    assert (c12, 3) in got and (3, 3) in got and (4, 3) in got
+    # the non-center of {1,2} is a loose member of c12's canopy
+    other = ({1, 2} - {c12}).pop()
+    assert (c12, other) in got
+    # isolated 5 is a singleton canopy
+    assert (5, 5) in got
+    # every node appears as a member somewhere (full coverage)
+    assert {m for _, m in got} == {1, 2, 3, 4, 5}

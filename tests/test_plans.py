@@ -283,7 +283,7 @@ def test_no_row_python_in_any_contract_query():
             # consumes er_doc_clusters -> CC-at-build jobs
             "cluster_leakage_safe_split",
             # eager per-round checkpoints run the pivot rounds at build
-            "er_correlation_clusters",
+            "er_correlation_clusters", "canopy_assign",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
