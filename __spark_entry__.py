@@ -3004,6 +3004,24 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(lab, weights, ["a_jw", "a_jacc"])
 
 
+# The FS three-way decision (link / possible / nonlink) over the
+# trained scores: the clerical-review band the 1969 model defines. At
+# sf0.01 the thresholds split the three observed score levels 25/203/8.
+_SQL_FS_DECISIONS = f"""
+WITH sc AS ({_SQL_FS_LINKAGE})
+SELECT id_a, id_b, a_jw, a_jacc, fs_scaled, fs_score,
+  CASE WHEN fs_score >= 2.0 THEN 'link'
+       WHEN fs_score <= -1.0 THEN 'nonlink'
+       ELSE 'possible' END AS decision
+FROM sc
+"""
+
+
+def _q_fs_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import fs_decide
+    return fs_decide(_q_fs_linkage(spark, sf_dir), upper=2.0, lower=-1.0)
+
+
 # Term-frequency-adjusted FS scoring (Winkler '89 / Splink TF
 # adjustments) on the lang field: agreeing on a rare language is worth
 # more than agreeing on the dominant one. m is trained exactly as in
@@ -5958,6 +5976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_metrics_simhash": _q_pair_metrics,
         "fs_linkage_scores": _q_fs_linkage,
         "fs_tf_scores": _q_fs_tf_scores,
+        "fs_decisions": _q_fs_decisions,
         "monge_elkan_scores": _q_monge_elkan,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
@@ -6127,6 +6146,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_metrics_simhash": _SQL_PAIR_METRICS,
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "fs_tf_scores": _SQL_FS_TF,
+        "fs_decisions": _SQL_FS_DECISIONS,
         "monge_elkan_scores": _SQL_MONGE_ELKAN,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,

@@ -270,3 +270,16 @@ def fs_score_tf(pairs: DataFrame, weights: DataFrame, tf: DataFrame,
                        .alias("fs_tf_scaled")))
     return scored.withColumn(
         "fs_tf_score", F.col("fs_tf_scaled") / F.lit(_W_SCALE))
+
+
+def fs_decide(scored: DataFrame, upper: float, lower: float,
+              score_col: str = "fs_score") -> DataFrame:
+    """The Fellegi–Sunter THREE-WAY decision the 1969 paper actually
+    defines: score ≥ ``upper`` ⇒ 'link', ≤ ``lower`` ⇒ 'nonlink',
+    between ⇒ 'possible' — the clerical-review band a production
+    linkage system routes to humans (or to a costlier scorer) instead
+    of forcing a binary call. A pure narrow map over the scored pairs."""
+    d = (F.when(F.col(score_col) >= F.lit(upper), F.lit("link"))
+         .when(F.col(score_col) <= F.lit(lower), F.lit("nonlink"))
+         .otherwise(F.lit("possible")))
+    return scored.withColumn("decision", d)

@@ -364,3 +364,14 @@ def test_suffix_blocking_keys_enumeration_and_cap(spark):
     capped = suffix_blocking_keys(df, key_len=16, min_suffix=5, max_block=1)
     rows = [(r["id"], r["suffix"]) for r in capped.collect()]
     assert rows == [(2, "xsmithers")]
+
+
+def test_fs_decide_three_way(spark):
+    from spikex_spark.operators.linkage import fs_decide
+    df = spark.createDataFrame(
+        [(1, 2, 5.0), (3, 4, 0.0), (5, 6, -3.0), (7, 8, 2.0)],
+        "id_a long, id_b long, fs_score double")
+    got = {(r["id_a"], r["id_b"]): r["decision"]
+           for r in fs_decide(df, upper=2.0, lower=-1.0).collect()}
+    assert got == {(1, 2): "link", (3, 4): "possible",
+                   (5, 6): "nonlink", (7, 8): "link"}
