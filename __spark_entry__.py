@@ -3004,6 +3004,74 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(lab, weights, ["a_jw", "a_jacc"])
 
 
+# Multi-level Fellegi-Sunter (Splink "comparison levels"): the gamma is
+# categorical — exact / close / different JW and Jaccard bands carry
+# different evidence. Oracle regenerates the 12 per-level counts, the
+# Laplace-over-L-smoothed weights, and the CASE-chain scoring.
+def _fs_levels_sql() -> str:
+    fields = {"g_jw": 3, "g_jacc": 3}
+    cnt, wts = [], []
+    for f, n in fields.items():
+        for lv in range(n):
+            cnt.append(f"count(*) FILTER (match AND {f} = {lv})::BIGINT"
+                       f" AS am_{f}_{lv}")
+            cnt.append(f"count(*) FILTER (NOT match AND {f} = {lv})"
+                       f"::BIGINT AS au_{f}_{lv}")
+            wts.append(
+                f"round(ln(((am_{f}_{lv} + 1) / (nm + {n}))"
+                f" / ((au_{f}_{lv} + 1) / (nu + {n})))"
+                f" * 10000000.0)::BIGINT AS w_{f}_{lv}")
+    cases = " + ".join(
+        "CASE l.{f} ".format(f=f)
+        + " ".join(f"WHEN {lv} THEN w_{f}_{lv}" for lv in range(n))
+        + " END"
+        for f, n in fields.items())
+    return f"""
+WITH s AS ({_SQL_SCORED}),
+lab AS (
+  SELECT id_a, id_b,
+         round(0.5 * jw + 0.5 * jacc, 6) >= 0.80 AS match,
+         CASE WHEN round(jw, 6) >= 0.95 THEN 2
+              WHEN round(jw, 6) >= 0.85 THEN 1 ELSE 0 END AS g_jw,
+         CASE WHEN round(jacc, 6) >= 0.7 THEN 2
+              WHEN round(jacc, 6) >= 0.4 THEN 1 ELSE 0 END AS g_jacc
+  FROM s
+),
+c AS (
+  SELECT count(*) FILTER (match)::BIGINT AS nm,
+         count(*) FILTER (NOT match)::BIGINT AS nu,
+         {', '.join(cnt)}
+  FROM lab
+),
+w AS (SELECT {', '.join(wts)} FROM c)
+SELECT l.id_a, l.id_b, l.g_jw, l.g_jacc,
+  ({cases})::BIGINT AS fs_scaled,
+  ({cases}) / 10000000.0 AS fs_score
+FROM lab l CROSS JOIN w
+"""
+
+
+_SQL_FS_LEVELS = _fs_levels_sql()
+
+
+def _q_fs_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import (fs_score_levels,
+                                                fs_weights_levels)
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs)
+    lab = scored.select(
+        "id_a", "id_b",
+        (F.col("score") >= 0.80).alias("match"),
+        F.when(F.col("jw") >= 0.95, 2)
+         .when(F.col("jw") >= 0.85, 1).otherwise(0).alias("g_jw"),
+        F.when(F.col("jacc") >= 0.7, 2)
+         .when(F.col("jacc") >= 0.4, 1).otherwise(0).alias("g_jacc"))
+    levels = {"g_jw": 3, "g_jacc": 3}
+    weights = fs_weights_levels(lab, "match", levels)
+    return fs_score_levels(lab, weights, levels)
+
+
 # The FS three-way decision (link / possible / nonlink) over the
 # trained scores: the clerical-review band the 1969 model defines. At
 # sf0.01 the thresholds split the three observed score levels 25/203/8.
@@ -5977,6 +6045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage_scores": _q_fs_linkage,
         "fs_tf_scores": _q_fs_tf_scores,
         "fs_decisions": _q_fs_decisions,
+        "fs_multilevel_scores": _q_fs_multilevel,
         "monge_elkan_scores": _q_monge_elkan,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
@@ -6147,6 +6216,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_linkage_scores": _SQL_FS_LINKAGE,
         "fs_tf_scores": _SQL_FS_TF,
         "fs_decisions": _SQL_FS_DECISIONS,
+        "fs_multilevel_scores": _SQL_FS_LEVELS,
         "monge_elkan_scores": _SQL_MONGE_ELKAN,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,

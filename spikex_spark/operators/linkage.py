@@ -283,3 +283,82 @@ def fs_decide(scored: DataFrame, upper: float, lower: float,
          .when(F.col(score_col) <= F.lit(lower), F.lit("nonlink"))
          .otherwise(F.lit("possible")))
     return scored.withColumn("decision", d)
+
+
+# ---------------------------------------------------------------------------
+# Multi-level comparisons (Splink's "comparison levels"): the gamma of
+# the 1969 paper is categorical, not binary — 'exact match' / 'close' /
+# 'different' carry different evidence, and collapsing them to one bit
+# throws the middle level's signal away.
+# ---------------------------------------------------------------------------
+
+
+def fs_weights_levels(pairs: DataFrame, match_col: str,
+                      level_cols: dict) -> DataFrame:
+    """(field, level, m, u, w): per-field per-level Fellegi–Sunter
+    parameters from self-labeled pairs. ``level_cols`` maps each level
+    column name to its number of levels L (values must be 0..L-1);
+    ``m_l = P(gamma=l | match)`` with Laplace add-one smoothing over the
+    L categories, ``w = round(ln(m_l/u_l)·1e7)`` int64-scaled. ONE
+    map-side-combined aggregate reduced to one row, like fs_weights."""
+    match = F.col(match_col)
+    aggs = [
+        F.count(F.when(match, 1)).alias("_nm"),
+        F.count(F.when(~match, 1)).alias("_nu"),
+    ]
+    for f, n_levels in level_cols.items():
+        for lv in range(n_levels):
+            sel = F.col(f) == lv
+            aggs.append(F.count(F.when(match & sel, 1))
+                        .alias(f"_am_{f}_{lv}"))
+            aggs.append(F.count(F.when(~match & sel, 1))
+                        .alias(f"_au_{f}_{lv}"))
+    one = pairs.agg(*aggs)
+
+    rows = []
+    for f, n_levels in level_cols.items():
+        for lv in range(n_levels):
+            m = ((F.col(f"_am_{f}_{lv}") + 1)
+                 / (F.col("_nm") + F.lit(n_levels)))
+            u = ((F.col(f"_au_{f}_{lv}") + 1)
+                 / (F.col("_nu") + F.lit(n_levels)))
+            rows.append(F.struct(
+                F.lit(f).alias("field"),
+                F.lit(lv).alias("level"),
+                F.round(m, 6).alias("m"),
+                F.round(u, 6).alias("u"),
+                F.round(F.log(m / u) * F.lit(_W_SCALE), 0).cast("long")
+                 .alias("w"),
+            ))
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.field", "r.level", "r.m", "r.u", "r.w"))
+
+
+def fs_score_levels(pairs: DataFrame, weights: DataFrame,
+                    level_cols: dict,
+                    id_cols: Sequence[str] = ("id_a", "id_b")) -> DataFrame:
+    """Score pairs with multi-level weights: ids + level columns +
+    (fs_scaled, fs_score). The weights table (Σ levels rows) is pivoted
+    to ONE broadcast row; the per-pair sum is a CASE chain over the
+    observed levels — a pure narrow map, exact int64 arithmetic."""
+    wide_aggs = []
+    for f, n_levels in level_cols.items():
+        for lv in range(n_levels):
+            sel = (F.col("field") == f) & (F.col("level") == lv)
+            wide_aggs.append(
+                F.max(F.when(sel, F.col("w"))).alias(f"_w_{f}_{lv}"))
+    wide = weights.agg(*wide_aggs)
+    total = None
+    for f, n_levels in level_cols.items():
+        term = None
+        for lv in range(n_levels):
+            cond = F.col(f) == lv
+            branch = F.col(f"_w_{f}_{lv}")
+            term = (F.when(cond, branch) if term is None
+                    else term.when(cond, branch))
+        total = term if total is None else total + term
+    return (pairs.crossJoin(F.broadcast(wide))
+            .select(*id_cols, *level_cols.keys(),
+                    total.cast("long").alias("fs_scaled"),
+                    (total.cast("long") / F.lit(_W_SCALE))
+                    .alias("fs_score")))

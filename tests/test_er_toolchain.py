@@ -375,3 +375,30 @@ def test_fs_decide_three_way(spark):
            for r in fs_decide(df, upper=2.0, lower=-1.0).collect()}
     assert got == {(1, 2): "link", (3, 4): "possible",
                    (5, 6): "nonlink", (7, 8): "link"}
+
+
+def test_fs_levels_hand_computed(spark):
+    import math
+
+    from spikex_spark.operators.linkage import (fs_score_levels,
+                                                fs_weights_levels)
+    # 3 matches, 3 non-matches; one field with 3 levels
+    pairs = spark.createDataFrame(
+        [(1, 2, True, 2), (3, 4, True, 2), (5, 6, True, 1),
+         (7, 8, False, 0), (9, 10, False, 0), (11, 12, False, 1)],
+        "id_a long, id_b long, match boolean, g int")
+    levels = {"g": 3}
+    w = {(r["field"], r["level"]): r
+         for r in fs_weights_levels(pairs, "match", levels).collect()}
+    # Laplace over 3 levels: m_2 = (2+1)/(3+3), u_2 = (0+1)/(3+3)
+    assert w[("g", 2)]["m"] == 0.5
+    assert w[("g", 2)]["u"] == round(1 / 6, 6)
+    assert w[("g", 2)]["w"] == round(math.log((3 / 6) / (1 / 6)) * 1e7)
+    assert w[("g", 0)]["w"] == round(math.log((1 / 6) / (3 / 6)) * 1e7)
+    out = {(r["id_a"], r["id_b"]): r["fs_scaled"] for r in fs_score_levels(
+        pairs, fs_weights_levels(pairs, "match", levels), levels).collect()}
+    assert out[(1, 2)] == w[("g", 2)]["w"]
+    assert out[(11, 12)] == w[("g", 1)]["w"]
+    # the middle level carries its own (here zero-ish) evidence:
+    # m_1 = u_1 = 2/6 -> weight 0
+    assert w[("g", 1)]["w"] == 0
