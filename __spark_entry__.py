@@ -3004,6 +3004,28 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(lab, weights, ["a_jw", "a_jacc"])
 
 
+# ANN recall@5 of the IVF path against the exact brute-force top-k —
+# the quality number an ANN index trades for sub-linear probing, now a
+# first-class gate query (both legs' SQL mirrors already exist).
+_SQL_ANN_RECALL_IVF = (
+    "WITH ex AS (" + _SQL_ANN_TOPK + "),\nap AS (" + _sql_ann_ivf() + ")\n"
+    """SELECT e.query_id, count(*)::BIGINT AS n_exact,
+       count(a.neighbor_id)::BIGINT AS n_hit,
+       round(count(a.neighbor_id) / count(*), 6) AS recall
+FROM ex e
+LEFT JOIN ap a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""")
+
+
+def _q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.evaluation import topk_recall
+    exact = _q_ann_topk(spark, sf_dir)
+    approx = _q_ann_ivf_topk(spark, sf_dir)
+    return topk_recall(exact, approx)
+
+
 # Multi-level Fellegi-Sunter (Splink "comparison levels"): the gamma is
 # categorical — exact / close / different JW and Jaccard bands carry
 # different evidence. Oracle regenerates the 12 per-level counts, the
@@ -6046,6 +6068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_tf_scores": _q_fs_tf_scores,
         "fs_decisions": _q_fs_decisions,
         "fs_multilevel_scores": _q_fs_multilevel,
+        "ann_recall_ivf": _q_ann_recall_ivf,
         "monge_elkan_scores": _q_monge_elkan,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
@@ -6217,6 +6240,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_tf_scores": _SQL_FS_TF,
         "fs_decisions": _SQL_FS_DECISIONS,
         "fs_multilevel_scores": _SQL_FS_LEVELS,
+        "ann_recall_ivf": _SQL_ANN_RECALL_IVF,
         "monge_elkan_scores": _SQL_MONGE_ELKAN,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,

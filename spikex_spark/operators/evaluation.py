@@ -69,3 +69,24 @@ def cluster_size_histogram(clusters: DataFrame,
         F.count("*").alias("cluster_size"))
     return (sizes.groupBy("cluster_size")
             .agg(F.count("*").alias("n_clusters")))
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame,
+                query_col: str = "query_id",
+                neighbor_col: str = "neighbor_id") -> DataFrame:
+    """(query_id, n_exact, n_hit, recall): recall@k of an approximate
+    top-k result against the exact one — THE quality number for an ANN
+    index (IVF/LSH/PQ trade exactly this for sub-linear probing).
+    One left equi-join on (query, neighbor) + one map-side-combined
+    groupBy; recall is a single exact division."""
+    a = approx.select(F.col(query_col).alias("_q"),
+                      F.col(neighbor_col).alias("_n"),
+                      F.lit(1).alias("_hit"))
+    j = (exact.select(F.col(query_col).alias("_q"),
+                      F.col(neighbor_col).alias("_n"))
+         .join(a, ["_q", "_n"], "left"))
+    per = j.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"),
+                              F.count("_hit").alias("n_hit"))
+    return per.select(F.col("_q").alias(query_col), "n_exact", "n_hit",
+                      F.round(F.col("n_hit") / F.col("n_exact"), 6)
+                      .alias("recall"))

@@ -479,3 +479,16 @@ def test_chunk_documents_shapes(spark):
     assert [(r["start_token"], r["n_tokens"], r["chunk_text"])
             for r in by_doc[2]] == [(1, 5, "just five little tokens here")]
     assert 3 not in by_doc
+
+
+def test_topk_recall_counts_hits_per_query(spark):
+    from spikex_spark.operators.evaluation import topk_recall
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long")
+    got = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+           for r in topk_recall(exact, approx).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (2, 2, 1.0)}
