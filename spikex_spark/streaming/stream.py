@@ -297,3 +297,47 @@ def streaming_signature_dedup(stream: DataFrame, ts_col: str = "warc_ts",
     # than that is re-admitted — the batch LSH pipeline catches it.
     return keyed.withWatermark(ts_col, watermark)\
         .dropDuplicatesWithinWatermark(["sig"])
+
+
+def stream_apply_changes(changes: DataFrame, snapshot_dir: str,
+                         key_cols, seq_col: str, op_col: str = "op",
+                         checkpoint_dir: str | None = None):
+    """Maintain a keyed snapshot from a CDC CHANGE STREAM: each
+    micro-batch is merged into the parquet snapshot at ``snapshot_dir``
+    via ``operators.cdc.apply_changes`` inside ``foreachBatch`` — the
+    Structured-Streaming shape of Delta/Iceberg `MERGE INTO` as a
+    continuously-applied changelog (Debezium-style upsert sink).
+
+    Semantics: within a batch, last-writer-wins by ``seq_col``; across
+    batches, later batches win (the stream's arrival order IS the
+    changelog order — callers needing global LWW against late data
+    should keep ``seq_col`` globally unique and re-sort downstream).
+    The snapshot is rewritten atomically per batch (tmp dir + rename);
+    at production scale the same ``apply_changes`` call targets an
+    Iceberg/Delta table whose MERGE commits the delta instead of a
+    rewrite — the operator is storage-agnostic, only this sink isn't.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..operators.cdc import apply_changes
+
+    spark = changes.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        snap = spark.read.parquet(snapshot_dir)
+        merged = apply_changes(snap, batch, keys, seq_col, op_col=op_col)
+        tmp = str(Path(snapshot_dir).parent
+                  / f"_snap_tmp_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(snapshot_dir)
+        Path(tmp).rename(snapshot_dir)
+
+    w = changes.writeStream.foreachBatch(_merge).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

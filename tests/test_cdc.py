@@ -69,3 +69,42 @@ def test_null_safe_payload_compare(spark):
     assert snapshot_diff(old, new_same, ["id"]).count() == 0
     new_set = spark.createDataFrame([(1, "x")], "id long, name string")
     assert snapshot_diff(old, new_set, ["id"]).collect()[0]["op"] == "U"
+
+
+def test_stream_apply_changes_maintains_snapshot(spark, tmp_path):
+    """Two micro-batches of CDC changes merged into a parquet snapshot
+    via foreachBatch: batch 1 updates + inserts, batch 2 deletes and
+    re-updates — the final snapshot reflects both in arrival order."""
+    import json
+
+    from spikex_spark.streaming.stream import stream_apply_changes
+
+    snap_dir = str(tmp_path / "snap")
+    _snap(spark).write.parquet(snap_dir)
+
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    b1 = [{"id": 1, "seq": 10, "op": "U", "name": "a1", "bal": 11.0},
+          {"id": 9, "seq": 11, "op": "I", "name": "new", "bal": 99.0}]
+    b2 = [{"id": 2, "seq": 20, "op": "D", "name": None, "bal": None},
+          {"id": 1, "seq": 21, "op": "U", "name": "a2", "bal": 12.0}]
+    (chg_dir / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in b1))
+    (chg_dir / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in b2))
+    # the file source orders batches by mtime — pin it so b1 precedes b2
+    import os
+    os.utime(chg_dir / "b1.json", (1_000_000_000, 1_000_000_000))
+    os.utime(chg_dir / "b2.json", (1_000_000_100, 1_000_000_100))
+
+    schema = ("id long, seq long, op string, name string, bal double")
+    changes = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .json(str(chg_dir)))
+    q = stream_apply_changes(changes, snap_dir, ["id"], "seq",
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    out = {r["id"]: (r["name"], r["bal"])
+           for r in spark.read.parquet(snap_dir).collect()}
+    assert out == {1: ("a2", 12.0), 3: ("c", 30.0), 9: ("new", 99.0)}
