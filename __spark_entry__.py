@@ -3004,6 +3004,48 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(lab, weights, ["a_jw", "a_jacc"])
 
 
+# The MDM match waterfall: exact-text deterministic links first, the
+# probabilistic (scored >= 0.80) channel only where the rule was silent.
+_SQL_WATERFALL = f"""
+WITH det AS (
+  SELECT h.id AS id_a, h2.id AS id_b
+  FROM (SELECT doc_id AS id, md5(text) AS th FROM documents) h
+  JOIN (SELECT doc_id AS id, md5(text) AS th FROM documents) h2
+    ON h.th = h2.th AND h.id < h2.id
+),
+s AS ({_SQL_SCORED}),
+prob0 AS (
+  SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+  FROM s WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80
+),
+prob AS (
+  SELECT p.id_a, p.id_b FROM prob0 p
+  LEFT JOIN det d ON d.id_a = p.id_a AND d.id_b = p.id_b
+  WHERE d.id_a IS NULL
+)
+SELECT id_a, id_b, 'deterministic' AS method FROM det
+UNION ALL
+SELECT id_a, id_b, 'probabilistic' AS method FROM prob
+"""
+
+
+def _q_linkage_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import waterfall_pairs
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    hashed = docs.select(F.col("doc_id").alias("id"),
+                         F.md5(F.col("text")).alias("th"))
+    det = (hashed.alias("h")
+           .join(hashed.alias("h2"),
+                 (F.col("h.th") == F.col("h2.th"))
+                 & (F.col("h.id") < F.col("h2.id")))
+           .select(F.col("h.id").alias("id_a"),
+                   F.col("h2.id").alias("id_b")))
+    prob = (doc_scored_pairs(docs).where(F.col("score") >= 0.80)
+            .select("id_a", "id_b"))
+    return waterfall_pairs(det, prob)
+
+
 # ANN recall@5 of the IVF path against the exact brute-force top-k —
 # the quality number an ANN index trades for sub-linear probing, now a
 # first-class gate query (both legs' SQL mirrors already exist).
@@ -6069,6 +6111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_decisions": _q_fs_decisions,
         "fs_multilevel_scores": _q_fs_multilevel,
         "ann_recall_ivf": _q_ann_recall_ivf,
+        "linkage_waterfall": _q_linkage_waterfall,
         "monge_elkan_scores": _q_monge_elkan,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
@@ -6241,6 +6284,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_decisions": _SQL_FS_DECISIONS,
         "fs_multilevel_scores": _SQL_FS_LEVELS,
         "ann_recall_ivf": _SQL_ANN_RECALL_IVF,
+        "linkage_waterfall": _SQL_WATERFALL,
         "monge_elkan_scores": _SQL_MONGE_ELKAN,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,

@@ -362,3 +362,25 @@ def fs_score_levels(pairs: DataFrame, weights: DataFrame,
                     total.cast("long").alias("fs_scaled"),
                     (total.cast("long") / F.lit(_W_SCALE))
                     .alias("fs_score")))
+
+
+def waterfall_pairs(det_pairs: DataFrame, prob_pairs: DataFrame,
+                    id_cols: Sequence[str] = ("id_a", "id_b")) -> DataFrame:
+    """(id_a, id_b, method): the MDM match waterfall — deterministic
+    rules first, the probabilistic model only where they were silent.
+    Pass-1 pairs (exact key agreement: same url, same normalized text)
+    are authoritative and cheap; pass-2 pairs are kept only if not
+    already matched in pass 1 (canonicalized least/greatest, one
+    anti-join). The standard production shape: every pair the rules can
+    settle never pays for scoring review downstream."""
+    a, b = id_cols
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias(a),
+            F.greatest(F.col(a), F.col(b)).alias(b)).distinct()
+
+    det = _canon(det_pairs)
+    prob = _canon(prob_pairs).join(det, [a, b], "left_anti")
+    return (det.withColumn("method", F.lit("deterministic"))
+            .unionByName(prob.withColumn("method", F.lit("probabilistic"))))

@@ -402,3 +402,16 @@ def test_fs_levels_hand_computed(spark):
     # the middle level carries its own (here zero-ish) evidence:
     # m_1 = u_1 = 2/6 -> weight 0
     assert w[("g", 1)]["w"] == 0
+
+
+def test_waterfall_pairs_pass1_wins(spark):
+    from spikex_spark.operators.linkage import waterfall_pairs
+    det = spark.createDataFrame([(2, 1), (3, 4)], "id_a long, id_b long")
+    prob = spark.createDataFrame(
+        [(1, 2), (5, 6), (6, 5)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["method"]
+           for r in waterfall_pairs(det, prob).collect()}
+    # (1,2) matched deterministically (canonicalized from (2,1)); the
+    # probabilistic duplicate of it is suppressed; (5,6) deduped
+    assert got == {(1, 2): "deterministic", (3, 4): "deterministic",
+                   (5, 6): "probabilistic"}
