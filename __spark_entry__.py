@@ -5502,11 +5502,16 @@ def _q_er_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same ≥0.80 edges as er_doc_clusters: pivot clusters are stars, so a
 # weak bridge cannot chain-merge two dense groups the way transitive CC
 # does. The oracle unrolls the exact pivot/join/wait rounds as CTEs.
-def _corr_rounds_sql(rounds: int, threshold: str = "0.80") -> str:
+def _corr_rounds_sql(rounds: int, threshold: str = "0.80",
+                     pairs_sql: str | None = None) -> str:
     """Unroll `rounds` serializable-KwikCluster rounds in DuckDB SQL —
-    the same generated-CTE recipe as the BPE/LPA/PageRank oracles."""
+    the same generated-CTE recipe as the BPE/LPA/PageRank oracles.
+    ``pairs_sql`` swaps the candidate-pair source the scoring CTE reads
+    (default: the flagship LSH pairs)."""
+    scored = (_SQL_SCORED if pairs_sql is None
+              else _SQL_SCORED.replace(_SQL_CAND_PAIRS, pairs_sql))
     parts = [
-        f"s AS MATERIALIZED ({_SQL_SCORED})",
+        f"s AS MATERIALIZED ({scored})",
         ("e0 AS (SELECT id_a AS src, id_b AS dst FROM s"
          f" WHERE round(0.5 * jw + 0.5 * jacc, 6) >= {threshold})"),
         ("e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
@@ -5567,6 +5572,71 @@ def _q_er_correlation_clusters(spark: SparkSession,
     docs = _read(spark, sf_dir, "documents")
     edges = (doc_scored_pairs(docs)
              .where(F.col("score") >= 0.80)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = correlation_clusters(edges, nodes, rounds=3)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# The ER v2 showcase: three blocking channels (LSH shingles ∪ Soundex
+# ∪ suffix-array, each skew-capped) unioned into one candidate set,
+# scored with the flagship JW+Jaccard kernel, clustered with
+# serializable KwikCluster — wider recall than one channel, star
+# clusters instead of transitive chain-merges. The oracle swaps the
+# union pair source into the scored CTE and replays the pivot rounds.
+_SQL_V2_PAIRS = f"""
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT id_a, id_b FROM ({_SQL_CAND_PAIRS})
+  UNION ALL
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ({_soundex_sql()}) a
+  JOIN ({_soundex_sql()}) b
+    ON a.phonetic_key = b.phonetic_key AND a.id < b.id
+  WHERE a.phonetic_key <> ''
+    AND a.phonetic_key IN (
+      SELECT phonetic_key FROM ({_soundex_sql()})
+      WHERE phonetic_key <> ''
+      GROUP BY phonetic_key HAVING count(*) <= 50)
+  UNION ALL
+  SELECT sa.id AS id_a, sb.id AS id_b
+  FROM ({_SQL_SUFFIX_KEYS}) sa
+  JOIN ({_SQL_SUFFIX_KEYS}) sb
+    ON sa.suffix = sb.suffix AND sa.id < sb.id
+)
+"""
+
+_SQL_ER_V2 = _corr_rounds_sql(3, "0.80", pairs_sql=_SQL_V2_PAIRS)
+
+
+def _q_er_v2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corrclust import correlation_clusters
+    from spikex_spark.operators.pairs import candidate_pairs
+    from spikex_spark.operators.phonetic import (soundex_blocking_keys,
+                                                 suffix_blocking_keys)
+    from spikex_spark.pipeline import doc_candidate_pairs, score_doc_pairs
+    docs = _read(spark, sf_dir, "documents")
+
+    lsh = doc_candidate_pairs(docs).select("id_a", "id_b")
+
+    sdx_keys = (soundex_blocking_keys(docs)
+                .where(F.col("phonetic_key") != ""))
+    sdx_small = (sdx_keys.groupBy("phonetic_key")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .where(F.col("_n") <= 50).select("phonetic_key"))
+    sdx = (candidate_pairs(sdx_keys.join(sdx_small, "phonetic_key"),
+                           key_col="phonetic_key", id_col="id",
+                           payload_cols=())
+           .select("id_a", "id_b"))
+
+    sfx_keys = suffix_blocking_keys(docs, key_len=16, min_suffix=8,
+                                    max_block=50)
+    sfx = (candidate_pairs(sfx_keys, key_col="suffix", id_col="id",
+                           payload_cols=())
+           .select("id_a", "id_b"))
+
+    union = lsh.unionByName(sdx).unionByName(sfx).distinct()
+    scored = score_doc_pairs(union, docs)
+    edges = (scored.where(F.col("score") >= 0.80)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     nodes = docs.select(F.col("doc_id").alias("id"))
     out = correlation_clusters(edges, nodes, rounds=3)
@@ -6180,6 +6250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_nmi": _q_er_nmi,
         "er_correlation_clusters": _q_er_correlation_clusters,
         "canopy_assign": _q_canopy_assign,
+        "er_v2_multichannel_clusters": _q_er_v2_clusters,
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
@@ -6365,6 +6436,7 @@ def oracle_sql() -> dict[str, str]:
         "er_nmi": _SQL_ER_NMI,
         "er_correlation_clusters": _SQL_ER_CORR,
         "canopy_assign": _SQL_CANOPY,
+        "er_v2_multichannel_clusters": _SQL_ER_V2,
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,

