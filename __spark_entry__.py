@@ -5584,28 +5584,98 @@ def _q_er_correlation_clusters(spark: SparkSession,
 # serializable KwikCluster — wider recall than one channel, star
 # clusters instead of transitive chain-merges. The oracle swaps the
 # union pair source into the scored CTE and replays the pivot rounds.
+_SQL_SDX_PAIRS = f"""
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM ({_soundex_sql()}) a
+JOIN ({_soundex_sql()}) b
+  ON a.phonetic_key = b.phonetic_key AND a.id < b.id
+WHERE a.phonetic_key <> ''
+  AND a.phonetic_key IN (
+    SELECT phonetic_key FROM ({_soundex_sql()})
+    WHERE phonetic_key <> ''
+    GROUP BY phonetic_key HAVING count(*) <= 50)
+"""
+
+_SQL_SFX_PAIRS = f"""
+SELECT DISTINCT sa.id AS id_a, sb.id AS id_b
+FROM ({_SQL_SUFFIX_KEYS}) sa
+JOIN ({_SQL_SUFFIX_KEYS}) sb
+  ON sa.suffix = sb.suffix AND sa.id < sb.id
+"""
+
 _SQL_V2_PAIRS = f"""
 SELECT DISTINCT id_a, id_b FROM (
   SELECT id_a, id_b FROM ({_SQL_CAND_PAIRS})
   UNION ALL
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM ({_soundex_sql()}) a
-  JOIN ({_soundex_sql()}) b
-    ON a.phonetic_key = b.phonetic_key AND a.id < b.id
-  WHERE a.phonetic_key <> ''
-    AND a.phonetic_key IN (
-      SELECT phonetic_key FROM ({_soundex_sql()})
-      WHERE phonetic_key <> ''
-      GROUP BY phonetic_key HAVING count(*) <= 50)
+  SELECT id_a, id_b FROM ({_SQL_SDX_PAIRS})
   UNION ALL
-  SELECT sa.id AS id_a, sb.id AS id_b
-  FROM ({_SQL_SUFFIX_KEYS}) sa
-  JOIN ({_SQL_SUFFIX_KEYS}) sb
-    ON sa.suffix = sb.suffix AND sa.id < sb.id
+  SELECT id_a, id_b FROM ({_SQL_SFX_PAIRS})
 )
 """
 
 _SQL_ER_V2 = _corr_rounds_sql(3, "0.80", pairs_sql=_SQL_V2_PAIRS)
+
+
+# Per-channel blocking audit: pairs each channel proposes, the pairs
+# ONLY it proposes (its irreplaceable recall), and its exact-duplicate
+# gold hits — the numbers that justify or retire a channel.
+_SQL_CHANNEL_STATS = f"""
+WITH tagged AS MATERIALIZED (
+  SELECT id_a, id_b, 'lsh' AS channel FROM ({_SQL_CAND_PAIRS})
+  UNION ALL
+  SELECT id_a, id_b, 'soundex' AS channel FROM ({_SQL_SDX_PAIRS})
+  UNION ALL
+  SELECT id_a, id_b, 'suffix' AS channel FROM ({_SQL_SFX_PAIRS})
+),
+per AS (SELECT id_a, id_b, count(*)::BIGINT AS nch
+        FROM tagged GROUP BY id_a, id_b),
+g AS (
+  SELECT h.id AS id_a, h2.id AS id_b
+  FROM (SELECT doc_id AS id, md5(text) AS th FROM documents) h
+  JOIN (SELECT doc_id AS id, md5(text) AS th FROM documents) h2
+    ON h.th = h2.th AND h.id < h2.id
+)
+SELECT t.channel, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN p.nch = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       count(g.id_a)::BIGINT AS gold_hits
+FROM tagged t
+JOIN per p ON p.id_a = t.id_a AND p.id_b = t.id_b
+LEFT JOIN g ON g.id_a = t.id_a AND g.id_b = t.id_b
+GROUP BY t.channel
+"""
+
+
+def _q_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import channel_stats
+    from spikex_spark.operators.pairs import candidate_pairs
+    from spikex_spark.operators.phonetic import (soundex_blocking_keys,
+                                                 suffix_blocking_keys)
+    from spikex_spark.pipeline import doc_candidate_pairs
+    docs = _read(spark, sf_dir, "documents")
+    lsh = doc_candidate_pairs(docs).select("id_a", "id_b")
+    sdx_keys = (soundex_blocking_keys(docs)
+                .where(F.col("phonetic_key") != ""))
+    sdx_small = (sdx_keys.groupBy("phonetic_key")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .where(F.col("_n") <= 50).select("phonetic_key"))
+    sdx = (candidate_pairs(sdx_keys.join(sdx_small, "phonetic_key"),
+                           key_col="phonetic_key", id_col="id",
+                           payload_cols=())
+           .select("id_a", "id_b"))
+    sfx = (candidate_pairs(
+        suffix_blocking_keys(docs, key_len=16, min_suffix=8, max_block=50),
+        key_col="suffix", id_col="id", payload_cols=())
+        .select("id_a", "id_b"))
+    hashed = docs.select(F.col("doc_id").alias("id"),
+                         F.md5(F.col("text")).alias("th"))
+    gold = (hashed.alias("h")
+            .join(hashed.alias("h2"),
+                  (F.col("h.th") == F.col("h2.th"))
+                  & (F.col("h.id") < F.col("h2.id")))
+            .select(F.col("h.id").alias("id_a"),
+                    F.col("h2.id").alias("id_b")))
+    return channel_stats({"lsh": lsh, "soundex": sdx, "suffix": sfx},
+                         gold=gold)
 
 
 def _q_er_v2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6251,6 +6321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_correlation_clusters": _q_er_correlation_clusters,
         "canopy_assign": _q_canopy_assign,
         "er_v2_multichannel_clusters": _q_er_v2_clusters,
+        "blocking_channel_stats": _q_channel_stats,
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
@@ -6437,6 +6508,7 @@ def oracle_sql() -> dict[str, str]:
         "er_correlation_clusters": _SQL_ER_CORR,
         "canopy_assign": _SQL_CANOPY,
         "er_v2_multichannel_clusters": _SQL_ER_V2,
+        "blocking_channel_stats": _SQL_CHANNEL_STATS,
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,

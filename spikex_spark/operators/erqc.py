@@ -168,3 +168,39 @@ def cluster_cohesion(clusters: DataFrame, match_edges: DataFrame,
         F.round(F.coalesce(
             (F.col("_sum_u").cast("double") / F.col("n_edges"))
             / _U_SCALE, F.lit(0.0)), 6).alias("avg_score"))
+
+
+def channel_stats(channels: dict, gold: DataFrame | None = None) -> DataFrame:
+    """(channel, n_pairs, n_unique, gold_hits): per-blocking-channel
+    contribution audit over a dict of candidate-pair DataFrames
+    (id_a, id_b). ``n_unique`` counts pairs NO other channel proposes —
+    the channel's irreplaceable recall; with ``gold``, ``gold_hits``
+    counts its true pairs. This is the number that justifies (or
+    retires) each channel of a disjunctive blocking scheme.
+
+    One union + two map-side-combined groupBys — the pair sets are
+    blocking-sized, never corpus-sized."""
+    from pyspark.sql import functions as F
+    tagged = None
+    for name, df in channels.items():
+        t = (df.select(F.least("id_a", "id_b").alias("id_a"),
+                       F.greatest("id_a", "id_b").alias("id_b"))
+             .distinct()
+             .withColumn("channel", F.lit(name)))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_pair = (tagged.groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("_nch")))
+    base = tagged.join(per_pair, ["id_a", "id_b"])
+    if gold is not None:
+        g = (gold.select(F.least("id_a", "id_b").alias("id_a"),
+                         F.greatest("id_a", "id_b").alias("id_b"))
+             .distinct().withColumn("_gold", F.lit(1)))
+        base = base.join(g, ["id_a", "id_b"], "left")
+        gold_hits = F.count("_gold").alias("gold_hits")
+    else:
+        gold_hits = F.lit(None).cast("long").alias("gold_hits")
+    return (base.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.when(F.col("_nch") == 1, 1).otherwise(0))
+                 .alias("n_unique"),
+                 gold_hits))

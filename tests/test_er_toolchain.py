@@ -415,3 +415,17 @@ def test_waterfall_pairs_pass1_wins(spark):
     # probabilistic duplicate of it is suppressed; (5,6) deduped
     assert got == {(1, 2): "deterministic", (3, 4): "deterministic",
                    (5, 6): "probabilistic"}
+
+
+def test_channel_stats_counts_unique_and_gold(spark):
+    from spikex_spark.operators.erqc import channel_stats
+    a = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    b = spark.createDataFrame([(2, 1), (5, 6)], "id_a long, id_b long")
+    gold = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    got = {r["channel"]: (r["n_pairs"], r["n_unique"], r["gold_hits"])
+           for r in channel_stats({"a": a, "b": b}, gold=gold).collect()}
+    # (1,2) shared (b's (2,1) canonicalizes); (3,4) unique to a; (5,6) to b
+    assert got == {"a": (2, 1, 1), "b": (2, 1, 2)}
+    nog = {r["channel"]: r["gold_hits"]
+           for r in channel_stats({"a": a, "b": b}).collect()}
+    assert nog == {"a": None, "b": None}
