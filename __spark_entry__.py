@@ -5416,8 +5416,10 @@ def _q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed_metrics(pred, gold)
 
 
-_SQL_ER_ARI = f"""
-WITH {_SQL_CLUSTEREVAL_CELLS},
+# ARI arithmetic over a `cells(p, g, n)` CTE — shared by er_ari and the
+# method-agreement query (identical exact-binomial recipe, different
+# clustering sources).
+_SQL_ARI_BODY = """
 sc AS (SELECT sum((n * (n - 1)) >> 1)::BIGINT AS s_cells,
               sum(n)::BIGINT AS n_items FROM cells),
 sa AS (SELECT sum((sz * (sz - 1)) >> 1)::BIGINT AS s_pred FROM
@@ -5439,6 +5441,11 @@ SELECT n_items, s_cells, s_pred, s_gold,
             - 2::HUGEINT * s_pred * s_gold)::DOUBLE
   END, 6) AS ari
 FROM t
+"""
+
+_SQL_ER_ARI = f"""
+WITH {_SQL_CLUSTEREVAL_CELLS},
+{_SQL_ARI_BODY}
 """
 
 
@@ -5711,6 +5718,30 @@ def _q_er_v2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("id"))
     out = correlation_clusters(edges, nodes, rounds=3)
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# Method agreement: ARI between the transitive-CC flagship clustering
+# and the KwikCluster correlation clustering over the SAME edges — the
+# quantitative answer to "how much do the weak bridges actually move".
+_SQL_ER_METHOD_AGREEMENT = f"""
+WITH corr AS ({_SQL_ER_CORR}),
+ccx AS ({_SQL_ER_CLUSTERS}),
+cells AS (
+  SELECT c1.cluster_id AS p, c2.cluster_id AS g, count(*)::BIGINT AS n
+  FROM corr c1 JOIN ccx c2 ON c2.doc_id = c1.doc_id
+  GROUP BY c1.cluster_id, c2.cluster_id
+),
+{_SQL_ARI_BODY}
+"""
+
+
+def _q_er_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.clustereval import adjusted_rand_index
+    pred = _q_er_correlation_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("pred"))
+    gold = _q_er_doc_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("gold"))
+    return adjusted_rand_index(pred, gold)
 
 
 # Canopy clustering (McCallum et al. KDD'00): overlapping coarse groups
@@ -6321,6 +6352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_correlation_clusters": _q_er_correlation_clusters,
         "canopy_assign": _q_canopy_assign,
         "er_v2_multichannel_clusters": _q_er_v2_clusters,
+        "er_method_agreement": _q_er_method_agreement,
         "blocking_channel_stats": _q_channel_stats,
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
@@ -6508,6 +6540,7 @@ def oracle_sql() -> dict[str, str]:
         "er_correlation_clusters": _SQL_ER_CORR,
         "canopy_assign": _SQL_CANOPY,
         "er_v2_multichannel_clusters": _SQL_ER_V2,
+        "er_method_agreement": _SQL_ER_METHOD_AGREEMENT,
         "blocking_channel_stats": _SQL_CHANNEL_STATS,
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),

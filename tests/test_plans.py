@@ -285,6 +285,8 @@ def test_no_row_python_in_any_contract_query():
             # eager per-round checkpoints run the pivot rounds at build
             "er_correlation_clusters", "canopy_assign",
             "er_v2_multichannel_clusters",
+            # corrclust checkpoints + CC-at-build on both inputs
+            "er_method_agreement",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
