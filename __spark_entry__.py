@@ -3278,6 +3278,94 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan(p)
 
 
+# SoftTFIDF (Cohen, Ravikumar & Fienberg '03) over the flagship
+# candidate pairs: cosine's tf-idf weighting with SOFT (best-JW > 0.9)
+# token matching. Weights are the cosinejoin integer quantization;
+# per-term products are snapped to int64 nano-units and summed in list
+# order by both engines; argmax = first occurrence (list_position).
+_SQL_JWLIST = "list_transform(tb, y -> jaro_winkler_similarity(x, y))"
+_SQL_JWLIST_R = "list_transform(ta, y -> jaro_winkler_similarity(x, y))"
+_SQL_SOFT_TFIDF = f"""
+WITH pairs AS ({_SQL_CAND_PAIRS}),
+tf AS (
+  SELECT id, tok, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id AS id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS tok
+    FROM documents) GROUP BY id, tok
+),
+nd AS (SELECT count(DISTINCT id)::BIGINT AS n_docs FROM tf),
+dfreq AS (SELECT tok, count(*)::BIGINT AS dfreq FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.id, tf.tok,
+         tf.tf * round(ln(1.0 + nd.n_docs::DOUBLE / dfreq.dfreq)
+                       * 1000)::BIGINT AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nd
+),
+perdoc AS (
+  SELECT id, list(tok ORDER BY tok)[1:12] AS toks,
+         list(w ORDER BY tok)[1:12] AS ws
+  FROM w GROUP BY id
+),
+m AS (
+  SELECT p.id_a, p.id_b, a.toks AS ta, a.ws AS wa, b.toks AS tb,
+         b.ws AS wb
+  FROM pairs p
+  JOIN perdoc a ON a.id = p.id_a
+  JOIN perdoc b ON b.id = p.id_b
+),
+al AS (
+  SELECT id_a, id_b, wa, wb,
+    sqrt(list_aggregate(list_transform(wa, x -> x * x), 'sum')::DOUBLE)
+      AS na,
+    sqrt(list_aggregate(list_transform(wb, x -> x * x), 'sum')::DOUBLE)
+      AS nb,
+    list_transform(ta, x -> list_max({_SQL_JWLIST})) AS mxab,
+    list_transform(ta, x -> list_position({_SQL_JWLIST},
+                                          list_max({_SQL_JWLIST}))) AS axab,
+    list_transform(tb, x -> list_max({_SQL_JWLIST_R})) AS mxba,
+    list_transform(tb, x -> list_position({_SQL_JWLIST_R},
+                                          list_max({_SQL_JWLIST_R})))
+      AS axba
+  FROM m
+),
+s AS (
+  SELECT id_a, id_b,
+    list_aggregate(list_transform(range(1, len(mxab) + 1), i ->
+      CASE WHEN mxab[i] > 0.9
+           THEN round(((wa[i] / na) * (wb[axab[i]] / nb))
+                      * mxab[i] * 1000000000.0)::BIGINT
+           ELSE 0 END), 'sum')::BIGINT AS sab,
+    list_aggregate(list_transform(range(1, len(mxba) + 1), i ->
+      CASE WHEN mxba[i] > 0.9
+           THEN round(((wb[i] / nb) * (wa[axba[i]] / na))
+                      * mxba[i] * 1000000000.0)::BIGINT
+           ELSE 0 END), 'sum')::BIGINT AS sba
+  FROM al
+)
+SELECT id_a, id_b,
+  round(sab / 1000000000.0, 6) AS soft_ab,
+  round(sba / 1000000000.0, 6) AS soft_ba,
+  round((sab / 1000000000.0 + sba / 1000000000.0) * 0.5, 6) AS soft_sym
+FROM s
+"""
+
+
+def _q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.scoring import (soft_tfidf,
+                                                tfidf_token_arrays)
+    from spikex_spark.pipeline import doc_candidate_pairs
+    docs = _read(spark, sf_dir, "documents")
+    arrs = tfidf_token_arrays(docs, max_tokens=12)
+    pairs = doc_candidate_pairs(docs).select("id_a", "id_b")
+    p = (pairs
+         .join(arrs.withColumnsRenamed(
+             {"id": "id_a", "toks": "toks_a", "ws": "w_a"}), "id_a")
+         .join(arrs.withColumnsRenamed(
+             {"id": "id_b", "toks": "toks_b", "ws": "w_b"}), "id_b"))
+    return soft_tfidf(p, theta=0.9)
+
+
 # Shuffle-key skew profile: the measurement step behind every salting
 # guard in the repo — top-10 heaviest event user_ids with exact share
 # and the integer salt factor that bounds one task at 100 rows.
@@ -6284,6 +6372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": _q_ann_recall_ivf,
         "linkage_waterfall": _q_linkage_waterfall,
         "monge_elkan_scores": _q_monge_elkan,
+        "soft_tfidf_scores": _q_soft_tfidf,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
         "cdc_apply_changes": _q_cdc_apply,
@@ -6460,6 +6549,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_ivf": _SQL_ANN_RECALL_IVF,
         "linkage_waterfall": _SQL_WATERFALL,
         "monge_elkan_scores": _SQL_MONGE_ELKAN,
+        "soft_tfidf_scores": _SQL_SOFT_TFIDF,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,
         "cdc_apply_changes": _SQL_CDC_APPLY,

@@ -206,3 +206,114 @@ def monge_elkan(pairs: DataFrame, toks_a: str = "toks_a",
         F.round(sa / na, 6).alias("me_ab"),
         F.round(sb / nb, 6).alias("me_ba"),
         F.round((sa / na + sb / nb) * F.lit(0.5), 6).alias("me_sym"))
+
+
+_SOFT_ALIGN_SCHEMA = T.StructType([
+    T.StructField("mx", T.ArrayType(T.DoubleType())),
+    T.StructField("ax", T.ArrayType(T.IntegerType())),
+])
+
+
+@pandas_udf(_SOFT_ALIGN_SCHEMA)
+def soft_align_udf(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+    """Per-``ta``-token best-JW alignment against ``tb``: the max
+    similarity and its 1-BASED first-occurrence index (the same pick
+    DuckDB's list_position makes, so the oracle reproduces the argmax
+    bit-for-bit). Only jw + max/argmax run in Python — every
+    order-sensitive product/sum stays in the mirrored SQL layer."""
+    rows = []
+    for a, b in zip(ta, tb):
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            rows.append((None, None))
+            continue
+        mxs, axs = [], []
+        for x in a:
+            sims = [_jw_py(x, y) for y in b]
+            m = max(sims)
+            mxs.append(m)
+            axs.append(sims.index(m) + 1)
+        rows.append((mxs, axs))
+    return pd.DataFrame(rows, columns=["mx", "ax"])
+
+
+def soft_tfidf(pairs: DataFrame, theta: float = 0.9,
+               id_cols=("id_a", "id_b")) -> DataFrame:
+    """(ids..., soft_ab, soft_ba, soft_sym): SoftTFIDF (Cohen,
+    Ravikumar & Fienberg '03) — the hybrid that beat both pure
+    token-cosine and pure edit similarity in their record-linkage
+    benchmark: cosine's tf-idf weighting, but tokens match SOFTLY
+    (best JW partner above ``theta``) instead of exactly, so 'jonh' ×
+    'john' still contributes its idf weight.
+
+    ``pairs`` must carry aligned per-doc arrays (toks_*, w_*): sorted
+    distinct tokens and their integer tf-idf weights (the cosinejoin
+    quantization: ``tf · round(ln(1 + N/df)·10³)``), pre-capped to a
+    fixed K so the JW kernel stays O(1) per pair.
+
+    score(a→b) = Σ_{i: mx_i > θ} V(t_i,a) · V(u*_i,b) · mx_i with
+    L2-normalized V — computed as a SEQUENTIAL JVM fold of per-term
+    int64 nano-units (float sums are reduction-order-dependent), one
+    exact division at the end. Null when either token list is empty.
+    One narrow Arrow stage + a codegen'd fold: zero shuffles."""
+    d = (pairs
+         .withColumn("_ab", soft_align_udf(F.col("toks_a"), F.col("toks_b")))
+         .withColumn("_ba", soft_align_udf(F.col("toks_b"), F.col("toks_a"))))
+
+    def _norm(c: str) -> Column:
+        return F.sqrt(F.aggregate(
+            F.col(c), F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x).cast("double"))
+
+    na, nb = _norm("w_a"), _norm("w_b")
+
+    def _fold(mx: Column, ax: Column, wa: Column, wb: Column,
+              n1: Column, n2: Column) -> Column:
+        def term(acc: Column, i: Column) -> Column:
+            t = (((F.element_at(wa, i) / n1)
+                  * (F.element_at(wb, F.element_at(ax, i)) / n2))
+                 * F.element_at(mx, i) * F.lit(1e9))
+            return acc + (F.when(F.element_at(mx, i) > F.lit(theta),
+                                 F.round(t, 0).cast("long"))
+                          .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(F.sequence(F.lit(1), F.size(mx)),
+                           F.lit(0).cast("long"), term)
+
+    sab = _fold(F.col("_ab.mx"), F.col("_ab.ax"),
+                F.col("w_a"), F.col("w_b"), na, nb)
+    sba = _fold(F.col("_ba.mx"), F.col("_ba.ax"),
+                F.col("w_b"), F.col("w_a"), nb, na)
+    return d.select(
+        *id_cols,
+        F.round(sab / F.lit(1e9), 6).alias("soft_ab"),
+        F.round(sba / F.lit(1e9), 6).alias("soft_ba"),
+        F.round((sab / F.lit(1e9) + sba / F.lit(1e9)) * F.lit(0.5), 6)
+         .alias("soft_sym"))
+
+
+def tfidf_token_arrays(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_tokens: int = 12) -> DataFrame:
+    """(id, toks, ws): per-doc sorted distinct tokens with integer
+    tf-idf weights (the cosinejoin quantization), capped at
+    ``max_tokens`` — the per-doc precompute SoftTFIDF consumes. One
+    explode + two map-side-combined groupBys; N = docs with ≥1 token."""
+    tf = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(_tokens(F.col(text_col))).alias("tok"))
+          .groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    nd = tf.agg(F.countDistinct("id").alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = (tf.join(dfreq, "tok").crossJoin(F.broadcast(nd))
+         .select("id", "tok",
+                 (F.col("tf") * F.round(
+                     F.log(F.lit(1.0) + F.col("n_docs").cast("double")
+                           / F.col("dfreq")) * F.lit(1000), 0)
+                  .cast("long")).alias("w")))
+    per = (w.groupBy("id")
+           .agg(F.sort_array(F.collect_list(F.struct("tok", "w")))
+                .alias("_s")))
+    return per.select(
+        "id",
+        F.slice(F.transform(F.col("_s"), lambda s: s["tok"]),
+                1, max_tokens).alias("toks"),
+        F.slice(F.transform(F.col("_s"), lambda s: s["w"]),
+                1, max_tokens).alias("ws"))

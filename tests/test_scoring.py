@@ -99,3 +99,47 @@ def test_monge_elkan_hand_computed_asymmetry(spark):
     assert r["me_ab"] == round(sa / (len(a) * 1e6), 6)
     assert r["me_ba"] == round(sb / (len(b) * 1e6), 6)
     assert r["me_ab"] < r["me_ba"]        # the unmatched 'john' drags ab
+
+
+# --------------------------------------------------------------------------
+# scoring.soft_tfidf
+# --------------------------------------------------------------------------
+
+def _soft_pairs(spark, rows):
+    from spikex_spark.operators.scoring import tfidf_token_arrays
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrs = tfidf_token_arrays(docs)
+    pairs = spark.createDataFrame([(rows[0][0], rows[1][0])],
+                                  "id_a long, id_b long")
+    return (pairs
+            .join(arrs.withColumnsRenamed(
+                {"id": "id_a", "toks": "toks_a", "ws": "w_a"}), "id_a")
+            .join(arrs.withColumnsRenamed(
+                {"id": "id_b", "toks": "toks_b", "ws": "w_b"}), "id_b"))
+
+
+def test_soft_tfidf_identical_docs_score_one(spark):
+    from spikex_spark.operators.scoring import soft_tfidf
+    p = _soft_pairs(spark, [(1, "alpha beta gamma"),
+                            (2, "alpha beta gamma"),
+                            (3, "something else entirely")])
+    r = soft_tfidf(p).collect()[0]
+    # identical token sets: every term matches itself at jw=1, the
+    # weighted sum collapses to the L2 norm product -> 1.0 (up to the
+    # nano-unit snap)
+    assert abs(r["soft_ab"] - 1.0) < 1e-6
+    assert abs(r["soft_sym"] - 1.0) < 1e-6
+
+
+def test_soft_tfidf_typo_token_still_matches(spark):
+    from spikex_spark.operators.scoring import soft_tfidf
+    p = _soft_pairs(spark, [(1, "john smith portland"),
+                            (2, "jonh smith portland"),
+                            (3, "unrelated filler words")])
+    r = soft_tfidf(p, theta=0.9).collect()[0]
+    # 'jonh' has no exact partner (tf-idf cosine scores it 0) but JW
+    # aligns it with 'john' above 0.9 -> near-perfect soft score
+    assert r["soft_sym"] > 0.95
+    strict = soft_tfidf(p, theta=0.999).collect()[0]
+    assert strict["soft_sym"] < r["soft_sym"]
