@@ -3278,6 +3278,56 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan(p)
 
 
+# Privacy-preserving record linkage (Schnell et al. CLKs): each doc's
+# normalized text becomes a Bloom-filter encoding (character bigrams,
+# k=2 md5-derived positions in m=1024 bits); the flagship candidate
+# pairs are scored by Bloom-bit Dice ON THE ENCODINGS ONLY — the
+# cleartext never meets. Oracle reproduces every bit.
+_SQL_PPRL = f"""
+WITH pairs AS ({_SQL_CAND_PAIRS}),
+ncl AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                1, 64) AS n
+  FROM documents
+),
+clk AS (
+  SELECT id,
+    list_sort(list_distinct(flatten(list_transform(
+      list_distinct(list_transform(range(1, length(n)),
+                                   i -> substr(n, i, 2))),
+      g -> list_transform(range(0, 2), i ->
+        ('0x' || substr(md5(g || ':' || i::VARCHAR), 1, 15))::BIGINT
+        % 1024))))) AS clk
+  FROM ncl WHERE length(n) >= 2
+),
+md AS (
+  SELECT p.id_a, p.id_b, a.clk AS ca, b.clk AS cb
+  FROM pairs p JOIN clk a ON a.id = p.id_a JOIN clk b ON b.id = p.id_b
+)
+SELECT id_a, id_b,
+  len(ca)::BIGINT AS bits_a, len(cb)::BIGINT AS bits_b,
+  len(list_intersect(ca, cb))::BIGINT AS common,
+  round(2.0 * len(list_intersect(ca, cb)) / (len(ca) + len(cb)), 6)
+    AS dice
+FROM md
+"""
+
+
+def _q_pprl_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.pprl import clk_dice, clk_encode
+    from spikex_spark.pipeline import doc_candidate_pairs
+    docs = _read(spark, sf_dir, "documents")
+    clks = clk_encode(docs, m=1024, k=2).select("id", "clk")
+    pairs = doc_candidate_pairs(docs).select("id_a", "id_b")
+    p = (pairs
+         .join(clks.withColumnsRenamed({"id": "id_a", "clk": "clk_a"}),
+               "id_a")
+         .join(clks.withColumnsRenamed({"id": "id_b", "clk": "clk_b"}),
+               "id_b"))
+    return clk_dice(p)
+
+
 # SoftTFIDF (Cohen, Ravikumar & Fienberg '03) over the flagship
 # candidate pairs: cosine's tf-idf weighting with SOFT (best-JW > 0.9)
 # token matching. Weights are the cosinejoin integer quantization;
@@ -6373,6 +6423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_waterfall": _q_linkage_waterfall,
         "monge_elkan_scores": _q_monge_elkan,
         "soft_tfidf_scores": _q_soft_tfidf,
+        "pprl_dice_pairs": _q_pprl_dice,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
         "cdc_apply_changes": _q_cdc_apply,
@@ -6550,6 +6601,7 @@ def oracle_sql() -> dict[str, str]:
         "linkage_waterfall": _SQL_WATERFALL,
         "monge_elkan_scores": _SQL_MONGE_ELKAN,
         "soft_tfidf_scores": _SQL_SOFT_TFIDF,
+        "pprl_dice_pairs": _SQL_PPRL,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,
         "cdc_apply_changes": _SQL_CDC_APPLY,

@@ -143,3 +143,46 @@ def test_soft_tfidf_typo_token_still_matches(spark):
     assert r["soft_sym"] > 0.95
     strict = soft_tfidf(p, theta=0.999).collect()[0]
     assert strict["soft_sym"] < r["soft_sym"]
+
+
+# --------------------------------------------------------------------------
+# pprl: CLK encoding + Bloom-bit Dice
+# --------------------------------------------------------------------------
+
+def test_clk_dice_on_encodings_only(spark):
+    from spikex_spark.operators.pprl import clk_dice, clk_encode
+    docs = spark.createDataFrame(
+        [(1, "John Smith"), (2, "Jon Smith"), (3, "zzz qqq vvv"),
+         (4, "x")],                       # too short after norm -> dropped
+        "doc_id long, text string")
+    clks = clk_encode(docs, m=256, k=2)
+    got = {r["id"]: r for r in clks.collect()}
+    assert 4 not in got                       # sub-q strings unencodable
+    assert all(r["clk"] == sorted(set(r["clk"])) for r in got.values())
+    assert all(p < 256 for r in got.values() for p in r["clk"])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    sel = clks.select("id", "clk")
+    p = (pairs
+         .join(sel.withColumnsRenamed({"id": "id_a", "clk": "clk_a"}),
+               "id_a")
+         .join(sel.withColumnsRenamed({"id": "id_b", "clk": "clk_b"}),
+               "id_b"))
+    d = {(r["id_a"], r["id_b"]): r["dice"] for r in clk_dice(p).collect()}
+    # near-identical names share most bigram bits; unrelated text shares
+    # almost none — linkage works without ever comparing cleartext
+    assert d[(1, 2)] > 0.7
+    assert d[(1, 3)] < 0.3
+
+
+def test_clk_identical_texts_dice_one(spark):
+    from spikex_spark.operators.pprl import clk_dice, clk_encode
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA  beta!")],   # same normalization
+        "doc_id long, text string")
+    clks = clk_encode(docs).select("id", "clk")
+    p = (spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+         .join(clks.withColumnsRenamed({"id": "id_a", "clk": "clk_a"}),
+               "id_a")
+         .join(clks.withColumnsRenamed({"id": "id_b", "clk": "clk_b"}),
+               "id_b"))
+    assert clk_dice(p).collect()[0]["dice"] == 1.0
