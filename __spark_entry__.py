@@ -3278,6 +3278,80 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan(p)
 
 
+# LSH parameter planner: expected banding recall per (bands, rows)
+# factorization of 8 hashes over the OBSERVED near-dup pairs — the
+# S-curve p(s) = 1 - (1 - s^r)^b evaluated as an exact rational from
+# each pair's integer (intersection, union) gram counts, because libm
+# pow differs across engines; micro-unit snap before the integer mean.
+def _lsh_plan_sql() -> str:
+    def ipow(x: str, e: int) -> str:
+        return "(" + " * ".join([x] * e) + ")"
+
+    legs = []
+    for b, r in ((1, 8), (2, 4), (4, 2), (8, 1)):
+        t = f"({ipow('u', r)} - {ipow('i', r)})"
+        legs.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band,"
+            f" round((1.0 - {ipow(t, b)}::DOUBLE / {ipow('u', r * b)}::DOUBLE)"
+            f" * 1000000.0)::BIGINT AS p_u FROM sel")
+    union = "\n  UNION ALL\n  ".join(legs)
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')]
+    END) AS gram
+  FROM t
+),
+g0 AS (SELECT id, gram FROM grams WHERE gram <> ''),
+g AS (
+  SELECT id, gram FROM g0
+  QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+),
+counts AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+sel AS (
+  SELECT i::HUGEINT AS i,
+         (ca.n_grams + cb.n_grams - i)::HUGEINT AS u
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+  WHERE round(i::double / (ca.n_grams + cb.n_grams - i), 6) >= 0.5
+    AND (ca.n_grams + cb.n_grams - i) <= 10000
+),
+px AS (
+  {union}
+)
+SELECT bands, rows_per_band, count(*)::BIGINT AS n_pairs,
+       round(sum(p_u) / (count(*) * 1000000.0), 6) AS exp_recall
+FROM px GROUP BY bands, rows_per_band
+"""
+
+
+_SQL_LSH_PLAN = _lsh_plan_sql()
+
+
+def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import (lsh_expected_recall,
+                                              ngram_jaccard_pairs)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text",
+                                return_counts=True)
+    return lsh_expected_recall(pairs)
+
+
 # Privacy-preserving record linkage (Schnell et al. CLKs): each doc's
 # normalized text becomes a Bloom-filter encoding (character bigrams,
 # k=2 md5-derived positions in m=1024 bits); the flagship candidate
@@ -6424,6 +6498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monge_elkan_scores": _q_monge_elkan,
         "soft_tfidf_scores": _q_soft_tfidf,
         "pprl_dice_pairs": _q_pprl_dice,
+        "lsh_param_plan": _q_lsh_plan,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
         "cdc_apply_changes": _q_cdc_apply,
@@ -6602,6 +6677,7 @@ def oracle_sql() -> dict[str, str]:
         "monge_elkan_scores": _SQL_MONGE_ELKAN,
         "soft_tfidf_scores": _SQL_SOFT_TFIDF,
         "pprl_dice_pairs": _SQL_PPRL,
+        "lsh_param_plan": _SQL_LSH_PLAN,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,
         "cdc_apply_changes": _SQL_CDC_APPLY,

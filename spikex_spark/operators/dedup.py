@@ -132,7 +132,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, min_jaccard: float = 0.5,
-                        max_df: int = 1000) -> DataFrame:
+                        max_df: int = 1000,
+                        return_counts: bool = False) -> DataFrame:
     """(id_a, id_b, jaccard): EXACT token-n-gram Jaccard over pairs sharing
     ≥1 gram, computed over the RARE-GRAM profile: grams appearing in more
     than ``max_df`` documents ("of the X" hub grams) are dropped from BOTH
@@ -187,8 +188,61 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             ),
         )
         .where(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard",
+                *([F.col("inter").alias("i"),
+                   (F.col("na") + F.col("nb") - F.col("inter")).alias("u")]
+                  if return_counts else []))
     )
+
+
+def lsh_expected_recall(pairs: DataFrame,
+                        configs=((1, 8), (2, 4), (4, 2), (8, 1)),
+                        i_col: str = "i", u_col: str = "u",
+                        max_union: int = 10_000) -> DataFrame:
+    """(bands, rows, n_pairs, exp_recall): the LSH parameter planner —
+    for each (bands b, rows-per-band r) factorization of b·r hashes,
+    the EXPECTED fraction of the given (near-dup) pairs that banded
+    MinHash would emit as candidates, i.e. the mean over pairs of the
+    S-curve ``p(s) = 1 − (1 − s^r)^b``. Pick LSH params from this
+    table, not from guesswork — the design-for-scale step before the
+    bucket join exists.
+
+    Exactness: libm ``pow`` differs across engines, so p is evaluated
+    as the RATIONAL ``1 − (u^r − i^r)^b / u^(r·b)`` from each pair's
+    integer (intersection, union) gram counts — repeated decimal(38,0)
+    multiplications (HUGEINT in the oracle), one double division, the
+    per-pair value snapped to micro-units before an exact integer
+    mean. Pairs with union > ``max_union`` are excluded (u^(r·b) must
+    fit 38 digits; a near-dup pair with a 10k-gram union is beyond any
+    sane LSH design point anyway) — the guard is part of the operator
+    contract, applied identically by the oracle."""
+    dec = "decimal(38,0)"
+
+    def _ipow(x: F.Column, e: int) -> F.Column:
+        acc = x
+        for _ in range(e - 1):
+            acc = acc * x
+        return acc
+
+    base = pairs.where(F.col(u_col) <= max_union)
+    rows = []
+    for b, r in configs:
+        u = F.col(u_col).cast(dec)
+        i = F.col(i_col).cast(dec)
+        num = _ipow(_ipow(u, r) - _ipow(i, r), b)
+        den = _ipow(u, r * b)
+        p = F.lit(1.0) - num.cast("double") / den.cast("double")
+        rows.append(F.struct(
+            F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"),
+            F.round(p * F.lit(1e6), 0).cast("long").alias("p_u")))
+    ex = base.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+    return (ex.groupBy("bands", "rows_per_band")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("p_u").alias("_sp"))
+            .select("bands", "rows_per_band", "n_pairs",
+                    F.round(F.col("_sp") / (F.col("n_pairs")
+                                            * F.lit(1e6)), 6)
+                    .alias("exp_recall")))
 
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,

@@ -219,3 +219,33 @@ def test_jaccard_prefix_pairs_ngram_mode(spark):
                                 n=3).collect()}
     # 3-grams of 0: {abc,bcd,cde}; of 1: {abc,bcd,cdf} -> J = 2/4 = 0.5
     assert got == {(0, 1): 0.5}
+
+
+def test_lsh_expected_recall_hand_computed(spark):
+    from spikex_spark.operators.dedup import lsh_expected_recall
+    # one pair with s = 1/2, one with s = 1 (i=u)
+    pairs = spark.createDataFrame(
+        [(1, 2, 5, 10), (3, 4, 7, 7)], "id_a long, id_b long, i long, u long")
+    out = {(r["bands"], r["rows_per_band"]):
+           (r["n_pairs"], r["exp_recall"])
+           for r in lsh_expected_recall(pairs).collect()}
+
+    def p(s, b, r):
+        return 1.0 - (1.0 - s ** r) ** b
+
+    for (b, r), (n, got) in out.items():
+        assert n == 2
+        want = round((round(p(0.5, b, r) * 1e6) + round(p(1.0, b, r) * 1e6))
+                     / (2 * 1e6), 6)
+        assert got == want
+    # more bands at fixed hash budget -> higher recall at s=0.5
+    assert out[(8, 1)][1] > out[(4, 2)][1] > out[(2, 4)][1] > out[(1, 8)][1]
+
+
+def test_lsh_expected_recall_union_guard(spark):
+    from spikex_spark.operators.dedup import lsh_expected_recall
+    pairs = spark.createDataFrame(
+        [(1, 2, 5, 10), (3, 4, 20000, 20001)],
+        "id_a long, id_b long, i long, u long")
+    out = lsh_expected_recall(pairs).collect()
+    assert all(r["n_pairs"] == 1 for r in out)   # oversize union excluded
