@@ -3278,6 +3278,82 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan(p)
 
 
+# Score calibration: empirical precision per score decile against the
+# exact-duplicate gold pairs — is a 0.8 actually 80% right?
+_SQL_SCORE_CALIBRATION = f"""
+WITH s AS ({_SQL_SCORED}),
+sc AS (
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+         least(floor(round(0.5 * jw + 0.5 * jacc, 6) * 10)::INT, 9)
+           AS bin
+  FROM s
+),
+g AS (
+  SELECT h.id AS id_a, h2.id AS id_b, 1 AS gg
+  FROM (SELECT doc_id AS id, md5(text) AS th FROM documents) h
+  JOIN (SELECT doc_id AS id, md5(text) AS th FROM documents) h2
+    ON h.th = h2.th AND h.id < h2.id
+)
+SELECT bin, round(bin / 10.0, 6) AS lo,
+       count(*)::BIGINT AS n_pairs, count(g.gg)::BIGINT AS n_gold,
+       round(count(g.gg) / count(*), 6) AS precision
+FROM sc LEFT JOIN g ON g.id_a = sc.id_a AND g.id_b = sc.id_b
+GROUP BY bin
+"""
+
+
+def _q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import score_calibration
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs)
+    hashed = docs.select(F.col("doc_id").alias("id"),
+                         F.md5(F.col("text")).alias("th"))
+    gold = (hashed.alias("h")
+            .join(hashed.alias("h2"),
+                  (F.col("h.th") == F.col("h2.th"))
+                  & (F.col("h.id") < F.col("h2.id")))
+            .select(F.col("h.id").alias("id_a"),
+                    F.col("h2.id").alias("id_b")))
+    return score_calibration(scored, gold, bins=10)
+
+
+# Mirror-site detection: record-level matches aggregated to GROUP-level
+# linkage over the source column — two sources sharing many near-dup
+# documents are the same site crawled twice.
+_SQL_MIRROR_SITES = f"""
+WITH s AS ({_SQL_SCORED}),
+mm AS (SELECT id_a, id_b FROM s
+       WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80),
+mem AS (SELECT doc_id AS id, source AS g FROM documents),
+sizes AS (SELECT g, count(*)::BIGINT AS n FROM mem GROUP BY g),
+p AS (
+  SELECT least(ma.g, mb.g) AS grp_a, greatest(ma.g, mb.g) AS grp_b
+  FROM mm
+  JOIN mem ma ON ma.id = mm.id_a
+  JOIN mem mb ON mb.id = mm.id_b
+  WHERE ma.g <> mb.g
+),
+agg AS (SELECT grp_a, grp_b, count(*)::BIGINT AS n_matched
+        FROM p GROUP BY grp_a, grp_b HAVING count(*) >= 1)
+SELECT a.grp_a, a.grp_b, a.n_matched, sa.n AS size_a, sb.n AS size_b,
+       round(2.0 * a.n_matched / (sa.n + sb.n), 6) AS dice
+FROM agg a
+JOIN sizes sa ON sa.g = a.grp_a
+JOIN sizes sb ON sb.g = a.grp_b
+"""
+
+
+def _q_mirror_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import group_linkage
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    matched = (doc_scored_pairs(docs).where(F.col("score") >= 0.80)
+               .select("id_a", "id_b"))
+    return group_linkage(matched, docs, id_col="doc_id",
+                         group_col="source")
+
+
 # LSH parameter planner: expected banding recall per (bands, rows)
 # factorization of 8 hashes over the OBSERVED near-dup pairs — the
 # S-curve p(s) = 1 - (1 - s^r)^b evaluated as an exact rational from
@@ -6499,6 +6575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_tfidf_scores": _q_soft_tfidf,
         "pprl_dice_pairs": _q_pprl_dice,
         "lsh_param_plan": _q_lsh_plan,
+        "score_calibration": _q_score_calibration,
+        "mirror_sites": _q_mirror_sites,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
         "cdc_apply_changes": _q_cdc_apply,
@@ -6678,6 +6756,8 @@ def oracle_sql() -> dict[str, str]:
         "soft_tfidf_scores": _SQL_SOFT_TFIDF,
         "pprl_dice_pairs": _SQL_PPRL,
         "lsh_param_plan": _SQL_LSH_PLAN,
+        "score_calibration": _SQL_SCORE_CALIBRATION,
+        "mirror_sites": _SQL_MIRROR_SITES,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,
         "cdc_apply_changes": _SQL_CDC_APPLY,

@@ -204,3 +204,64 @@ def channel_stats(channels: dict, gold: DataFrame | None = None) -> DataFrame:
                  F.sum(F.when(F.col("_nch") == 1, 1).otherwise(0))
                  .alias("n_unique"),
                  gold_hits))
+
+
+def score_calibration(scored: DataFrame, gold: DataFrame, bins: int = 10,
+                      score_col: str = "score") -> DataFrame:
+    """(bin, lo, n_pairs, n_gold, precision): empirical precision per
+    score decile — IS a 0.8 actually 80% right? The calibration table
+    that turns a similarity score into a trustworthy match probability
+    (and exposes the miscalibrated middle the threshold sweep hides).
+    One left join + one map-side-combined groupBy; bin = floor(s·bins)
+    clamped so s=1.0 lands in the top bin."""
+    g = (gold.select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b"))
+         .distinct().withColumn("_g", F.lit(1)))
+    s = scored.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.least(F.floor(F.col(score_col) * bins).cast("int"),
+                F.lit(bins - 1)).alias("bin"))
+    j = s.join(g, ["id_a", "id_b"], "left")
+    return (j.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.count("_g").alias("n_gold"))
+            .select("bin",
+                    F.round(F.col("bin") / F.lit(float(bins)), 6)
+                    .alias("lo"),
+                    "n_pairs", "n_gold",
+                    F.round(F.col("n_gold") / F.col("n_pairs"), 6)
+                    .alias("precision")))
+
+
+def group_linkage(matched_pairs: DataFrame, members: DataFrame,
+                  id_col: str = "id", group_col: str = "grp",
+                  min_common: int = 1) -> DataFrame:
+    """(grp_a, grp_b, n_matched, size_a, size_b, dice): GROUP-level
+    linkage from record-level matches (On, Koudas et al.'s group
+    linkage; for webtext: MIRROR-SITE detection — two sources sharing
+    many near-dup documents are the same site crawled twice). Record
+    matches aggregate to one row per group pair; dice =
+    2·matched/(|A|+|B|) over group sizes. Two equi-joins + two
+    map-side-combined groupBys — never a group cross product."""
+    m = members.select(F.col(id_col).alias("_id"),
+                       F.col(group_col).alias("_g"))
+    sizes = m.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    p = (matched_pairs
+         .join(m.withColumnsRenamed({"_id": "id_a", "_g": "g_a"}), "id_a")
+         .join(m.withColumnsRenamed({"_id": "id_b", "_g": "g_b"}), "id_b")
+         .where(F.col("g_a") != F.col("g_b"))
+         .select(F.least("g_a", "g_b").alias("grp_a"),
+                 F.greatest("g_a", "g_b").alias("grp_b")))
+    agg = (p.groupBy("grp_a", "grp_b")
+           .agg(F.count(F.lit(1)).alias("n_matched"))
+           .where(F.col("n_matched") >= min_common))
+    return (agg
+            .join(sizes.withColumnsRenamed({"_g": "grp_a", "_n": "size_a"}),
+                  "grp_a")
+            .join(sizes.withColumnsRenamed({"_g": "grp_b", "_n": "size_b"}),
+                  "grp_b")
+            .select("grp_a", "grp_b", "n_matched", "size_a", "size_b",
+                    F.round(F.lit(2.0) * F.col("n_matched")
+                            / (F.col("size_a") + F.col("size_b")), 6)
+                    .alias("dice")))

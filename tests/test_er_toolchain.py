@@ -429,3 +429,34 @@ def test_channel_stats_counts_unique_and_gold(spark):
     nog = {r["channel"]: r["gold_hits"]
            for r in channel_stats({"a": a, "b": b}).collect()}
     assert nog == {"a": None, "b": None}
+
+
+def test_score_calibration_bins_and_precision(spark):
+    from spikex_spark.operators.erqc import score_calibration
+    scored = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 0.92), (5, 6, 0.55), (7, 8, 1.0)],
+        "id_a long, id_b long, score double")
+    gold = spark.createDataFrame([(2, 1), (5, 6)], "id_a long, id_b long")
+    got = {r["bin"]: r for r in
+           score_calibration(scored, gold, bins=10).collect()}
+    assert got[9]["n_pairs"] == 3            # 0.95, 0.92, and clamped 1.0
+    assert got[9]["n_gold"] == 1
+    assert got[9]["precision"] == round(1 / 3, 6)
+    assert got[5]["precision"] == 1.0 and got[5]["lo"] == 0.5
+
+
+def test_group_linkage_mirror_sites(spark):
+    from spikex_spark.operators.erqc import group_linkage
+    members = spark.createDataFrame(
+        [(1, "siteA"), (2, "siteA"), (3, "siteB"), (4, "siteB"),
+         (5, "siteC")],
+        "doc_id long, source string")
+    matched = spark.createDataFrame(
+        [(1, 3), (2, 4), (1, 2)],      # two cross-site + one intra (dropped)
+        "id_a long, id_b long")
+    got = {(r["grp_a"], r["grp_b"]): r for r in group_linkage(
+        matched, members, id_col="doc_id", group_col="source").collect()}
+    assert set(got) == {("siteA", "siteB")}
+    r = got[("siteA", "siteB")]
+    assert (r["n_matched"], r["size_a"], r["size_b"]) == (2, 2, 2)
+    assert r["dice"] == 1.0
