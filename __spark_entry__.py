@@ -3278,6 +3278,41 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan(p)
 
 
+# Open match triangles (a-b, b-c matched; a-c not): the conflicts
+# transitive CC silently merges and correlation clustering refuses,
+# with the a-c score attached (NULL = blocking miss, not disagreement).
+_SQL_TRANS_VIOLATIONS = f"""
+WITH s AS ({_SQL_SCORED}),
+sp AS (SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+              round(0.5 * jw + 0.5 * jacc, 6) AS score
+       FROM s),
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM sp WHERE score >= 0.80),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+wedges AS (
+  SELECT l.a AS id_a, l.b AS id_center, r.b AS id_c
+  FROM sym l JOIN sym r ON r.a = l.b
+  WHERE l.a < r.b
+),
+openw AS (
+  SELECT w.id_a, w.id_center, w.id_c FROM wedges w
+  LEFT JOIN e ON e.a = w.id_a AND e.b = w.id_c
+  WHERE e.a IS NULL
+)
+SELECT o.id_a, o.id_center, o.id_c, sp.score AS score_ac
+FROM openw o
+LEFT JOIN sp ON sp.id_a = o.id_a AND sp.id_b = o.id_c
+"""
+
+
+def _q_trans_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import transitivity_violations
+    from spikex_spark.pipeline import doc_scored_pairs
+    docs = _read(spark, sf_dir, "documents")
+    scored = doc_scored_pairs(docs)
+    matched = scored.where(F.col("score") >= 0.80).select("id_a", "id_b")
+    return transitivity_violations(matched, scored)
+
+
 # Score calibration: empirical precision per score decile against the
 # exact-duplicate gold pairs — is a 0.8 actually 80% right?
 _SQL_SCORE_CALIBRATION = f"""
@@ -6576,6 +6611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_dice_pairs": _q_pprl_dice,
         "lsh_param_plan": _q_lsh_plan,
         "score_calibration": _q_score_calibration,
+        "er_transitivity_violations": _q_trans_violations,
         "mirror_sites": _q_mirror_sites,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
@@ -6757,6 +6793,7 @@ def oracle_sql() -> dict[str, str]:
         "pprl_dice_pairs": _SQL_PPRL,
         "lsh_param_plan": _SQL_LSH_PLAN,
         "score_calibration": _SQL_SCORE_CALIBRATION,
+        "er_transitivity_violations": _SQL_TRANS_VIOLATIONS,
         "mirror_sites": _SQL_MIRROR_SITES,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,

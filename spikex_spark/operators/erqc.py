@@ -265,3 +265,37 @@ def group_linkage(matched_pairs: DataFrame, members: DataFrame,
                     F.round(F.lit(2.0) * F.col("n_matched")
                             / (F.col("size_a") + F.col("size_b")), 6)
                     .alias("dice")))
+
+
+def transitivity_violations(matched: DataFrame,
+                            scored: DataFrame | None = None,
+                            score_col: str = "score") -> DataFrame:
+    """(id_a, id_center, id_c, score_ac): open match triangles — a–b
+    and b–c matched but a–c NOT — the exact conflicts transitive CC
+    papers over (it merges all three) and correlation clustering
+    refuses. ``scored`` (optional) attaches the a–c pair's actual score
+    (NULL if never even a candidate: a blocking miss, not a scoring
+    disagreement). One self-join of the match edges on the shared
+    center + one anti-check; match sets are pair-sized, never corpus-
+    sized."""
+    e = (matched.select(F.least("id_a", "id_b").alias("a"),
+                        F.greatest("id_a", "id_b").alias("b"))
+         .distinct())
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    wedges = (sym.alias("l")
+              .join(sym.alias("r"), F.col("l.b") == F.col("r.a"))
+              .where(F.col("l.a") < F.col("r.b"))
+              .select(F.col("l.a").alias("id_a"),
+                      F.col("l.b").alias("id_center"),
+                      F.col("r.b").alias("id_c")))
+    open_w = wedges.join(
+        e.withColumnsRenamed({"a": "id_a", "b": "id_c"}),
+        ["id_a", "id_c"], "left_anti")
+    if scored is None:
+        return open_w.withColumn("score_ac",
+                                 F.lit(None).cast("double"))
+    s = scored.select(F.least("id_a", "id_b").alias("id_a"),
+                      F.greatest("id_a", "id_b").alias("id_c"),
+                      F.col(score_col).alias("score_ac"))
+    return open_w.join(s, ["id_a", "id_c"], "left")

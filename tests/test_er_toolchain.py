@@ -460,3 +460,19 @@ def test_group_linkage_mirror_sites(spark):
     r = got[("siteA", "siteB")]
     assert (r["n_matched"], r["size_a"], r["size_b"]) == (2, 2, 2)
     assert r["dice"] == 1.0
+
+
+def test_transitivity_violations_open_triangles(spark):
+    from spikex_spark.operators.erqc import transitivity_violations
+    matched = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (4, 6)],
+        "id_a long, id_b long")
+    scored = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (1, 3, 0.4)],
+        "id_a long, id_b long, score double")
+    got = [(r["id_a"], r["id_center"], r["id_c"], r["score_ac"])
+           for r in transitivity_violations(matched, scored).collect()]
+    # 1-2-3 is open (1,3 unmatched, scored 0.4); 4-5-6 closed -> silent
+    assert got == [(1, 2, 3, 0.4)]
+    nos = transitivity_violations(matched).collect()
+    assert [(r["id_a"], r["score_ac"]) for r in nos] == [(1, None)]
