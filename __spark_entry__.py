@@ -3004,15 +3004,36 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(lab, weights, ["a_jw", "a_jacc"])
 
 
+# Deterministic-rule channel shared by the waterfall / calibration /
+# channel-stats / progressive queries: docs sharing their first 200
+# text chars are near-certain duplicates (the corpus plants NO exact
+# full-text duplicates at sf0.01 — a rule on the full hash fires zero
+# times, which made these metrics vacuous until round-4 review).
+_SQL_PREFIX_GOLD = """
+SELECT h.id AS id_a, h2.id AS id_b
+FROM (SELECT doc_id AS id, md5(substr(text, 1, 200)) AS th
+      FROM documents) h
+JOIN (SELECT doc_id AS id, md5(substr(text, 1, 200)) AS th
+      FROM documents) h2
+  ON h.th = h2.th AND h.id < h2.id
+"""
+
+
+def _prefix_gold(docs: DataFrame) -> DataFrame:
+    hashed = docs.select(F.col("doc_id").alias("id"),
+                         F.md5(F.substring("text", 1, 200)).alias("th"))
+    return (hashed.alias("h")
+            .join(hashed.alias("h2"),
+                  (F.col("h.th") == F.col("h2.th"))
+                  & (F.col("h.id") < F.col("h2.id")))
+            .select(F.col("h.id").alias("id_a"),
+                    F.col("h2.id").alias("id_b")))
+
+
 # The MDM match waterfall: exact-text deterministic links first, the
 # probabilistic (scored >= 0.80) channel only where the rule was silent.
 _SQL_WATERFALL = f"""
-WITH det AS (
-  SELECT h.id AS id_a, h2.id AS id_b
-  FROM (SELECT doc_id AS id, md5(text) AS th FROM documents) h
-  JOIN (SELECT doc_id AS id, md5(text) AS th FROM documents) h2
-    ON h.th = h2.th AND h.id < h2.id
-),
+WITH det AS ({_SQL_PREFIX_GOLD}),
 s AS ({_SQL_SCORED}),
 prob0 AS (
   SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
@@ -3033,14 +3054,7 @@ def _q_linkage_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.linkage import waterfall_pairs
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    hashed = docs.select(F.col("doc_id").alias("id"),
-                         F.md5(F.col("text")).alias("th"))
-    det = (hashed.alias("h")
-           .join(hashed.alias("h2"),
-                 (F.col("h.th") == F.col("h2.th"))
-                 & (F.col("h.id") < F.col("h2.id")))
-           .select(F.col("h.id").alias("id_a"),
-                   F.col("h2.id").alias("id_b")))
+    det = _prefix_gold(docs)
     prob = (doc_scored_pairs(docs).where(F.col("score") >= 0.80)
             .select("id_a", "id_b"))
     return waterfall_pairs(det, prob)
@@ -3278,6 +3292,56 @@ def _q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monge_elkan(p)
 
 
+# Progressive (pay-as-you-go) ER: emit CBS-weighted candidates in
+# evidence order, report exact-dup gold recall at each comparison
+# budget — how much dedup value the first comparisons already buy.
+_SQL_PROGRESSIVE = f"""
+WITH buckets0 AS ({_SQL_BUCKETS}),
+b AS (
+  SELECT doc_id, band::varchar || ':' || bucket AS block_id
+  FROM buckets0
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000
+),
+cbs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::bigint AS cbs
+  FROM b x JOIN b y ON x.block_id = y.block_id AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT id_a, id_b,
+         row_number() OVER (ORDER BY cbs DESC, id_a, id_b) AS rk
+  FROM cbs
+),
+g AS ({_SQL_PREFIX_GOLD}),
+ng AS (SELECT count(*)::BIGINT AS n_gold FROM g),
+hits AS (
+  SELECT r.rk FROM ranked r
+  JOIN g ON g.id_a = r.id_a AND g.id_b = r.id_b
+),
+bud AS (SELECT unnest([5, 10, 15, 20, 25]) AS budget)
+SELECT bud.budget, count(h.rk)::BIGINT AS n_found, ng.n_gold,
+       round(count(h.rk) / ng.n_gold, 6) AS recall
+FROM bud LEFT JOIN hits h ON h.rk <= bud.budget CROSS JOIN ng
+GROUP BY bud.budget, ng.n_gold
+"""
+
+
+def _q_progressive_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.operators.erqc import progressive_recall
+    from spikex_spark.operators.metablocking import cbs_pairs
+    docs = _read(spark, sf_dir, "documents")
+    sig = B.minhash_signatures(B.shingle_df(docs, "doc_id", "text", k=5),
+                               16)
+    buckets = B.lsh_buckets(sig, bands=4, rows_per_band=4)
+    blocks = buckets.select(
+        F.concat_ws(":", F.col("band"), F.col("bucket")).alias("block_id"),
+        F.col("id").alias("id"))
+    weighted = cbs_pairs(blocks, id_col="id", max_block_size=1000)
+    gold = _prefix_gold(docs)
+    return progressive_recall(weighted, gold, [5, 10, 15, 20, 25])
+
+
 # Open match triangles (a-b, b-c matched; a-c not): the conflicts
 # transitive CC silently merges and correlation clustering refuses,
 # with the a-c score attached (NULL = blocking miss, not disagreement).
@@ -3323,12 +3387,7 @@ sc AS (
            AS bin
   FROM s
 ),
-g AS (
-  SELECT h.id AS id_a, h2.id AS id_b, 1 AS gg
-  FROM (SELECT doc_id AS id, md5(text) AS th FROM documents) h
-  JOIN (SELECT doc_id AS id, md5(text) AS th FROM documents) h2
-    ON h.th = h2.th AND h.id < h2.id
-)
+g AS (SELECT id_a, id_b, 1 AS gg FROM ({_SQL_PREFIX_GOLD}))
 SELECT bin, round(bin / 10.0, 6) AS lo,
        count(*)::BIGINT AS n_pairs, count(g.gg)::BIGINT AS n_gold,
        round(count(g.gg) / count(*), 6) AS precision
@@ -3342,14 +3401,7 @@ def _q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
     scored = doc_scored_pairs(docs)
-    hashed = docs.select(F.col("doc_id").alias("id"),
-                         F.md5(F.col("text")).alias("th"))
-    gold = (hashed.alias("h")
-            .join(hashed.alias("h2"),
-                  (F.col("h.th") == F.col("h2.th"))
-                  & (F.col("h.id") < F.col("h2.id")))
-            .select(F.col("h.id").alias("id_a"),
-                    F.col("h2.id").alias("id_b")))
+    gold = _prefix_gold(docs)
     return score_calibration(scored, gold, bins=10)
 
 
@@ -3803,20 +3855,20 @@ def _q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Key-uniqueness constraint check (Deequ isUnique): doc_id must be a
-# key; text must NOT be (the planted near-dup corpus carries exact
-# duplicate texts) — one groupBy each, never a self-join.
+# key; the 200-char text prefix must NOT be (the near-dup corpus plants
+# shared prefixes, not full-text duplicates) — one groupBy each.
 _SQL_KEY_UNIQUENESS = """
 WITH p1 AS (SELECT doc_id AS k, count(*)::BIGINT AS c
             FROM documents GROUP BY doc_id),
-p2 AS (SELECT text AS k, count(*)::BIGINT AS c
-       FROM documents GROUP BY text)
+p2 AS (SELECT substr(text, 1, 200) AS k, count(*)::BIGINT AS c
+       FROM documents GROUP BY substr(text, 1, 200))
 SELECT 'doc_id' AS key, sum(c)::BIGINT AS n_rows,
        count(*)::BIGINT AS n_keys,
        sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_rows,
        max(c) <= 1 AS "unique"
 FROM p1
 UNION ALL
-SELECT 'text', sum(c)::BIGINT, count(*)::BIGINT,
+SELECT 'prefix200', sum(c)::BIGINT, count(*)::BIGINT,
        sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT, max(c) <= 1
 FROM p2
 """
@@ -3827,8 +3879,9 @@ def _q_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     a = uniqueness_check(docs, ["doc_id"]).select(
         F.lit("doc_id").alias("key"), "*")
-    b = uniqueness_check(docs, ["text"]).select(
-        F.lit("text").alias("key"), "*")
+    pre = docs.withColumn("prefix200", F.substring("text", 1, 200))
+    b = uniqueness_check(pre, ["prefix200"]).select(
+        F.lit("prefix200").alias("key"), "*")
     return a.unionByName(b)
 
 
@@ -5959,12 +6012,7 @@ WITH tagged AS MATERIALIZED (
 ),
 per AS (SELECT id_a, id_b, count(*)::BIGINT AS nch
         FROM tagged GROUP BY id_a, id_b),
-g AS (
-  SELECT h.id AS id_a, h2.id AS id_b
-  FROM (SELECT doc_id AS id, md5(text) AS th FROM documents) h
-  JOIN (SELECT doc_id AS id, md5(text) AS th FROM documents) h2
-    ON h.th = h2.th AND h.id < h2.id
-)
+g AS ({_SQL_PREFIX_GOLD})
 SELECT t.channel, count(*)::BIGINT AS n_pairs,
        sum(CASE WHEN p.nch = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
        count(g.id_a)::BIGINT AS gold_hits
@@ -5996,14 +6044,7 @@ def _q_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix_blocking_keys(docs, key_len=16, min_suffix=8, max_block=50),
         key_col="suffix", id_col="id", payload_cols=())
         .select("id_a", "id_b"))
-    hashed = docs.select(F.col("doc_id").alias("id"),
-                         F.md5(F.col("text")).alias("th"))
-    gold = (hashed.alias("h")
-            .join(hashed.alias("h2"),
-                  (F.col("h.th") == F.col("h2.th"))
-                  & (F.col("h.id") < F.col("h2.id")))
-            .select(F.col("h.id").alias("id_a"),
-                    F.col("h2.id").alias("id_b")))
+    gold = _prefix_gold(docs)
     return channel_stats({"lsh": lsh, "soundex": sdx, "suffix": sfx},
                          gold=gold)
 
@@ -6612,6 +6653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_param_plan": _q_lsh_plan,
         "score_calibration": _q_score_calibration,
         "er_transitivity_violations": _q_trans_violations,
+        "progressive_er_recall": _q_progressive_recall,
         "mirror_sites": _q_mirror_sites,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
@@ -6794,6 +6836,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_param_plan": _SQL_LSH_PLAN,
         "score_calibration": _SQL_SCORE_CALIBRATION,
         "er_transitivity_violations": _SQL_TRANS_VIOLATIONS,
+        "progressive_er_recall": _SQL_PROGRESSIVE,
         "mirror_sites": _SQL_MIRROR_SITES,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,

@@ -299,3 +299,37 @@ def transitivity_violations(matched: DataFrame,
                       F.greatest("id_a", "id_b").alias("id_c"),
                       F.col(score_col).alias("score_ac"))
     return open_w.join(s, ["id_a", "id_c"], "left")
+
+
+def progressive_recall(weighted_pairs: DataFrame, gold: DataFrame,
+                       budgets, weight_col: str = "cbs") -> DataFrame:
+    """(budget, n_found, n_gold, recall): pay-as-you-go / progressive ER
+    (Whang, Marmaros & Garcia-Molina '13) — emit candidate pairs in
+    EVIDENCE order (weight desc, ids as tiebreak) and measure gold
+    recall at each comparison budget: the curve that tells you how much
+    of the dedup value the first 1% of comparisons already buys, the
+    planning number for any budgeted/early-stopping ER run.
+
+    The global emission rank comes from snm.global_rank (two-phase
+    range exchange — NEVER a one-partition window); gold hits are
+    pair-sized, so the budget join is a small broadcast shape."""
+    from .snm import global_rank
+    w = weighted_pairs.select(
+        "id_a", "id_b", (F.col(weight_col) * F.lit(-1)).alias("_negw"))
+    ranked = global_rank(w, ["_negw", "id_a", "id_b"])
+    g = (gold.select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b"))
+         .distinct())
+    n_gold = g.agg(F.count(F.lit(1)).alias("n_gold"))
+    hits = ranked.join(g, ["id_a", "id_b"]).select(F.col("rank").alias("rk"))
+    spark = weighted_pairs.sparkSession
+    bud = spark.createDataFrame([(int(b),) for b in budgets],
+                                "budget long")
+    counts = (bud.join(F.broadcast(hits),
+                       F.col("rk") <= F.col("budget"), "left")
+              .groupBy("budget").agg(F.count("rk").alias("n_found")))
+    recall = F.when(F.col("n_gold") > 0,
+                    F.round(F.col("n_found") / F.col("n_gold"), 6))
+    return (counts.crossJoin(F.broadcast(n_gold))
+            .select("budget", "n_found", "n_gold",
+                    recall.alias("recall")))

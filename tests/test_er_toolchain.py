@@ -476,3 +476,18 @@ def test_transitivity_violations_open_triangles(spark):
     assert got == [(1, 2, 3, 0.4)]
     nos = transitivity_violations(matched).collect()
     assert [(r["id_a"], r["score_ac"]) for r in nos] == [(1, None)]
+
+
+def test_progressive_recall_budget_curve(spark):
+    from spikex_spark.operators.erqc import progressive_recall
+    # weights rank pairs (1,2) > (3,4) > (5,6); gold = {(1,2),(5,6),(7,8)}
+    weighted = spark.createDataFrame(
+        [(1, 2, 5), (3, 4, 3), (5, 6, 1)], "id_a long, id_b long, cbs long")
+    gold = spark.createDataFrame(
+        [(2, 1), (5, 6), (7, 8)], "id_a long, id_b long")
+    got = {r["budget"]: (r["n_found"], r["n_gold"], r["recall"])
+           for r in progressive_recall(weighted, gold, [1, 2, 3]).collect()}
+    third = round(1 / 3, 6)
+    assert got[1] == (1, 3, third)          # top pair is gold
+    assert got[2] == (1, 3, third)          # (3,4) is not
+    assert got[3] == (2, 3, round(2 / 3, 6))  # (5,6) arrives; (7,8) never
