@@ -131,15 +131,17 @@ def test_er_v2_covers_all_docs_and_widens_recall(spark):
     # channel union ⊇ LSH channel (recall can only widen)
     lsh = {(r["id_a"], r["id_b"]) for r in
            doc_candidate_pairs(docs).select("id_a", "id_b").collect()}
-    # exact-duplicate groups (gold) must never split across v2 clusters
+    # shared-200-char-prefix groups (the corpus's planted near-dups;
+    # NO exact full-text duplicates exist) must never split across v2
+    # clusters: they share every blocking key and score >= the edge
+    # threshold, so one pivot grabs the group
     from pyspark.sql import functions as F
     gold = docs.select(
-        "doc_id", F.md5("text").alias("th"))
+        "doc_id", F.md5(F.substring("text", 1, 200)).alias("th"))
     j = (out.join(gold, "doc_id")
          .groupBy("th").agg(F.countDistinct("cluster_id").alias("nc"),
                             F.count(F.lit(1)).alias("n")))
-    # exact duplicates share every blocking key and score 1.0 -> the
-    # pivot grabs them all in round 1: no exact-dup group may split
-    split = j.where((F.col("n") > 1) & (F.col("nc") > 1)).count()
-    assert split == 0
+    grouped = j.where(F.col("n") > 1)
+    assert grouped.count() > 0          # the assertion must have teeth
+    assert grouped.where(F.col("nc") > 1).count() == 0
     assert lsh  # non-degenerate input
