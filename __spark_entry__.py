@@ -519,6 +519,43 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 """
 
 
+def _sql_ann_lsh_multiprobe(dim: int = 64, bits: int = 16,
+                            bands: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of simsearch.lsh_multiprobe_topk: the query probes
+    its bucket plus every Hamming-1 neighbor bucket per band."""
+    width = bits // bands
+    xors = ", ".join(["bval"] + [f"xor(bval, {1 << j})"
+                                 for j in range(width)])
+    return f"""
+WITH {_sql_sign_ctes(dim, bits, bands)},
+qprobe AS (
+  SELECT vec_id, band, unnest([{xors}]) AS bval
+  FROM banded WHERE vec_id < 5
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qprobe q JOIN banded c
+    ON q.band = c.band AND q.bval = c.bval AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(
+      list_dot_product(qv.e, cv.e)
+      / (sqrt(list_dot_product(qv.e, qv.e))
+         * sqrt(list_dot_product(cv.e, cv.e))),
+      4) AS cos
+  FROM cands cd
+  JOIN v qv ON qv.vec_id = cd.query_id
+  JOIN v cv ON cv.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _sql_ann_ivf(nlist: int = 8, nprobe: int = 2, k: int = 5) -> str:
     """DuckDB mirror of simsearch.ivf_cosine_topk with k-means-TRAINED
     centroids: seeds = first nlist vectors unit-normalized, then ONE Lloyd
@@ -4296,6 +4333,13 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.simsearch import lsh_multiprobe_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(emb, emb.where(F.col("vec_id") < 5),
+                               dim=64, k=5)
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANN LSH variant — md5-derived hyperplanes reproduce as literals in the
     # DuckDB oracle (_sql_ann_lsh), same trick as the MinHash constants
@@ -6673,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": _q_canonical_docs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
         "kmeans_parallel_candidates": _q_kmeanspar_candidates,
@@ -6856,6 +6901,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical_docs": _SQL_CANONICAL_DOCS,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_lsh_multiprobe_topk": _sql_ann_lsh_multiprobe(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "ann_pq_topk": _sql_ann_pq(),
         "kmeans_parallel_candidates": _sql_kmeanspar_candidates(),

@@ -707,3 +707,52 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def lsh_multiprobe_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                        k: int = 5, bits: int = 16, bands: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        round_digits: int = 4) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. VLDB'07): the query probes its
+    exact sign-band bucket AND every bucket at Hamming distance 1 in
+    each band — a near neighbor that flipped one hyperplane sign is
+    still found WITHOUT adding hash tables (the memory-for-recall trade
+    plain banding forces). Candidate recall is a strict superset of
+    :func:`lsh_cosine_topk`'s per construction; cost rises only on the
+    (small, broadcast) query side — width+1 probe rows per band per
+    query — while the corpus side is hashed exactly once.
+
+    Same exact-cosine re-rank and deterministic (cos desc, id) ties as
+    the single-probe path."""
+    width = bits // bands
+    qb = _banded_signs(queries, "query_id", dim, bits, bands, id_col,
+                       vec_col)
+    probes = F.explode(F.array(
+        F.col("bval"),
+        *[F.col("bval").bitwiseXOR(F.lit(1 << j)) for j in range(width)]))
+    qb = qb.select("query_id", "band", probes.alias("bval"))
+    cands = (
+        _banded_signs(corpus, "neighbor_id", dim, bits, bands, id_col,
+                      vec_col)
+        .join(F.broadcast(qb), ["band", "bval"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")),
+                                   round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

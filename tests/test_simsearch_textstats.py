@@ -492,3 +492,23 @@ def test_topk_recall_counts_hits_per_query(spark):
     got = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
            for r in topk_recall(exact, approx).collect()}
     assert got == {1: (2, 1, 0.5), 2: (2, 2, 1.0)}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of the single-probe
+    bucket's, so recall vs the exact top-k can only improve."""
+    from spikex_spark.operators.evaluation import topk_recall
+    from spikex_spark.operators.simsearch import (cosine_topk,
+                                                  lsh_cosine_topk,
+                                                  lsh_multiprobe_topk)
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5)
+    single = topk_recall(exact, lsh_cosine_topk(emb, q, dim=64, k=5))
+    multi = topk_recall(exact, lsh_multiprobe_topk(emb, q, dim=64, k=5))
+    s = {r["query_id"]: r["n_hit"] for r in single.collect()}
+    m = {r["query_id"]: r["n_hit"] for r in multi.collect()}
+    assert set(s) == set(m)
+    assert all(m[qid] >= s[qid] for qid in s)
+    assert sum(m.values()) >= sum(s.values())
