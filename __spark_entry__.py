@@ -3041,6 +3041,33 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(lab, weights, ["a_jw", "a_jacc"])
 
 
+# Chao1 entity-richness estimate over the flagship ER clustering:
+# singleton/doubleton counts project how many entities the corpus has
+# NOT yet seen — the sample-before-the-100-TB-job planning number.
+_SQL_CHAO1 = f"""
+WITH cl AS ({_SQL_ER_CLUSTERS}),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS sz
+          FROM cl GROUP BY cluster_id),
+a AS (
+  SELECT sum(sz)::BIGINT AS n_items, count(*)::BIGINT AS c_observed,
+         sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN sz = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM sizes
+)
+SELECT n_items, c_observed, f1, f2,
+  round(c_observed + (f1 * (f1 - 1))::DOUBLE / (2.0 * (f2 + 1)), 6)
+    AS chao1,
+  round(c_observed / (c_observed + (f1 * (f1 - 1))::DOUBLE
+                      / (2.0 * (f2 + 1))), 6) AS coverage
+FROM a
+"""
+
+
+def _q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.evaluation import chao1_estimate
+    return chao1_estimate(_q_er_doc_clusters(spark, sf_dir))
+
+
 # Deterministic-rule channel shared by the waterfall / calibration /
 # channel-stats / progressive queries: docs sharing their first 200
 # text chars are near-certain duplicates (the corpus plants NO exact
@@ -6698,6 +6725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": _q_score_calibration,
         "er_transitivity_violations": _q_trans_violations,
         "progressive_er_recall": _q_progressive_recall,
+        "entity_count_chao1": _q_chao1,
         "mirror_sites": _q_mirror_sites,
         "key_skew_events": _q_key_skew,
         "suffix_blocking_keys": _q_suffix_keys,
@@ -6882,6 +6910,7 @@ def oracle_sql() -> dict[str, str]:
         "score_calibration": _SQL_SCORE_CALIBRATION,
         "er_transitivity_violations": _SQL_TRANS_VIOLATIONS,
         "progressive_er_recall": _SQL_PROGRESSIVE,
+        "entity_count_chao1": _SQL_CHAO1,
         "mirror_sites": _SQL_MIRROR_SITES,
         "key_skew_events": _SQL_KEY_SKEW,
         "suffix_blocking_keys": _SQL_SUFFIX_KEYS,

@@ -90,3 +90,32 @@ def topk_recall(exact: DataFrame, approx: DataFrame,
     return per.select(F.col("_q").alias(query_col), "n_exact", "n_hit",
                       F.round(F.col("n_hit") / F.col("n_exact"), 6)
                       .alias("recall"))
+
+
+def chao1_estimate(clusters: DataFrame,
+                   cluster_col: str = "cluster_id") -> DataFrame:
+    """One row (n_items, c_observed, f1, f2, chao1, coverage): Chao's
+    bias-corrected richness estimator over an ER clustering — treat
+    entity clusters as species and their sizes as capture counts; the
+    singleton/doubleton ratio then estimates how many entities the
+    sample has NOT yet seen: ``chao1 = c + f1·(f1−1) / (2·(f2+1))``.
+    This is the dedup-planning number: run ER on a 1% sample, read off
+    what fraction of the full corpus's entity mass the sample already
+    covers before committing the 100-TB job.
+
+    Two map-side-combined aggregates over the cluster sizes; the
+    estimator is exact integer arithmetic until one final division."""
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("_sz"))
+    agg = sizes.agg(
+        F.sum("_sz").alias("n_items"),
+        F.count(F.lit(1)).alias("c_observed"),
+        F.sum(F.when(F.col("_sz") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("_sz") == 2, 1).otherwise(0)).alias("f2"))
+    chao = (F.col("c_observed")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2.0 * (F.col("f2") + 1)))
+    return agg.select(
+        "n_items", "c_observed", "f1", "f2",
+        F.round(chao, 6).alias("chao1"),
+        F.round(F.col("c_observed") / chao, 6).alias("coverage"))

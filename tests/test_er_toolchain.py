@@ -491,3 +491,19 @@ def test_progressive_recall_budget_curve(spark):
     assert got[1] == (1, 3, third)          # top pair is gold
     assert got[2] == (1, 3, third)          # (3,4) is not
     assert got[3] == (2, 3, round(2 / 3, 6))  # (5,6) arrives; (7,8) never
+
+
+def test_chao1_hand_computed(spark):
+    from spikex_spark.operators.evaluation import chao1_estimate
+    # sizes: 1,1,1,2,2,5 -> c=6, f1=3, f2=2, chao1 = 6 + 3*2/(2*3) = 7
+    rows = ([(i, 100 + i) for i in range(3)]
+            + [(10, 200), (11, 200), (12, 201), (13, 201)]
+            + [(20 + i, 300) for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    r = chao1_estimate(df).collect()[0]
+    assert (r["n_items"], r["c_observed"], r["f1"], r["f2"]) == (12, 6, 3, 2)
+    assert r["chao1"] == 7.0
+    assert r["coverage"] == round(6 / 7, 6)
+    # f2 = 0 stays defined (bias-corrected form)
+    one = spark.createDataFrame([(1, 9), (2, 8)], "doc_id long, cluster_id long")
+    assert chao1_estimate(one).collect()[0]["chao1"] == 3.0

@@ -287,6 +287,8 @@ def test_no_row_python_in_any_contract_query():
             "er_v2_multichannel_clusters",
             # corrclust checkpoints + CC-at-build on both inputs
             "er_method_agreement",
+            # consumes er_doc_clusters -> CC-at-build jobs
+            "entity_count_chao1",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
