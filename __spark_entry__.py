@@ -6657,6 +6657,110 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(_q_er_doc_clusters(spark, sf_dir))
 
 
+# Persistent entity ids across ER re-runs: the "previous" run clusters
+# a 90% subset of the corpus on prefix-200 groups, the "next" run
+# re-clusters everything on the coarser prefix-100 key (merges + new
+# records), and stable_entity_ids carries each entity's id forward by
+# max member overlap instead of letting CC renumber the world.
+_SQL_STABLE_IDS = """
+WITH prev AS (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 200))) AS pc
+  FROM documents WHERE doc_id % 10 <> 0
+),
+nxt AS (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 100))) AS nc
+  FROM documents
+),
+ov AS (
+  SELECT n.nc, p.pc, count(*)::BIGINT AS cnt
+  FROM nxt n JOIN prev p USING (doc_id) GROUP BY n.nc, p.pc
+),
+claims AS (
+  SELECT nc, pc, cnt FROM (
+    SELECT nc, pc, cnt,
+      row_number() OVER (PARTITION BY nc ORDER BY cnt DESC, pc ASC) AS rk
+    FROM ov) WHERE rk = 1
+),
+awards AS (
+  SELECT nc, pc FROM (
+    SELECT nc, pc,
+      row_number() OVER (PARTITION BY pc ORDER BY cnt DESC, nc ASC) AS rk
+    FROM claims) WHERE rk = 1
+),
+ids AS (
+  SELECT f.nc,
+    CASE WHEN a.pc IS NOT NULL THEN 'p:' || a.pc::VARCHAR
+         ELSE 'n:' || f.min_id::VARCHAR END AS entity_id
+  FROM (SELECT nc, min(doc_id) AS min_id FROM nxt GROUP BY nc) f
+  LEFT JOIN awards a ON a.nc = f.nc
+)
+SELECT n.doc_id, i.entity_id FROM nxt n JOIN ids i ON i.nc = n.nc
+"""
+
+
+# Collective ER (Bhattacharya–Getoor evidence propagation): a candidate
+# pair's score is boosted by the Jaccard overlap of the two records'
+# already-matched neighborhoods — relations prove the matches attribute
+# similarity alone misses. One round over the flagship scored pairs.
+_SQL_COLLECTIVE = f"""
+WITH s AS MATERIALIZED ({_SQL_ER_PAIRS}),
+m AS (SELECT id_a, id_b FROM s WHERE score >= 0.80),
+sym AS (SELECT id_a AS src, id_b AS dst FROM m
+        UNION ALL SELECT id_b, id_a FROM m),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+cn AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS common
+  FROM s p
+  JOIN sym e1 ON e1.src = p.id_a
+  JOIN sym e2 ON e2.src = p.id_b AND e2.dst = e1.dst
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b, p.score,
+  coalesce(c.common, 0)::BIGINT AS common_matches,
+  (coalesce(da.deg, 0) + coalesce(db.deg, 0)
+   - coalesce(c.common, 0))::BIGINT AS union_matches,
+  round(CASE WHEN coalesce(da.deg, 0) + coalesce(db.deg, 0)
+                  - coalesce(c.common, 0) > 0
+             THEN least(1.0, p.score
+                  + 0.2 * coalesce(c.common, 0)::DOUBLE
+                    / (coalesce(da.deg, 0) + coalesce(db.deg, 0)
+                       - coalesce(c.common, 0)))
+             ELSE p.score END, 6) AS collective_score
+FROM s p
+LEFT JOIN cn c ON c.id_a = p.id_a AND c.id_b = p.id_b
+LEFT JOIN deg da ON da.src = p.id_a
+LEFT JOIN deg db ON db.src = p.id_b
+"""
+
+
+def _q_collective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.collective import collective_rescore
+
+    # the scored chain is referenced three times (pairs, evidence graph,
+    # neighbor join) — checkpoint once so the JW/Jaccard scorer runs once
+    pairs = _q_er_doc_pairs(spark, sf_dir).localCheckpoint()
+    return collective_rescore(pairs)
+
+
+def _q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from spikex_spark.operators.identity import stable_entity_ids
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def key_clusters(df: DataFrame, n: int) -> DataFrame:
+        w = Window.partitionBy(F.md5(F.substring("text", 1, n)))
+        return df.select(
+            F.col("doc_id"),
+            F.min("doc_id").over(w).alias("cluster_id"))
+
+    prev = key_clusters(docs.where(F.col("doc_id") % 10 != 0), 200)
+    nxt = key_clusters(docs, 100)
+    return stable_entity_ids(prev, nxt, id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_doc_clusters": _q_er_doc_clusters,
@@ -6808,6 +6912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_quantiles_events": _q_sampled_quantiles,
         "stream_hll_tokens": _q_stream_hll_tokens,
         "cluster_leakage_safe_split": _q_cluster_split,
+        "stable_entity_ids": _q_stable_ids,
+        "er_collective_scores": _q_collective,
     }
 
 
@@ -7005,6 +7111,8 @@ def oracle_sql() -> dict[str, str]:
         "sampled_quantiles_events": _SQL_QSKETCH,
         "stream_hll_tokens": _SQL_HLL_TOKENS,
         "cluster_leakage_safe_split": _SQL_CLUSTER_SPLIT,
+        "stable_entity_ids": _SQL_STABLE_IDS,
+        "er_collective_scores": _SQL_COLLECTIVE,
     }
 
 
