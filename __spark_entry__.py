@@ -6657,6 +6657,42 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(_q_er_doc_clusters(spark, sf_dir))
 
 
+# Unsupervised threshold chooser: Otsu's between-class-variance argmax
+# over the binned flagship score histogram — the cold-start answer to
+# "where do I put the match threshold?" when no gold labels exist yet.
+_SQL_OTSU = f"""
+WITH s AS MATERIALIZED ({_SQL_ER_PAIRS}),
+h AS (SELECT least(floor(score * 100)::BIGINT, 99) AS bin,
+             count(*)::BIGINT AS c
+      FROM s GROUP BY 1),
+cum AS (
+  SELECT bin, c,
+    sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)::BIGINT AS w0,
+    sum(c * bin) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)::BIGINT AS s0
+  FROM h),
+tot AS (SELECT sum(c)::BIGINT AS n, sum(c * bin)::BIGINT AS st FROM h),
+j AS (
+  SELECT bin, c, w0, (n - w0)::BIGINT AS w1,
+    round(((s0 * n - st * w0)::DOUBLE * (s0 * n - st * w0)::DOUBLE)
+          / ((w0 * (n - w0))::DOUBLE), 6) AS between_var
+  FROM cum CROSS JOIN tot
+  WHERE w0 > 0 AND n - w0 > 0),
+r AS (SELECT *, row_number() OVER (ORDER BY between_var DESC, bin ASC)
+        AS rk FROM j)
+SELECT bin, c, w0, w1, between_var,
+  (rk = 1) AS chosen,
+  CASE WHEN rk = 1 THEN round((bin + 1)::DOUBLE / 100.0, 6) END AS threshold
+FROM r
+"""
+
+
+def _q_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import otsu_threshold
+    return otsu_threshold(_q_er_doc_pairs(spark, sf_dir))
+
+
 # Persistent entity ids across ER re-runs: the "previous" run clusters
 # a 90% subset of the corpus on prefix-200 groups, the "next" run
 # re-clusters everything on the coarser prefix-100 key (merges + new
@@ -6914,6 +6950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_leakage_safe_split": _q_cluster_split,
         "stable_entity_ids": _q_stable_ids,
         "er_collective_scores": _q_collective,
+        "er_otsu_threshold": _q_otsu,
     }
 
 
@@ -7113,6 +7150,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_leakage_safe_split": _SQL_CLUSTER_SPLIT,
         "stable_entity_ids": _SQL_STABLE_IDS,
         "er_collective_scores": _SQL_COLLECTIVE,
+        "er_otsu_threshold": _SQL_OTSU,
     }
 
 

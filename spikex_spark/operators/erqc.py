@@ -333,3 +333,60 @@ def progressive_recall(weighted_pairs: DataFrame, gold: DataFrame,
     return (counts.crossJoin(F.broadcast(n_gold))
             .select("budget", "n_found", "n_gold",
                     recall.alias("recall")))
+
+
+def otsu_threshold(scored: DataFrame, score_col: str = "score",
+                   bins: int = 100) -> DataFrame:
+    """Unsupervised match-threshold chooser: Otsu's method over the
+    score histogram (Otsu '79, the standard bimodal-split picker).
+
+    ``threshold_sweep`` needs gold labels; in a cold-start linkage
+    there are none. Match scores are bimodal (a non-match mass near 0,
+    a match mode near 1), and Otsu picks the split k maximizing the
+    between-class variance σ²_B(k) = (s0·N − S·w0)² / (w0·w1) over the
+    binned histogram — all integer counts until one final division, so
+    the oracle reproduces every digit (the squared term is built from
+    an int64 difference, then squared in IEEE double identically by
+    both engines).
+
+    Returns one row per VALID split (both classes non-empty, at a
+    non-empty bin): (bin, c, w0, w1, between_var, chosen, threshold) —
+    ``chosen`` marks the argmax (ties → smallest bin; classify as a
+    match when score > bin/bins) and ``threshold`` carries
+    (bin+1)/bins on that row (NULL elsewhere).
+
+    Scale shape: one groupBy onto ≤``bins`` rows, then windows over
+    that bin table only — the single-partition window is over ≤100
+    rows by construction, never over the pair table.
+    """
+    from pyspark.sql import Window
+
+    h = (scored.select(
+            F.least(F.floor(F.col(score_col) * bins).cast("bigint"),
+                    F.lit(bins - 1)).alias("bin"))
+         .groupBy("bin").agg(F.count("*").alias("c")))
+    cum_w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "bin", "c",
+        F.sum("c").over(cum_w).alias("w0"),
+        F.sum(F.col("c") * F.col("bin")).over(cum_w).alias("s0"))
+    tot = h.agg(F.sum("c").alias("n"),
+                F.sum(F.col("c") * F.col("bin")).alias("s"))
+    j = cum.crossJoin(F.broadcast(tot)).where(
+        (F.col("w0") > 0) & (F.col("n") - F.col("w0") > 0))
+    diff = (F.col("s0") * F.col("n") - F.col("s") * F.col("w0"))
+    w1 = (F.col("n") - F.col("w0"))
+    between_col = F.round(
+        (diff.cast("double") * diff.cast("double"))
+        / (F.col("w0") * w1).cast("double"), 6)
+    scored_bins = j.select("bin", "c", "w0", w1.alias("w1"),
+                           between_col.alias("between_var"))
+    pick_w = Window.orderBy(F.desc("between_var"), F.asc("bin"))
+    return (scored_bins
+            .withColumn("_rk", F.row_number().over(pick_w))
+            .select("bin", "c", "w0", "w1", "between_var",
+                    (F.col("_rk") == 1).alias("chosen"),
+                    F.when(F.col("_rk") == 1,
+                           F.round((F.col("bin") + 1)
+                                   / F.lit(float(bins)), 6))
+                     .alias("threshold")))
