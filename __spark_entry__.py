@@ -6657,6 +6657,37 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(_q_er_doc_clusters(spark, sf_dir))
 
 
+# Clerical-review batch: uncertainty-band pairs stratified into equal
+# score slices, k per stratum in md5 order — the deterministic "what
+# should a human label next" draw feeding the active-learning loop.
+# Bound/width literals are forced ::DOUBLE so DuckDB's decimal
+# arithmetic can't diverge from Spark's IEEE doubles.
+_SQL_REVIEW_SAMPLE = f"""
+WITH s AS MATERIALIZED ({_SQL_ER_PAIRS}),
+band AS (
+  SELECT id_a, id_b, score,
+    least(floor((score - 0.7::DOUBLE)
+                * (4.0::DOUBLE / (0.9::DOUBLE - 0.7::DOUBLE)))::BIGINT,
+          3) AS stratum
+  FROM s WHERE score >= 0.7::DOUBLE AND score < 0.9::DOUBLE
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY stratum
+      ORDER BY md5(id_a::VARCHAR || ':' || id_b::VARCHAR), id_a, id_b)
+    AS sample_rank
+  FROM band)
+SELECT id_a, id_b, score, stratum, sample_rank FROM r
+WHERE sample_rank <= 10
+"""
+
+
+def _q_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import review_sample
+    return review_sample(_q_er_doc_pairs(spark, sf_dir),
+                         lo=0.70, hi=0.90, strata=4, k=10)
+
+
 # Unsupervised threshold chooser: Otsu's between-class-variance argmax
 # over the binned flagship score histogram — the cold-start answer to
 # "where do I put the match threshold?" when no gold labels exist yet.
@@ -6951,6 +6982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_entity_ids": _q_stable_ids,
         "er_collective_scores": _q_collective,
         "er_otsu_threshold": _q_otsu,
+        "er_review_sample": _q_review_sample,
     }
 
 
@@ -7151,6 +7183,7 @@ def oracle_sql() -> dict[str, str]:
         "stable_entity_ids": _SQL_STABLE_IDS,
         "er_collective_scores": _SQL_COLLECTIVE,
         "er_otsu_threshold": _SQL_OTSU,
+        "er_review_sample": _SQL_REVIEW_SAMPLE,
     }
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _U_SCALE = 1e6   # int64 micro-units for exact score sums
@@ -359,8 +359,6 @@ def otsu_threshold(scored: DataFrame, score_col: str = "score",
     that bin table only — the single-partition window is over ≤100
     rows by construction, never over the pair table.
     """
-    from pyspark.sql import Window
-
     h = (scored.select(
             F.least(F.floor(F.col(score_col) * bins).cast("bigint"),
                     F.lit(bins - 1)).alias("bin"))
@@ -390,3 +388,42 @@ def otsu_threshold(scored: DataFrame, score_col: str = "score",
                            F.round((F.col("bin") + 1)
                                    / F.lit(float(bins)), 6))
                      .alias("threshold")))
+
+
+def review_sample(scored: DataFrame, lo: float = 0.70, hi: float = 0.90,
+                  strata: int = 4, k: int = 10,
+                  score_col: str = "score") -> DataFrame:
+    """Clerical-review batch selection: the pairs a human should look
+    at, chosen deterministically.
+
+    Pairs scoring inside the uncertainty band [lo, hi) — the region
+    where the scorer is least sure — are stratified into ``strata``
+    equal score slices (so the review budget covers the WHOLE band
+    instead of only its densest sliver) and ``k`` pairs per stratum
+    are drawn in md5 order of the pair key (a stable pseudo-random
+    shuffle; "first k in storage order" would bias toward old crawl
+    segments). The labeled batch feeds threshold_sweep / the FS
+    trainer — the active-learning loop of Splink-style pipelines.
+
+    Returns (id_a, id_b, score, stratum, sample_rank). Bounds are
+    compared as given (pass exact literals; deriving them by float
+    arithmetic on the caller side risks engine-mismatched bounds).
+
+    Scale shape: one filter, then the same per-stratum md5 row_number
+    as ``corpus.stratified_sample`` — the window partitions on the
+    stratum id (≤``strata`` keys over the already-filtered band, a
+    tiny fraction of the pair table).
+    """
+    width = F.lit(float(strata)) / (F.lit(hi) - F.lit(lo))
+    stratum = F.least(
+        F.floor((F.col(score_col) - F.lit(lo)) * width).cast("bigint"),
+        F.lit(strata - 1))
+    band = (scored
+            .where((F.col(score_col) >= lo) & (F.col(score_col) < hi))
+            .select("id_a", "id_b", F.col(score_col).alias("score"),
+                    stratum.alias("stratum")))
+    h = F.md5(F.concat_ws(":", F.col("id_a").cast("string"),
+                          F.col("id_b").cast("string")))
+    w = Window.partitionBy("stratum").orderBy(h, "id_a", "id_b")
+    return (band.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= k))
