@@ -6657,6 +6657,40 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(_q_er_doc_clusters(spark, sf_dir))
 
 
+# Data-fusion conflict report: per attribute, how many multi-member ER
+# clusters disagree on the value and how representative the golden
+# record's majority vote is (member-weighted modal agreement).
+_SQL_FIELD_CONFLICTS = f"""
+WITH clusters AS MATERIALIZED ({_SQL_ER_CLUSTERS}),
+base AS (SELECT c.cluster_id AS cl, d.lang, d.source
+         FROM clusters c JOIN documents d USING (doc_id)),
+melted AS (
+  SELECT cl, 'lang' AS field, lang AS value FROM base
+  UNION ALL SELECT cl, 'source', source FROM base),
+vc AS (SELECT cl, field, value, count(*)::BIGINT AS c
+       FROM melted GROUP BY 1, 2, 3),
+pc AS (SELECT cl, field, sum(c)::BIGINT AS n, count(*)::BIGINT AS ndv,
+              max(c)::BIGINT AS modal
+       FROM vc GROUP BY 1, 2),
+m AS (SELECT * FROM pc WHERE n >= 2)
+SELECT field,
+  count(*)::BIGINT AS n_multi_clusters,
+  sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)::BIGINT AS n_conflicted,
+  round(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+    AS conflict_rate,
+  round(sum(modal)::DOUBLE / sum(n), 6) AS majority_agreement
+FROM m GROUP BY field
+"""
+
+
+def _q_field_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.survivorship import field_conflicts
+    docs = _read(spark, sf_dir, "documents")
+    return field_conflicts(_q_er_doc_clusters(spark, sf_dir),
+                           docs.select("doc_id", "lang", "source"),
+                           ["lang", "source"])
+
+
 # Clerical-review batch: uncertainty-band pairs stratified into equal
 # score slices, k per stratum in md5 order — the deterministic "what
 # should a human label next" draw feeding the active-learning loop.
@@ -6983,6 +7017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_collective_scores": _q_collective,
         "er_otsu_threshold": _q_otsu,
         "er_review_sample": _q_review_sample,
+        "golden_field_conflicts": _q_field_conflicts,
     }
 
 
@@ -7184,6 +7219,7 @@ def oracle_sql() -> dict[str, str]:
         "er_collective_scores": _SQL_COLLECTIVE,
         "er_otsu_threshold": _SQL_OTSU,
         "er_review_sample": _SQL_REVIEW_SAMPLE,
+        "golden_field_conflicts": _SQL_FIELD_CONFLICTS,
     }
 
 

@@ -73,3 +73,51 @@ def golden_records(clusters: DataFrame, records: DataFrame,
         out = out.join(modal_value(base, "_cl", a), "_cl", "left")
     return out.select(F.col("_cl").alias(cluster_col), "n_members",
                       "keep_id", *attr_cols)
+
+
+def field_conflicts(clusters: DataFrame, records: DataFrame,
+                    attr_cols: Sequence[str],
+                    cluster_col: str = "cluster_id",
+                    id_col: str = "doc_id",
+                    digits: int = 6) -> DataFrame:
+    """Per-field conflict report over the multi-member clusters — the
+    data-fusion diagnostic (Bleiholder & Naumann, "Data fusion", ACM
+    CS 2009) that says how much ``golden_records``' majority vote
+    actually threw away.
+
+    One row per attribute: (field, n_multi_clusters, n_conflicted,
+    conflict_rate, majority_agreement) where ``n_conflicted`` counts
+    multi-member clusters holding >1 distinct value for the field and
+    ``majority_agreement`` is the member-weighted fraction that agrees
+    with the modal value (1.0 = the vote was unanimous everywhere; low
+    values mean the published golden value misrepresents many members).
+
+    Exact integer counts until two rounded divisions. Scale shape: the
+    melt is a narrow per-row explode (rows × |attr_cols|), then two
+    map-side-combined groupBys down to (cluster, field) and (field) —
+    no windows, no driver state.
+    """
+    base = (clusters.select(F.col(id_col).alias("_id"),
+                            F.col(cluster_col).alias("_cl"))
+            .join(records.withColumnRenamed(id_col, "_id"), "_id"))
+    stack_args = ", ".join(
+        f"'{a}', cast(`{a}` as string)" for a in attr_cols)
+    melted = base.select(
+        "_cl",
+        F.expr(f"stack({len(attr_cols)}, {stack_args})")
+         .alias("field", "value"))
+    vc = (melted.groupBy("_cl", "field", "value")
+          .agg(F.count("*").alias("_c")))
+    pc = (vc.groupBy("_cl", "field")
+          .agg(F.sum("_c").alias("_n"),
+               F.count("*").alias("_ndv"),
+               F.max("_c").alias("_modal"))
+          .where(F.col("_n") >= 2))
+    conflicted = F.sum(F.when(F.col("_ndv") > 1, 1).otherwise(0))
+    return (pc.groupBy("field").agg(
+        F.count("*").alias("n_multi_clusters"),
+        conflicted.cast("bigint").alias("n_conflicted"),
+        F.round(conflicted.cast("double") / F.count("*"),
+                digits).alias("conflict_rate"),
+        F.round(F.sum("_modal").cast("double") / F.sum("_n"),
+                digits).alias("majority_agreement")))

@@ -288,7 +288,7 @@ def test_no_row_python_in_any_contract_query():
             # corrclust checkpoints + CC-at-build on both inputs
             "er_method_agreement",
             # consumes er_doc_clusters -> CC-at-build jobs
-            "entity_count_chao1",
+            "entity_count_chao1", "golden_field_conflicts",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
