@@ -6657,6 +6657,101 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(_q_er_doc_clusters(spark, sf_dir))
 
 
+# Mutual-kNN-pruned clustering: keep a match edge only when each
+# endpoint ranks the other in its top-3 strongest matches, THEN run
+# connected components — transitive closure over all matches
+# chain-merges boilerplate hubs into giant entities; the kNN graph
+# bounds every node's degree before clustering.
+_SQL_KNN_CLUSTERS = f"""
+WITH RECURSIVE sp AS ({_SQL_ER_PAIRS}),
+m AS (SELECT id_a, id_b, score FROM sp WHERE score >= 0.80),
+sym AS (SELECT id_a AS src, id_b AS dst, score FROM m
+        UNION ALL SELECT id_b, id_a, score FROM m),
+rk AS (SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst ASC) AS r
+       FROM sym),
+kept AS (SELECT src, dst FROM rk WHERE r <= 3),
+edges AS (
+  SELECT a.src, a.dst FROM kept a
+  JOIN kept b ON b.src = a.dst AND b.dst = a.src
+  WHERE a.src < a.dst),
+ids AS (SELECT DISTINCT doc_id FROM documents),
+reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM ids
+  UNION
+  SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.root
+  FROM reach r JOIN edges e ON e.src = r.node OR e.dst = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+def _q_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cc import cluster_assignments
+    from spikex_spark.operators.graph import mutual_knn_edges
+
+    docs = _read(spark, sf_dir, "documents")
+    matched = (_q_er_doc_pairs(spark, sf_dir)
+               .where(F.col("score") >= 0.80))
+    edges = mutual_knn_edges(matched, k=3)
+    return (cluster_assignments(edges, docs, id_col="doc_id")
+            .select(F.col("id").alias("doc_id"), "cluster_id"))
+
+
+# Per-language linkage quality: the flagship matcher (score >= 0.80)
+# scored against the deterministic prefix-200 gold, broken down by the
+# smaller record's lang — the slice monitor that catches a scorer
+# failing on one language while corpus-level F1 still looks fine.
+_SQL_F1_BY_LANG = f"""
+WITH s AS MATERIALIZED ({_SQL_ER_PAIRS}),
+p AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM s WHERE score >= 0.80 AND id_a <> id_b
+),
+r AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM ({_SQL_PREFIX_GOLD}) WHERE id_a <> id_b
+),
+j AS (
+  SELECT coalesce(p.a, r.a) AS a,
+         p.a IS NOT NULL AS in_p, r.a IS NOT NULL AS in_r
+  FROM p FULL OUTER JOIN r ON p.a = r.a AND p.b = r.b
+),
+g AS (
+  SELECT coalesce(d.lang, 'unknown') AS slice, in_p, in_r
+  FROM j LEFT JOIN documents d ON d.doc_id = j.a
+),
+c AS (
+  SELECT slice,
+         count(*) FILTER (in_p AND in_r)::BIGINT AS tp,
+         count(*) FILTER (in_p AND NOT in_r)::BIGINT AS fp,
+         count(*) FILTER (in_r AND NOT in_p)::BIGINT AS fn
+  FROM g GROUP BY slice
+)
+SELECT slice, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN 2 * tp + fp + fn > 0
+        THEN (2 * tp) / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+FROM c
+"""
+
+
+def _q_f1_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.evaluation import pair_metrics_by
+    docs = _read(spark, sf_dir, "documents")
+    pred = (_q_er_doc_pairs(spark, sf_dir)
+            .where(F.col("score") >= 0.80))
+    return pair_metrics_by(
+        pred, _prefix_gold(docs),
+        docs.select(F.col("doc_id").alias("id"),
+                    F.col("lang").alias("slice")))
+
+
 # Data-fusion conflict report: per attribute, how many multi-member ER
 # clusters disagree on the value and how representative the golden
 # record's majority vote is (member-weighted modal agreement).
@@ -7018,6 +7113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_otsu_threshold": _q_otsu,
         "er_review_sample": _q_review_sample,
         "golden_field_conflicts": _q_field_conflicts,
+        "er_f1_by_lang": _q_f1_by_lang,
+        "er_knn_pruned_clusters": _q_knn_clusters,
     }
 
 
@@ -7220,6 +7317,8 @@ def oracle_sql() -> dict[str, str]:
         "er_otsu_threshold": _SQL_OTSU,
         "er_review_sample": _SQL_REVIEW_SAMPLE,
         "golden_field_conflicts": _SQL_FIELD_CONFLICTS,
+        "er_f1_by_lang": _SQL_F1_BY_LANG,
+        "er_knn_pruned_clusters": _SQL_KNN_CLUSTERS,
     }
 
 

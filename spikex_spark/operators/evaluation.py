@@ -119,3 +119,56 @@ def chao1_estimate(clusters: DataFrame,
         "n_items", "c_observed", "f1", "f2",
         F.round(chao, 6).alias("chao1"),
         F.round(F.col("c_observed") / chao, 6).alias("coverage"))
+
+
+def pair_metrics_by(pred: DataFrame, ref: DataFrame, slices: DataFrame,
+                    id_col: str = "id", slice_col: str = "slice",
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Per-slice linkage quality: ``pair_metrics`` broken down by a
+    record attribute (language, source, crawl segment, …) — the
+    monitoring view that catches a scorer quietly failing on ONE slice
+    while the corpus-level F1 still looks fine.
+
+    ``slices`` maps record id → slice label; each (pred ∪ ref) pair is
+    attributed to the slice of its SMALLER id (deterministic; a
+    cross-slice pair counts once), ids missing from ``slices`` land in
+    'unknown'. Returns one row per slice: (slice, tp, fp, fn,
+    precision, recall, f1) with the same exact-count core as
+    ``pair_metrics``.
+
+    Scale shape: one full outer join of canonical pair sets + one
+    broadcast-size join to the slice map + one map-side groupBy.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return (df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+    p = canon(pred).withColumn("_p", F.lit(1))
+    r = canon(ref).withColumn("_r", F.lit(1))
+    s = slices.select(F.col(id_col).alias("a"),
+                      F.col(slice_col).alias("_s"))
+    g = (p.join(r, ["a", "b"], "full_outer")
+         .join(s, "a", "left")
+         .select(F.coalesce(F.col("_s"), F.lit("unknown")).alias("slice"),
+                 "_p", "_r"))
+    counts = g.groupBy("slice").agg(
+        F.count(F.when(F.col("_p").isNotNull()
+                       & F.col("_r").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("_p").isNotNull()
+                       & F.col("_r").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("_p").isNull()
+                       & F.col("_r").isNotNull(), 1)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(2 * tp + fp + fn > 0,
+                (2 * tp) / (2 * tp + fp + fn)).otherwise(F.lit(0.0))
+    return counts.select(
+        "slice", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))

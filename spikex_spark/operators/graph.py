@@ -18,7 +18,7 @@ round bounds growth on cyclic graphs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PR_SCALE = 10**12
@@ -214,3 +214,40 @@ def common_neighbor_similarity(edges: DataFrame,
         "id_a", "id_b", "common", "deg_a", "deg_b",
         F.round(F.col("common").cast("double") / union.cast("double"),
                 6).alias("jaccard"))
+
+
+def mutual_knn_edges(matched: DataFrame, k: int = 3,
+                     score_col: str = "score",
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Giant-component prevention: keep a match edge only when each
+    endpoint ranks the other among its ``k`` strongest matches.
+
+    Transitive closure over ALL matches chain-merges boilerplate hubs
+    into one giant entity (the classic web-ER failure); mutual-kNN
+    sparsification (the graph-clustering standard, cf. Maier et al.
+    NIPS'09 on kNN-graph cluster identification) bounds every node's
+    degree at ``k`` BEFORE clustering, so no component can outgrow
+    what genuine pairwise evidence supports.
+
+    Rank ties break on the partner id ascending (scores arrive
+    decimal-rounded, so ties are real and the order must be total).
+    Returns undirected (src, dst) with src < dst.
+
+    Scale shape: one per-node window over the matched edges (degree
+    already bounded by the blocking caps) + one self-equi-join on the
+    reversed key to test mutuality — both shuffle on node ids, no
+    driver state, output degree ≤ k by construction.
+    """
+    sym = (matched.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"),
+                          F.col(score_col).alias("_s"))
+           .union(matched.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst"),
+                                 F.col(score_col).alias("_s"))))
+    w = Window.partitionBy("src").orderBy(F.desc("_s"), F.asc("dst"))
+    kept = (sym.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k).select("src", "dst"))
+    rev = kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (kept.join(rev, ["src", "dst"])
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst"))

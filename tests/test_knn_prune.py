@@ -1,0 +1,48 @@
+"""mutual_knn_edges: degree-bounded match-graph sparsification."""
+from __future__ import annotations
+
+import pytest
+
+
+def _edges(spark, rows, k):
+    from spikex_spark.operators.graph import mutual_knn_edges
+
+    df = spark.createDataFrame(rows, "id_a bigint, id_b bigint, score double")
+    return {(r["src"], r["dst"])
+            for r in mutual_knn_edges(df, k=k).collect()}
+
+
+def test_mutuality_required(spark):
+    # hub 1 matches 2,3,4 strongly; with k=1, node 1 keeps only its best
+    rows = [(1, 2, 0.99), (1, 3, 0.95), (1, 4, 0.90)]
+    got = _edges(spark, rows, k=1)
+    # 2,3,4 each pick 1 (their only match), but 1 only picks 2 -> mutual
+    assert got == {(1, 2)}
+
+
+def test_k_bounds_degree(spark):
+    rows = [(1, j, 1.0 - j * 0.01) for j in range(2, 10)]
+    got = _edges(spark, rows, k=3)
+    # node 1's top-3 partners by (score desc): 2, 3, 4
+    assert got == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_tie_breaks_on_partner_id(spark):
+    rows = [(1, 5, 0.9), (1, 3, 0.9), (1, 4, 0.9)]
+    got = _edges(spark, rows, k=2)
+    assert got == {(1, 3), (1, 4)}
+
+
+def test_chain_merge_is_cut(spark):
+    # two tight pairs bridged by one weaker link: with k=1 the bridge dies
+    rows = [(1, 2, 0.99), (3, 4, 0.99), (2, 3, 0.85)]
+    got = _edges(spark, rows, k=1)
+    assert got == {(1, 2), (3, 4)}
+    # with k=2 the bridge survives (it's mutual 2nd-best)
+    assert _edges(spark, rows, k=2) == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_output_canonical_and_unique(spark):
+    rows = [(2, 1, 0.9), (1, 3, 0.8)]
+    got = _edges(spark, rows, k=5)
+    assert got == {(1, 2), (1, 3)}

@@ -289,6 +289,8 @@ def test_no_row_python_in_any_contract_query():
             "er_method_agreement",
             # consumes er_doc_clusters -> CC-at-build jobs
             "entity_count_chao1", "golden_field_conflicts",
+            # CC-at-build over the kNN-pruned edges
+            "er_knn_pruned_clusters",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
