@@ -6940,6 +6940,63 @@ def _q_collective(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collective_rescore(pairs)
 
 
+# Cross-run churn summary over the same prev/nxt construction as
+# stable_entity_ids: the numbers a linkage team reviews before shipping
+# a re-resolve (how many entities stayed identical, split, merged,
+# arrived, departed).
+_SQL_RUN_DIFF = """
+WITH prev AS (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 200))) AS pc
+  FROM documents WHERE doc_id % 10 <> 0
+),
+nxt AS (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 100))) AS nc
+  FROM documents
+),
+ph AS (SELECT pc, md5(string_agg(doc_id::VARCHAR, ','
+                                 ORDER BY doc_id::VARCHAR)) AS h
+       FROM prev GROUP BY pc),
+nh AS (SELECT nc, md5(string_agg(doc_id::VARCHAR, ','
+                                 ORDER BY doc_id::VARCHAR)) AS h
+       FROM nxt GROUP BY nc),
+idn AS (SELECT count(*)::BIGINT AS identical FROM ph JOIN nh USING (h)),
+ov AS (SELECT nc, pc, count(*) AS c
+       FROM nxt n JOIN prev p USING (doc_id) GROUP BY nc, pc),
+sp AS (SELECT count(*)::BIGINT AS split_prev
+       FROM (SELECT pc FROM ov GROUP BY pc HAVING count(*) >= 2)),
+mn AS (SELECT count(*)::BIGINT AS merged_next
+       FROM (SELECT nc FROM ov GROUP BY nc HAVING count(*) >= 2)),
+nr AS (SELECT count(*)::BIGINT AS new_records FROM nxt
+       WHERE doc_id NOT IN (SELECT doc_id FROM prev)),
+gr AS (SELECT count(*)::BIGINT AS departed_records FROM prev
+       WHERE doc_id NOT IN (SELECT doc_id FROM nxt)),
+pcn AS (SELECT count(DISTINCT pc)::BIGINT AS prev_clusters FROM prev),
+ncn AS (SELECT count(DISTINCT nc)::BIGINT AS next_clusters FROM nxt)
+SELECT prev_clusters, next_clusters, identical, split_prev, merged_next,
+       new_records, departed_records
+FROM pcn, ncn, idn, sp, mn, nr, gr
+"""
+
+
+def _q_run_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from spikex_spark.operators.identity import run_diff
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def key_clusters(df: DataFrame, n: int) -> DataFrame:
+        w = Window.partitionBy(F.md5(F.substring("text", 1, n)))
+        return df.select(
+            F.col("doc_id"),
+            F.min("doc_id").over(w).alias("cluster_id"))
+
+    prev = key_clusters(docs.where(F.col("doc_id") % 10 != 0), 200)
+    nxt = key_clusters(docs, 100)
+    return run_diff(prev, nxt, id_col="doc_id")
+
+
 def _q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from spikex_spark.operators.identity import stable_entity_ids
@@ -7115,6 +7172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_field_conflicts": _q_field_conflicts,
         "er_f1_by_lang": _q_f1_by_lang,
         "er_knn_pruned_clusters": _q_knn_clusters,
+        "er_run_diff": _q_run_diff,
     }
 
 
@@ -7319,6 +7377,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_field_conflicts": _SQL_FIELD_CONFLICTS,
         "er_f1_by_lang": _SQL_F1_BY_LANG,
         "er_knn_pruned_clusters": _SQL_KNN_CLUSTERS,
+        "er_run_diff": _SQL_RUN_DIFF,
     }
 
 

@@ -67,3 +67,63 @@ def stable_entity_ids(prev: DataFrame, nxt: DataFrame,
          .alias("entity_id"),
     )
     return n.join(ids, "nc").select(id_col, "entity_id")
+
+
+def run_diff(prev: DataFrame, nxt: DataFrame,
+             id_col: str = "id",
+             cluster_col: str = "cluster_id") -> DataFrame:
+    """One-row churn summary between two ER runs — the review gate a
+    production linkage team reads before shipping a re-resolve.
+
+    (prev_clusters, next_clusters, identical, split_prev, merged_next,
+    new_records, departed_records):
+
+    * ``identical`` — clusters whose FULL member set is unchanged
+      (set-hash equality: md5 over the sorted member list);
+    * ``split_prev`` — previous clusters whose surviving members are
+      spread over ≥2 next clusters;
+    * ``merged_next`` — next clusters absorbing members of ≥2
+      previous clusters;
+    * ``new_records`` / ``departed_records`` — ids present in only
+      one run.
+
+    All exact integer counts. Scale shape: one shared-id equi-join,
+    per-cluster set-hash groupBys (sorted member digest, no driver
+    state), and scalar aggregates; the only wide rows are one per
+    CLUSTER, not per record.
+    """
+    p = prev.select(F.col(id_col).alias("id"),
+                    F.col(cluster_col).alias("pc"))
+    n = nxt.select(F.col(id_col).alias("id"),
+                   F.col(cluster_col).alias("nc"))
+
+    def set_hash(df: DataFrame, cl: str) -> DataFrame:
+        return df.groupBy(cl).agg(
+            F.md5(F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("id").cast("string")))
+            )).alias("h"))
+
+    ph, nh = set_hash(p, "pc"), set_hash(n, "nc")
+    identical = ph.join(nh, "h").agg(F.count("*").alias("identical"))
+
+    ov = n.join(p, "id").groupBy("nc", "pc").agg(F.count("*").alias("c"))
+    split_prev = (ov.groupBy("pc").agg(F.count("*").alias("k"))
+                  .where(F.col("k") >= 2)
+                  .agg(F.count("*").alias("split_prev")))
+    merged_next = (ov.groupBy("nc").agg(F.count("*").alias("k"))
+                   .where(F.col("k") >= 2)
+                   .agg(F.count("*").alias("merged_next")))
+
+    new_r = (n.join(p, "id", "left_anti")
+             .agg(F.count("*").alias("new_records")))
+    gone_r = (p.join(n, "id", "left_anti")
+              .agg(F.count("*").alias("departed_records")))
+    pc_n = p.agg(F.count_distinct("pc").alias("prev_clusters"))
+    nc_n = n.agg(F.count_distinct("nc").alias("next_clusters"))
+
+    out = (pc_n.crossJoin(nc_n).crossJoin(identical)
+           .crossJoin(split_prev).crossJoin(merged_next)
+           .crossJoin(new_r).crossJoin(gone_r))
+    return out.select("prev_clusters", "next_clusters", "identical",
+                      "split_prev", "merged_next",
+                      "new_records", "departed_records")

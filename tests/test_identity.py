@@ -85,3 +85,34 @@ def test_every_next_record_gets_an_id(spark):
     nxt = [(i, i % 4) for i in range(20)]
     got = _ids(spark, prev, nxt)
     assert len(got) == 20
+
+
+def test_run_diff_summary(spark):
+    from spikex_spark.operators.identity import run_diff
+
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 6), (7, 7)],
+        "id bigint, cluster_id bigint")
+    # cluster 1 unchanged; 3 splits into {3} and {4}; 5 & 6 merge;
+    # 7 departed; 8 is new
+    nxt = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 5), (6, 5), (8, 8)],
+        "id bigint, cluster_id bigint")
+    row = run_diff(prev, nxt).collect()[0]
+    assert row["prev_clusters"] == 5 and row["next_clusters"] == 5
+    assert row["identical"] == 1          # {1,2}
+    assert row["split_prev"] == 1         # prev 3
+    assert row["merged_next"] == 1        # nxt 5
+    assert row["new_records"] == 1        # id 8
+    assert row["departed_records"] == 1   # id 7
+
+
+def test_run_diff_identical_runs(spark):
+    from spikex_spark.operators.identity import run_diff
+
+    a = spark.createDataFrame([(i, i - i % 2) for i in range(10)],
+                              "id bigint, cluster_id bigint")
+    row = run_diff(a, a).collect()[0]
+    assert row["identical"] == row["prev_clusters"] == row["next_clusters"]
+    assert row["split_prev"] == row["merged_next"] == 0
+    assert row["new_records"] == row["departed_records"] == 0
