@@ -6940,6 +6940,46 @@ def _q_collective(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collective_rescore(pairs)
 
 
+# Giant-entity repair: clusters exceeding max_size re-resolve over only
+# the score >= 0.90 edges (stricter evidence); small clusters pass
+# through untouched. Complements er_knn_pruned_clusters (prevention)
+# with the post-hoc repair production MDM systems run.
+_SQL_REFINED_CLUSTERS = f"""
+WITH RECURSIVE base AS MATERIALIZED ({_SQL_ER_CLUSTERS}),
+sp AS MATERIALIZED ({_SQL_ER_PAIRS}),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS n
+          FROM base GROUP BY 1),
+small AS (SELECT b.doc_id, b.cluster_id FROM base b
+          JOIN sizes s USING (cluster_id) WHERE s.n <= 3),
+bigm AS (SELECT b.doc_id, b.cluster_id FROM base b
+         JOIN sizes s USING (cluster_id) WHERE s.n > 3),
+e2 AS (
+  SELECT p.id_a AS src, p.id_b AS dst FROM sp p
+  JOIN bigm a ON a.doc_id = p.id_a
+  JOIN bigm b2 ON b2.doc_id = p.id_b AND b2.cluster_id = a.cluster_id
+  WHERE p.score >= 0.90),
+reach2 AS (
+  SELECT doc_id AS node, doc_id AS root FROM bigm
+  UNION
+  SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.root
+  FROM reach2 r JOIN e2 e ON e.src = r.node OR e.dst = r.node
+)
+SELECT doc_id, cluster_id FROM small
+UNION ALL
+SELECT node AS doc_id, min(root) AS cluster_id
+FROM reach2 GROUP BY node
+"""
+
+
+def _q_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cc import refine_oversized
+
+    clusters = _q_er_doc_clusters(spark, sf_dir)
+    strong = (_q_er_doc_pairs(spark, sf_dir)
+              .where(F.col("score") >= 0.90))
+    return refine_oversized(clusters, strong, max_size=3)
+
+
 # Cross-run churn summary over the same prev/nxt construction as
 # stable_entity_ids: the numbers a linkage team reviews before shipping
 # a re-resolve (how many entities stayed identical, split, merged,
@@ -7173,6 +7213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_f1_by_lang": _q_f1_by_lang,
         "er_knn_pruned_clusters": _q_knn_clusters,
         "er_run_diff": _q_run_diff,
+        "er_refined_clusters": _q_refined_clusters,
     }
 
 
@@ -7378,6 +7419,7 @@ def oracle_sql() -> dict[str, str]:
         "er_f1_by_lang": _SQL_F1_BY_LANG,
         "er_knn_pruned_clusters": _SQL_KNN_CLUSTERS,
         "er_run_diff": _SQL_RUN_DIFF,
+        "er_refined_clusters": _SQL_REFINED_CLUSTERS,
     }
 
 

@@ -257,3 +257,46 @@ def cluster_assignments(edges: DataFrame, all_ids: DataFrame,
     return ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("cluster_id")
     )
+
+
+def refine_oversized(clusters: DataFrame, matched: DataFrame,
+                     max_size: int = 50,
+                     id_col: str = "doc_id",
+                     cluster_col: str = "cluster_id",
+                     id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Giant-entity breaker: re-cluster every cluster exceeding
+    ``max_size`` over only the STRONGER edges the caller passes
+    (``matched`` pre-filtered to a higher threshold), leaving small
+    clusters untouched.
+
+    Transitive closure occasionally welds a mega-cluster out of
+    boilerplate chains; production MDM systems cap entity size and
+    re-resolve the oversized ones under stricter evidence (the
+    complement of ``graph.mutual_knn_edges``, which prevents; this
+    repairs). Refined sub-cluster ids are the min member id, which
+    cannot collide with any untouched cluster's id (ids are min
+    members of disjoint record sets).
+
+    Scale shape: one size groupBy, two member equi-joins restricting
+    the strong edges to intra-big-cluster pairs, then
+    ``cluster_assignments`` over ONLY the oversized membership — the
+    re-clustering never touches the (typically overwhelming) small
+    majority.
+    """
+    sizes = clusters.groupBy(cluster_col).agg(F.count("*").alias("_n"))
+    cl = clusters.select(id_col, cluster_col).join(sizes, cluster_col)
+    small = (cl.where(F.col("_n") <= max_size)
+             .select(id_col, cluster_col))
+    bigm = (cl.where(F.col("_n") > max_size)
+            .select(id_col, cluster_col))
+    e = (matched.select(id_a, id_b)
+         .join(bigm.select(F.col(id_col).alias(id_a),
+                           F.col(cluster_col).alias("_ca")), id_a)
+         .join(bigm.select(F.col(id_col).alias(id_b),
+                           F.col(cluster_col).alias("_cb")), id_b)
+         .where(F.col("_ca") == F.col("_cb"))
+         .select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+    refined = (cluster_assignments(e, bigm.select(id_col), id_col=id_col)
+               .select(F.col("id").alias(id_col),
+                       F.col("cluster_id").alias(cluster_col)))
+    return small.unionByName(refined)

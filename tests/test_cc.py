@@ -145,3 +145,37 @@ def test_arrow_components_matches_numpy_twin():
             ids_a, comps_a = _arrow_components(tbl)
             got = dict(zip(ids_a.to_pylist(), comps_a.to_pylist()))
             assert got == gold, (trial, to_id)
+
+
+def test_refine_oversized_splits_only_big_clusters(spark):
+    from pyspark.sql import functions as F
+    from spikex_spark.operators.cc import refine_oversized
+
+    # cluster 1 = {1..5} (oversized), cluster 10 = {10, 11} (small)
+    clusters = spark.createDataFrame(
+        [(i, 1) for i in range(1, 6)] + [(10, 10), (11, 10)],
+        "doc_id bigint, cluster_id bigint")
+    # strong edges keep {1,2,3} together and {4,5} together
+    strong = spark.createDataFrame(
+        [(1, 2, 0.95), (2, 3, 0.92), (4, 5, 0.99), (10, 11, 0.95)],
+        "id_a bigint, id_b bigint, score double")
+    out = refine_oversized(clusters, strong, max_size=4)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
+    # the small cluster is untouched even though it has a strong edge
+    assert got[10] == got[11] == 10
+    assert len(got) == 7
+
+
+def test_refine_oversized_isolated_members_become_singletons(spark):
+    from spikex_spark.operators.cc import refine_oversized
+
+    clusters = spark.createDataFrame(
+        [(i, 1) for i in range(1, 5)], "doc_id bigint, cluster_id bigint")
+    strong = spark.createDataFrame(
+        [(1, 2, 0.95)], "id_a bigint, id_b bigint, score double")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in refine_oversized(clusters, strong, max_size=2)
+           .collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}

@@ -291,6 +291,8 @@ def test_no_row_python_in_any_contract_query():
             "entity_count_chao1", "golden_field_conflicts",
             # CC-at-build over the kNN-pruned edges
             "er_knn_pruned_clusters",
+            # er_doc_clusters + a second CC over the oversized subset
+            "er_refined_clusters",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
