@@ -6940,6 +6940,37 @@ def _q_collective(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collective_rescore(pairs)
 
 
+# Pair feature store: ONE wide per-candidate-pair table carrying every
+# similarity family (prefix-JW, token-Jaccard, Monge-Elkan, SoftTFIDF)
+# — the training matrix for a learned matcher, assembled from the same
+# engines that power the individual gate queries.
+_SQL_PAIR_FEATURES = f"""
+WITH fsc AS MATERIALIZED ({_SQL_SCORED}),
+fme AS MATERIALIZED ({_SQL_MONGE_ELKAN}),
+fst AS MATERIALIZED ({_SQL_SOFT_TFIDF})
+SELECT fsc.id_a, fsc.id_b,
+  round(fsc.jw, 6) AS jw, round(fsc.jacc, 6) AS jacc,
+  fme.me_sym, fst.soft_sym
+FROM fsc
+JOIN fme ON fme.id_a = fsc.id_a AND fme.id_b = fsc.id_b
+JOIN fst ON fst.id_a = fsc.id_a AND fst.id_b = fsc.id_b
+"""
+
+
+def _q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.pipeline import doc_scored_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    base = doc_scored_pairs(docs).select(
+        "id_a", "id_b",
+        F.round("jw", 6).alias("jw"),
+        F.round("jacc", 6).alias("jacc"))
+    me = _q_monge_elkan(spark, sf_dir).select("id_a", "id_b", "me_sym")
+    st = _q_soft_tfidf(spark, sf_dir).select("id_a", "id_b", "soft_sym")
+    return (base.join(me, ["id_a", "id_b"])
+            .join(st, ["id_a", "id_b"]))
+
+
 # Giant-entity repair: clusters exceeding max_size re-resolve over only
 # the score >= 0.90 edges (stricter evidence); small clusters pass
 # through untouched. Complements er_knn_pruned_clusters (prevention)
@@ -7214,6 +7245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_knn_pruned_clusters": _q_knn_clusters,
         "er_run_diff": _q_run_diff,
         "er_refined_clusters": _q_refined_clusters,
+        "er_pair_features": _q_pair_features,
     }
 
 
@@ -7420,6 +7452,7 @@ def oracle_sql() -> dict[str, str]:
         "er_knn_pruned_clusters": _SQL_KNN_CLUSTERS,
         "er_run_diff": _SQL_RUN_DIFF,
         "er_refined_clusters": _SQL_REFINED_CLUSTERS,
+        "er_pair_features": _SQL_PAIR_FEATURES,
     }
 
 
