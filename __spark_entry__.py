@@ -6971,6 +6971,83 @@ def _q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(st, ["id_a", "id_b"]))
 
 
+# Learned matcher trained IN the engine: full-batch logistic GD over
+# the pair feature store vs the prefix-200 gold, 5 deterministic rounds
+# (all-integer gradient sums, floor(x+0.5) snapping — see
+# linkage.logistic_train). The oracle replays every round as generated
+# MATERIALIZED CTEs.
+def _gen_logit_sql(rounds: int = 5) -> str:
+    z = ("wb/1000000.0" + "".join(
+        f" + w{j}/1000000.0 * (f{j}m/1000000.0)" for j in range(1, 5)))
+    parts = [f"""featm AS MATERIALIZED (
+  SELECT
+    CASE WHEN g.id_a IS NOT NULL THEN 1000000 ELSE 0 END::BIGINT AS ym,
+    floor(f.jw * 1000000.0 + 0.5)::BIGINT AS f1m,
+    floor(f.jacc * 1000000.0 + 0.5)::BIGINT AS f2m,
+    floor(coalesce(f.me_sym, 0.0) * 1000000.0 + 0.5)::BIGINT AS f3m,
+    floor(coalesce(f.soft_sym, 0.0) * 1000000.0 + 0.5)::BIGINT AS f4m
+  FROM ({_SQL_PAIR_FEATURES}) f
+  LEFT JOIN ({_SQL_PREFIX_GOLD}) g
+    ON g.id_a = f.id_a AND g.id_b = f.id_b
+)""",
+        "w0 AS MATERIALIZED (SELECT " + ", ".join(
+            ["0::BIGINT AS wb"] + [f"0::BIGINT AS w{j}"
+                                   for j in range(1, 5)]) + ")"]
+    for k in range(1, rounds + 1):
+        sums = ",\n    ".join(
+            ["sum(((pm - ym) * 1000000)::DECIMAL(38,0)) AS s0"]
+            + [f"sum(((pm - ym) * f{j}m)::DECIMAL(38,0)) AS s{j}"
+               for j in range(1, 5)])
+        parts.append(f"""g{k} AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n,
+    {sums}
+  FROM (
+    SELECT ym, f1m, f2m, f3m, f4m,
+      floor(1.0 / (1.0 + exp(-({z}))) * 1000000.0 + 0.5)::BIGINT AS pm
+    FROM featm CROSS JOIN w{k - 1})
+)""")
+        upd = ",\n    ".join(
+            ["p.wb - floor(g.s0::DOUBLE / (g.n * 1000000.0) + 0.5)::BIGINT"
+             " AS wb"]
+            + [f"p.w{j} - floor(g.s{j}::DOUBLE / (g.n * 1000000.0)"
+               f" + 0.5)::BIGINT AS w{j}" for j in range(1, 5)])
+        parts.append(f"""w{k} AS MATERIALIZED (
+  SELECT
+    {upd}
+  FROM g{k} g CROSS JOIN w{k - 1} p
+)""")
+    names = ["bias", "jw", "jacc", "me_sym", "soft_sym"]
+    cols = ["wb"] + [f"w{j}" for j in range(1, 5)]
+    final = "\nUNION ALL\n".join(
+        f"SELECT '{nm}' AS feature, {c} AS w_micro, {c}/1000000.0 AS weight"
+        f" FROM w{rounds}" for nm, c in zip(names, cols))
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+_SQL_LOGIT_WEIGHTS = _gen_logit_sql()
+
+
+def _q_logit_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import logistic_train
+
+    docs = _read(spark, sf_dir, "documents")
+    gold = _prefix_gold(docs).withColumn("_g", F.lit(1))
+    feat = (_q_pair_features(spark, sf_dir)
+            .join(gold, ["id_a", "id_b"], "left")
+            .select(
+                F.when(F.col("_g").isNotNull(), F.lit(1.0))
+                 .otherwise(F.lit(0.0)).alias("y"),
+                "jw", "jacc",
+                F.coalesce("me_sym", F.lit(0.0)).alias("me_sym"),
+                F.coalesce("soft_sym", F.lit(0.0)).alias("soft_sym"))
+            .localCheckpoint())   # 5 training scans, one feature build
+    wts = logistic_train(feat, ["jw", "jacc", "me_sym", "soft_sym"],
+                         rounds=5)
+    return spark.createDataFrame(
+        [(nm, int(wm), wm / 1e6) for nm, wm in wts],
+        "feature string, w_micro long, weight double")
+
+
 # Giant-entity repair: clusters exceeding max_size re-resolve over only
 # the score >= 0.90 edges (stricter evidence); small clusters pass
 # through untouched. Complements er_knn_pruned_clusters (prevention)
@@ -7246,6 +7323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_run_diff": _q_run_diff,
         "er_refined_clusters": _q_refined_clusters,
         "er_pair_features": _q_pair_features,
+        "matcher_logit_weights": _q_logit_weights,
     }
 
 
@@ -7453,6 +7531,7 @@ def oracle_sql() -> dict[str, str]:
         "er_run_diff": _SQL_RUN_DIFF,
         "er_refined_clusters": _SQL_REFINED_CLUSTERS,
         "er_pair_features": _SQL_PAIR_FEATURES,
+        "matcher_logit_weights": _SQL_LOGIT_WEIGHTS,
     }
 
 

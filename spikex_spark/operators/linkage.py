@@ -384,3 +384,64 @@ def waterfall_pairs(det_pairs: DataFrame, prob_pairs: DataFrame,
     prob = _canon(prob_pairs).join(det, [a, b], "left_anti")
     return (det.withColumn("method", F.lit("deterministic"))
             .unionByName(prob.withColumn("method", F.lit("probabilistic"))))
+
+
+def logistic_train(feat: DataFrame, feature_cols: Sequence[str],
+                   label_col: str = "y", rounds: int = 5) -> list:
+    """Train a logistic-regression matcher IN the engine: full-batch
+    gradient descent (lr = 1) over the pair feature matrix, the
+    learned-matcher step after ``er_pair_features`` (Splink's "train a
+    model on labeled pairs" stage, here as k deterministic scans).
+
+    Returns ``[(name, w_micro)]`` — bias first — where weights live on
+    the 1e-6 integer grid. Determinism contract (same discipline as
+    :func:`fs_em`):
+
+    * features and labels enter as 1e-6 micro-ints
+      (``floor(x·1e6 + 0.5)``), so per-pair gradient terms
+      ``(p_micro − y_micro) · f_micro`` are EXACT integers and the
+      gradient sums are decimal(38,0) — reduction order can't move a
+      digit;
+    * the sigmoid is evaluated on grid doubles and immediately
+      re-snapped to micro-ints; a 1-ulp libm ``exp`` divergence moves
+      the snap only when p·1e6 lands within ~1e-10 of a boundary;
+    * every rounding is ``floor(x + 0.5)`` in BOTH engines — Python's
+      banker's ``round`` and SQL's half-away ``round`` disagree on
+      exact ties, ``floor(x+0.5)`` never does;
+    * weight updates subtract ``floor(S/(n·1e6) + 0.5)`` micro-units,
+      so each round's weights are integers and the next round's z is
+      a FIXED literal expression tree.
+
+    Scale shape: one map-side-combined aggregate per round reduced to
+    one row (weights are 1+|features| scalars — driver-size by
+    definition); the pair table is scanned k times, never collected.
+    Callers should checkpoint ``feat`` first when it is derived from
+    an expensive chain.
+    """
+    import math
+
+    names = ["bias"] + list(feature_cols)
+    micro = {c: F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))
+             .cast("long").alias(f"_m_{c}")
+             for c in [label_col, *feature_cols]}
+    fm = feat.select(*micro.values())
+    w = [0] * len(names)                      # micro-int weights
+    for _ in range(rounds):
+        z = F.lit(w[0] / 1e6)
+        for j, c in enumerate(feature_cols, start=1):
+            z = z + F.lit(w[j] / 1e6) * (F.col(f"_m_{c}")
+                                         / F.lit(1000000.0))
+        pm = F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                     * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        d = (pm - F.col(f"_m_{label_col}"))
+        aggs = [F.count(F.lit(1)).alias("n"),
+                F.sum((d * F.lit(1000000)).cast("decimal(38,0)"))
+                .alias("s0")]
+        aggs += [F.sum((d * F.col(f"_m_{c}")).cast("decimal(38,0)"))
+                 .alias(f"s{j}")
+                 for j, c in enumerate(feature_cols, start=1)]
+        row = fm.agg(*aggs).collect()[0]
+        n = row["n"]
+        for j in range(len(names)):
+            w[j] -= math.floor(float(row[f"s{j}"]) / (n * 1e6) + 0.5)
+    return list(zip(names, w))
