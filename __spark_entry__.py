@@ -6976,11 +6976,11 @@ def _q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all-integer gradient sums, floor(x+0.5) snapping — see
 # linkage.logistic_train). The oracle replays every round as generated
 # MATERIALIZED CTEs.
-def _gen_logit_sql(rounds: int = 5) -> str:
+def _gen_logit_sql(rounds: int = 5, final: str = "weights") -> str:
     z = ("wb/1000000.0" + "".join(
         f" + w{j}/1000000.0 * (f{j}m/1000000.0)" for j in range(1, 5)))
     parts = [f"""featm AS MATERIALIZED (
-  SELECT
+  SELECT f.id_a, f.id_b,
     CASE WHEN g.id_a IS NOT NULL THEN 1000000 ELSE 0 END::BIGINT AS ym,
     floor(f.jw * 1000000.0 + 0.5)::BIGINT AS f1m,
     floor(f.jacc * 1000000.0 + 0.5)::BIGINT AS f2m,
@@ -7016,36 +7016,61 @@ def _gen_logit_sql(rounds: int = 5) -> str:
     {upd}
   FROM g{k} g CROSS JOIN w{k - 1} p
 )""")
-    names = ["bias", "jw", "jacc", "me_sym", "soft_sym"]
-    cols = ["wb"] + [f"w{j}" for j in range(1, 5)]
-    final = "\nUNION ALL\n".join(
-        f"SELECT '{nm}' AS feature, {c} AS w_micro, {c}/1000000.0 AS weight"
-        f" FROM w{rounds}" for nm, c in zip(names, cols))
-    return "WITH " + ",\n".join(parts) + "\n" + final
+    if final == "scores":
+        tail = f"""SELECT id_a, id_b,
+  floor(1.0 / (1.0 + exp(-({z}))) * 1000000.0 + 0.5)::BIGINT AS p_micro,
+  floor(1.0 / (1.0 + exp(-({z}))) * 1000000.0 + 0.5)::BIGINT
+    / 1000000.0 AS p_match
+FROM featm CROSS JOIN w{rounds}"""
+    else:
+        names = ["bias", "jw", "jacc", "me_sym", "soft_sym"]
+        cols = ["wb"] + [f"w{j}" for j in range(1, 5)]
+        tail = "\nUNION ALL\n".join(
+            f"SELECT '{nm}' AS feature, {c} AS w_micro,"
+            f" {c}/1000000.0 AS weight"
+            f" FROM w{rounds}" for nm, c in zip(names, cols))
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 _SQL_LOGIT_WEIGHTS = _gen_logit_sql()
+_SQL_LOGIT_SCORES = _gen_logit_sql(final="scores")
 
 
-def _q_logit_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spikex_spark.operators.linkage import logistic_train
+_LOGIT_FEATS = ["jw", "jacc", "me_sym", "soft_sym"]
 
+
+def _logit_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     gold = _prefix_gold(docs).withColumn("_g", F.lit(1))
-    feat = (_q_pair_features(spark, sf_dir)
+    return (_q_pair_features(spark, sf_dir)
             .join(gold, ["id_a", "id_b"], "left")
             .select(
+                "id_a", "id_b",
                 F.when(F.col("_g").isNotNull(), F.lit(1.0))
                  .otherwise(F.lit(0.0)).alias("y"),
                 "jw", "jacc",
                 F.coalesce("me_sym", F.lit(0.0)).alias("me_sym"),
                 F.coalesce("soft_sym", F.lit(0.0)).alias("soft_sym"))
             .localCheckpoint())   # 5 training scans, one feature build
-    wts = logistic_train(feat, ["jw", "jacc", "me_sym", "soft_sym"],
-                         rounds=5)
+
+
+def _q_logit_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import logistic_train
+
+    feat = _logit_feat(spark, sf_dir)
+    wts = logistic_train(feat, _LOGIT_FEATS, rounds=5)
     return spark.createDataFrame(
         [(nm, int(wm), wm / 1e6) for nm, wm in wts],
         "feature string, w_micro long, weight double")
+
+
+def _q_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import (logistic_score,
+                                                logistic_train)
+
+    feat = _logit_feat(spark, sf_dir)
+    wts = logistic_train(feat, _LOGIT_FEATS, rounds=5)
+    return logistic_score(feat, wts, _LOGIT_FEATS)
 
 
 # Giant-entity repair: clusters exceeding max_size re-resolve over only
@@ -7324,6 +7349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_refined_clusters": _q_refined_clusters,
         "er_pair_features": _q_pair_features,
         "matcher_logit_weights": _q_logit_weights,
+        "matcher_logit_scores": _q_logit_scores,
     }
 
 
@@ -7532,6 +7558,7 @@ def oracle_sql() -> dict[str, str]:
         "er_refined_clusters": _SQL_REFINED_CLUSTERS,
         "er_pair_features": _SQL_PAIR_FEATURES,
         "matcher_logit_weights": _SQL_LOGIT_WEIGHTS,
+        "matcher_logit_scores": _SQL_LOGIT_SCORES,
     }
 
 

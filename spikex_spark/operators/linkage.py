@@ -445,3 +445,21 @@ def logistic_train(feat: DataFrame, feature_cols: Sequence[str],
         for j in range(len(names)):
             w[j] -= math.floor(float(row[f"s{j}"]) / (n * 1e6) + 0.5)
     return list(zip(names, w))
+
+
+def logistic_score(feat: DataFrame, weights, feature_cols: Sequence[str],
+                   id_cols: Sequence[str] = ("id_a", "id_b")) -> DataFrame:
+    """Apply a :func:`logistic_train` model: (ids..., p_micro, p_match)
+    as ONE narrow map over literal weights — the inference twin of the
+    trainer, with the identical micro-grid snapping so the oracle
+    reproduces every probability digit. Zero joins, zero shuffles."""
+    w = dict(weights)
+    z = F.lit(w["bias"] / 1e6)
+    for c in feature_cols:
+        fm = F.floor(F.col(c) * F.lit(1000000.0)
+                     + F.lit(0.5)).cast("long")
+        z = z + F.lit(w[c] / 1e6) * (fm / F.lit(1000000.0))
+    pm = F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                 * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return feat.select(*id_cols, pm.alias("p_micro"),
+                       (pm / F.lit(1000000.0)).alias("p_match"))

@@ -63,3 +63,25 @@ def test_all_one_label_pushes_bias_up(spark):
     df = spark.createDataFrame([(1.0, 0.5)] * 6, "y double, a double")
     got = dict(logistic_train(df, ["a"], rounds=3))
     assert got["bias"] > 0 and got["a"] > 0
+
+
+def test_score_matches_manual_sigmoid(spark):
+    import math
+
+    from spikex_spark.operators.linkage import (logistic_score,
+                                                logistic_train)
+
+    rows = [(1, 2, 1.0, 0.9), (3, 4, 0.0, 0.2), (5, 6, 1.0, 0.8),
+            (7, 8, 0.0, 0.3)]
+    df = spark.createDataFrame(rows,
+                               "id_a bigint, id_b bigint, y double, a double")
+    wts = logistic_train(df, ["a"], rounds=3)
+    got = {(r["id_a"], r["id_b"]): r
+           for r in logistic_score(df, wts, ["a"]).collect()}
+    w = dict(wts)
+    for ia, ib, _, a in rows:
+        am = math.floor(a * 1e6 + 0.5)
+        z = w["bias"] / 1e6 + w["a"] / 1e6 * (am / 1e6)
+        pm = math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6 + 0.5)
+        assert got[(ia, ib)]["p_micro"] == pm
+        assert got[(ia, ib)]["p_match"] == pm / 1e6
