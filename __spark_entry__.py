@@ -7073,6 +7073,49 @@ def _q_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logistic_score(feat, wts, _LOGIT_FEATS)
 
 
+# Learned-matcher evaluation: the trained model's precision/recall/F1
+# curve vs the prefix-200 gold — closes the train → infer → evaluate
+# loop in oracle-checked queries. Outer CTE names are chosen to avoid
+# every inner fragment CTE (DuckDB binds outer names over inner ones).
+_SQL_LOGIT_EVAL = f"""
+WITH lsc AS MATERIALIZED ({_SQL_LOGIT_SCORES}),
+lgold AS (SELECT id_a, id_b FROM ({_SQL_PREFIX_GOLD})),
+lj AS (
+  SELECT s.p_match AS score, g.id_a IS NOT NULL AS is_gold
+  FROM lsc s FULL OUTER JOIN lgold g
+    ON s.id_a = g.id_a AND s.id_b = g.id_b
+),
+lthr AS (SELECT unnest([{", ".join(f"{x}::double"
+                                   for x in _SWEEP_THRESHOLDS)}])
+         AS threshold),
+lc AS (
+  SELECT threshold,
+    count(*) FILTER (lj.score >= threshold AND is_gold)::bigint AS tp,
+    count(*) FILTER (lj.score >= threshold AND NOT is_gold)::bigint AS fp,
+    count(*) FILTER (is_gold AND (lj.score IS NULL
+                                  OR lj.score < threshold))::bigint AS fn
+  FROM lj, lthr GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN 2 * tp + fp + fn > 0
+        THEN (2 * tp) / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+FROM lc
+"""
+
+
+def _q_logit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import threshold_sweep
+
+    docs = _read(spark, sf_dir, "documents")
+    scores = _q_logit_scores(spark, sf_dir).select(
+        "id_a", "id_b", F.col("p_match").alias("score"))
+    return threshold_sweep(scores, _prefix_gold(docs), _SWEEP_THRESHOLDS)
+
+
 # Giant-entity repair: clusters exceeding max_size re-resolve over only
 # the score >= 0.90 edges (stricter evidence); small clusters pass
 # through untouched. Complements er_knn_pruned_clusters (prevention)
@@ -7350,6 +7393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pair_features": _q_pair_features,
         "matcher_logit_weights": _q_logit_weights,
         "matcher_logit_scores": _q_logit_scores,
+        "matcher_logit_eval": _q_logit_eval,
     }
 
 
@@ -7559,6 +7603,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pair_features": _SQL_PAIR_FEATURES,
         "matcher_logit_weights": _SQL_LOGIT_WEIGHTS,
         "matcher_logit_scores": _SQL_LOGIT_SCORES,
+        "matcher_logit_eval": _SQL_LOGIT_EVAL,
     }
 
 
