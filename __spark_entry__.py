@@ -7073,6 +7073,44 @@ def _q_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logistic_score(feat, wts, _LOGIT_FEATS)
 
 
+# Crawl-composition drift: (lang:source) population shares between the
+# previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
+# the current one — the monitor that catches mix shifts before they
+# surface as ER quality regressions.
+_SQL_KEY_DRIFT = """
+WITH prevc AS (
+  SELECT lang || ':' || source AS key, count(*)::BIGINT AS c_prev
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+nxtc AS (
+  SELECT lang || ':' || source AS key, count(*)::BIGINT AS c_nxt
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(c_prev)::BIGINT FROM prevc) AS n_prev,
+         (SELECT sum(c_nxt)::BIGINT FROM nxtc) AS n_nxt),
+j AS (
+  SELECT coalesce(p.key, n.key) AS key,
+         coalesce(p.c_prev, 0)::BIGINT AS c_prev,
+         coalesce(n.c_nxt, 0)::BIGINT AS c_nxt
+  FROM prevc p FULL OUTER JOIN nxtc n ON p.key = n.key)
+SELECT key, c_prev, c_nxt,
+  round(c_prev / n_prev, 6) AS share_prev,
+  round(c_nxt / n_nxt, 6) AS share_nxt,
+  round(c_nxt / n_nxt - c_prev / n_prev, 6) AS share_delta
+FROM j CROSS JOIN tot
+ORDER BY c_prev + c_nxt DESC, key ASC
+LIMIT 20
+"""
+
+
+def _q_key_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.profiling import key_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat_ws(":", "lang", "source").alias("key"), "doc_id")
+    return key_drift(keyed.where(F.col("doc_id") % 10 != 0), keyed)
+
+
 # Learned-matcher evaluation: the trained model's precision/recall/F1
 # curve vs the prefix-200 gold — closes the train → infer → evaluate
 # loop in oracle-checked queries. Outer CTE names are chosen to avoid
@@ -7394,6 +7432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_logit_weights": _q_logit_weights,
         "matcher_logit_scores": _q_logit_scores,
         "matcher_logit_eval": _q_logit_eval,
+        "crawl_key_drift": _q_key_drift,
     }
 
 
@@ -7604,6 +7643,7 @@ def oracle_sql() -> dict[str, str]:
         "matcher_logit_weights": _SQL_LOGIT_WEIGHTS,
         "matcher_logit_scores": _SQL_LOGIT_SCORES,
         "matcher_logit_eval": _SQL_LOGIT_EVAL,
+        "crawl_key_drift": _SQL_KEY_DRIFT,
     }
 
 

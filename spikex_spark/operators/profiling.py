@@ -109,3 +109,41 @@ def key_skew(df: DataFrame, key_cols: Sequence[str], top_k: int = 20,
                     "n_keys", "total")
             .orderBy(F.col("cnt").desc(), F.col("key").asc())
             .limit(top_k))
+
+
+def key_drift(prev: DataFrame, nxt: DataFrame, key_col: str = "key",
+              k: int = 20) -> DataFrame:
+    """Distribution drift between two runs of a keyed population — the
+    crawl-over-crawl monitor that catches composition shifts (a new
+    boilerplate family, a language mix change, a dead blocking channel)
+    BEFORE they show up as ER quality regressions.
+
+    Per key (top ``k`` by combined count, ties → key ascending):
+    (key, c_prev, c_nxt, share_prev, share_nxt, share_delta). Counts
+    are exact int64; shares are single rounded divisions of those
+    counts, so the oracle reproduces every digit.
+
+    Scale shape: two map-side-combined groupBys onto the KEY table, a
+    full-outer equi-join of those (rows = distinct keys, not records),
+    one broadcast totals row, and a global top-k (Spark TakeOrdered —
+    never a one-partition window over records).
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.groupBy(F.col(key_col).alias("key"))
+                .agg(F.count("*").alias(name)))
+
+    cp, cn = counts(prev, "c_prev"), counts(nxt, "c_nxt")
+    tot = (cp.agg(F.sum("c_prev").alias("n_prev"))
+           .crossJoin(cn.agg(F.sum("c_nxt").alias("n_nxt"))))
+    j = (cp.join(cn, "key", "full_outer")
+         .fillna(0, ["c_prev", "c_nxt"])
+         .crossJoin(F.broadcast(tot)))
+    share_p = F.col("c_prev") / F.col("n_prev")
+    share_n = F.col("c_nxt") / F.col("n_nxt")
+    return (j.select(
+        "key", "c_prev", "c_nxt",
+        F.round(share_p, 6).alias("share_prev"),
+        F.round(share_n, 6).alias("share_nxt"),
+        F.round(share_n - share_p, 6).alias("share_delta"))
+        .orderBy(F.desc(F.col("c_prev") + F.col("c_nxt")), F.asc("key"))
+        .limit(k))
