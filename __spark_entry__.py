@@ -7073,6 +7073,50 @@ def _q_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logistic_score(feat, wts, _LOGIT_FEATS)
 
 
+# Exact ROC AUC of the learned matcher vs the prefix gold — the
+# single-number ranking metric next to the threshold curve, computed as
+# the tie-corrected Mann-Whitney rank-sum in pure int64.
+_SQL_LOGIT_AUC = f"""
+WITH lsc AS MATERIALIZED ({_SQL_LOGIT_SCORES}),
+lab AS (
+  SELECT s.p_micro AS sc,
+         CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END AS y
+  FROM lsc s LEFT JOIN ({_SQL_PREFIX_GOLD}) g
+    ON g.id_a = s.id_a AND g.id_b = s.id_b),
+grp AS (SELECT sc, count(*)::BIGINT AS c, sum(y)::BIGINT AS cp
+        FROM lab GROUP BY sc),
+cum AS (SELECT c, cp,
+          coalesce(sum(c) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0)::BIGINT AS b
+        FROM grp),
+tot AS (SELECT sum(cp)::BIGINT AS n_pos,
+               (sum(c) - sum(cp))::BIGINT AS n_neg,
+               sum(cp * (2 * b + c + 1))::BIGINT AS r2
+        FROM cum)
+SELECT n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+       THEN round((r2 - n_pos * (n_pos + 1))
+                  / (2.0::DOUBLE * n_pos * n_neg), 6) END AS auc,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+       THEN round(((r2 - n_pos * (n_pos + 1))
+                   / (2.0::DOUBLE * n_pos * n_neg)) * 2 - 1, 6)
+  END AS gini
+FROM tot
+"""
+
+
+def _q_logit_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.evaluation import ranking_auc
+    from spikex_spark.operators.linkage import (logistic_score,
+                                                logistic_train)
+
+    feat = _logit_feat(spark, sf_dir)
+    wts = logistic_train(feat, _LOGIT_FEATS, rounds=5)
+    scored = (logistic_score(feat, wts, _LOGIT_FEATS)
+              .join(feat.select("id_a", "id_b", "y"), ["id_a", "id_b"]))
+    return ranking_auc(scored, score_col="p_micro", label_col="y")
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7433,6 +7477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_logit_scores": _q_logit_scores,
         "matcher_logit_eval": _q_logit_eval,
         "crawl_key_drift": _q_key_drift,
+        "matcher_logit_auc": _q_logit_auc,
     }
 
 
@@ -7644,6 +7689,7 @@ def oracle_sql() -> dict[str, str]:
         "matcher_logit_scores": _SQL_LOGIT_SCORES,
         "matcher_logit_eval": _SQL_LOGIT_EVAL,
         "crawl_key_drift": _SQL_KEY_DRIFT,
+        "matcher_logit_auc": _SQL_LOGIT_AUC,
     }
 
 

@@ -172,3 +172,51 @@ def pair_metrics_by(pred: DataFrame, ref: DataFrame, slices: DataFrame,
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"))
+
+
+def ranking_auc(scored: DataFrame, score_col: str = "score",
+                label_col: str = "y") -> DataFrame:
+    """Exact ROC AUC of a pair scorer — the single-number ranking
+    metric next to the threshold-curve view, computed as the
+    tie-corrected Mann-Whitney rank-sum:
+
+        AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)
+
+    where R⁺ is the positives' rank sum under AVERAGE ranks for ties.
+    Grouping by distinct score makes the tie handling exact integer
+    arithmetic: per score group (ascending), positives contribute
+    cp·(2·B + c + 1) to 2·R⁺ (B = rows strictly below, c = group
+    size), so everything is int64 until the one final division.
+
+    Returns one row (n_pos, n_neg, auc, gini). Scale shape: one
+    map-side groupBy onto DISTINCT SCORES (≤ 1e6+1 rows for micro-grid
+    scores), one cumulative window over that score table — never over
+    the pairs — and a scalar aggregate.
+    """
+    from pyspark.sql import Window
+
+    g = (scored.groupBy(F.col(score_col).alias("_s"))
+         .agg(F.count("*").alias("c"),
+              F.sum(F.when(F.col(label_col) > 0, 1).otherwise(0))
+               .alias("cp")))
+    w = (Window.orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = g.select(
+        "c", "cp",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("b"))
+    tot = cum.agg(
+        F.sum("cp").alias("n_pos"),
+        (F.sum("c") - F.sum("cp")).alias("n_neg"),
+        F.sum(F.col("cp") * (F.lit(2) * F.col("b") + F.col("c")
+                             + F.lit(1))).alias("r2"))
+    n_pos, n_neg, r2 = F.col("n_pos"), F.col("n_neg"), F.col("r2")
+    auc = F.when(
+        (n_pos > 0) & (n_neg > 0),
+        F.round((r2 - n_pos * (n_pos + 1))
+                / (F.lit(2.0) * n_pos * n_neg), 6))
+    return tot.select(
+        "n_pos", "n_neg", auc.alias("auc"),
+        F.when((n_pos > 0) & (n_neg > 0),
+               F.round((r2 - n_pos * (n_pos + 1))
+                       / (F.lit(2.0) * n_pos * n_neg) * 2 - 1, 6))
+         .alias("gini"))
