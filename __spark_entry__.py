@@ -7117,6 +7117,45 @@ def _q_logit_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_auc(scored, score_col="p_micro", label_col="y")
 
 
+# Brier score (mean squared probability error) of the learned matcher —
+# the calibration single-number next to the reliability table: exact
+# int64 core ((p_micro − y_micro)² summed), one division at the end.
+_SQL_LOGIT_BRIER = f"""
+WITH lsc AS MATERIALIZED ({_SQL_LOGIT_SCORES}),
+lab AS (
+  SELECT s.p_micro,
+         CASE WHEN g.id_a IS NOT NULL THEN 1000000 ELSE 0 END::BIGINT
+           AS ym
+  FROM lsc s LEFT JOIN ({_SQL_PREFIX_GOLD}) g
+    ON g.id_a = s.id_a AND g.id_b = s.id_b),
+tot AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(((p_micro - ym) * (p_micro - ym))::DECIMAL(38,0)) AS se
+  FROM lab)
+SELECT n,
+  round(se::DOUBLE / (n * 1000000000000.0), 6) AS brier
+FROM tot
+"""
+
+
+def _q_logit_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import (logistic_score,
+                                                logistic_train)
+
+    feat = _logit_feat(spark, sf_dir)
+    wts = logistic_train(feat, _LOGIT_FEATS, rounds=5)
+    scored = (logistic_score(feat, wts, _LOGIT_FEATS)
+              .join(feat.select("id_a", "id_b", "y"), ["id_a", "id_b"]))
+    d = (F.col("p_micro")
+         - F.floor(F.col("y") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum((d * d).cast("decimal(38,0)")).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000_000_000.0)), 6)
+         .alias("brier"))
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7478,6 +7517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_logit_eval": _q_logit_eval,
         "crawl_key_drift": _q_key_drift,
         "matcher_logit_auc": _q_logit_auc,
+        "matcher_logit_brier": _q_logit_brier,
     }
 
 
@@ -7690,6 +7730,7 @@ def oracle_sql() -> dict[str, str]:
         "matcher_logit_eval": _SQL_LOGIT_EVAL,
         "crawl_key_drift": _SQL_KEY_DRIFT,
         "matcher_logit_auc": _SQL_LOGIT_AUC,
+        "matcher_logit_brier": _SQL_LOGIT_BRIER,
     }
 
 

@@ -277,7 +277,7 @@ def test_no_row_python_in_any_contract_query():
             "snm_candidates", "er_cluster_cohesion", "golden_records",
             "fs_em_params", "fs_em_posteriors", "matcher_logit_weights",
             "matcher_logit_scores", "matcher_logit_eval",
-            "matcher_logit_auc",
+            "matcher_logit_auc", "matcher_logit_brier",
             # score the er_doc_clusters result -> same CC-at-build jobs
             "er_bcubed", "er_ari",
             # eager checkpoint of the scored-pair input runs at build
