@@ -7156,6 +7156,47 @@ def _q_logit_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("brier"))
 
 
+# k-core of the match graph: every member keeps >= 2 matched neighbors
+# AFTER weakly-attached records are peeled — the "which entities rest
+# on dense evidence" cut. Fixed peeling rounds, replayed by the oracle.
+def _gen_kcore_sql(k: int = 2, rounds: int = 6) -> str:
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS d FROM ({_SQL_ER_PAIRS})
+  WHERE score >= 0.80)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""k{r} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT s AS n FROM e{r - 1} UNION ALL SELECT d FROM e{r - 1})
+  GROUP BY n HAVING count(*) >= {k})""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{r - 1} e
+  JOIN k{r} a ON a.n = e.s JOIN k{r} b ON b.n = e.d)""")
+    parts.append(f"""core AS (
+  SELECT n AS node FROM (
+    SELECT s AS n FROM e{rounds} UNION ALL SELECT d FROM e{rounds})
+  GROUP BY n HAVING count(*) >= {k})""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.doc_id, c.node IS NOT NULL AS in_core
+FROM documents d LEFT JOIN core c ON c.node = d.doc_id""")
+
+
+_SQL_KCORE = _gen_kcore_sql()
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import kcore_nodes
+
+    docs = _read(spark, sf_dir, "documents")
+    m = (_q_er_doc_pairs(spark, sf_dir)
+         .where(F.col("score") >= 0.80)
+         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    core = (kcore_nodes(m, k=2, rounds=6)
+            .select(F.col("node").alias("doc_id"),
+                    F.lit(1).alias("_c")))
+    return (docs.select("doc_id").join(core, "doc_id", "left")
+            .select("doc_id", F.col("_c").isNotNull().alias("in_core")))
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7518,6 +7559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_key_drift": _q_key_drift,
         "matcher_logit_auc": _q_logit_auc,
         "matcher_logit_brier": _q_logit_brier,
+        "er_kcore_members": _q_kcore,
     }
 
 
@@ -7731,6 +7773,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_key_drift": _SQL_KEY_DRIFT,
         "matcher_logit_auc": _SQL_LOGIT_AUC,
         "matcher_logit_brier": _SQL_LOGIT_BRIER,
+        "er_kcore_members": _SQL_KCORE,
     }
 
 

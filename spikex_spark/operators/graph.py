@@ -251,3 +251,36 @@ def mutual_knn_edges(matched: DataFrame, k: int = 3,
     return (kept.join(rev, ["src", "dst"])
             .where(F.col("src") < F.col("dst"))
             .select("src", "dst"))
+
+
+def kcore_nodes(edges: DataFrame, k: int = 2, rounds: int = 6,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Nodes of the k-core after ``rounds`` peeling iterations — the
+    dense-evidence core of a match graph (every member keeps ≥ k
+    matched neighbors AFTER all weakly-attached records are peeled),
+    the standard "which entities are solid" cut (Seidman '83).
+
+    Each round removes every node whose current degree is < k together
+    with its edges; ``rounds`` is FIXED so both engines replay the
+    identical peeling prefix (at match-graph densities peeling
+    converges in a handful of rounds; an unconverged prefix is still
+    the same deterministic set in both engines). Returns (node,) —
+    the nodes whose degree in the surviving graph is still ≥ k.
+
+    Scale shape: per round one symmetric groupBy degree count + two
+    semi-joins of the edge list against surviving nodes, checkpointed
+    so the lineage stays one round deep; no driver state.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    for _ in range(rounds):
+        sym = e.select(F.col("s").alias("n")).union(
+            e.select(F.col("d").alias("n")))
+        keep = (sym.groupBy("n").agg(F.count("*").alias("deg"))
+                .where(F.col("deg") >= k).select("n"))
+        e = (e.join(keep.select(F.col("n").alias("s")), "s", "left_semi")
+             .join(keep.select(F.col("n").alias("d")), "d", "left_semi")
+             .select("s", "d").localCheckpoint())
+    sym = e.select(F.col("s").alias("n")).union(
+        e.select(F.col("d").alias("n")))
+    return (sym.groupBy("n").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k).select(F.col("n").alias("node")))

@@ -46,3 +46,32 @@ def test_output_canonical_and_unique(spark):
     rows = [(2, 1, 0.9), (1, 3, 0.8)]
     got = _edges(spark, rows, k=5)
     assert got == {(1, 2), (1, 3)}
+
+
+def _core(spark, rows, k=2, rounds=6):
+    from spikex_spark.operators.graph import kcore_nodes
+
+    df = spark.createDataFrame(rows, "src bigint, dst bigint")
+    return {r["node"] for r in kcore_nodes(df, k=k, rounds=rounds).collect()}
+
+
+def test_kcore_triangle_survives_tail_dies(spark):
+    # triangle 1-2-3 plus a tail 3-4-5
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _core(spark, rows) == {1, 2, 3}
+
+
+def test_kcore_star_fully_peels(spark):
+    rows = [(0, j) for j in range(1, 6)]
+    assert _core(spark, rows) == set()
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _core(spark, rows) == {1, 2, 3, 4}
+
+
+def test_kcore_cascading_peel_needs_rounds(spark):
+    # chain hanging off a triangle: peeling cascades one node per round
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+    assert _core(spark, rows, rounds=6) == {1, 2, 3}

@@ -295,6 +295,8 @@ def test_no_row_python_in_any_contract_query():
             "er_knn_pruned_clusters",
             # er_doc_clusters + a second CC over the oversized subset
             "er_refined_clusters",
+            # per-round eager checkpoints of the k-core peeling
+            "er_kcore_members",
             # scores er_doc_clusters -> CC-at-build jobs
             "er_nmi"}
     offenders = {}
