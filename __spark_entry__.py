@@ -7197,6 +7197,47 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("_c").isNotNull().alias("in_core")))
 
 
+# Medoid representative per entity: the member with the highest summed
+# match score to its co-members — the evidence-centred alternative to
+# longest-text survivorship. Int64-scaled score sums keep the argmax
+# reduction-order-proof.
+_SQL_MEDOIDS = f"""
+WITH mcl AS MATERIALIZED ({_SQL_ER_CLUSTERS}),
+msp AS MATERIALIZED ({_SQL_ER_PAIRS}),
+mm AS (SELECT id_a, id_b, round(score * 10000.0)::BIGINT AS s
+       FROM msp WHERE score >= 0.80),
+msym AS (SELECT id_a AS node, id_b AS peer, s FROM mm
+         UNION ALL SELECT id_b, id_a, s FROM mm),
+mintra AS (
+  SELECT a.cluster_id AS cl, y.node, y.s
+  FROM msym y
+  JOIN mcl a ON a.doc_id = y.node
+  JOIN mcl b ON b.doc_id = y.peer
+  WHERE a.cluster_id = b.cluster_id),
+mper AS (SELECT cl, node, sum(s)::BIGINT AS ssum
+         FROM mintra GROUP BY cl, node),
+mbase AS (
+  SELECT c.cluster_id AS cl, c.doc_id AS node,
+         coalesce(p.ssum, 0)::BIGINT AS ssum
+  FROM mcl c LEFT JOIN mper p
+    ON p.cl = c.cluster_id AND p.node = c.doc_id)
+SELECT cl AS cluster_id, node AS medoid_id, ssum AS score_sum_scaled
+FROM (SELECT *, row_number() OVER (PARTITION BY cl
+                                   ORDER BY ssum DESC, node ASC) AS rk
+      FROM mbase)
+WHERE rk = 1
+"""
+
+
+def _q_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.survivorship import cluster_medoids
+
+    clusters = _q_er_doc_clusters(spark, sf_dir)
+    matched = (_q_er_doc_pairs(spark, sf_dir)
+               .where(F.col("score") >= 0.80))
+    return cluster_medoids(clusters, matched)
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7560,6 +7601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_logit_auc": _q_logit_auc,
         "matcher_logit_brier": _q_logit_brier,
         "er_kcore_members": _q_kcore,
+        "er_cluster_medoids": _q_medoids,
     }
 
 
@@ -7774,6 +7816,7 @@ def oracle_sql() -> dict[str, str]:
         "matcher_logit_auc": _SQL_LOGIT_AUC,
         "matcher_logit_brier": _SQL_LOGIT_BRIER,
         "er_kcore_members": _SQL_KCORE,
+        "er_cluster_medoids": _SQL_MEDOIDS,
     }
 
 

@@ -121,3 +121,50 @@ def field_conflicts(clusters: DataFrame, records: DataFrame,
                 digits).alias("conflict_rate"),
         F.round(F.sum("_modal").cast("double") / F.sum("_n"),
                 digits).alias("majority_agreement")))
+
+
+def cluster_medoids(clusters: DataFrame, matched: DataFrame,
+                    id_col: str = "doc_id",
+                    cluster_col: str = "cluster_id",
+                    id_a: str = "id_a", id_b: str = "id_b",
+                    score_col: str = "score") -> DataFrame:
+    """Medoid representative per cluster: the member with the highest
+    summed match score to its co-members (ties → smallest id) — the
+    evidence-centred alternative to golden_records' keep-row rules
+    (longest text picks verbosity; the medoid picks the record every
+    other member actually agrees with).
+
+    Scores enter as ``round(score·1e4)`` int64 so the per-member sums
+    are exact (float reduction order can never move the argmax).
+    Members with no intra-cluster edges (singletons, stragglers) carry
+    sum 0 and lose ties by id. Returns (cluster_id, medoid_id,
+    score_sum_scaled) — one row per cluster, singletons included.
+
+    Scale shape: one symmetric edge expansion joined to the membership
+    table on each endpoint, a map-side-combined (cluster, member)
+    groupBy, and a per-cluster argmax window over the MEMBER table
+    (rows = records, keys = clusters — the same shape golden_records
+    already runs).
+    """
+    mem = clusters.select(F.col(id_col).alias("node"),
+                          F.col(cluster_col).alias("_cl"))
+    scaled = F.round(F.col(score_col) * F.lit(10000.0)).cast("long")
+    sym = (matched.select(F.col(id_a).alias("node"),
+                          F.col(id_b).alias("peer"),
+                          scaled.alias("s"))
+           .union(matched.select(F.col(id_b).alias("node"),
+                                 F.col(id_a).alias("peer"),
+                                 scaled.alias("s"))))
+    intra = (sym.join(mem, "node")
+             .join(mem.select(F.col("node").alias("peer"),
+                              F.col("_cl").alias("_cl2")), "peer")
+             .where(F.col("_cl") == F.col("_cl2")))
+    per = intra.groupBy("_cl", "node").agg(F.sum("s").alias("ssum"))
+    base = (mem.join(per, ["_cl", "node"], "left")
+            .fillna(0, ["ssum"]))
+    w = Window.partitionBy("_cl").orderBy(F.desc("ssum"), F.asc("node"))
+    return (base.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(F.col("_cl").alias(cluster_col),
+                    F.col("node").alias("medoid_id"),
+                    F.col("ssum").alias("score_sum_scaled")))
