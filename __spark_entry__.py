@@ -7238,6 +7238,49 @@ def _q_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_medoids(clusters, matched)
 
 
+# Per-pair blocking provenance: which channels proposed each candidate
+# pair — the explainability row behind blocking_channel_stats'
+# aggregates, and the prior for provenance-weighted scoring.
+_SQL_PAIR_PROVENANCE = f"""
+WITH ptag AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b, channel FROM (
+    SELECT id_a, id_b, 'lsh' AS channel FROM ({_SQL_CAND_PAIRS})
+    UNION ALL
+    SELECT id_a, id_b, 'soundex' AS channel FROM ({_SQL_SDX_PAIRS})
+    UNION ALL
+    SELECT id_a, id_b, 'suffix' AS channel FROM ({_SQL_SFX_PAIRS})))
+SELECT id_a, id_b,
+  list(channel ORDER BY channel) AS channels,
+  count(*)::BIGINT AS n_channels
+FROM ptag GROUP BY id_a, id_b
+"""
+
+
+def _q_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.erqc import pair_provenance
+    from spikex_spark.operators.pairs import candidate_pairs
+    from spikex_spark.operators.phonetic import (soundex_blocking_keys,
+                                                 suffix_blocking_keys)
+    from spikex_spark.pipeline import doc_candidate_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    lsh = doc_candidate_pairs(docs).select("id_a", "id_b")
+    sdx_keys = (soundex_blocking_keys(docs)
+                .where(F.col("phonetic_key") != ""))
+    sdx_small = (sdx_keys.groupBy("phonetic_key")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .where(F.col("_n") <= 50).select("phonetic_key"))
+    sdx = (candidate_pairs(sdx_keys.join(sdx_small, "phonetic_key"),
+                           key_col="phonetic_key", id_col="id",
+                           payload_cols=())
+           .select("id_a", "id_b"))
+    sfx = (candidate_pairs(
+        suffix_blocking_keys(docs, key_len=16, min_suffix=8, max_block=50),
+        key_col="suffix", id_col="id", payload_cols=())
+        .select("id_a", "id_b"))
+    return pair_provenance({"lsh": lsh, "soundex": sdx, "suffix": sfx})
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7602,6 +7645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_logit_brier": _q_logit_brier,
         "er_kcore_members": _q_kcore,
         "er_cluster_medoids": _q_medoids,
+        "er_pair_provenance": _q_pair_provenance,
     }
 
 
@@ -7817,6 +7861,7 @@ def oracle_sql() -> dict[str, str]:
         "matcher_logit_brier": _SQL_LOGIT_BRIER,
         "er_kcore_members": _SQL_KCORE,
         "er_cluster_medoids": _SQL_MEDOIDS,
+        "er_pair_provenance": _SQL_PAIR_PROVENANCE,
     }
 
 

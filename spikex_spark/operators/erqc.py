@@ -427,3 +427,34 @@ def review_sample(scored: DataFrame, lo: float = 0.70, hi: float = 0.90,
     w = Window.partitionBy("stratum").orderBy(h, "id_a", "id_b")
     return (band.withColumn("sample_rank", F.row_number().over(w))
             .where(F.col("sample_rank") <= k))
+
+
+def pair_provenance(channels: dict,
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Per-pair blocking provenance: which channels proposed each
+    candidate pair — the explainability row behind channel_stats'
+    aggregates ("why is this pair even being scored?"), and the input
+    for provenance-weighted scoring (pairs proposed by several
+    independent channels are prior-likelier matches).
+
+    Returns (id_a, id_b, channels, n_channels) with ``channels`` a
+    lexicographically sorted array. Pairs are canonicalized
+    (min, max) and deduplicated per channel first, so orientation or
+    duplicates in any channel cannot inflate the counts.
+
+    Scale shape: one union of the channel pair tables tagged with a
+    literal, one distinct + groupBy on the pair key — all map-side
+    combinable; output rows = distinct candidate pairs.
+    """
+    tagged = None
+    for name in sorted(channels):
+        t = (channels[name].select(
+                F.least(F.col(id_a), F.col(id_b)).alias("id_a"),
+                F.greatest(F.col(id_a), F.col(id_b)).alias("id_b"),
+                F.lit(name).alias("channel"))
+             .where(F.col("id_a") != F.col("id_b")))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (tagged.distinct()
+            .groupBy("id_a", "id_b")
+            .agg(F.sort_array(F.collect_list("channel")).alias("channels"),
+                 F.count("*").alias("n_channels")))

@@ -50,3 +50,27 @@ def test_covers_every_nonempty_stratum(spark):
         [0.71, 0.72, 0.76, 0.77, 0.82, 0.83, 0.86, 0.88])]
     got = _run(spark, rows, k=1)
     assert sorted(r["stratum"] for r in got) == [0, 1, 2, 3]
+
+
+def test_pair_provenance_sorted_channels(spark):
+    from spikex_spark.operators.erqc import pair_provenance
+
+    a = spark.createDataFrame([(1, 2), (3, 4)], "id_a bigint, id_b bigint")
+    b = spark.createDataFrame([(2, 1), (5, 6)], "id_a bigint, id_b bigint")
+    got = {(r["id_a"], r["id_b"]): r
+           for r in pair_provenance({"zeta": a, "alpha": b}).collect()}
+    # (1,2) proposed by both (b has it reversed); arrays sorted
+    assert got[(1, 2)]["channels"] == ["alpha", "zeta"]
+    assert got[(1, 2)]["n_channels"] == 2
+    assert got[(3, 4)]["channels"] == ["zeta"]
+    assert got[(5, 6)]["channels"] == ["alpha"]
+
+
+def test_pair_provenance_dedups_within_channel(spark):
+    from spikex_spark.operators.erqc import pair_provenance
+
+    a = spark.createDataFrame([(1, 2), (1, 2), (2, 1), (7, 7)],
+                              "id_a bigint, id_b bigint")
+    got = pair_provenance({"only": a}).collect()
+    assert len(got) == 1            # self-pair dropped, dups collapsed
+    assert got[0]["n_channels"] == 1
