@@ -7281,6 +7281,28 @@ def _q_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_provenance({"lsh": lsh, "soundex": sdx, "suffix": sfx})
 
 
+# Unsupported match edges: matches with ZERO common matched neighbors —
+# no triangle corroborates them, so each is a single-edge bridge and
+# the prime chain-merge suspect (the complement of the open-triangle
+# report: that finds missing edges, this finds unsupported ones).
+_SQL_UNSUPPORTED = f"""
+WITH uc AS MATERIALIZED ({_SQL_COLLECTIVE})
+SELECT id_a, id_b, score, union_matches
+FROM uc
+WHERE score >= 0.80 AND common_matches = 0
+"""
+
+
+def _q_unsupported_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.collective import collective_rescore
+
+    pairs = _q_er_doc_pairs(spark, sf_dir).localCheckpoint()
+    return (collective_rescore(pairs)
+            .where((F.col("score") >= 0.80)
+                   & (F.col("common_matches") == 0))
+            .select("id_a", "id_b", "score", "union_matches"))
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7646,6 +7668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_kcore_members": _q_kcore,
         "er_cluster_medoids": _q_medoids,
         "er_pair_provenance": _q_pair_provenance,
+        "er_unsupported_edges": _q_unsupported_edges,
     }
 
 
@@ -7862,6 +7885,7 @@ def oracle_sql() -> dict[str, str]:
         "er_kcore_members": _SQL_KCORE,
         "er_cluster_medoids": _SQL_MEDOIDS,
         "er_pair_provenance": _SQL_PAIR_PROVENANCE,
+        "er_unsupported_edges": _SQL_UNSUPPORTED,
     }
 
 

@@ -282,6 +282,7 @@ def test_no_row_python_in_any_contract_query():
             "er_bcubed", "er_ari",
             # eager checkpoint of the scored-pair input runs at build
             "er_one_to_one", "er_collective_scores",
+            "er_unsupported_edges",
             # consumes er_doc_clusters -> CC-at-build jobs
             "cluster_leakage_safe_split",
             # eager per-round checkpoints run the pivot rounds at build
