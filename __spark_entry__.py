@@ -7303,6 +7303,39 @@ def _q_unsupported_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", "score", "union_matches"))
 
 
+# Feature-hashing text embeddings: the model-free bridge from raw
+# documents to the array<double> shape the ANN/near-dup operators
+# consume — exact int64 bucket counts, one sqrt, rounded divisions.
+_SQL_HASHED_EMB = """
+SELECT doc_id,
+  CASE WHEN norm2 > 0
+       THEN list_transform(counts, c -> round(c / sqrt(norm2::DOUBLE), 6))
+       ELSE list_transform(counts, c -> 0.0) END AS emb
+FROM (
+  SELECT doc_id, counts,
+    list_aggregate(list_transform(counts, c -> c * c), 'sum')::BIGINT
+      AS norm2
+  FROM (
+    SELECT doc_id,
+      list_transform(range(0, 16), i ->
+        len(list_filter(toks, t ->
+          ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = i))::BIGINT)
+        AS counts
+    FROM (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS toks
+          FROM documents)))
+"""
+
+
+def _q_hashed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import hashed_embedding
+
+    docs = _read(spark, sf_dir, "documents")
+    return hashed_embedding(docs, dim=16).select(
+        F.col("id").alias("doc_id"), "emb")
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7669,6 +7702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_medoids": _q_medoids,
         "er_pair_provenance": _q_pair_provenance,
         "er_unsupported_edges": _q_unsupported_edges,
+        "hashed_embeddings": _q_hashed_emb,
     }
 
 
@@ -7886,6 +7920,7 @@ def oracle_sql() -> dict[str, str]:
         "er_cluster_medoids": _SQL_MEDOIDS,
         "er_pair_provenance": _SQL_PAIR_PROVENANCE,
         "er_unsupported_edges": _SQL_UNSUPPORTED,
+        "hashed_embeddings": _SQL_HASHED_EMB,
     }
 
 

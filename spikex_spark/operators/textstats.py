@@ -205,3 +205,39 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select(F.col(id_col).alias("id"),
                      scrubbed.alias("scrubbed"), *counts)
+
+
+def hashed_embedding(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", dim: int = 16) -> DataFrame:
+    """(id, emb): feature-hashing text embeddings — the model-free
+    bridge from raw documents to the `array<double>` shape every
+    vector operator here consumes (ANN top-k, embedding near-dup,
+    IVF), following the hashing trick (Weinberger et al. ICML'09):
+    token t lands in bucket md5(t) mod dim, the bucket-count vector is
+    L2-normalized.
+
+    Exactness contract: bucket counts are exact int64, the norm is one
+    sqrt over an exact integer sum of squares, each coordinate is one
+    division rounded to 6 decimals — both engines reproduce every
+    digit. Empty documents embed as the zero vector.
+
+    Scale shape: a pure narrow map (tokenize → transform over a
+    literal dim range) — no shuffle, no UDF; at 100 TB this is the
+    cheapest stage in the pipeline and composes with the bucketed ANN
+    operators downstream.
+    """
+    toks = _tokens(F.col(text_col))
+    bucket = lambda t: (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                        .cast("long") % dim)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(toks, lambda t: bucket(t) == i))
+                   .cast("long"))
+    norm2 = F.aggregate(counts, F.lit(0).cast("long"),
+                        lambda acc, c: acc + c * c)
+    norm = F.sqrt(norm2.cast("double"))
+    emb = F.when(
+        norm2 > 0,
+        F.transform(counts, lambda c: F.round(c / norm, 6))
+    ).otherwise(F.transform(counts, lambda c: F.lit(0.0)))
+    return df.select(F.col(id_col).alias("id"), emb.alias("emb"))
