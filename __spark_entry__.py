@@ -7336,6 +7336,35 @@ def _q_hashed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "emb")
 
 
+# Text → vector → top-k entirely in-engine: brute-force cosine search
+# over the feature-hashing embeddings, no external model anywhere.
+_SQL_HASHED_ANN = f"""
+WITH hemb AS MATERIALIZED ({_SQL_HASHED_EMB}),
+hq AS (SELECT doc_id, emb FROM hemb WHERE doc_id < 5),
+hscored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+    round(list_dot_product(q.emb, c.emb)
+      / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+         * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 4) AS cos
+  FROM hemb c, hq q WHERE q.doc_id <> c.doc_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM hscored) WHERE rank <= 5
+"""
+
+
+def _q_hashed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.simsearch import cosine_topk
+    from spikex_spark.operators.textstats import hashed_embedding
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, dim=16).select(
+        F.col("id").alias("vec_id"), F.col("emb").alias("embedding"))
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7703,6 +7732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pair_provenance": _q_pair_provenance,
         "er_unsupported_edges": _q_unsupported_edges,
         "hashed_embeddings": _q_hashed_emb,
+        "hashed_ann_topk": _q_hashed_ann,
     }
 
 
@@ -7921,6 +7951,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pair_provenance": _SQL_PAIR_PROVENANCE,
         "er_unsupported_edges": _SQL_UNSUPPORTED,
         "hashed_embeddings": _SQL_HASHED_EMB,
+        "hashed_ann_topk": _SQL_HASHED_ANN,
     }
 
 
