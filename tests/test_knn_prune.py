@@ -75,3 +75,71 @@ def test_kcore_cascading_peel_needs_rounds(spark):
     # chain hanging off a triangle: peeling cascades one node per round
     rows = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
     assert _core(spark, rows, rounds=6) == {1, 2, 3}
+
+
+def _brute_mutual_knn(rows, k):
+    import collections
+
+    by_node = collections.defaultdict(list)
+    for a, b, s in rows:
+        by_node[a].append((-s, b))
+        by_node[b].append((-s, a))
+    picks = {n: {p for _, p in sorted(v)[:k]} for n, v in by_node.items()}
+    out = set()
+    for a, b, _ in rows:
+        if b in picks.get(a, ()) and a in picks.get(b, ()):
+            out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_mutual_knn_matches_brute_force_random_graphs(spark):
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 14)
+        pairs = {(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < 0.4}
+        rows = [(a, b, round(rng.random(), 4)) for a, b in pairs]
+        if not rows:
+            continue
+        k = rng.randint(1, 3)
+        assert _edges(spark, rows, k=k) == _brute_mutual_knn(rows, k), \
+            (seed, k)
+
+
+def _brute_kcore(rows, k):
+    import collections
+
+    edges = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+    while True:
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        alive = {n for n, d in deg.items() if d >= k}
+        kept = {(a, b) for a, b in edges if a in alive and b in alive}
+        if kept == edges:
+            break
+        edges = kept
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    return {n for n, d in deg.items() if d >= k}
+
+
+def test_kcore_matches_brute_force_random_graphs(spark):
+    import random
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        n = rng.randint(5, 12)
+        rows = [(a, b) for a in range(n) for b in range(a + 1, n)
+                if rng.random() < 0.35]
+        if not rows:
+            continue
+        k = rng.randint(2, 3)
+        # rounds = n is always enough for full convergence
+        assert _core(spark, rows, k=k, rounds=n) == _brute_kcore(rows, k), \
+            (seed, k)
