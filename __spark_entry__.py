@@ -7365,6 +7365,55 @@ def _q_hashed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+# Comparison-budget planner: the pair counts each blocking channel
+# would generate — computed from block SIZES, never by expanding pairs
+# — and what the per-block cap buys. The go/no-go number before any
+# 10^12-document blocking run.
+_SQL_BLOCKING_COST = f"""
+WITH bsz AS MATERIALIZED (
+  SELECT 'lsh' AS channel, count(*)::BIGINT AS s
+  FROM ({_SQL_BUCKETS}) GROUP BY band, bucket
+  UNION ALL
+  SELECT 'soundex', count(*)::BIGINT FROM ({_soundex_sql()})
+  WHERE phonetic_key <> '' GROUP BY phonetic_key
+  UNION ALL
+  SELECT 'suffix', count(*)::BIGINT FROM ({_SQL_SUFFIX_KEYS})
+  GROUP BY suffix
+)
+SELECT channel,
+  count(*)::BIGINT AS n_blocks,
+  sum(s)::BIGINT AS n_keyed_rows,
+  sum(s * (s - 1) // 2)::BIGINT AS pairs_uncapped,
+  sum(least(s, 50) * (least(s, 50) - 1) // 2)::BIGINT AS pairs_capped,
+  round(CASE WHEN sum(s * (s - 1) // 2) > 0
+        THEN 1 - sum(least(s, 50) * (least(s, 50) - 1) // 2)
+                 / sum(s * (s - 1) // 2)
+        ELSE 0.0 END, 6) AS cap_savings
+FROM bsz GROUP BY channel
+"""
+
+
+def _q_blocking_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators import blocking as B
+    from spikex_spark.operators.metablocking import blocking_cost
+    from spikex_spark.operators.phonetic import (soundex_blocking_keys,
+                                                 suffix_blocking_keys)
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = B.minhash_signatures(B.shingle_df(docs, "doc_id", "text", k=5),
+                               16)
+    lsh = (B.lsh_buckets(sig, bands=4, rows_per_band=4)
+           .select(F.concat_ws(":", "band", "bucket").alias("key")))
+    sdx = (soundex_blocking_keys(docs)
+           .where(F.col("phonetic_key") != "")
+           .select(F.col("phonetic_key").alias("key")))
+    sfx = (suffix_blocking_keys(docs, key_len=16, min_suffix=8,
+                                max_block=50)
+           .select(F.col("suffix").alias("key")))
+    return blocking_cost({"lsh": lsh, "soundex": sdx, "suffix": sfx},
+                         cap=50)
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7733,6 +7782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_unsupported_edges": _q_unsupported_edges,
         "hashed_embeddings": _q_hashed_emb,
         "hashed_ann_topk": _q_hashed_ann,
+        "blocking_cost_plan": _q_blocking_cost,
     }
 
 
@@ -7952,6 +8002,7 @@ def oracle_sql() -> dict[str, str]:
         "er_unsupported_edges": _SQL_UNSUPPORTED,
         "hashed_embeddings": _SQL_HASHED_EMB,
         "hashed_ann_topk": _SQL_HASHED_ANN,
+        "blocking_cost_plan": _SQL_BLOCKING_COST,
     }
 
 

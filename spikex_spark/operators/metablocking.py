@@ -77,3 +77,43 @@ def meta_block_pairs(blocks: DataFrame, block_col: str = "block_id",
     """Full CBS + WEP meta-blocking pass over a block collection."""
     return wep_prune(cbs_pairs(blocks, block_col, id_col,
                                max_block_size))
+
+
+def blocking_cost(channels: dict, cap: int = 50) -> DataFrame:
+    """Comparison-budget planner: how many pairwise comparisons each
+    blocking channel will generate, BEFORE materializing a single pair
+    — the number that decides whether a blocking config is even
+    runnable at 10^12 documents, and what the per-block cap buys.
+
+    ``channels`` maps name → keyed DataFrame with a ``key`` column
+    (one row per record occurrence). Per channel: (channel, n_blocks,
+    n_keyed_rows, pairs_uncapped, pairs_capped, cap_savings) where
+    pairs = Σ s(s−1)/2 over block sizes s and the capped variant
+    replaces s with min(s, cap) — all integer `div` arithmetic, one
+    rounded division for the savings fraction.
+
+    Scale shape: one map-side-combined groupBy per channel onto block
+    sizes, then a scalar aggregate — the cost of PLANNING is one scan
+    per channel, never a pair expansion.
+    """
+    out = None
+    for name in sorted(channels):
+        sz = channels[name].groupBy("key").agg(F.count("*").alias("s"))
+        pairs = F.sum(F.expr("s * (s - 1) div 2"))
+        capped = F.sum(F.expr(
+            f"least(s, {cap}) * (least(s, {cap}) - 1) div 2"))
+        row = (sz.agg(F.count("*").alias("n_blocks"),
+                      F.sum("s").alias("n_keyed_rows"),
+                      pairs.alias("pairs_uncapped"),
+                      capped.alias("pairs_capped"))
+               .select(F.lit(name).alias("channel"),
+                       "n_blocks", "n_keyed_rows",
+                       "pairs_uncapped", "pairs_capped",
+                       F.round(F.when(
+                           F.col("pairs_uncapped") > 0,
+                           1 - F.col("pairs_capped")
+                           / F.col("pairs_uncapped"))
+                           .otherwise(F.lit(0.0)), 6)
+                        .alias("cap_savings")))
+        out = row if out is None else out.unionByName(row)
+    return out

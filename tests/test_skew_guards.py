@@ -106,3 +106,26 @@ def test_resumable_doc_pairs_capped_under_clone_storm(spark, tmp_path):
                       input_fingerprint="c")
     n = pairs.count()
     assert n <= 1000 * 999 / 2 + 1, n
+
+
+def test_blocking_cost_exact_counts(spark):
+    from pyspark.sql import functions as F
+    from spikex_spark.operators.metablocking import blocking_cost
+
+    keyed = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], "key string")
+    got = {r["channel"]: r
+           for r in blocking_cost({"ch": keyed}, cap=3).collect()}
+    r = got["ch"]
+    assert r["n_blocks"] == 3 and r["n_keyed_rows"] == 8
+    assert r["pairs_uncapped"] == 10 + 1        # C(5,2)+C(2,2)
+    assert r["pairs_capped"] == 3 + 1           # C(3,2)+C(2,2)
+    assert r["cap_savings"] == round(1 - 4 / 11, 6)
+
+
+def test_blocking_cost_singleton_only_channel(spark):
+    from spikex_spark.operators.metablocking import blocking_cost
+
+    keyed = spark.createDataFrame([("x",), ("y",)], "key string")
+    r = blocking_cost({"solo": keyed}).collect()[0]
+    assert r["pairs_uncapped"] == 0 and r["cap_savings"] == 0.0
