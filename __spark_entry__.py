@@ -7414,6 +7414,35 @@ def _q_blocking_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
                          cap=50)
 
 
+# The published ENTITIES table — the user-facing end product of the
+# whole pipeline in one row per entity: size, longest-text keep row,
+# evidence medoid, and majority-fused attributes.
+_SQL_ENTITIES = f"""
+WITH eg AS MATERIALIZED ({_SQL_GOLDEN}),
+em AS MATERIALIZED ({_SQL_MEDOIDS})
+SELECT eg.cluster_id, eg.n_members, eg.keep_id, em.medoid_id,
+       em.score_sum_scaled, eg.lang, eg.source
+FROM eg JOIN em ON em.cluster_id = eg.cluster_id
+"""
+
+
+def _q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.survivorship import (cluster_medoids,
+                                                     golden_records)
+
+    docs = _read(spark, sf_dir, "documents")
+    clusters = _q_er_doc_clusters(spark, sf_dir).localCheckpoint()
+    golden = golden_records(
+        clusters, docs.select("doc_id", "lang", "source", "n_chars"),
+        ["lang", "source"], size_col="n_chars")
+    matched = (_q_er_doc_pairs(spark, sf_dir)
+               .where(F.col("score") >= 0.80))
+    med = cluster_medoids(clusters, matched)
+    return (golden.join(med, "cluster_id")
+            .select("cluster_id", "n_members", "keep_id", "medoid_id",
+                    "score_sum_scaled", "lang", "source"))
+
+
 # Crawl-composition drift: (lang:source) population shares between the
 # previous crawl (doc_id % 10 <> 0, same convention as er_run_diff) and
 # the current one — the monitor that catches mix shifts before they
@@ -7783,6 +7812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_embeddings": _q_hashed_emb,
         "hashed_ann_topk": _q_hashed_ann,
         "blocking_cost_plan": _q_blocking_cost,
+        "entities_table": _q_entities,
     }
 
 
@@ -8003,6 +8033,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_embeddings": _SQL_HASHED_EMB,
         "hashed_ann_topk": _SQL_HASHED_ANN,
         "blocking_cost_plan": _SQL_BLOCKING_COST,
+        "entities_table": _SQL_ENTITIES,
     }
 
 

@@ -292,7 +292,7 @@ def test_no_row_python_in_any_contract_query():
             "er_method_agreement",
             # consumes er_doc_clusters -> CC-at-build jobs
             "entity_count_chao1", "golden_field_conflicts",
-            "er_cluster_medoids",
+            "er_cluster_medoids", "entities_table",
             # CC-at-build over the kNN-pruned edges
             "er_knn_pruned_clusters",
             # er_doc_clusters + a second CC over the oversized subset
