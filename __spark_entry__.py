@@ -4347,6 +4347,55 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=0.5, threshold=30.0)
 
 
+# DSIR importance weights (Xie et al. 2023): raw = all documents, target
+# = the English slice; hashed unigram+bigram multinomials, per-bucket
+# log-ratio snapped to int64 e7 (lm.py convention) so per-doc sums are
+# exact integers; keep = deterministic top-100 by (weight DESC, id).
+_SQL_DSIR = """
+WITH tok AS (
+  SELECT doc_id AS id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT id, lang, unnest(toks) AS gram FROM tok
+  UNION ALL
+  SELECT id, lang, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM tok, unnest(range(1, len(toks))) AS u(i)
+),
+hb AS (SELECT id, lang,
+              ('0x' || substr(md5(gram), 1, 8))::bigint % 1024 AS b
+       FROM g),
+cs AS (SELECT b, count(*)::bigint AS c_s FROM hb GROUP BY 1),
+ct AS (SELECT b, count(*)::bigint AS c_t FROM hb WHERE lang = 'en'
+       GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM hb)::double AS n_s,
+               (SELECT count(*) FROM hb WHERE lang = 'en')::double AS n_t),
+lam AS (
+  SELECT cs.b,
+         round(ln(((coalesce(ct.c_t, 0) + 0.5) / (tot.n_t + 512.0))
+                / ((cs.c_s + 0.5) / (tot.n_s + 512.0)))
+               * 10000000.0)::bigint AS lam_e7
+  FROM cs LEFT JOIN ct USING (b) CROSS JOIN tot
+),
+doc AS (SELECT id, b, count(*)::bigint AS c FROM hb GROUP BY 1, 2),
+w AS (SELECT id, sum(c)::bigint AS n_grams,
+             sum(c * lam_e7)::bigint AS weight_e7
+      FROM doc JOIN lam USING (b) GROUP BY 1)
+SELECT id, n_grams, weight_e7,
+       (row_number() OVER (ORDER BY weight_e7 DESC, id) <= 100)::int AS keep
+FROM w
+"""
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dsir import dsir_weights
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("lang") == "en"),
+                        "doc_id", "text", top_k=100)
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.retrieval import bm25_topk, corpus_queries
     docs = _read(spark, sf_dir, "documents")
@@ -7677,6 +7726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
         "lm_perplexity": _q_lm_perplexity,
+        "dsir_weights": _q_dsir_weights,
         "bm25_topk": _q_bm25_topk,
         "kmv_distinct_bigrams": _q_kmv_distinct,
         "kmv_merge_shards": _q_kmv_merge,
@@ -7886,6 +7936,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
+        "dsir_weights": _SQL_DSIR,
         "bm25_topk": _SQL_BM25,
         "kmv_distinct_bigrams": _SQL_KMV,
         "kmv_merge_shards": _SQL_KMV_MERGE,
