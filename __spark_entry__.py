@@ -4432,6 +4432,67 @@ def _q_cos_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dups(emb, dim=64, min_cos=0.35)
 
 
+# DBSCAN over the embedding epsilon graph (same sign-band candidates +
+# exact-cosine verify as embedding_near_dups, at eps=cos>=0.30): core iff
+# >= min_pts-1 epsilon-neighbors, clusters = CC over core-core edges
+# (min-id labels), border = min core-neighbor cluster, noise = -1.
+def _sql_dbscan(dim: int = 64, bits: int = 16, bands: int = 4,
+                min_cos: float = 0.30, min_pts: int = 3) -> str:
+    cos = ("round(list_dot_product(va.e, vb.e)"
+           " / (sqrt(list_dot_product(va.e, va.e))"
+           " * sqrt(list_dot_product(vb.e, vb.e))), 4)")
+    return f"""
+WITH RECURSIVE {_sql_sign_ctes(dim, bits, bands)},
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT id_a, id_b FROM cands
+  JOIN v va ON va.vec_id = id_a
+  JOIN v vb ON vb.vec_id = id_b
+  WHERE {cos} >= {min_cos}
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+core AS (SELECT a AS id FROM deg WHERE d >= {min_pts - 1}),
+ce AS (SELECT p.id_a AS src, p.id_b AS dst FROM p
+       JOIN core ca ON ca.id = p.id_a
+       JOIN core cb ON cb.id = p.id_b),
+reach AS (
+  SELECT id AS node, id AS root FROM core
+  UNION
+  SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.root
+  FROM reach r JOIN ce e ON e.src = r.node OR e.dst = r.node
+),
+ccl AS (SELECT node AS id, min(root) AS cluster_id FROM reach GROUP BY 1),
+bord AS (
+  SELECT s.a AS id, min(c.cluster_id) AS cluster_id
+  FROM sym s JOIN ccl c ON c.id = s.b
+  WHERE s.a NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT emb.vec_id AS id,
+  CASE WHEN ccl.id IS NOT NULL THEN 'core'
+       WHEN bord.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  coalesce(ccl.cluster_id, bord.cluster_id, -1)::bigint AS cluster_id
+FROM embeddings emb
+LEFT JOIN ccl ON ccl.id = emb.vec_id
+LEFT JOIN bord ON bord.id = emb.vec_id
+"""
+
+
+def _q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.density import dbscan_clusters
+    from spikex_spark.operators.simsearch import cosine_near_dups
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dups(emb, dim=64, min_cos=0.30)
+    return dbscan_clusters(pairs, emb, id_col="vec_id", min_pts=3)
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: k-means-trained coarse lists (one deterministic Lloyd
     refinement of the first-nlist seeds, centroid means rounded to 6
@@ -7783,6 +7844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeanspar_topk": _q_ann_ivf_kmeanspar_topk,
         "ann_ivf_topk_incremental": _q_ann_ivf_topk_incremental,
         "embedding_near_dups": _q_cos_near_dups,
+        "dbscan_embeddings": _q_dbscan_embeddings,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -7993,6 +8055,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeanspar_topk": _sql_ann_ivf_kmeanspar(),
         "ann_ivf_topk_incremental": _sql_ann_ivf_incr(),
         "embedding_near_dups": _sql_cos_near(),
+        "dbscan_embeddings": _sql_dbscan(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
