@@ -2136,6 +2136,104 @@ def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_id", "url", "canonical_url", "is_kept")
 
 
+# Anchor-text alias rollup fixture: raw (url, html) pages shared; link
+# extraction, URL canonicalization (urls.canonical_url mirror) and the
+# per-target alias aggregation computed INDEPENDENTLY on both sides.
+# Exercises: www/utm/fragment/default-case canonical collapse, tag
+# stripping + whitespace collapse in anchors (explicit [ \t\n\x0b\f\r]
+# class — Java \s and RE2 \s disagree on \x0b), uppercase <A>, a
+# multiline anchor, empty-anchor and empty-href links (dropped).
+_ANCHOR_FIXTURE = [
+    ("https://site1.com/a",
+     "<html><body>"
+     '<a href="https://www.Example.com/apple?utm_source=x">Apple Inc.</a>'
+     ' <a href="https://example.com/apple#frag"><b>Apple</b> Inc.</a>'
+     "</body></html>"),
+    ("https://site2.com/b",
+     '<p><a href="https://example.com/apple">AAPL</a>'
+     '<a href="https://example.com/banana">Banana</a>'
+     '<a href="https://example.com/empty"> <b> </b> </a>'
+     '<a href="">dangling</a>'
+     '<A HREF="https://example.com/apple">Apple\nInc.</A></p>'),
+    ("https://site3.com/c", "<html><body>no links here</body></html>"),
+]
+
+_ANCHOR_PAT = '(?is)<a[ \\t\\n\\x0b\\f\\r][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+_ANCHOR_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def _sql_anchor_aliases() -> str:
+    def lit(t: str) -> str:
+        return " || chr(10) || ".join(
+            "'" + p.replace("'", "''") + "'" for p in t.split("\n"))
+
+    vals = ",\n    ".join(f"({lit(u)}, {lit(h)})"
+                          for u, h in _ANCHOR_FIXTURE)
+    return f"""
+WITH raw AS (SELECT * FROM (VALUES
+    {vals}
+  ) AS t(src, html)),
+mm AS (SELECT src, unnest(regexp_extract_all(html, '{_ANCHOR_PAT}')) AS m
+       FROM raw),
+l0 AS (SELECT src,
+              regexp_extract(m, '{_ANCHOR_PAT}', 1) AS dst_raw,
+              trim(regexp_replace(lower(regexp_replace(
+                  regexp_extract(m, '{_ANCHOR_PAT}', 2),
+                  '<[^>]*>', ' ', 'g')),
+                  '{_ANCHOR_WS}', ' ', 'g')) AS anchor
+       FROM mm),
+s1 AS (SELECT *, regexp_replace(trim(dst_raw), '#.*$', '') AS u FROM l0),
+s2 AS (SELECT *, regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+         AS raw_auth FROM s1),
+s3 AS (SELECT *, substr(u, length(raw_auth) + 1) AS rest,
+         regexp_replace(regexp_replace(regexp_replace(lower(raw_auth),
+             '^(https?://)www\\.', '\\1'),
+             '^(http://[^/?#]*):80$', '\\1'),
+             '^(https://[^/?#]*):443$', '\\1') AS auth
+  FROM s2),
+s4 AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         CASE WHEN strpos(rest, '?') > 0
+              THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS qs
+  FROM s3),
+s5 AS (SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         array_to_string(list_sort(list_filter(string_split(qs, '&'),
+             p -> p <> '' AND NOT starts_with(p, 'utm_')
+                  AND NOT starts_with(p, 'gclid=')
+                  AND NOT starts_with(p, 'fbclid='))), '&') AS qs2
+  FROM s4),
+links AS (
+  SELECT src, anchor,
+         CASE WHEN raw_auth = '' THEN u
+              ELSE auth || path ||
+                   CASE WHEN qs2 <> '' THEN '?' || qs2 ELSE '' END
+         END AS dst
+  FROM s5
+  WHERE anchor <> ''),
+lf AS (SELECT * FROM links WHERE dst <> ''),
+pa AS (SELECT dst, anchor, count(*)::bigint AS n FROM lf GROUP BY 1, 2),
+rk AS (SELECT dst, anchor, n,
+              row_number() OVER (PARTITION BY dst
+                                 ORDER BY n DESC, anchor) AS r
+       FROM pa),
+tops AS (SELECT dst, sum(n)::bigint AS n_links,
+                count(*)::bigint AS n_aliases,
+                max(CASE WHEN r = 1 THEN anchor END) AS top_alias,
+                (list_sort(list(DISTINCT anchor)))[1:20] AS aliases
+         FROM rk GROUP BY 1),
+srcs AS (SELECT dst, count(DISTINCT src)::bigint AS n_sources
+         FROM lf GROUP BY 1)
+SELECT t.dst, t.n_links, s.n_sources, t.n_aliases, t.top_alias, t.aliases
+FROM tops t JOIN srcs s USING (dst)
+"""
+
+
+def _q_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.anchors import anchor_aliases
+    rows = [(u, h.encode()) for u, h in _ANCHOR_FIXTURE]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return anchor_aliases(df, "url", "html")
+
+
 # PII-scrub fixture: raw inputs shared; scrub + counts computed
 # INDEPENDENTLY on both sides (Java regex vs RE2 — patterns restricted to
 # constructs with identical semantics, see textstats.PII_PATTERNS).
@@ -7771,6 +7869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "repetition_stats": _q_repetition,
         "url_canonical": _q_url_canonical,
+        "anchor_aliases": _q_anchor_aliases,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "substring_dup_spans": _q_substring_spans,
@@ -7982,6 +8081,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "repetition_stats": _SQL_REPETITION,
         "url_canonical": _sql_url_canonical(),
+        "anchor_aliases": _sql_anchor_aliases(),
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "substring_dup_spans": _SQL_SUBSTR_SPANS,

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import pytest
+
+from spikex_spark.operators.anchors import anchor_aliases, extract_links
+
+PAGES = [
+    (
+        "https://site1.com/a",
+        "<html><body>"
+        '<a href="https://www.Example.com/apple?utm_source=x">Apple Inc.</a>'
+        ' <a href="https://example.com/apple#frag"><b>Apple</b> Inc.</a>'
+        "</body></html>",
+    ),
+    (
+        "https://site2.com/b",
+        '<p><a href="https://example.com/apple">AAPL</a>'
+        '<a href="https://example.com/banana">Banana</a>'
+        '<a href="https://example.com/empty"> <b> </b> </a>'
+        '<a href="">dangling</a>'
+        '<A HREF="https://example.com/apple">Apple\nInc.</A></p>',
+    ),
+    ("https://site3.com/c", "<html><body>no links here</body></html>"),
+]
+
+
+@pytest.fixture(scope="module")
+def pages_bin_df(spark):
+    rows = [(u, h.encode()) for u, h in PAGES]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_links_binary_html(spark, pages_bin_df):
+    got = sorted(
+        (r["src"], r["dst"], r["anchor"])
+        for r in extract_links(pages_bin_df).collect()
+    )
+    assert got == [
+        ("https://site1.com/a", "https://example.com/apple", "apple inc."),
+        ("https://site1.com/a", "https://example.com/apple", "apple inc."),
+        ("https://site2.com/b", "https://example.com/apple", "aapl"),
+        ("https://site2.com/b", "https://example.com/apple", "apple inc."),
+        ("https://site2.com/b", "https://example.com/banana", "banana"),
+    ]
+
+
+def test_extract_links_no_canonicalize(spark, pages_bin_df):
+    dsts = {
+        r["dst"]
+        for r in extract_links(pages_bin_df, canonicalize=False).collect()
+    }
+    assert "https://www.Example.com/apple?utm_source=x" in dsts
+    assert "https://example.com/apple#frag" in dsts
+
+
+def test_anchor_aliases_rollup(spark, pages_bin_df):
+    rows = {r["dst"]: r for r in anchor_aliases(pages_bin_df).collect()}
+    assert set(rows) == {
+        "https://example.com/apple",
+        "https://example.com/banana",
+    }
+    a = rows["https://example.com/apple"]
+    assert a["n_links"] == 4
+    assert a["n_sources"] == 2
+    assert a["n_aliases"] == 2
+    assert a["top_alias"] == "apple inc."
+    assert a["aliases"] == ["aapl", "apple inc."]
+    b = rows["https://example.com/banana"]
+    assert (b["n_links"], b["n_sources"], b["top_alias"]) == (1, 1, "banana")
+
+
+def test_top_alias_tie_is_alphabetical(spark):
+    html = (
+        '<a href="https://t.com/x">beta</a>'
+        '<a href="https://t.com/x">alpha</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://s.com/p", html.encode())], "url string, html binary"
+    )
+    row = anchor_aliases(df).collect()[0]
+    assert row["top_alias"] == "alpha"
+
+
+def test_max_aliases_cap(spark):
+    html = "".join(
+        f'<a href="https://t.com/x">alias{i:02d}</a>' for i in range(30)
+    )
+    df = spark.createDataFrame(
+        [("https://s.com/p", html.encode())], "url string, html binary"
+    )
+    row = anchor_aliases(df, max_aliases=5).collect()[0]
+    assert row["n_aliases"] == 30
+    assert row["aliases"] == [f"alias{i:02d}" for i in range(5)]
