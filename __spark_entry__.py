@@ -234,6 +234,52 @@ JOIN counts cb ON cb.id = id_b
 WHERE round(i::double / (ca.n_grams + cb.n_grams - i), 6) >= 0.5
 """
 
+# Asymmetric containment (Broder 1997): |A∩B| / min(|A|,|B|) over the
+# same rare-gram profile as ngram_jaccard — catches a page quoted whole
+# inside a larger aggregator, which Jaccard structurally misses.
+_SQL_CONTAINMENT = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')]
+    END) AS gram
+  FROM t
+),
+g0 AS (SELECT id, gram FROM grams WHERE gram <> ''),
+g AS (
+  SELECT id, gram FROM g0
+  QUALIFY count(*) OVER (PARTITION BY gram) <= 1000
+),
+counts AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT id_a, id_b, i, ca.n_grams AS na, cb.n_grams AS nb,
+         round(i::double / least(ca.n_grams, cb.n_grams), 6) AS containment
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+)
+SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_b ELSE id_a END AS container_id,
+       i::bigint AS inter, least(na, nb)::bigint AS n_small,
+       greatest(na, nb)::bigint AS n_big, containment
+FROM j WHERE containment >= 0.8
+"""
+
 _SQL_MINHASH_NEAR = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 buckets0 AS ({_SQL_BUCKETS}),
@@ -2042,6 +2088,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_jaccard=0.5
+    )
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import containment_pairs
+    return containment_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, min_containment=0.8
     )
 
 
@@ -7865,6 +7919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "containment_pairs": _q_containment,
         "minhash_near_dups": _q_minhash_near_dups,
         "lang_id": _q_lang_id,
         "repetition_stats": _q_repetition,
@@ -8077,6 +8132,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _SQL_SIMHASH,
         "simhash_near_dups": _SQL_SIMHASH_PAIRS,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACC,
+        "containment_pairs": _SQL_CONTAINMENT,
         "minhash_near_dups": _SQL_MINHASH_NEAR,
         "lang_id": _sql_lang_id(),
         "repetition_stats": _SQL_REPETITION,

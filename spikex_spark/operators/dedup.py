@@ -130,17 +130,12 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, min_jaccard: float = 0.5,
-                        max_df: int = 1000,
-                        return_counts: bool = False) -> DataFrame:
-    """(id_a, id_b, jaccard): EXACT token-n-gram Jaccard over pairs sharing
-    ≥1 gram, computed over the RARE-GRAM profile: grams appearing in more
-    than ``max_df`` documents ("of the X" hub grams) are dropped from BOTH
-    the candidate join and the per-doc counts — the self-join is quadratic
-    per hub gram, so an uncapped run detonates at 100 TB. The skew guard is
-    ON by default and mirrored in the DuckDB oracle; ``max_df=None``
-    disables it. Jaccard stays exact w.r.t. the filtered gram sets."""
+def _rare_gram_profile(df: DataFrame, id_col: str, text_col: str,
+                       n: int, max_df: int | None):
+    """(grams, counts) — per-doc DISTINCT token-n-gram stream and its
+    per-doc cardinalities, with the shared hub-gram skew guard: grams
+    appearing in more than ``max_df`` documents are dropped from BOTH
+    (the gram self-join is quadratic per hub gram)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
     )
@@ -169,6 +164,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         grams = grams.join(F.broadcast(hub), "gram", "left_anti")
     counts = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return grams, counts
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, min_jaccard: float = 0.5,
+                        max_df: int = 1000,
+                        return_counts: bool = False) -> DataFrame:
+    """(id_a, id_b, jaccard): EXACT token-n-gram Jaccard over pairs sharing
+    ≥1 gram, computed over the RARE-GRAM profile: grams appearing in more
+    than ``max_df`` documents ("of the X" hub grams) are dropped from BOTH
+    the candidate join and the per-doc counts — the self-join is quadratic
+    per hub gram, so an uncapped run detonates at 100 TB. The skew guard is
+    ON by default and mirrored in the DuckDB oracle; ``max_df=None``
+    disables it. Jaccard stays exact w.r.t. the filtered gram sets."""
+    grams, counts = _rare_gram_profile(df, id_col, text_col, n, max_df)
     inter = (
         grams.alias("a")
         .join(grams.alias("b"), "gram")
@@ -192,6 +202,62 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 *([F.col("inter").alias("i"),
                    (F.col("na") + F.col("nb") - F.col("inter")).alias("u")]
                   if return_counts else []))
+    )
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, min_containment: float = 0.8,
+                      max_df: int = 1000) -> DataFrame:
+    """(contained_id, container_id, inter, n_small, n_big, containment) —
+    ASYMMETRIC near-duplication: how much of the smaller document's
+    n-gram profile appears in the larger one (Broder 1997's containment,
+    the companion measure to resemblance/Jaccard).
+
+    Jaccard misses subset duplication by construction — a page fully
+    quoted inside a 10× larger aggregator scores ``|A|/|B| ≈ 0.1`` and
+    sails past every resemblance threshold, yet it is exactly the
+    redundancy an LLM-training corpus wants deduplicated.  Containment
+    ``C = |A∩B| / min(|A|,|B|)`` is 1.0 for that pair.
+
+    ``contained_id`` is the doc with the smaller rare-gram profile
+    (ties: smaller id — deterministic), ``container_id`` the other.
+    Shares :func:`ngram_jaccard_pairs`'s rare-gram machinery, hub-gram
+    skew guard included (same 100-TB posture: no unguarded quadratic
+    gram join; the oracle mirrors the guard).
+    """
+    grams, counts = _rare_gram_profile(df, id_col, text_col, n, max_df)
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    small_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cont = F.round(
+        F.col("inter").cast("double")
+        / F.least("na", "nb").cast("double"),
+        6,
+    )
+    return (
+        inter.join(counts.withColumnsRenamed(
+            {"id": "id_a", "n_grams": "na"}), "id_a")
+        .join(counts.withColumnsRenamed(
+            {"id": "id_b", "n_grams": "nb"}), "id_b")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= min_containment)
+        .select(
+            F.when(small_first, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(small_first, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("container_id"),
+            F.col("inter").cast("long").alias("inter"),
+            F.least("na", "nb").cast("long").alias("n_small"),
+            F.greatest("na", "nb").cast("long").alias("n_big"),
+            "containment",
+        )
     )
 
 
