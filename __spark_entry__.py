@@ -2210,21 +2210,27 @@ _ANCHOR_FIXTURE = [
      '<a href="">dangling</a>'
      '<A HREF="https://example.com/apple">Apple\nInc.</A></p>'),
     ("https://site3.com/c", "<html><body>no links here</body></html>"),
+    # shared-alias targets for the alias blocking channel: the crawl
+    # calls apple-redirect "Apple Inc." and banana2 "Banana" too
+    ("https://site4.com/d",
+     '<div><a href="https://example.com/apple-redirect">Apple Inc.</a>'
+     '<a href="https://example.com/banana2">Banana</a></div>'),
 ]
 
 _ANCHOR_PAT = '(?is)<a[ \\t\\n\\x0b\\f\\r][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 _ANCHOR_WS = "[ \\t\\n\\x0b\\f\\r]+"
 
 
-def _sql_anchor_aliases() -> str:
+def _sql_anchor_links() -> str:
+    """Shared oracle CTE chain raw → links (extraction + canonical_url
+    mirror + empty drops); terminal CTE is ``lf(src, dst, anchor)``."""
     def lit(t: str) -> str:
         return " || chr(10) || ".join(
             "'" + p.replace("'", "''") + "'" for p in t.split("\n"))
 
     vals = ",\n    ".join(f"({lit(u)}, {lit(h)})"
                           for u, h in _ANCHOR_FIXTURE)
-    return f"""
-WITH raw AS (SELECT * FROM (VALUES
+    return f"""raw AS (SELECT * FROM (VALUES
     {vals}
   ) AS t(src, html)),
 mm AS (SELECT src, unnest(regexp_extract_all(html, '{_ANCHOR_PAT}')) AS m
@@ -2263,7 +2269,12 @@ links AS (
          END AS dst
   FROM s5
   WHERE anchor <> ''),
-lf AS (SELECT * FROM links WHERE dst <> ''),
+lf AS (SELECT * FROM links WHERE dst <> '')"""
+
+
+def _sql_anchor_aliases() -> str:
+    return f"""
+WITH {_sql_anchor_links()},
 pa AS (SELECT dst, anchor, count(*)::bigint AS n FROM lf GROUP BY 1, 2),
 rk AS (SELECT dst, anchor, n,
               row_number() OVER (PARTITION BY dst
@@ -2281,11 +2292,36 @@ FROM tops t JOIN srcs s USING (dst)
 """
 
 
+def _sql_alias_block_pairs() -> str:
+    # mirrors anchors.alias_block_pairs: distinct (alias, target) blocks,
+    # deterministic per-block cap, within-block self-join, shared-alias
+    # count per target pair
+    return f"""
+WITH {_sql_anchor_links()},
+blocks0 AS (SELECT DISTINCT anchor AS block_key, dst AS id FROM lf),
+blocks AS (
+  SELECT block_key, id FROM blocks0
+  QUALIFY row_number() OVER (PARTITION BY block_key ORDER BY id) <= 1000
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::bigint AS n_shared_aliases
+FROM blocks a JOIN blocks b
+  ON a.block_key = b.block_key AND a.id < b.id
+GROUP BY 1, 2
+"""
+
+
 def _q_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.anchors import anchor_aliases
     rows = [(u, h.encode()) for u, h in _ANCHOR_FIXTURE]
     df = spark.createDataFrame(rows, "url string, html binary")
     return anchor_aliases(df, "url", "html")
+
+
+def _q_alias_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.anchors import alias_block_pairs
+    rows = [(u, h.encode()) for u, h in _ANCHOR_FIXTURE]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return alias_block_pairs(df, "url", "html")
 
 
 # PII-scrub fixture: raw inputs shared; scrub + counts computed
@@ -7925,6 +7961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "url_canonical": _q_url_canonical,
         "anchor_aliases": _q_anchor_aliases,
+        "alias_block_pairs": _q_alias_block_pairs,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "substring_dup_spans": _q_substring_spans,
@@ -8138,6 +8175,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION,
         "url_canonical": _sql_url_canonical(),
         "anchor_aliases": _sql_anchor_aliases(),
+        "alias_block_pairs": _sql_alias_block_pairs(),
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "substring_dup_spans": _SQL_SUBSTR_SPANS,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .urls import canonical_url
 
-__all__ = ["extract_links", "anchor_aliases"]
+__all__ = ["extract_links", "anchor_aliases", "alias_block_pairs"]
 
 _LINK_PAT = '(?is)<a[ \\t\\n\\x0b\\f\\r][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 _WS = "[ \\t\\n\\x0b\\f\\r]+"
@@ -121,4 +121,42 @@ def anchor_aliases(
     )
     return tops.join(srcs, "dst").select(
         "dst", "n_links", "n_sources", "n_aliases", "top_alias", "aliases"
+    )
+
+
+def alias_block_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    canonicalize: bool = True,
+    cap: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_aliases) — the alias blocking channel:
+    two link TARGETS become a candidate pair when the crawl calls them
+    by the same anchor text.  The web-ER complement to the content
+    channels (normalized-title, MinHash, TF-IDF): it pairs mirror /
+    moved / syndicated pages whose own text may differ entirely,
+    because their *in-links* agree on what they are.
+
+    Each alias is a block; hub aliases ("click here", brand names) are
+    the skew bomb, so blocks are capped at ``cap`` members with the
+    shared :func:`blocking.cap_blocks` discipline (deterministic by
+    id) before the quadratic within-block join — same 100-TB posture
+    as every other channel.  Pair weight = number of distinct shared
+    aliases after capping.
+    """
+    from .blocking import cap_blocks
+
+    links = extract_links(df, url_col, html_col, canonicalize)
+    blocks = cap_blocks(
+        links.select(F.col("anchor").alias("block_key"),
+                     F.col("dst").alias("id")).distinct(),
+        cap=cap,
+    )
+    return (
+        blocks.alias("a")
+        .join(blocks.alias("b"), "block_key")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared_aliases"))
     )

@@ -91,3 +91,50 @@ def test_max_aliases_cap(spark):
     row = anchor_aliases(df, max_aliases=5).collect()[0]
     assert row["n_aliases"] == 30
     assert row["aliases"] == [f"alias{i:02d}" for i in range(5)]
+
+
+def test_alias_block_pairs(spark):
+    from spikex_spark.operators.anchors import alias_block_pairs
+
+    pages = [
+        ("https://s1.com", '<a href="https://t.com/a">Acme Corp</a>'
+                           '<a href="https://t.com/a">The A Company</a>'),
+        ("https://s2.com", '<a href="https://t.com/b">acme corp</a>'
+                           '<a href="https://t.com/b">Acme</a>'),
+        ("https://s3.com", '<a href="https://t.com/c">ACME CORP</a>'
+                           '<a href="https://t.com/c">acme</a>'
+                           '<a href="https://t.com/d">other thing</a>'),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_aliases"]
+        for r in alias_block_pairs(df).collect()
+    }
+    # a/b/c all share "acme corp"; b/c also share "acme"; d shares nothing
+    assert got == {
+        ("https://t.com/a", "https://t.com/b"): 1,
+        ("https://t.com/a", "https://t.com/c"): 1,
+        ("https://t.com/b", "https://t.com/c"): 2,
+    }
+
+
+def test_alias_block_cap(spark):
+    from spikex_spark.operators.anchors import alias_block_pairs
+
+    # 6 targets share one hub alias; cap=3 keeps the 3 smallest ids
+    html = "".join(
+        f'<a href="https://t.com/{i}">hub</a>' for i in range(6)
+    )
+    df = spark.createDataFrame(
+        [("https://s.com", html.encode())], "url string, html binary"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in alias_block_pairs(df, cap=3).collect()
+    }
+    kept = [f"https://t.com/{i}" for i in range(3)]
+    assert got == {
+        (kept[i], kept[j]) for i in range(3) for j in range(3) if i < j
+    }
