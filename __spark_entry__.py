@@ -4577,6 +4577,74 @@ FROM w
 """
 
 
+# Zipf rank-frequency profile + fitted log-log slope: ln snapped to e7
+# int64, least-squares moments in hugeint/decimal(38,0), only the final
+# slope ratio floating (round-6) — the clustereval-ARI discipline.
+_SQL_ZIPF = """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*)::bigint AS freq FROM tok GROUP BY 1
+         ORDER BY freq DESC, token LIMIT 100),
+pts AS (SELECT token, freq,
+          row_number() OVER (ORDER BY freq DESC, token)::bigint AS rank
+        FROM freq),
+pe AS (SELECT rank, token, freq,
+          round(ln(rank::double) * 10000000.0)::bigint AS ln_rank_e7,
+          round(ln(freq::double) * 10000000.0)::bigint AS ln_freq_e7
+       FROM pts),
+m AS (SELECT count(*)::hugeint AS n,
+             sum(ln_rank_e7::hugeint) AS sx,
+             sum(ln_freq_e7::hugeint) AS sy,
+             sum(ln_rank_e7::hugeint * ln_rank_e7::hugeint) AS sxx,
+             sum(ln_rank_e7::hugeint * ln_freq_e7::hugeint) AS sxy
+      FROM pe)
+SELECT rank, token, freq, ln_rank_e7, ln_freq_e7,
+       round((m.n * m.sxy - m.sx * m.sy)::double
+             / (m.n * m.sxx - m.sx * m.sx)::double, 6) AS slope
+FROM pe CROSS JOIN m
+"""
+
+# Heaps vocabulary-growth curve at id-range bucket granularity —
+# all-integer arithmetic; the cumulative window runs over 20 rows.
+_SQL_HEAPS = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+mx AS (SELECT max(id) + 1 AS mx FROM base),
+b AS (SELECT CAST(floor(id * 20 / mx.mx) AS bigint) AS bucket, toks
+      FROM base CROSS JOIN mx),
+pb AS (SELECT bucket, sum(len(toks))::bigint AS n_tokens
+       FROM b GROUP BY 1),
+fs AS (SELECT token, min(bucket) AS bucket
+       FROM (SELECT bucket, unnest(toks) AS token FROM b) GROUP BY 1),
+nt AS (SELECT bucket, count(*)::bigint AS new_types FROM fs GROUP BY 1)
+SELECT pb.bucket, pb.n_tokens,
+       coalesce(nt.new_types, 0)::bigint AS new_types,
+       (sum(pb.n_tokens) OVER (ORDER BY pb.bucket))::bigint AS cum_tokens,
+       (sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pb.bucket))::bigint
+         AS cum_types
+FROM pb LEFT JOIN nt USING (bucket)
+"""
+
+
+def _q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import zipf_curve
+    return zipf_curve(_read(spark, sf_dir, "documents"), "doc_id", "text",
+                      top_k=100)
+
+
+def _q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import heaps_curve
+    return heaps_curve(_read(spark, sf_dir, "documents"), "doc_id", "text",
+                       buckets=20)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.dsir import dsir_weights
     docs = _read(spark, sf_dir, "documents")
@@ -7979,6 +8047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprint,
         "lm_perplexity": _q_lm_perplexity,
         "dsir_weights": _q_dsir_weights,
+        "zipf_curve": _q_zipf_curve,
+        "heaps_curve": _q_heaps_curve,
         "bm25_topk": _q_bm25_topk,
         "kmv_distinct_bigrams": _q_kmv_distinct,
         "kmv_merge_shards": _q_kmv_merge,
@@ -8193,6 +8263,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "dsir_weights": _SQL_DSIR,
+        "zipf_curve": _SQL_ZIPF,
+        "heaps_curve": _SQL_HEAPS,
         "bm25_topk": _SQL_BM25,
         "kmv_distinct_bigrams": _SQL_KMV,
         "kmv_merge_shards": _SQL_KMV_MERGE,

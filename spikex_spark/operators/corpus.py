@@ -346,3 +346,113 @@ def cluster_split(members: DataFrame, cluster_col: str = "cluster_id",
             .select(F.col(id_col).alias("id"),
                     F.col(cluster_col).alias("cluster"),
                     "bucket", "split"))
+
+
+def zipf_curve(df: DataFrame, id_col: str, text_col: str,
+               top_k: int = 100) -> DataFrame:
+    """(rank, token, freq, ln_rank_e7, ln_freq_e7, slope) — the corpus's
+    Zipf rank-frequency profile plus the fitted log-log slope (healthy
+    natural-language crawls sit near -1; machine-generated or
+    boilerplate-flooded corpora drift off it — the cheapest whole-corpus
+    health monitor there is).
+
+    Numeric discipline: ln(rank) and ln(freq) snap to int64 at 1e7 scale
+    (lm.py convention), the least-squares moments accumulate in
+    decimal(38,0) (clustereval ARI convention — e7 squares overflow
+    int64), and ONLY the final slope ratio touches floats (round-6).
+    Top-k selection is a distributed TakeOrdered, not a global window.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    freq = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    pts = (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "ln_rank_e7",
+            F.round(F.log(F.col("rank").cast("double")) * 1e7, 0)
+            .cast("long"),
+        )
+        .withColumn(
+            "ln_freq_e7",
+            F.round(F.log(F.col("freq").cast("double")) * 1e7, 0)
+            .cast("long"),
+        )
+    )
+    dec = "decimal(38,0)"
+    x = F.col("ln_rank_e7").cast(dec)
+    y = F.col("ln_freq_e7").cast(dec)
+    m = pts.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double"),
+        6,
+    )
+    return (
+        pts.crossJoin(F.broadcast(m.select(slope.alias("slope"))))
+        .select("rank", "token", "freq", "ln_rank_e7", "ln_freq_e7",
+                "slope")
+    )
+
+
+def heaps_curve(df: DataFrame, id_col: str, text_col: str,
+                buckets: int = 20) -> DataFrame:
+    """(bucket, n_tokens, new_types, cum_tokens, cum_types) — vocabulary
+    growth (Heaps' law) at bucket granularity: documents are laid out in
+    id order, coarsened into ``buckets`` id-range buckets, and each
+    bucket reports the token instances it adds and the types seen for
+    the FIRST time in it, plus the running totals.
+
+    A corpus whose type curve flattens too early is template-flooded; one
+    that grows too fast is noise/codes — either way the diagnostic fires
+    before any model is trained.  All integer arithmetic end to end.
+
+    Scale shape: bucket = floor(id·B/(max_id+1)) — one broadcast max +
+    a narrow map (id order is the crawl-order proxy; bucket sizes follow
+    the id distribution).  First-seen bucket per type is one groupBy
+    min; the cumulative window runs over ``buckets`` rows, never over
+    documents.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     toks.alias("toks"))
+    mx = base.agg((F.max("id") + 1).alias("mx"))
+    bucketed = base.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.col("id") * buckets / F.col("mx")).cast("long")
+        .alias("bucket"),
+        "toks",
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum(F.size("toks")).cast("long").alias("n_tokens")
+    )
+    first_seen = (
+        bucketed.select("bucket", F.explode("toks").alias("token"))
+        .groupBy("token").agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").cast("long").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .na.fill({"new_types": 0})
+        .select(
+            "bucket", "n_tokens", "new_types",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+    )
