@@ -6486,6 +6486,108 @@ def _q_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          gold=gold)
 
 
+# Greedy blocking-scheme learner (Michelson–Knoblock forward selection):
+# rank the three channels by marginal gold coverage, tie-break on fewer
+# new candidate pairs then name. The oracle unrolls the three rounds —
+# each round's argmax is a 1-row ORDER BY ... LIMIT 1 CTE and the
+# coverage frontier is re-derived from the chosen channels.
+_SQL_SCHEME_PLAN = f"""
+WITH lshp AS MATERIALIZED (SELECT id_a, id_b FROM ({_SQL_CAND_PAIRS})),
+sdxp AS MATERIALIZED ({_SQL_SDX_PAIRS}),
+sfxp AS MATERIALIZED ({_SQL_SFX_PAIRS}),
+g AS MATERIALIZED ({_SQL_PREFIX_GOLD}),
+tagged AS (
+  SELECT 'lsh' AS channel, id_a, id_b FROM lshp
+  UNION ALL SELECT 'soundex', id_a, id_b FROM sdxp
+  UNION ALL SELECT 'suffix', id_a, id_b FROM sfxp
+),
+s1 AS (
+  SELECT channel,
+         sum(CASE WHEN gg.id_a IS NOT NULL THEN 1 ELSE 0 END)::bigint
+           AS new_gold,
+         count(*)::bigint AS new_cands
+  FROM tagged t
+  LEFT JOIN g gg ON gg.id_a = t.id_a AND gg.id_b = t.id_b
+  GROUP BY channel
+),
+c1 AS (SELECT channel, new_gold, new_cands FROM s1
+       ORDER BY new_gold DESC, new_cands ASC, channel LIMIT 1),
+cov1 AS (SELECT DISTINCT id_a, id_b FROM tagged
+         WHERE channel = (SELECT channel FROM c1)),
+s2 AS (
+  SELECT t.channel,
+         sum(CASE WHEN gg.id_a IS NOT NULL AND cv.id_a IS NULL
+                  THEN 1 ELSE 0 END)::bigint AS new_gold,
+         sum(CASE WHEN cv.id_a IS NULL THEN 1 ELSE 0 END)::bigint
+           AS new_cands
+  FROM tagged t
+  LEFT JOIN g gg ON gg.id_a = t.id_a AND gg.id_b = t.id_b
+  LEFT JOIN cov1 cv ON cv.id_a = t.id_a AND cv.id_b = t.id_b
+  WHERE t.channel <> (SELECT channel FROM c1)
+  GROUP BY t.channel
+),
+c2 AS (SELECT channel, new_gold, new_cands FROM s2
+       ORDER BY new_gold DESC, new_cands ASC, channel LIMIT 1),
+cov2 AS (
+  SELECT id_a, id_b FROM cov1
+  UNION
+  SELECT id_a, id_b FROM tagged
+  WHERE channel = (SELECT channel FROM c2)
+),
+s3 AS (
+  SELECT t.channel,
+         sum(CASE WHEN gg.id_a IS NOT NULL AND cv.id_a IS NULL
+                  THEN 1 ELSE 0 END)::bigint AS new_gold,
+         sum(CASE WHEN cv.id_a IS NULL THEN 1 ELSE 0 END)::bigint
+           AS new_cands
+  FROM tagged t
+  LEFT JOIN g gg ON gg.id_a = t.id_a AND gg.id_b = t.id_b
+  LEFT JOIN cov2 cv ON cv.id_a = t.id_a AND cv.id_b = t.id_b
+  WHERE t.channel NOT IN ((SELECT channel FROM c1),
+                          (SELECT channel FROM c2))
+  GROUP BY t.channel
+),
+c3 AS (SELECT channel, new_gold, new_cands FROM s3
+       ORDER BY new_gold DESC, new_cands ASC, channel LIMIT 1)
+SELECT 1 AS round, channel, new_gold, new_cands,
+       new_gold AS cum_gold, new_cands AS cum_cands FROM c1
+UNION ALL
+SELECT 2, c2.channel, c2.new_gold, c2.new_cands,
+       c1.new_gold + c2.new_gold, c1.new_cands + c2.new_cands
+FROM c2, c1
+UNION ALL
+SELECT 3, c3.channel, c3.new_gold, c3.new_cands,
+       c1.new_gold + c2.new_gold + c3.new_gold,
+       c1.new_cands + c2.new_cands + c3.new_cands
+FROM c3, c2, c1
+"""
+
+
+def _q_scheme_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.pairs import candidate_pairs
+    from spikex_spark.operators.phonetic import (soundex_blocking_keys,
+                                                 suffix_blocking_keys)
+    from spikex_spark.operators.schemes import greedy_blocking_scheme
+    from spikex_spark.pipeline import doc_candidate_pairs
+    docs = _read(spark, sf_dir, "documents")
+    lsh = doc_candidate_pairs(docs).select("id_a", "id_b")
+    sdx_keys = (soundex_blocking_keys(docs)
+                .where(F.col("phonetic_key") != ""))
+    sdx_small = (sdx_keys.groupBy("phonetic_key")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .where(F.col("_n") <= 50).select("phonetic_key"))
+    sdx = (candidate_pairs(sdx_keys.join(sdx_small, "phonetic_key"),
+                           key_col="phonetic_key", id_col="id",
+                           payload_cols=())
+           .select("id_a", "id_b"))
+    sfx = (candidate_pairs(
+        suffix_blocking_keys(docs, key_len=16, min_suffix=8, max_block=50),
+        key_col="suffix", id_col="id", payload_cols=())
+        .select("id_a", "id_b"))
+    return greedy_blocking_scheme(
+        {"lsh": lsh, "soundex": sdx, "suffix": sfx}, _prefix_gold(docs))
+
+
 def _q_er_v2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.corrclust import correlation_clusters
     from spikex_spark.operators.pairs import candidate_pairs
@@ -8152,6 +8254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_v2_multichannel_clusters": _q_er_v2_clusters,
         "er_method_agreement": _q_er_method_agreement,
         "blocking_channel_stats": _q_channel_stats,
+        "blocking_scheme_plan": _q_scheme_plan,
         "hll_distinct_tokens": _q_hll_tokens,
         "lpa_communities": _q_lpa_communities,
         "cosine_tfidf_pairs": _q_cosine_pairs,
@@ -8380,6 +8483,7 @@ def oracle_sql() -> dict[str, str]:
         "er_v2_multichannel_clusters": _SQL_ER_V2,
         "er_method_agreement": _SQL_ER_METHOD_AGREEMENT,
         "blocking_channel_stats": _SQL_CHANNEL_STATS,
+        "blocking_scheme_plan": _SQL_SCHEME_PLAN,
         "hll_distinct_tokens": _SQL_HLL_TOKENS,
         "lpa_communities": _sql_lpa(),
         "cosine_tfidf_pairs": _SQL_COSINE_PAIRS,
