@@ -2797,6 +2797,65 @@ SELECT agg.g AS grp, n_hashes, theta_hash,
 FROM agg JOIN exact ON agg.g = exact.g
 """
 
+# Theta-sketch INTERSECTION: per-lang bigram-vocabulary overlap between
+# the two doc_id-parity crawl shards, answered from two 256-hash
+# sketches (never a corpus join); theta = least of the per-shard
+# thresholds (SCALE when a sketch is still exact), estimate =
+# |common < theta| · 2^60 / theta, Jaccard = common share of the
+# below-theta union sample.
+_SQL_KMV_INTER = """
+WITH toks AS (
+  SELECT parity, g, w[i] || ' ' || w[i+1] AS tok FROM (
+    SELECT doc_id % 2 AS parity, lang AS g, list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+    FROM documents), unnest(range(1, len(w))) AS t(i)
+),
+hashed AS (SELECT DISTINCT parity, g,
+             ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM toks),
+topk AS (SELECT parity, g, h,
+           row_number() OVER (PARTITION BY parity, g ORDER BY h) AS rk
+         FROM hashed),
+sk AS (SELECT parity, g, h FROM topk WHERE rk <= 256),
+tt AS (SELECT parity, g, count(*) AS n, max(h) AS mx
+       FROM sk GROUP BY 1, 2),
+th AS (SELECT a.g,
+         least(CASE WHEN a.n < 256 THEN 1152921504606846976 ELSE a.mx END,
+               CASE WHEN b.n < 256 THEN 1152921504606846976 ELSE b.mx END)
+           AS theta_hash
+       FROM tt a JOIN tt b ON a.g = b.g AND a.parity = 0 AND b.parity = 1),
+uni AS (SELECT DISTINCT s.g, s.h, th.theta_hash
+        FROM sk s JOIN th ON th.g = s.g WHERE s.h < th.theta_hash),
+com AS (SELECT a.g, count(*) AS n_common
+        FROM sk a
+        JOIN sk b ON a.g = b.g AND a.h = b.h
+               AND a.parity = 0 AND b.parity = 1
+        JOIN th ON th.g = a.g
+        WHERE a.h < th.theta_hash GROUP BY 1),
+agg AS (SELECT g, theta_hash, count(*)::bigint AS n_union_sample
+        FROM uni GROUP BY 1, 2)
+SELECT agg.g AS grp, theta_hash,
+  coalesce(n_common, 0)::bigint AS n_common, n_union_sample,
+  round((coalesce(n_common, 0)::double * 1152921504606846976.0)
+        / theta_hash::double, 4) AS est_intersection,
+  CASE WHEN n_union_sample > 0
+       THEN round(coalesce(n_common, 0)::double / n_union_sample::double, 6)
+       ELSE 0.0 END AS est_jaccard
+FROM agg LEFT JOIN com ON com.g = agg.g
+"""
+
+
+def _q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.sketch import (_bigram_stream, kmv_hashes,
+                                               kmv_intersection)
+    docs = _read(spark, sf_dir, "documents")
+    even = _bigram_stream(docs.where(F.col("doc_id") % 2 == 0),
+                          "lang", "text")
+    odd = _bigram_stream(docs.where(F.col("doc_id") % 2 == 1),
+                         "lang", "text")
+    return kmv_intersection(kmv_hashes(even, "g", "v", k=256),
+                            kmv_hashes(odd, "g", "v", k=256), k=256)
+
+
 # Sketch MERGEABILITY under the gate: the engine sketches the corpus in
 # two shards (doc_id parity) and MERGES the per-shard KMV sketches; the
 # oracle computes the single-pass sketch over the whole corpus — hash
@@ -8154,6 +8213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "kmv_distinct_bigrams": _q_kmv_distinct,
         "kmv_merge_shards": _q_kmv_merge,
+        "kmv_intersection_shards": _q_kmv_intersection,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "asof_join_events": _q_asof_join,
         "asof_join_events_bucketed": _q_asof_join_bucketed,
@@ -8371,6 +8431,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25,
         "kmv_distinct_bigrams": _SQL_KMV,
         "kmv_merge_shards": _SQL_KMV_MERGE,
+        "kmv_intersection_shards": _SQL_KMV_INTER,
         "cms_heavy_hitters": _SQL_CMS,
         "asof_join_events": _SQL_ASOF,
         "asof_join_events_bucketed": _SQL_ASOF,

@@ -105,6 +105,14 @@ def kmv_distinct_bigrams(df: DataFrame, group_col: str, text_col: str,
     not in a ``.where()`` above it: InferFiltersFromGenerate copies the
     explode's input expression into filters BELOW any row guard (the
     repetition_stats lesson), so only a total expression is safe."""
+    return kmv_distinct(_bigram_stream(df, group_col, text_col),
+                        "g", "v", k=k)
+
+
+def _bigram_stream(df: DataFrame, group_col: str,
+                   text_col: str) -> DataFrame:
+    """(g, v) — one row per token-bigram instance, the shared stream
+    under kmv_distinct_bigrams and the intersection estimator."""
     bg = F.when(
         F.size("w") >= 2,
         F.expr(
@@ -115,8 +123,78 @@ def kmv_distinct_bigrams(df: DataFrame, group_col: str, text_col: str,
         F.col(group_col).alias("g"),
         _tokens(F.col(text_col)).alias("w"),
     ).select("g", bg.alias("bg")))
-    pairs = base.select("g", F.explode("bg").alias("v"))
-    return kmv_distinct(pairs, "g", "v", k=k)
+    return base.select("g", F.explode("bg").alias("v"))
+
+
+def kmv_intersection(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """(grp, theta_hash, n_common, n_union_sample, est_intersection,
+    est_jaccard) — theta-sketch INTERSECTION over two per-group KMV row
+    tables (the ``(grp, h)`` shape of :func:`kmv_hashes`), the
+    DataSketches set-operation recipe: the effective sampling threshold
+    is ``theta = least(theta_a, theta_b)`` (a sketch that is still exact
+    — fewer than k hashes — contributes theta = the full hash space);
+    the intersection estimate is ``|common hashes < theta| ·
+    SCALE / theta`` and the Jaccard estimate is the common share of the
+    below-theta union sample.
+
+    This answers "how much does crawl snapshot B overlap snapshot A?"
+    from two k-long sketches — no join of the corpora, shippable across
+    clusters.  When BOTH sketches are exact the formula degrades to the
+    exact intersection count (theta = SCALE).  Only groups present in
+    both inputs appear.  One float multiply-divide per group at the very
+    end; everything before it is integer (oracle-exact).
+    """
+    def _theta(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("grp").agg(
+            F.count("*").alias("_n"), F.max("h").alias("_mx")
+        ).select(
+            "grp",
+            F.when(F.col("_n") < k, F.lit(_SCALE))
+            .otherwise(F.col("_mx")).alias(out),
+        )
+
+    th = (
+        _theta(a, "th_a").join(_theta(b, "th_b"), "grp")
+        .select("grp", F.least("th_a", "th_b").alias("theta_hash"))
+    )
+    uni = (
+        a.select("grp", "h").unionByName(b.select("grp", "h")).distinct()
+        .join(th, "grp")
+        .where(F.col("h") < F.col("theta_hash"))
+    )
+    common = (
+        a.select("grp", "h")
+        .join(b.select("grp", "h"), ["grp", "h"], "semi")
+        .join(th, "grp")
+        .where(F.col("h") < F.col("theta_hash"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_common"))
+    )
+    agg = (
+        uni.groupBy("grp", "theta_hash")
+        .agg(F.count("*").alias("n_union_sample"))
+        .join(common, "grp", "left")
+        .na.fill({"n_common": 0})
+    )
+    est_i = F.round(
+        (F.col("n_common").cast("double") * F.lit(float(_SCALE)))
+        / F.col("theta_hash").cast("double"),
+        4,
+    )
+    est_j = F.when(
+        F.col("n_union_sample") > 0,
+        F.round(
+            F.col("n_common").cast("double")
+            / F.col("n_union_sample").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "grp", "theta_hash",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_union_sample").cast("long").alias("n_union_sample"),
+        est_i.alias("est_intersection"), est_j.alias("est_jaccard"),
+    )
 
 
 def cms_build(df: DataFrame, value_col: str, depth: int = 4,
