@@ -2856,6 +2856,72 @@ def _q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                             kmv_hashes(odd, "g", "v", k=256), k=256)
 
 
+# Instance-based schema matching: align customer columns to supplier
+# columns by KMV value-set overlap (profiling.schema_match). Expected
+# grid: nationkey<->nationkey exact 1.0; custkey<->suppkey the id-range
+# overlap; names disjoint.
+_SQL_SCHEMA_MATCH = """
+WITH am AS (
+  SELECT 'c_custkey' AS ca, trim(c_custkey::varchar) AS v FROM customer
+  UNION ALL SELECT 'c_name', trim(c_name) FROM customer
+  UNION ALL SELECT 'c_nationkey', trim(c_nationkey::varchar) FROM customer
+),
+bm AS (
+  SELECT 's_suppkey' AS cb, trim(s_suppkey::varchar) AS v FROM supplier
+  UNION ALL SELECT 's_name', trim(s_name) FROM supplier
+  UNION ALL SELECT 's_nationkey', trim(s_nationkey::varchar) FROM supplier
+),
+ah AS (SELECT DISTINCT ca, ('0x' || substr(md5(v), 1, 15))::bigint AS h
+       FROM am WHERE v IS NOT NULL AND v <> ''),
+bh AS (SELECT DISTINCT cb, ('0x' || substr(md5(v), 1, 15))::bigint AS h
+       FROM bm WHERE v IS NOT NULL AND v <> ''),
+ra AS (SELECT ca, h FROM (
+         SELECT ca, h, row_number() OVER (PARTITION BY ca ORDER BY h) AS rk
+         FROM ah) WHERE rk <= 256),
+rb AS (SELECT cb, h FROM (
+         SELECT cb, h, row_number() OVER (PARTITION BY cb ORDER BY h) AS rk
+         FROM bh) WHERE rk <= 256),
+ta AS (SELECT ca, CASE WHEN count(*) < 256 THEN 1152921504606846976
+                       ELSE max(h) END AS th_a FROM ra GROUP BY 1),
+tb AS (SELECT cb, CASE WHEN count(*) < 256 THEN 1152921504606846976
+                       ELSE max(h) END AS th_b FROM rb GROUP BY 1),
+th AS (SELECT ca, cb, least(th_a, th_b) AS theta_hash
+       FROM ta CROSS JOIN tb),
+ea AS (SELECT th.ca, th.cb, ra.h, th.theta_hash
+       FROM ra JOIN th ON th.ca = ra.ca WHERE ra.h < th.theta_hash),
+eb AS (SELECT th.ca, th.cb, rb.h, th.theta_hash
+       FROM rb JOIN th ON th.cb = rb.cb WHERE rb.h < th.theta_hash),
+uni AS (SELECT ca, cb, theta_hash, count(DISTINCT h)::bigint
+          AS n_union_sample
+        FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb)
+        GROUP BY 1, 2, 3),
+com AS (SELECT ra.ca, rb.cb, count(*)::bigint AS n_common
+        FROM ra JOIN rb ON ra.h = rb.h
+        JOIN th ON th.ca = ra.ca AND th.cb = rb.cb
+        WHERE ra.h < th.theta_hash GROUP BY 1, 2),
+sc AS (SELECT u.ca, u.cb, u.theta_hash,
+         coalesce(c.n_common, 0)::bigint AS n_common, u.n_union_sample,
+         CASE WHEN u.n_union_sample > 0
+              THEN round(coalesce(c.n_common, 0)::double
+                         / u.n_union_sample::double, 6)
+              ELSE 0.0 END AS est_jaccard
+       FROM uni u LEFT JOIN com c ON c.ca = u.ca AND c.cb = u.cb)
+SELECT ca AS col_a, cb AS col_b, theta_hash, n_common, n_union_sample,
+       est_jaccard,
+       (row_number() OVER (PARTITION BY ca
+                           ORDER BY est_jaccard DESC, cb))::int AS rank
+FROM sc
+"""
+
+
+def _q_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.profiling import schema_match
+    return schema_match(
+        _read(spark, sf_dir, "customer"), _read(spark, sf_dir, "supplier"),
+        ["c_custkey", "c_name", "c_nationkey"],
+        ["s_suppkey", "s_name", "s_nationkey"])
+
+
 # Sketch MERGEABILITY under the gate: the engine sketches the corpus in
 # two shards (doc_id parity) and MERGES the per-shard KMV sketches; the
 # oracle computes the single-pass sketch over the whole corpus — hash
@@ -8214,6 +8280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_bigrams": _q_kmv_distinct,
         "kmv_merge_shards": _q_kmv_merge,
         "kmv_intersection_shards": _q_kmv_intersection,
+        "schema_match_tables": _q_schema_match,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "asof_join_events": _q_asof_join,
         "asof_join_events_bucketed": _q_asof_join_bucketed,
@@ -8432,6 +8499,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_bigrams": _SQL_KMV,
         "kmv_merge_shards": _SQL_KMV_MERGE,
         "kmv_intersection_shards": _SQL_KMV_INTER,
+        "schema_match_tables": _SQL_SCHEMA_MATCH,
         "cms_heavy_hitters": _SQL_CMS,
         "asof_join_events": _SQL_ASOF,
         "asof_join_events_bucketed": _SQL_ASOF,

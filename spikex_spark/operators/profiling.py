@@ -147,3 +147,84 @@ def key_drift(prev: DataFrame, nxt: DataFrame, key_col: str = "key",
         F.round(share_n - share_p, 6).alias("share_delta"))
         .orderBy(F.desc(F.col("c_prev") + F.col("c_nxt")), F.asc("key"))
         .limit(k))
+
+
+def schema_match(a: DataFrame, b: DataFrame,
+                 cols_a: Sequence[str], cols_b: Sequence[str],
+                 k: int = 256) -> DataFrame:
+    """(col_a, col_b, theta_hash, n_common, n_union_sample, est_jaccard,
+    rank) — instance-based schema matching: align the columns of two
+    tables by the overlap of their VALUE sets, estimated from per-column
+    KMV sketches (sketch.kmv_hashes / the theta-intersection recipe).
+
+    The data-integration step BEFORE record linkage: when table B arrives
+    with unknown headers (page_url? link? location?), the column whose
+    values overlap A.url is A.url's counterpart, whatever it is named —
+    the classic instance-level matcher (COMA++ / similarity-flooding
+    family use exactly this signal).  ``rank`` orders candidates per
+    ``col_a`` by (est_jaccard DESC, col_b) — rank 1 is the proposed
+    alignment.
+
+    Scale: each column is sketched independently (k longs per column —
+    one narrow scan per table regardless of column count), and the
+    |cols_a|x|cols_b| pair grid is tiny; nothing data-sized is ever
+    joined.  Values are compared as trimmed strings; NULLs and empties
+    carry no evidence and are dropped.
+    """
+    from .sketch import _SCALE, kmv_hashes
+
+    def melt(df: DataFrame, cols: Sequence[str], out: str) -> DataFrame:
+        parts = [
+            df.select(F.lit(c).alias(out),
+                      F.trim(F.col(c).cast("string")).alias("v"))
+            for c in cols
+        ]
+        m = parts[0]
+        for p in parts[1:]:
+            m = m.unionByName(p)
+        return (m.where(F.col("v").isNotNull() & (F.col("v") != ""))
+                .withColumnRenamed(out, "grp"))
+
+    ra = (kmv_hashes(melt(a, cols_a, "ca"), "grp", "v", k=k)
+          .withColumnRenamed("grp", "ca"))
+    rb = (kmv_hashes(melt(b, cols_b, "cb"), "grp", "v", k=k)
+          .withColumnRenamed("grp", "cb"))
+
+    def theta(rows: DataFrame, col: str, out: str) -> DataFrame:
+        return rows.groupBy(col).agg(
+            F.count("*").alias("_n"), F.max("h").alias("_mx")
+        ).select(col, F.when(F.col("_n") < k, F.lit(_SCALE))
+                 .otherwise(F.col("_mx")).alias(out))
+
+    th = (theta(ra, "ca", "th_a").crossJoin(theta(rb, "cb", "th_b"))
+          .select("ca", "cb",
+                  F.least("th_a", "th_b").alias("theta_hash")))
+    ca_list = th.select("ca", "cb").distinct()
+    ea = ra.join(ca_list, "ca").select("ca", "cb", "h")
+    eb = rb.join(ca_list, "cb").select("ca", "cb", "h")
+    uni = (ea.unionByName(eb).distinct().join(th, ["ca", "cb"])
+           .where(F.col("h") < F.col("theta_hash"))
+           .groupBy("ca", "cb", "theta_hash")
+           .agg(F.count("*").alias("n_union_sample")))
+    common = (ra.join(rb, "h").join(th, ["ca", "cb"])
+              .where(F.col("h") < F.col("theta_hash"))
+              .groupBy("ca", "cb")
+              .agg(F.count("*").alias("n_common")))
+    est_j = F.when(
+        F.col("n_union_sample") > 0,
+        F.round(F.col("n_common").cast("double")
+                / F.col("n_union_sample").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    from pyspark.sql import Window as W
+    scored = (uni.join(common, ["ca", "cb"], "left")
+              .na.fill({"n_common": 0})
+              .withColumn("est_jaccard", est_j))
+    return scored.select(
+        F.col("ca").alias("col_a"), F.col("cb").alias("col_b"),
+        "theta_hash",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_union_sample").cast("long").alias("n_union_sample"),
+        "est_jaccard",
+    ).withColumn("rank", F.row_number().over(
+        W.partitionBy("col_a").orderBy(F.col("est_jaccard").desc(),
+                                       F.col("col_b").asc())))
