@@ -4874,6 +4874,52 @@ def _q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_clusters(pairs, emb, id_col="vec_id", min_pts=3)
 
 
+# DBSCAN on the FLAGSHIP ER match graph (score >= 0.80 epsilon edges,
+# min_pts=3): the density alternative to transitive CC on the actual
+# linkage channel — thin chains between dense entities become noise or
+# borders instead of welding clusters.
+_SQL_ER_DBSCAN = f"""
+WITH RECURSIVE sp AS ({_SQL_ER_PAIRS}),
+p AS (SELECT id_a, id_b FROM sp WHERE score >= 0.80 AND id_a <> id_b),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+core AS (SELECT a AS id FROM deg WHERE d >= 2),
+ce AS (SELECT p.id_a AS src, p.id_b AS dst FROM p
+       JOIN core ca ON ca.id = p.id_a
+       JOIN core cb ON cb.id = p.id_b),
+reach AS (
+  SELECT id AS node, id AS root FROM core
+  UNION
+  SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.root
+  FROM reach r JOIN ce e ON e.src = r.node OR e.dst = r.node
+),
+ccl AS (SELECT node AS id, min(root) AS cluster_id FROM reach GROUP BY 1),
+bord AS (
+  SELECT s.a AS id, min(c.cluster_id) AS cluster_id
+  FROM sym s JOIN ccl c ON c.id = s.b
+  WHERE s.a NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT d.doc_id AS id,
+  CASE WHEN ccl.id IS NOT NULL THEN 'core'
+       WHEN bord.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  coalesce(ccl.cluster_id, bord.cluster_id, -1)::bigint AS cluster_id
+FROM documents d
+LEFT JOIN ccl ON ccl.id = d.doc_id
+LEFT JOIN bord ON bord.id = d.doc_id
+"""
+
+
+def _q_er_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.density import dbscan_clusters
+    docs = _read(spark, sf_dir, "documents")
+    pairs = (_q_er_doc_pairs(spark, sf_dir)
+             .where(F.col("score") >= 0.80).select("id_a", "id_b"))
+    return dbscan_clusters(pairs, docs, id_col="doc_id", min_pts=3)
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: k-means-trained coarse lists (one deterministic Lloyd
     refinement of the first-nlist seeds, centroid means rounded to 6
@@ -8335,6 +8381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_incremental": _q_ann_ivf_topk_incremental,
         "embedding_near_dups": _q_cos_near_dups,
         "dbscan_embeddings": _q_dbscan_embeddings,
+        "er_dbscan_clusters": _q_er_dbscan,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -8554,6 +8601,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_incremental": _sql_ann_ivf_incr(),
         "embedding_near_dups": _sql_cos_near(),
         "dbscan_embeddings": _sql_dbscan(),
+        "er_dbscan_clusters": _SQL_ER_DBSCAN,
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
