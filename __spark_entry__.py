@@ -4912,6 +4912,57 @@ LEFT JOIN bord ON bord.id = d.doc_id
 """
 
 
+# Average-linkage HAC in 3 synchronous mutual-best merge rounds over the
+# flagship scored pairs (hac.hac_clusters). Each SQL round re-derives
+# cluster-pair linkage from the labels, ranks best neighbors by IEEE
+# s/c (both engines divide the same exact int64s), and applies the
+# mutual-best matching; the merge threshold is exact integer arithmetic.
+def _hac_round_sql(i: int, min_e4: int) -> str:
+    return f"""
+e{i} AS (SELECT least(la.cluster_id, lb.cluster_id) AS ca,
+                greatest(la.cluster_id, lb.cluster_id) AS cb, p.s_e4
+         FROM p JOIN lab{i} la ON la.id = p.id_a
+                JOIN lab{i} lb ON lb.id = p.id_b
+         WHERE la.cluster_id <> lb.cluster_id),
+cl{i} AS MATERIALIZED (
+          SELECT ca, cb, sum(s_e4)::bigint AS s, count(*)::bigint AS c
+          FROM e{i} GROUP BY 1, 2
+          HAVING sum(s_e4) >= {min_e4} * count(*)),
+sym{i} AS (SELECT ca AS src, cb AS dst, s, c FROM cl{i}
+           UNION ALL SELECT cb, ca, s, c FROM cl{i}),
+best{i} AS MATERIALIZED (SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+      ORDER BY s::double / c::double DESC, dst) AS rk FROM sym{i})
+  WHERE rk = 1),
+mut{i} AS MATERIALIZED (SELECT x.src AS keep, x.dst AS gone
+           FROM best{i} x JOIN best{i} y
+             ON x.dst = y.src AND y.dst = x.src
+           WHERE x.src < x.dst),
+lab{i + 1} AS MATERIALIZED (
+               SELECT l.id, coalesce(m.keep, l.cluster_id) AS cluster_id
+               FROM lab{i} l LEFT JOIN mut{i} m ON m.gone = l.cluster_id)"""
+
+
+_SQL_ER_HAC = f"""
+WITH RECURSIVE sp AS MATERIALIZED ({_SQL_ER_PAIRS}),
+p AS MATERIALIZED (
+      SELECT id_a, id_b, round(score * 10000)::bigint AS s_e4
+      FROM sp WHERE id_a <> id_b),
+lab0 AS MATERIALIZED (
+      SELECT doc_id AS id, doc_id AS cluster_id FROM documents),
+{",".join(_hac_round_sql(i, 8000) for i in range(3))}
+SELECT id, cluster_id FROM lab3
+"""
+
+
+def _q_er_hac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.hac import hac_clusters
+    docs = _read(spark, sf_dir, "documents")
+    pairs = _q_er_doc_pairs(spark, sf_dir)
+    return hac_clusters(pairs, docs, id_col="doc_id",
+                        rounds=3, min_score=0.80)
+
+
 def _q_er_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.density import dbscan_clusters
     docs = _read(spark, sf_dir, "documents")
@@ -8382,6 +8433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_cos_near_dups,
         "dbscan_embeddings": _q_dbscan_embeddings,
         "er_dbscan_clusters": _q_er_dbscan,
+        "er_hac_clusters": _q_er_hac,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -8602,6 +8654,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _sql_cos_near(),
         "dbscan_embeddings": _sql_dbscan(),
         "er_dbscan_clusters": _SQL_ER_DBSCAN,
+        "er_hac_clusters": _SQL_ER_HAC,
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
