@@ -4758,6 +4758,58 @@ FROM pb LEFT JOIN nt USING (bucket)
 """
 
 
+# Dunning G² keyness: English-slice token usage vs the rest of the
+# corpus, ranked by log-likelihood significance (profiling.keyness_g2).
+# lr terms snap to e7 int64; g2 is exact integer; direction is an exact
+# hugeint cross-multiplication.
+_SQL_KEYNESS = """
+WITH tok AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text),
+              '[^a-z0-9]+'), x -> x <> '')) AS key
+  FROM documents
+),
+ca AS (SELECT key, count(*)::bigint AS o1 FROM tok WHERE lang = 'en'
+       GROUP BY 1),
+cb AS (SELECT key, count(*)::bigint AS o2 FROM tok WHERE lang <> 'en'
+       GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(o1), 0) FROM ca) AS n1,
+               (SELECT coalesce(sum(o2), 0) FROM cb) AS n2),
+j AS (SELECT coalesce(ca.key, cb.key) AS key,
+             coalesce(o1, 0)::bigint AS o1, coalesce(o2, 0)::bigint AS o2
+      FROM ca FULL OUTER JOIN cb ON ca.key = cb.key),
+s AS (SELECT key, o1, o2,
+        CASE WHEN o1 > 0 THEN round(ln(
+          (o1::double * (tot.n1::double + tot.n2::double))
+          / (tot.n1::double * (o1::double + o2::double))) * 10000000.0
+          )::bigint ELSE 0 END AS lr1_e7,
+        CASE WHEN o2 > 0 THEN round(ln(
+          (o2::double * (tot.n1::double + tot.n2::double))
+          / (tot.n2::double * (o1::double + o2::double))) * 10000000.0
+          )::bigint ELSE 0 END AS lr2_e7,
+        CASE WHEN o1::hugeint * tot.n2::hugeint
+                  > o2::hugeint * tot.n1::hugeint THEN 'over'
+             WHEN o1::hugeint * tot.n2::hugeint
+                  < o2::hugeint * tot.n1::hugeint THEN 'under'
+             ELSE 'even' END AS direction
+      FROM j CROSS JOIN tot)
+SELECT key, o1, o2, lr1_e7, lr2_e7,
+       (2 * (o1 * lr1_e7 + o2 * lr2_e7))::bigint AS g2_e7, direction
+FROM s
+ORDER BY g2_e7 DESC, key LIMIT 50
+"""
+
+
+def _q_keyness_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.profiling import keyness_g2
+    docs = _read(spark, sf_dir, "documents")
+    toks = lambda d: d.select(F.explode(F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: t != "")).alias("key"))
+    return keyness_g2(toks(docs.where(F.col("lang") == "en")),
+                      toks(docs.where(F.col("lang") != "en")),
+                      "key", top_k=50)
+
+
 def _q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.corpus import zipf_curve
     return zipf_curve(_read(spark, sf_dir, "documents"), "doc_id", "text",
@@ -8372,6 +8424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "dsir_weights": _q_dsir_weights,
         "zipf_curve": _q_zipf_curve,
+        "keyness_tokens": _q_keyness_tokens,
         "heaps_curve": _q_heaps_curve,
         "bm25_topk": _q_bm25_topk,
         "kmv_distinct_bigrams": _q_kmv_distinct,
@@ -8593,6 +8646,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "dsir_weights": _SQL_DSIR,
         "zipf_curve": _SQL_ZIPF,
+        "keyness_tokens": _SQL_KEYNESS,
         "heaps_curve": _SQL_HEAPS,
         "bm25_topk": _SQL_BM25,
         "kmv_distinct_bigrams": _SQL_KMV,

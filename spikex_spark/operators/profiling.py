@@ -228,3 +228,65 @@ def schema_match(a: DataFrame, b: DataFrame,
     ).withColumn("rank", F.row_number().over(
         W.partitionBy("col_a").orderBy(F.col("est_jaccard").desc(),
                                        F.col("col_b").asc())))
+
+
+def keyness_g2(a: DataFrame, b: DataFrame, key_col: str = "key",
+               top_k: int = 50) -> DataFrame:
+    """(key, o1, o2, lr1_e7, lr2_e7, g2_e7, direction) — Dunning (1993)
+    log-likelihood keyness between two keyed populations, ranked by G².
+
+    key_drift reports share deltas; G² adds SIGNIFICANCE: a key that
+    moved 0.1% on a million observations outranks one that moved 5% on
+    twenty.  The standard corpus-comparison statistic ("what changed in
+    this crawl", "what characterizes slice X") with the engine's numeric
+    discipline: per-key log-ratios ``ln(o/e)`` snap to e7 int64 (e is
+    the expected count under the pooled model), ``g2_e7 = 2·(o1·lr1 +
+    o2·lr2)`` is exact integer arithmetic, and direction comes from an
+    exact decimal cross-multiplication — no float ever decides a
+    comparison.  Zero-count sides contribute zero terms (the G²
+    convention).
+
+    Scale: two map-side-combined groupBys, a full-outer join on the key
+    table, one broadcast totals row, distributed top-k.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.groupBy(F.col(key_col).alias("key"))
+                .agg(F.count("*").alias(name)))
+
+    ca, cb = counts(a, "o1"), counts(b, "o2")
+    tot = (ca.agg(F.sum("o1").alias("n1"))
+           .crossJoin(cb.agg(F.sum("o2").alias("n2"))))
+    j = (ca.join(cb, "key", "full_outer")
+         .fillna(0, ["o1", "o2"])
+         .crossJoin(F.broadcast(tot)))
+    d = lambda c: F.col(c).cast("double")
+    both = d("o1") + d("o2")
+    nt = d("n1") + d("n2")
+    # ln(o/e) with e = n_side * (o1+o2) / (n1+n2); same operation order
+    # in the DuckDB mirror so the doubles agree bit-for-bit
+    lr = lambda o, n: F.round(
+        F.log((d(o) * nt) / (d(n) * both)) * F.lit(1e7), 0).cast("long")
+    lr1 = F.when(F.col("o1") > 0, lr("o1", "n1")).otherwise(F.lit(0))
+    lr2 = F.when(F.col("o2") > 0, lr("o2", "n2")).otherwise(F.lit(0))
+    dec = "decimal(38,0)"
+    direction = F.when(
+        F.col("o1").cast(dec) * F.col("n2").cast(dec)
+        > F.col("o2").cast(dec) * F.col("n1").cast(dec), F.lit("over")
+    ).when(
+        F.col("o1").cast(dec) * F.col("n2").cast(dec)
+        < F.col("o2").cast(dec) * F.col("n1").cast(dec), F.lit("under")
+    ).otherwise(F.lit("even"))
+    scored = j.select(
+        "key", F.col("o1").cast("long").alias("o1"),
+        F.col("o2").cast("long").alias("o2"),
+        lr1.alias("lr1_e7"), lr2.alias("lr2_e7"),
+        direction.alias("direction"),
+    ).withColumn(
+        "g2_e7",
+        (F.lit(2) * (F.col("o1") * F.col("lr1_e7")
+                     + F.col("o2") * F.col("lr2_e7"))).cast("long"),
+    )
+    return (scored.orderBy(F.col("g2_e7").desc(), F.col("key").asc())
+            .limit(top_k)
+            .select("key", "o1", "o2", "lr1_e7", "lr2_e7", "g2_e7",
+                    "direction"))
