@@ -2324,6 +2324,81 @@ def _q_alias_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alias_block_pairs(df, "url", "html")
 
 
+# Commonness-prior entity linking (Milne & Witten 2008): priors from
+# the anchor fixture's link statistics on TOKEN-normalized aliases,
+# mentions found by scanning the texts below with a 1..3-gram
+# dictionary join, candidates ranked by exact-rational prior_e6.
+_MENTION_TEXTS = [
+    (0, "I bought shares of Apple Inc last week"),
+    (1, "apple inc and banana are fruits, but AAPL is a ticker"),
+    (2, "nothing relevant in this one"),
+]
+
+
+def _sql_link_commonness() -> str:
+    tvals = ",\n    ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _MENTION_TEXTS)
+    return f"""
+WITH {_sql_anchor_links()},
+kl AS (SELECT src, dst, array_to_string(list_filter(
+          regexp_split_to_array(anchor, '[^a-z0-9]+'), x -> x <> ''),
+          ' ') AS mention
+       FROM lf),
+kl2 AS (SELECT * FROM kl WHERE mention <> ''),
+per AS (SELECT mention, dst, count(*)::bigint AS n
+        FROM kl2 GROUP BY 1, 2),
+tot AS (SELECT mention, sum(n)::bigint AS n_anchor FROM per GROUP BY 1),
+pri AS (SELECT per.mention, dst, n, n_anchor,
+          ((2 * n * 1000000 + n_anchor) // (2 * n_anchor))::bigint
+            AS prior_e6
+        FROM per JOIN tot USING (mention)),
+txt AS (SELECT * FROM (VALUES
+    {tvals}
+  ) AS t(doc, text)),
+tt AS (SELECT doc, list_filter(regexp_split_to_array(lower(text),
+          '[^a-z0-9]+'), x -> x <> '') AS w FROM txt),
+grams AS (
+  SELECT DISTINCT doc, array_to_string(w[i:i + n - 1], ' ') AS mention
+  FROM tt CROSS JOIN (VALUES (1), (2), (3)) g(n),
+       unnest(range(1, len(w) - n + 2)) AS u(i)
+)
+SELECT g.doc, g.mention, p.dst, p.prior_e6,
+       (row_number() OVER (PARTITION BY g.doc, g.mention
+                           ORDER BY p.prior_e6 DESC, p.dst))::int AS rank
+FROM grams g JOIN pri p ON p.mention = g.mention
+"""
+
+
+def _q_link_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.anchors import (commonness, extract_links,
+                                                link_by_commonness)
+    pages = spark.createDataFrame(
+        [(u, h.encode()) for u, h in _ANCHOR_FIXTURE],
+        "url string, html binary")
+    norm = F.array_join(F.filter(
+        F.split(F.col("anchor"), "[^a-z0-9]+"), lambda t: t != ""), " ")
+    links = (extract_links(pages).withColumn("anchor", norm)
+             .where(F.col("anchor") != ""))
+    pri = commonness(links)
+    texts = spark.createDataFrame(_MENTION_TEXTS, "doc long, text string")
+    w = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                 lambda t: t != "")
+    parts = []
+    for n in (1, 2, 3):
+        grams = F.when(
+            F.size("w") >= n,
+            F.transform(F.sequence(F.lit(1), F.size("w") - n + 1),
+                        lambda i: F.array_join(F.slice("w", i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(texts.select(F.col("doc"), w.alias("w"))
+                     .select("doc", F.explode(grams).alias("mention")))
+    mentions = parts[0]
+    for p in parts[1:]:
+        mentions = mentions.unionByName(p)
+    return link_by_commonness(mentions.distinct(), pri)
+
+
 # PII-scrub fixture: raw inputs shared; scrub + counts computed
 # INDEPENDENTLY on both sides (Java regex vs RE2 — patterns restricted to
 # constructs with identical semantics, see textstats.PII_PATTERNS).
@@ -8406,6 +8481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "anchor_aliases": _q_anchor_aliases,
         "alias_block_pairs": _q_alias_block_pairs,
+        "link_by_commonness": _q_link_commonness,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "substring_dup_spans": _q_substring_spans,
@@ -8628,6 +8704,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _sql_url_canonical(),
         "anchor_aliases": _sql_anchor_aliases(),
         "alias_block_pairs": _sql_alias_block_pairs(),
+        "link_by_commonness": _sql_link_commonness(),
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "substring_dup_spans": _SQL_SUBSTR_SPANS,

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from .urls import canonical_url
 
-__all__ = ["extract_links", "anchor_aliases", "alias_block_pairs"]
+__all__ = ["extract_links", "anchor_aliases", "alias_block_pairs",
+           "commonness", "link_by_commonness"]
 
 _LINK_PAT = '(?is)<a[ \\t\\n\\x0b\\f\\r][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 _WS = "[ \\t\\n\\x0b\\f\\r]+"
@@ -159,4 +160,55 @@ def alias_block_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").cast("long").alias("n_shared_aliases"))
+    )
+
+
+def commonness(links: DataFrame) -> DataFrame:
+    """(anchor, dst, n, n_anchor, prior_e6) — the commonness prior
+    ``P(dst | anchor)`` from link statistics (Milne & Witten, CIKM
+    2008): of everything the crawl calls "apple inc.", what fraction of
+    the links point at each target?  ``prior_e6`` is the half-up-rounded
+    prior in integer micro-units (``(2·n·10⁶ + t) div (2·t)`` — the
+    linkage._snap_ratio discipline; no float rounding mode ever decides
+    it).  Input is the (src, dst, anchor) stream of
+    :func:`extract_links`.
+    """
+    per = links.groupBy("anchor", "dst").agg(
+        F.count("*").cast("long").alias("n"))
+    tot = per.groupBy("anchor").agg(
+        F.sum("n").cast("long").alias("n_anchor"))
+    return per.join(tot, "anchor").select(
+        "anchor", "dst", "n", "n_anchor",
+        F.expr("(2 * n * 1000000 + n_anchor) div (2 * n_anchor)")
+        .cast("long").alias("prior_e6"),
+    )
+
+
+def link_by_commonness(
+    mentions: DataFrame,
+    priors: DataFrame,
+    mention_col: str = "mention",
+) -> DataFrame:
+    """(doc, mention, dst, prior_e6, rank) — rank each mention's link
+    candidates by the commonness prior, the standard no-context entity
+    linking baseline (and the tie-break layer under any contextual
+    re-ranker).  ``mentions`` carries (doc, mention) surface forms
+    normalized like anchors (lowercase, squished); ``priors`` is
+    :func:`commonness` output.  Deterministic rank: (prior DESC, dst
+    ASC) per (doc, mention).
+
+    Scale: one equi-join of the mention stream against the (broadcast-
+    size per-alias) prior table and a per-mention window — partitioned
+    by (doc, mention), never global.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc", "mention").orderBy(
+        F.col("prior_e6").desc(), F.col("dst").asc())
+    return (
+        mentions.select(F.col("doc"),
+                        F.col(mention_col).alias("mention"))
+        .join(priors.withColumnRenamed("anchor", "mention"), "mention")
+        .select("doc", "mention", "dst", "prior_e6")
+        .withColumn("rank", F.row_number().over(w))
     )

@@ -138,3 +138,48 @@ def test_alias_block_cap(spark):
     assert got == {
         (kept[i], kept[j]) for i in range(3) for j in range(3) if i < j
     }
+
+
+def test_commonness_priors(spark):
+    from spikex_spark.operators.anchors import commonness, extract_links
+
+    pages = [
+        ("https://s1.com", '<a href="https://t.com/a">apple</a>'
+                           '<a href="https://t.com/a">apple</a>'
+                           '<a href="https://t.com/b">apple</a>'),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary"
+    )
+    got = {
+        (r["anchor"], r["dst"]): (r["n"], r["n_anchor"], r["prior_e6"])
+        for r in commonness(extract_links(df)).collect()
+    }
+    assert got[("apple", "https://t.com/a")] == (2, 3, 666667)  # half-up
+    assert got[("apple", "https://t.com/b")] == (1, 3, 333333)
+
+
+def test_link_by_commonness_ranks(spark):
+    from spikex_spark.operators.anchors import (commonness, extract_links,
+                                                link_by_commonness)
+
+    pages = [
+        ("https://s1.com", '<a href="https://t.com/a">acme</a>'
+                           '<a href="https://t.com/a">acme</a>'
+                           '<a href="https://t.com/b">acme</a>'),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary"
+    )
+    pri = commonness(extract_links(df))
+    mentions = spark.createDataFrame(
+        [(0, "acme"), (1, "acme"), (1, "unknown")],
+        "doc long, mention string",
+    )
+    rows = link_by_commonness(mentions, pri).collect()
+    got = {(r["doc"], r["mention"], r["rank"]): r["dst"] for r in rows}
+    # majority target ranks first for every mention; unknown drops out
+    assert got[(0, "acme", 1)] == "https://t.com/a"
+    assert got[(0, "acme", 2)] == "https://t.com/b"
+    assert got[(1, "acme", 1)] == "https://t.com/a"
+    assert not any(r["mention"] == "unknown" for r in rows)
