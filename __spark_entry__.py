@@ -3172,6 +3172,60 @@ def _sql_pagerank(iters: int = _PR_ITERS) -> str:
             f" FROM r{iters}")
 
 
+# Personalized PageRank from supplier seeds s1..s3 over the same trade
+# graph — teleport mass restricted to the seed set, same int64
+# fixed-point unrolled-round oracle.
+def _sql_ppr(iters: int = _PR_ITERS) -> str:
+    s = "1000000000000"
+    ctes = [
+        "base AS (SELECT DISTINCT 'c' || o_custkey AS src,"
+        " 's' || l_suppkey AS dst"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "sd AS (SELECT id FROM nodes WHERE id IN ('s1', 's2', 's3'))",
+        "ns AS (SELECT count(*)::BIGINT AS n FROM sd)",
+        "od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT n.id, CASE WHEN s.id IS NOT NULL"
+        f" THEN ({s} // ns.n) ELSE 0 END::BIGINT AS r"
+        f" FROM nodes n CROSS JOIN ns LEFT JOIN sd s ON s.id = n.id)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(p.r // od.outdeg) AS s"
+            f" FROM e JOIN r{k - 1} p ON e.src = p.id"
+            f" JOIN od ON od.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{k} AS (SELECT n.id,"
+            f" (CASE WHEN sf.id IS NOT NULL"
+            f" THEN (15 * ({s} // ns.n)) // 100 ELSE 0 END"
+            f" + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r"
+            f" FROM nodes n CROSS JOIN ns"
+            f" LEFT JOIN sd sf ON sf.id = n.id"
+            f" LEFT JOIN c{k} c ON n.id = c.id)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, r AS rank_scaled, r / {s}.0 AS rank"
+            f" FROM r{iters}")
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import personalized_pagerank
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        ).distinct())
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = edges.sparkSession.createDataFrame(
+        [("s1",), ("s2",), ("s3",)], "id string")
+    return personalized_pagerank(edges, seeds, iterations=_PR_ITERS)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.graph import pagerank, undirected
     orders = _read(spark, sf_dir, "orders")
@@ -8511,6 +8565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "asof_join_events_bucketed": _q_asof_join_bucketed,
         "pagerank_trade_graph": _q_pagerank,
+        "ppr_trade_graph": _q_ppr,
         "triangle_counts": _q_triangles,
         "tfidf_top_terms": _q_tfidf,
         "corpus_rollup": _q_corpus_rollup,
@@ -8734,6 +8789,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _SQL_ASOF,
         "asof_join_events_bucketed": _SQL_ASOF,
         "pagerank_trade_graph": _sql_pagerank(),
+        "ppr_trade_graph": _sql_ppr(),
         "triangle_counts": _SQL_TRIANGLES,
         "tfidf_top_terms": _SQL_TFIDF,
         "corpus_rollup": _SQL_ROLLUP,

@@ -60,3 +60,44 @@ def test_category_links_semi_join(spark, titles_df):
     assert all(r["cl_type"] in ("page", "subcat") for r in out)
     assert (100, 100) not in {(r["src"], r["dst"]) for r in out}
     assert len(out) == links.count()
+
+
+def test_personalized_pagerank_bruteforce(spark):
+    from spikex_spark.operators.graph import personalized_pagerank
+
+    SCALE = 10**12
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+             ("x", "y")]
+    seeds = ["a"]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(i,) for i in seeds], "id string")
+    got = {r["id"]: r["rank_scaled"]
+           for r in personalized_pagerank(e, s, iterations=4).collect()}
+
+    # brute force with identical truncating integer arithmetic
+    nodes = sorted({n for ed in edges for n in ed})
+    out = {}
+    for a, b in set(edges):
+        out[a] = out.get(a, 0) + 1
+    init = SCALE // len(seeds)
+    base = (15 * init) // 100
+    r = {n: (init if n in seeds else 0) for n in nodes}
+    for _ in range(4):
+        contrib = {}
+        for a, b in set(edges):
+            contrib[b] = contrib.get(b, 0) + r[a] // out[a]
+        r = {n: ((base if n in seeds else 0)
+                 + (85 * contrib.get(n, 0)) // 100) for n in nodes}
+    assert got == r
+    # mass concentrates near the seed; the disconnected x/y pair gets 0
+    assert got["a"] > got["d"] > 0
+    assert got["x"] == 0 and got["y"] == 0
+
+
+def test_personalized_pagerank_no_seeds_in_graph(spark):
+    from spikex_spark.operators.graph import personalized_pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    s = spark.createDataFrame([("zz",)], "id string")
+    rows = personalized_pagerank(e, s, iterations=2).collect()
+    assert all(r["rank_scaled"] == 0 for r in rows)
