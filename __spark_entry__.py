@@ -695,6 +695,141 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 """
 
 
+def _sql_ann_ivfpq(nlist: int = 8, nprobe: int = 2, m: int = 4,
+                   ksub: int = 8, k: int = 5, rerank: int = 50,
+                   dim: int = 64) -> str:
+    """DuckDB mirror of simsearch.ivfpq_cosine_topk: seed-centroid IVF
+    candidate lists (first nlist vectors, untrained — the
+    ivf_cosine_topk default path) restrict the PQ-ADC scan; the PQ chain
+    is the ann_pq_topk mirror verbatim."""
+    sd = dim // m
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS sid, e, sqrt(list_dot_product(e, e)) AS n
+  FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist}
+),
+su0 AS (
+  SELECT sid, CASE WHEN n > 0 THEN list_transform(e, x -> x / n) ELSE e END
+    AS u
+  FROM seeds
+),
+scores0 AS (
+  SELECT v.vec_id, su0.sid, list_dot_product(v.e, su0.u) AS s
+  FROM v CROSS JOIN su0
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, sid AS list_id FROM scores0
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, sid AS list_id FROM scores0
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, sid DESC) <= {nprobe}
+),
+clists AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE a.neighbor_id <> p.query_id
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 0
+              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+              ELSE e END AS uv
+  FROM v
+),
+sub AS (
+  SELECT vec_id, ss.s, uv[ss.s * {sd} + 1 : ss.s * {sd} + {sd}] AS sv
+  FROM u, (SELECT unnest(range(0, {m})) AS s) ss
+),
+init AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+         sv AS c
+  FROM sub QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id)
+           <= {ksub}
+),
+a0 AS (
+  SELECT sub.vec_id, sub.s, init.cid,
+         round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, c)
+               + list_dot_product(c, c), 7) AS d2
+  FROM sub JOIN init USING (s)
+),
+c0 AS (
+  SELECT vec_id, s, cid FROM a0
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY d2 ASC, cid ASC) = 1
+),
+memb1 AS (
+  SELECT c0.s, c0.cid, unnest(range(1, {sd} + 1)) AS j, sub.sv AS sv
+  FROM c0 JOIN sub ON c0.vec_id = sub.vec_id AND c0.s = sub.s
+),
+cm AS (
+  SELECT s, cid, j, round(avg(sv[j]), 6) AS mval
+  FROM memb1 GROUP BY s, cid, j
+),
+cb1 AS (
+  SELECT s, cid, array_agg(mval ORDER BY j) AS c FROM cm GROUP BY s, cid
+),
+cb AS (
+  SELECT init.s, init.cid, coalesce(cb1.c, init.c) AS c
+  FROM init LEFT JOIN cb1 ON init.s = cb1.s AND init.cid = cb1.cid
+),
+a1 AS (
+  SELECT sub.vec_id, sub.s, cb.cid,
+         round(list_dot_product(sv, sv) - 2 * list_dot_product(sv, cb.c)
+               + list_dot_product(cb.c, cb.c), 7) AS d2
+  FROM sub JOIN cb USING (s)
+),
+codes AS (
+  SELECT vec_id, s, cid FROM a1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY d2 ASC, cid ASC) = 1
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, cb.s, cb.cid,
+         round(list_dot_product(qs.sv, cb.c), 7) AS lv
+  FROM sub qs JOIN cb ON qs.s = cb.s
+  WHERE qs.vec_id < 5
+),
+approx AS (
+  SELECT lut.query_id, codes.vec_id AS neighbor_id,
+         round(sum(lv ORDER BY lut.s), 6) AS ap
+  FROM codes
+  JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
+  JOIN clists cl ON cl.query_id = lut.query_id
+                AND cl.neighbor_id = codes.vec_id
+  GROUP BY lut.query_id, codes.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM approx
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ap DESC, neighbor_id) <= {rerank}
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(
+      list_dot_product(qv.e, cv.e)
+      / (sqrt(list_dot_product(qv.e, qv.e))
+         * sqrt(list_dot_product(cv.e, cv.e))),
+      4) AS cos
+  FROM cand cd
+  JOIN v qv ON qv.vec_id = cd.query_id
+  JOIN v cv ON cv.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _sql_ann_pq(m: int = 4, ksub: int = 8, k: int = 5,
                 rerank: int = 50, dim: int = 64) -> str:
     """DuckDB mirror of simsearch.pq_cosine_topk: unit-normalize, split
@@ -5167,6 +5302,18 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=5, nlist=8, nprobe=2, centroids=cents)
 
 
+def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: seed-centroid inverted lists bound the ADC
+    scan to the probed fraction of the corpus (simsearch.ivfpq_cosine_topk);
+    the oracle splices the untrained-IVF candidate CTEs into the PQ
+    mirror (_sql_ann_ivfpq)."""
+    from spikex_spark.operators.simsearch import ivfpq_cosine_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_cosine_topk(emb, emb.where(F.col("vec_id") < 5),
+                             k=5, nlist=8, nprobe=2, m=4, ksub=8,
+                             rerank=50, iters=1)
+
+
 def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN: per-subspace k-means codebooks (deterministic init +
     one rounding-pinned Lloyd step), Arrow-batch encoding, ADC scan over
@@ -8611,6 +8758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "kmeans_parallel_candidates": _q_kmeanspar_candidates,
         "ann_ivf_kmeanspar_topk": _q_ann_ivf_kmeanspar_topk,
         "ann_ivf_topk_incremental": _q_ann_ivf_topk_incremental,
@@ -8835,6 +8983,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe_topk": _sql_ann_lsh_multiprobe(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "ann_pq_topk": _sql_ann_pq(),
+        "ann_ivfpq_topk": _sql_ann_ivfpq(),
         "kmeans_parallel_candidates": _sql_kmeanspar_candidates(),
         "ann_ivf_kmeanspar_topk": _sql_ann_ivf_kmeanspar(),
         "ann_ivf_topk_incremental": _sql_ann_ivf_incr(),

@@ -567,6 +567,44 @@ def pq_codes(df: DataFrame, cb: "np.ndarray", id_col: str = "vec_id",
     return u_df.select("id", _pq_code_udf(cb)(F.col("u")).alias("codes"))
 
 
+def _pq_luts(spark, queries: DataFrame, cb: "np.ndarray", ksub: int,
+             id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, lut) — driver-side ADC lookup tables for the (few)
+    queries: lut[s][c] = dot(query_subvector_s, codeword_{s,c}) rounded
+    to 7 digits, sequential folds throughout (list_dot_product parity)."""
+    m, sd = cb.shape[0], cb.shape[2]
+    q_rows = queries.select(F.col(id_col).alias("qid"),
+                            _as_double(F.col(vec_col)).alias("e")).collect()
+
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    lut_rows = []
+    for r in q_rows:
+        qu = _unit_seq(list(r["e"]))
+        lut = [[float(_round_half_away(
+            np.array(_seq_dot(qu[s * sd:(s + 1) * sd], cb[s][c])), 7))
+            for c in range(ksub)] for s in range(m)]
+        lut_rows.append((r["qid"], lut))
+    return spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>")
+
+
+def _adc_score(m: int) -> F.Column:
+    """Ordered m-term LUT sum over a `codes`+`lut` row pair, rounded to 6
+    (the rounding that makes both engines' float orders agree)."""
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+            lambda acc, s: acc + F.element_at(
+                F.element_at("lut", s + 1),
+                F.element_at("codes", s + 1) + 1)),
+        6)
+
+
 def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    m: int = 4, ksub: int = 8, rerank: int = 50,
                    iters: int = 1, id_col: str = "vec_id",
@@ -590,41 +628,14 @@ def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     spark = corpus.sparkSession
     cb = pq_train(corpus, m=m, ksub=ksub, iters=iters,
                   id_col=id_col, vec_col=vec_col)
-    sd = cb.shape[2]
     codes = pq_codes(corpus, cb, id_col, vec_col)
-
-    # driver-side LUTs for the (few) queries — sequential folds throughout
-    # (list_dot_product parity)
-    q_rows = queries.select(F.col(id_col).alias("qid"),
-                            _as_double(F.col(vec_col)).alias("e")).collect()
-
-    def _seq_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    lut_rows = []
-    for r in q_rows:
-        qu = _unit_seq(list(r["e"]))
-        lut = [[float(_round_half_away(
-            np.array(_seq_dot(qu[s * sd:(s + 1) * sd], cb[s][c])), 7))
-            for c in range(ksub)] for s in range(m)]
-        lut_rows.append((r["qid"], lut))
-    luts = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>")
+    luts = _pq_luts(spark, queries, cb, ksub, id_col, vec_col)
 
     approx = (
         codes.crossJoin(F.broadcast(luts))
         .where(F.col("id") != F.col("query_id"))
         .select(F.col("query_id"), F.col("id").alias("neighbor_id"),
-                F.round(
-                    F.aggregate(
-                        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-                        lambda acc, s: acc + F.element_at(
-                            F.element_at("lut", s + 1),
-                            F.element_at("codes", s + 1) + 1)),
-                    6).alias("ap"))
+                _adc_score(m).alias("ap"))
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("ap"),
                                                 F.asc("neighbor_id"))
@@ -632,6 +643,68 @@ def pq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .where(F.col("arn") <= rerank)
              .select("query_id", "neighbor_id"))
 
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")),
+                                   round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def ivfpq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      nlist: int = 8, nprobe: int = 2,
+                      m: int = 4, ksub: int = 8, rerank: int = 50,
+                      iters: int = 1, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      round_digits: int = 4) -> DataFrame:
+    """IVF-PQ ANN top-k — the FAISS-standard composition: coarse-quantize
+    into ``nlist`` inverted lists (seed centroids = first corpus vectors,
+    as ivf_cosine_topk's default), probe ``nprobe`` lists per query, ADC
+    scan the PQ codes of ONLY the probed lists, exact cosine re-rank of
+    the best ``rerank``.
+
+    At 10^12 vectors neither parent suffices alone: IVF-flat still reads
+    dim·4 bytes/row inside probed lists; flat PQ still scans every row's
+    codes.  Composed, the scan touches ``nprobe/nlist`` of the corpus at
+    m bytes/row — the memory budget that actually fits.  Candidate
+    generation is the IVF equi-join on list_id; the ADC scan is a narrow
+    map against the broadcast LUTs; the only per-query windows are the
+    top-``rerank`` and top-``k`` partitions.
+    """
+    units = first_nlist_units(corpus, nlist, id_col, vec_col)
+    assign = _best_lists(corpus, units, "neighbor_id", 1, id_col, vec_col)
+    probes = _best_lists(queries, units, "query_id", nprobe, id_col,
+                         vec_col)
+    cand_lists = (
+        probes.join(assign, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    spark = corpus.sparkSession
+    cb = pq_train(corpus, m=m, ksub=ksub, iters=iters,
+                  id_col=id_col, vec_col=vec_col)
+    codes = pq_codes(corpus, cb, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id")
+    luts = _pq_luts(spark, queries, cb, ksub, id_col, vec_col)
+    approx = (
+        cand_lists.join(codes, "neighbor_id")
+        .join(F.broadcast(luts), "query_id")
+        .select("query_id", "neighbor_id", _adc_score(m).alias("ap"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("ap"),
+                                                F.asc("neighbor_id"))
+    cands = (approx.withColumn("arn", F.row_number().over(wa))
+             .where(F.col("arn") <= rerank)
+             .select("query_id", "neighbor_id"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"),
