@@ -5271,6 +5271,67 @@ SELECT id, cluster_id FROM lab3
 """
 
 
+# Fixed-round star clustering over the flagship match graph
+# (star.star_clusters): static degrees, per-round local-maxima centers
+# over the uncovered subgraph, satellites to their best center,
+# leftovers as singleton centers (round 0).
+def _star_round_sql(r: int) -> str:
+    return f"""
+live{r} AS MATERIALIZED (
+  SELECT adj.* FROM adj
+  JOIN u{r} x ON x.a = adj.a JOIN u{r} y ON y.a = adj.b),
+cent{r} AS MATERIALIZED (
+  SELECT DISTINCT a FROM live{r} l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM live{r} l2 WHERE l2.a = l.a
+      AND (l2.db > l.da OR (l2.db = l.da AND l2.b < l.a)))),
+sat{r} AS (
+  SELECT a, b AS center_id FROM (
+    SELECT l.a, l.b,
+           row_number() OVER (PARTITION BY l.a
+                              ORDER BY l.db DESC, l.b ASC) AS rk
+    FROM live{r} l JOIN cent{r} c ON c.a = l.b
+    WHERE l.a NOT IN (SELECT a FROM cent{r}))
+  WHERE rk = 1),
+got{r} AS MATERIALIZED (
+  SELECT a, a AS center_id, 1 AS is_center, {r} AS round FROM cent{r}
+  UNION ALL
+  SELECT a, center_id, 0, {r} FROM sat{r}),
+u{r + 1} AS MATERIALIZED (
+  SELECT a FROM u{r} WHERE a NOT IN (SELECT a FROM got{r}))"""
+
+
+_SQL_ER_STAR = f"""
+WITH RECURSIVE sp AS MATERIALIZED ({_SQL_ER_PAIRS}),
+p AS (SELECT id_a, id_b FROM sp WHERE score >= 0.80 AND id_a <> id_b),
+sym AS MATERIALIZED (
+  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM p
+  UNION
+  SELECT greatest(id_a, id_b), least(id_a, id_b) FROM p),
+deg AS MATERIALIZED (SELECT a, count(*)::bigint AS d FROM sym GROUP BY 1),
+adj AS MATERIALIZED (
+  SELECT s.a, s.b, da.d AS da, db.d AS db
+  FROM sym s JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
+u1 AS (SELECT a FROM deg),
+{",".join(_star_round_sql(r) for r in (1, 2, 3))},
+covered AS (SELECT * FROM got1 UNION ALL SELECT * FROM got2
+            UNION ALL SELECT * FROM got3)
+SELECT d.doc_id AS id,
+       coalesce(c.center_id, d.doc_id) AS center_id,
+       coalesce(c.is_center, 1)::int AS is_center,
+       coalesce(c.round, 0)::int AS round
+FROM documents d LEFT JOIN covered c ON c.a = d.doc_id
+"""
+
+
+def _q_er_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.star import star_clusters
+    docs = _read(spark, sf_dir, "documents")
+    pairs = (_q_er_doc_pairs(spark, sf_dir)
+             .where(F.col("score") >= 0.80).select("id_a", "id_b"))
+    return star_clusters(pairs, docs, id_col="doc_id", rounds=3)
+
+
 def _q_er_hac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.hac import hac_clusters
     docs = _read(spark, sf_dir, "documents")
@@ -8766,6 +8827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_embeddings": _q_dbscan_embeddings,
         "er_dbscan_clusters": _q_er_dbscan,
         "er_hac_clusters": _q_er_hac,
+        "er_star_clusters": _q_er_star,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -8991,6 +9053,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_embeddings": _sql_dbscan(),
         "er_dbscan_clusters": _SQL_ER_DBSCAN,
         "er_hac_clusters": _SQL_ER_HAC,
+        "er_star_clusters": _SQL_ER_STAR,
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
