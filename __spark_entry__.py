@@ -306,6 +306,56 @@ WHERE round(i::double / (ca.n_sh + cb.n_sh - i), 6) >= 0.7
 """
 
 
+# Sketch-only containment estimate: signature-agreement Jaccard +
+# Broder's identity over exact shingle cardinalities — the estimate
+# runs on H-long signatures where the exact gram join cannot.
+_SQL_MINHASH_CONT = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+buckets0 AS ({_SQL_BUCKETS}),
+buckets AS ({_SQL_BUCKETS_CAPPED}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+mh AS ({_SQL_MINHASH}),
+agr AS (
+  SELECT c.id_a, c.id_b,
+    ({" + ".join(f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
+                 for s in range(_N_HASHES))})::bigint AS agree
+  FROM cands c
+  JOIN mh a ON a.doc_id = c.id_a
+  JOIN mh b ON b.doc_id = c.id_b
+),
+counts AS (SELECT doc_id, count(*)::bigint AS n_sh FROM sh GROUP BY doc_id),
+j AS (
+  SELECT id_a, id_b, agree, ca.n_sh AS na, cb.n_sh AS nb
+  FROM agr
+  JOIN counts ca ON ca.doc_id = id_a
+  JOIN counts cb ON cb.doc_id = id_b
+)
+SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+            THEN id_b ELSE id_a END AS container_id,
+       agree, least(na, nb) AS n_small, greatest(na, nb) AS n_big,
+       round(agree / {_N_HASHES}.0, 6) AS est_jaccard,
+       round((agree * (na + nb))::double
+             / (({_N_HASHES} + agree) * least(na, nb))::double, 6)
+         AS est_containment
+FROM j
+WHERE round((agree * (na + nb))::double
+            / (({_N_HASHES} + agree) * least(na, nb))::double, 6) >= 0.5
+"""
+
+
+def _q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import minhash_containment_est
+    return minhash_containment_est(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        min_containment=0.5)
+
+
 def _sql_stopword_hits(lang_words: list[str]) -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in lang_words) + "]"
     return (f"len(list_filter({_SQL_TOKENS_ALL.format(col='text')},"
@@ -8737,6 +8787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "containment_pairs": _q_containment,
+        "minhash_containment_est": _q_minhash_containment,
         "minhash_near_dups": _q_minhash_near_dups,
         "lang_id": _q_lang_id,
         "repetition_stats": _q_repetition,
@@ -8963,6 +9014,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SQL_SIMHASH_PAIRS,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACC,
         "containment_pairs": _SQL_CONTAINMENT,
+        "minhash_containment_est": _SQL_MINHASH_CONT,
         "minhash_near_dups": _SQL_MINHASH_NEAR,
         "lang_id": _sql_lang_id(),
         "repetition_stats": _SQL_REPETITION,

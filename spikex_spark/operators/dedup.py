@@ -360,6 +360,84 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def minhash_containment_est(df: DataFrame, id_col: str, text_col: str,
+                            min_containment: float = 0.5, k: int = 5,
+                            num_hashes: int = 16, bands: int = 4,
+                            bucket_cap: int = 1000) -> DataFrame:
+    """(contained_id, container_id, agree, n_small, n_big, est_jaccard,
+    est_containment) — SKETCH-ONLY containment estimation over LSH
+    candidates: ``J^ = agree/H`` from MinHash signature agreement, then
+    Broder's identity ``C = J·(|A|+|B|) / ((1+J)·min(|A|,|B|))`` with
+    exact shingle cardinalities.
+
+    The scale path for :func:`containment_pairs`: the exact version
+    joins the gram streams of every candidate pair; this one touches
+    only the H-long signatures plus two per-doc counts — at 10^12 docs
+    the estimate runs where the exact join cannot.  ``agree·(na+nb)``
+    and ``(H+agree)·min`` are exact int64s; one final rounded division.
+    The estimate can exceed 1.0 for size-skewed fully-contained pairs
+    (the identity's min-denominator) — that's signal, not error.
+    """
+    sh = B.shingle_df(df, id_col, text_col, k=k)
+    sig = B.minhash_signatures(sh, num_hashes=num_hashes)
+    buckets = B.lsh_buckets(sig, bands=bands,
+                            rows_per_band=num_hashes // bands)
+    buckets = B.cap_blocks(buckets, key_col=["band", "bucket"],
+                           id_col="id", cap=bucket_cap)
+    cands = (
+        buckets.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(buckets.select("band", "bucket", F.col("id").alias("id_b")),
+              ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    agree_expr = sum(
+        F.when(F.col(f"a_mh{s}") == F.col(f"b_mh{s}"), 1).otherwise(0)
+        for s in range(num_hashes)
+    ).cast("long")
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"mh{s}").alias(f"a_mh{s}")
+                      for s in range(num_hashes)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"mh{s}").alias(f"b_mh{s}")
+                      for s in range(num_hashes)])
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    j = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", agree_expr.alias("agree"))
+        .join(counts.withColumnsRenamed({"id": "id_a", "n_sh": "na"}),
+              "id_a")
+        .join(counts.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}),
+              "id_b")
+    )
+    small_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    est_c = F.round(
+        (F.col("agree") * (F.col("na") + F.col("nb"))).cast("double")
+        / ((F.lit(num_hashes) + F.col("agree"))
+           * F.least("na", "nb")).cast("double"),
+        6,
+    )
+    return (
+        j.withColumn("est_containment", est_c)
+        .where(F.col("est_containment") >= min_containment)
+        .select(
+            F.when(small_first, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(small_first, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("container_id"),
+            "agree",
+            F.least("na", "nb").cast("long").alias("n_small"),
+            F.greatest("na", "nb").cast("long").alias("n_big"),
+            F.round(F.col("agree") / F.lit(float(num_hashes)), 6)
+            .alias("est_jaccard"),
+            "est_containment",
+        )
+    )
+
+
 def _space_tokens(text_col: str) -> F.Column:
     """Space-split non-empty tokens — the pack_sequences/decontamination
     tokenization (positions must survive a re-join with ' ')."""

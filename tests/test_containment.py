@@ -102,3 +102,25 @@ def test_hub_gram_guard_applies(spark):
     # every surviving intersection must come from non-hub grams only;
     # the unique tails share nothing, so nothing survives
     assert hub_pairs == []
+
+
+def test_minhash_containment_estimates_subset(spark):
+    from spikex_spark.operators.dedup import minhash_containment_est
+
+    small = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    # a SHORT tail keeps true J high enough for 4x4 banding to recall
+    # the pair (the estimator is downstream of LSH candidates)
+    big = small + " plus tiny tail"
+    docs = [(0, small), (1, big), (2, "wholly different content here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = minhash_containment_est(df, "doc_id", "text",
+                                   min_containment=0.3).collect()
+    got = {(r["contained_id"], r["container_id"]): r for r in rows}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    # the subset pair: high signature agreement, containment near/above 1
+    assert r["agree"] >= 8
+    assert r["est_containment"] >= 0.8
+    assert r["n_small"] < r["n_big"]
+    assert not any(2 in k for k in got)
