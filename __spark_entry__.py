@@ -8151,6 +8151,17 @@ def _gen_logit_sql(rounds: int = 5, final: str = "weights") -> str:
   floor(1.0 / (1.0 + exp(-({z}))) * 1000000.0 + 0.5)::BIGINT
     / 1000000.0 AS p_match
 FROM featm CROSS JOIN w{rounds}"""
+    elif final == "contribs":
+        names = ["jw", "jacc", "me_sym", "soft_sym"]
+        sels = [f"SELECT id_a, id_b, 'bias' AS feature,"
+                f" 1000000::BIGINT AS f_micro, wb AS w_micro,"
+                f" (wb * 1000000)::BIGINT AS contrib_p12"
+                f" FROM featm CROSS JOIN w{rounds}"]
+        sels += [f"SELECT id_a, id_b, '{nm}', f{j}m, w{j},"
+                 f" (w{j} * f{j}m)::BIGINT"
+                 f" FROM featm CROSS JOIN w{rounds}"
+                 for j, nm in enumerate(names, start=1)]
+        tail = "\nUNION ALL\n".join(sels)
     else:
         names = ["bias", "jw", "jacc", "me_sym", "soft_sym"]
         cols = ["wb"] + [f"w{j}" for j in range(1, 5)]
@@ -8200,6 +8211,15 @@ def _q_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = _logit_feat(spark, sf_dir)
     wts = logistic_train(feat, _LOGIT_FEATS, rounds=5)
     return logistic_score(feat, wts, _LOGIT_FEATS)
+
+
+def _q_logit_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.linkage import (logistic_contributions,
+                                                logistic_train)
+
+    feat = _logit_feat(spark, sf_dir)
+    wts = logistic_train(feat, _LOGIT_FEATS, rounds=5)
+    return logistic_contributions(feat, wts, _LOGIT_FEATS)
 
 
 # Exact ROC AUC of the learned matcher vs the prefix gold — the
@@ -8948,6 +8968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pair_features": _q_pair_features,
         "matcher_logit_weights": _q_logit_weights,
         "matcher_logit_scores": _q_logit_scores,
+        "matcher_logit_contributions": _q_logit_contributions,
         "matcher_logit_eval": _q_logit_eval,
         "crawl_key_drift": _q_key_drift,
         "matcher_logit_auc": _q_logit_auc,
@@ -9187,6 +9208,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pair_features": _SQL_PAIR_FEATURES,
         "matcher_logit_weights": _SQL_LOGIT_WEIGHTS,
         "matcher_logit_scores": _SQL_LOGIT_SCORES,
+        "matcher_logit_contributions": _gen_logit_sql(final="contribs"),
         "matcher_logit_eval": _SQL_LOGIT_EVAL,
         "crawl_key_drift": _SQL_KEY_DRIFT,
         "matcher_logit_auc": _SQL_LOGIT_AUC,

@@ -447,6 +447,35 @@ def logistic_train(feat: DataFrame, feature_cols: Sequence[str],
     return list(zip(names, w))
 
 
+def logistic_contributions(feat: DataFrame, weights,
+                           feature_cols: Sequence[str],
+                           id_cols: Sequence[str] = ("id_a", "id_b"),
+                           ) -> DataFrame:
+    """(ids..., feature, f_micro, w_micro, contrib_p12) — exact additive
+    decomposition of the matcher's logit: for a LINEAR model the Shapley
+    attribution of feature j IS ``w_j·x_j`` (no sampling, no
+    approximation), so ``z = Σ contrib_p12 / 1e12`` reconstructs the
+    score bit-for-bit.  The clerical-review explanation row: WHY did the
+    matcher call this pair a match — which similarity carried it, which
+    arg against it.  All int64 (micro·micro = pico units); one narrow
+    map + explode, zero shuffles."""
+    w = dict(weights)
+    entries = [F.struct(
+        F.lit("bias").alias("feature"),
+        F.lit(1_000_000).cast("long").alias("f_micro"),
+        F.lit(int(w["bias"])).cast("long").alias("w_micro"))]
+    for c in feature_cols:
+        fm = F.floor(F.col(c) * F.lit(1000000.0)
+                     + F.lit(0.5)).cast("long")
+        entries.append(F.struct(
+            F.lit(c).alias("feature"), fm.alias("f_micro"),
+            F.lit(int(w[c])).cast("long").alias("w_micro")))
+    return (feat.select(*id_cols, F.explode(F.array(*entries)).alias("e"))
+            .select(*id_cols, "e.feature", "e.f_micro", "e.w_micro",
+                    (F.col("e.w_micro") * F.col("e.f_micro"))
+                    .cast("long").alias("contrib_p12")))
+
+
 def logistic_score(feat: DataFrame, weights, feature_cols: Sequence[str],
                    id_cols: Sequence[str] = ("id_a", "id_b")) -> DataFrame:
     """Apply a :func:`logistic_train` model: (ids..., p_micro, p_match)

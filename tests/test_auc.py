@@ -48,3 +48,36 @@ def test_random_case_matches_brute_force(spark):
 def test_degenerate_single_class_is_null(spark):
     got = _auc(spark, [(0.5, 1), (0.6, 1)])
     assert got["auc"] is None and got["gini"] is None
+
+
+def test_logistic_contributions_reconstruct_logit(spark):
+    from spikex_spark.operators.linkage import (logistic_contributions,
+                                                logistic_score,
+                                                logistic_train)
+
+    rows = [
+        (1, 2, 1.0, 0.95, 0.90),
+        (1, 3, 0.0, 0.20, 0.10),
+        (2, 3, 1.0, 0.85, 0.80),
+        (4, 5, 0.0, 0.40, 0.30),
+    ]
+    feat = spark.createDataFrame(
+        rows, "id_a long, id_b long, y double, jw double, jacc double")
+    wts = logistic_train(feat, ["jw", "jacc"], rounds=3)
+    contribs = logistic_contributions(feat, wts, ["jw", "jacc"]).collect()
+    by_pair = {}
+    for r in contribs:
+        by_pair.setdefault((r["id_a"], r["id_b"]), []).append(r)
+    assert all(len(v) == 3 for v in by_pair.values())  # bias + 2 features
+    # exact identity: every contribution is w_micro * f_micro
+    for v in by_pair.values():
+        for r in v:
+            assert r["contrib_p12"] == r["w_micro"] * r["f_micro"]
+    # z reconstructed from contributions reproduces the scorer's p_micro
+    import math
+    scores = {(r["id_a"], r["id_b"]): r["p_micro"]
+              for r in logistic_score(feat, wts, ["jw", "jacc"]).collect()}
+    for pair, v in by_pair.items():
+        z = sum(r["contrib_p12"] for r in v) / 1e12
+        pm = math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6 + 0.5)
+        assert pm == scores[pair]
