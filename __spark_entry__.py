@@ -7907,6 +7907,71 @@ FROM m GROUP BY field
 """
 
 
+# Iterative truth discovery over the ER clusters' lang claims: each
+# crawl source's trust converges to its agreement rate with the
+# weighted consensus (survivorship.truth_discovery, 3 unrolled rounds).
+def _td_round_sql(r: int) -> str:
+    return f"""
+sc{r} AS MATERIALIZED (
+  SELECT c.entity, c.value, sum(t.trust_micro)::bigint AS score_micro,
+         count(*)::bigint AS n_votes
+  FROM claims c JOIN t{r - 1} t ON t.src = c.src
+  GROUP BY 1, 2),
+ch{r} AS MATERIALIZED (
+  SELECT entity, value AS fused_value, score_micro, n_votes FROM sc{r}
+  QUALIFY row_number() OVER (PARTITION BY entity
+                             ORDER BY score_micro DESC, value) = 1),
+t{r} AS MATERIALIZED (
+  SELECT c.src,
+         greatest(1, least(999999,
+           (2 * sum(CASE WHEN c.value = ch.fused_value
+                    THEN 1 ELSE 0 END) * 1000000 + count(*))
+           // (2 * count(*))))::bigint AS trust_micro,
+         count(*)::bigint AS n_claims,
+         sum(CASE WHEN c.value = ch.fused_value THEN 1 ELSE 0 END)::bigint
+           AS n_correct
+  FROM claims c JOIN ch{r} ch ON ch.entity = c.entity
+  GROUP BY 1)"""
+
+
+def _sql_truth_discovery(final: str) -> str:
+    rounds = ",".join(_td_round_sql(r) for r in (1, 2, 3))
+    tail = ("SELECT entity, fused_value, score_micro, n_votes FROM ch3"
+            if final == "fused" else
+            "SELECT src, trust_micro, n_claims, n_correct FROM t3")
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED ({_SQL_ER_CLUSTERS}),
+claims AS MATERIALIZED (
+  SELECT b.cluster_id AS entity, d.source AS src, d.lang AS value
+  FROM base b JOIN documents d ON d.doc_id = b.doc_id
+  WHERE d.lang IS NOT NULL),
+t0 AS (SELECT DISTINCT src, 800000::bigint AS trust_micro FROM claims),
+{rounds}
+{tail}
+"""
+
+
+def _td_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    clusters = _q_er_doc_clusters(spark, sf_dir)
+    return (clusters.join(docs, "doc_id")
+            .select(F.col("cluster_id").alias("entity"),
+                    F.col("source").alias("src"),
+                    F.col("lang").alias("value")))
+
+
+def _q_truth_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.survivorship import truth_discovery
+    fused, _ = truth_discovery(_td_claims(spark, sf_dir), rounds=3)
+    return fused
+
+
+def _q_source_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.survivorship import truth_discovery
+    _, trust = truth_discovery(_td_claims(spark, sf_dir), rounds=3)
+    return trust
+
+
 def _q_field_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.survivorship import field_conflicts
     docs = _read(spark, sf_dir, "documents")
@@ -8961,6 +9026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_otsu_threshold": _q_otsu,
         "er_review_sample": _q_review_sample,
         "golden_field_conflicts": _q_field_conflicts,
+        "truth_fused_lang": _q_truth_fused,
+        "source_trust": _q_source_trust,
         "er_f1_by_lang": _q_f1_by_lang,
         "er_knn_pruned_clusters": _q_knn_clusters,
         "er_run_diff": _q_run_diff,
@@ -9201,6 +9268,8 @@ def oracle_sql() -> dict[str, str]:
         "er_otsu_threshold": _SQL_OTSU,
         "er_review_sample": _SQL_REVIEW_SAMPLE,
         "golden_field_conflicts": _SQL_FIELD_CONFLICTS,
+        "truth_fused_lang": _sql_truth_discovery("fused"),
+        "source_trust": _sql_truth_discovery("trust"),
         "er_f1_by_lang": _SQL_F1_BY_LANG,
         "er_knn_pruned_clusters": _SQL_KNN_CLUSTERS,
         "er_run_diff": _SQL_RUN_DIFF,

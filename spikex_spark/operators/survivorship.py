@@ -168,3 +168,67 @@ def cluster_medoids(clusters: DataFrame, matched: DataFrame,
             .select(F.col("_cl").alias(cluster_col),
                     F.col("node").alias("medoid_id"),
                     F.col("ssum").alias("score_sum_scaled")))
+
+
+def truth_discovery(claims: DataFrame, rounds: int = 3,
+                    init_trust_micro: int = 800_000):
+    """Iterative weighted-vote truth discovery (the TruthFinder /
+    Dong–Srivastava data-fusion recipe, linearized): fuse conflicting
+    per-entity claims by trusting sources in proportion to how often
+    their past claims matched the consensus.
+
+    ``claims`` = (entity, src, value) — one row per source assertion.
+    Per round: each candidate value's score is the exact int64 sum of
+    its supporting sources' micro-int trusts; the fused value is the
+    (score DESC, value ASC) argmax; each source's trust becomes the
+    half-up micro ratio of its matching claims (``(2n·10⁶+d) div 2d``,
+    the linkage._snap_ratio discipline — no float rounding mode ever
+    decides a trust), clamped to [1, 999999].  A fixed round count makes
+    both outputs total deterministic functions of the claims — the
+    oracle unrolls the rounds.
+
+    Returns ``(fused, trust)``: fused = (entity, fused_value,
+    score_micro, n_votes); trust = (src, trust_micro, n_claims,
+    n_correct) at the final round.
+
+    Scale: per round one (entity, value) groupBy-sum against a
+    broadcast-size trust table, one per-entity argmax window, one
+    per-source ratio agg.  Majority voting (golden_records) is the
+    rounds=0 degenerate case; this is what to run when sources have
+    systematic quality differences a flat vote hides.
+    """
+    c = claims.select("entity", "src", "value").where(
+        F.col("value").isNotNull()).localCheckpoint(eager=False)
+    srcs = c.select("src").distinct()
+    trust = srcs.withColumn(
+        "trust_micro", F.lit(int(init_trust_micro)).cast("long"))
+    chosen = None
+    for _ in range(rounds):
+        scored = (
+            c.join(F.broadcast(trust), "src")
+            .groupBy("entity", "value")
+            .agg(F.sum("trust_micro").cast("long").alias("score_micro"),
+                 F.count("*").cast("long").alias("n_votes"))
+        )
+        w = Window.partitionBy("entity").orderBy(
+            F.col("score_micro").desc(), F.col("value").asc())
+        chosen = (scored.withColumn("_rk", F.row_number().over(w))
+                  .where(F.col("_rk") == 1)
+                  .select("entity", F.col("value").alias("fused_value"),
+                          "score_micro", "n_votes")
+                  .localCheckpoint(eager=False))
+        per_src = (
+            c.join(chosen.select("entity", "fused_value"), "entity")
+            .groupBy("src")
+            .agg(F.count("*").cast("long").alias("n_claims"),
+                 F.sum(F.when(F.col("value") == F.col("fused_value"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct"))
+        )
+        trust = per_src.select(
+            "src",
+            F.greatest(F.lit(1), F.least(F.lit(999_999), F.expr(
+                "(2 * n_correct * 1000000 + n_claims) div (2 * n_claims)")
+            )).cast("long").alias("trust_micro"),
+            "n_claims", "n_correct",
+        ).localCheckpoint(eager=False)
+    return chosen, trust
