@@ -5645,6 +5645,34 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     return str(stage_dir)
 
 
+def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min heavy hitters: the CMS CELLS are maintained as
+    a complete-mode streaming aggregation (counts combine map-side per
+    micro-batch; the sketch is depth·width rows of state regardless of
+    stream length), drained, then probed with the exact top-20 tokens.
+    Streaming-complete agg == batch agg, so the oracle is the batch CMS
+    mirror (_SQL_CMS) unchanged."""
+    from spikex_spark.operators.retrieval import _tokens
+    from spikex_spark.operators.sketch import cms_build, cms_estimate
+    from spikex_spark.streaming.stream import run_to_memory
+
+    schema = _read(spark, sf_dir, "documents").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stage_stream_dir(sf_dir, "documents"))
+    toks = stream.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    cells = cms_build(toks, "tok", depth=4, width=2048)
+    drained = run_to_memory(cells, "stream_cms_cells", mode="complete")
+    toks_b = (_read(spark, sf_dir, "documents")
+              .select(F.explode(_tokens(F.col("text"))).alias("tok")))
+    truth = (toks_b.groupBy("tok").agg(F.count("*").alias("true_count"))
+             .orderBy(F.col("true_count").desc(), F.col("tok").asc())
+             .limit(20))
+    est = cms_estimate(drained, truth, "tok", depth=4, width=2048)
+    return (truth.withColumnRenamed("tok", "token")
+            .join(est.withColumnRenamed("key", "token"), "token")
+            .select("token", "true_count", "est"))
+
+
 def _q_stream_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     canonical-id per blocking key. Drained availableNow in ONE micro-batch,
@@ -9020,6 +9048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cooccurrence": _q_cooccurrence,
         "sampled_quantiles_events": _q_sampled_quantiles,
         "stream_hll_tokens": _q_stream_hll_tokens,
+        "stream_heavy_hitters": _q_stream_heavy_hitters,
         "cluster_leakage_safe_split": _q_cluster_split,
         "stable_entity_ids": _q_stable_ids,
         "er_collective_scores": _q_collective,
@@ -9262,6 +9291,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": _SQL_COOC,
         "sampled_quantiles_events": _SQL_QSKETCH,
         "stream_hll_tokens": _SQL_HLL_TOKENS,
+        "stream_heavy_hitters": _SQL_CMS,
         "cluster_leakage_safe_split": _SQL_CLUSTER_SPLIT,
         "stable_entity_ids": _SQL_STABLE_IDS,
         "er_collective_scores": _SQL_COLLECTIVE,
