@@ -5382,6 +5382,86 @@ def _q_er_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_clusters(pairs, docs, id_col="doc_id", rounds=3)
 
 
+# Consensus clustering (Fred–Jain evidence accumulation) over THREE
+# independent clusterers — transitive CC, star cover, average-linkage
+# HAC — votes counted on the candidate pairs only, majority edges
+# re-closed with CC. The oracle nests all three mirrors (the round
+# generators are reused verbatim) plus two recursive reaches.
+_SQL_ER_CONSENSUS = f"""
+WITH RECURSIVE sp AS MATERIALIZED ({_SQL_ER_PAIRS}),
+mp AS MATERIALIZED (
+  SELECT id_a, id_b FROM sp WHERE score >= 0.80 AND id_a <> id_b),
+ids AS (SELECT doc_id FROM documents),
+reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM ids
+  UNION
+  SELECT CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END, r.root
+  FROM reach r JOIN mp e ON e.id_a = r.node OR e.id_b = r.node
+),
+cclab AS MATERIALIZED (
+  SELECT node AS id, min(root) AS cluster_id FROM reach GROUP BY 1),
+sym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM mp
+  UNION
+  SELECT id_b, id_a FROM mp),
+deg AS MATERIALIZED (SELECT a, count(*)::bigint AS d FROM sym GROUP BY 1),
+adj AS MATERIALIZED (
+  SELECT s.a, s.b, da.d AS da, db.d AS db
+  FROM sym s JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
+u1 AS (SELECT a FROM deg),
+{",".join(_star_round_sql(r) for r in (1, 2, 3))},
+starall AS MATERIALIZED (
+  SELECT d.doc_id AS id, coalesce(c.center_id, d.doc_id) AS center_id
+  FROM documents d LEFT JOIN (
+    SELECT a, center_id FROM got1
+    UNION ALL SELECT a, center_id FROM got2
+    UNION ALL SELECT a, center_id FROM got3) c ON c.a = d.doc_id),
+p AS MATERIALIZED (
+  SELECT id_a, id_b, round(score * 10000)::bigint AS s_e4
+  FROM sp WHERE id_a <> id_b),
+lab0 AS MATERIALIZED (
+  SELECT doc_id AS id, doc_id AS cluster_id FROM documents),
+{",".join(_hac_round_sql(i, 8000) for i in range(3))},
+votes AS MATERIALIZED (
+  SELECT m.id_a, m.id_b,
+    (CASE WHEN ca.cluster_id = cb.cluster_id THEN 1 ELSE 0 END
+     + CASE WHEN sa.center_id = sb.center_id THEN 1 ELSE 0 END
+     + CASE WHEN ha.cluster_id = hb.cluster_id THEN 1 ELSE 0 END) AS v
+  FROM mp m
+  JOIN cclab ca ON ca.id = m.id_a JOIN cclab cb ON cb.id = m.id_b
+  JOIN starall sa ON sa.id = m.id_a JOIN starall sb ON sb.id = m.id_b
+  JOIN lab3 ha ON ha.id = m.id_a JOIN lab3 hb ON hb.id = m.id_b),
+ce AS MATERIALIZED (SELECT id_a, id_b FROM votes WHERE v >= 2),
+reach2 AS (
+  SELECT doc_id AS node, doc_id AS root FROM ids
+  UNION
+  SELECT CASE WHEN e.id_a = r.node THEN e.id_b ELSE e.id_a END, r.root
+  FROM reach2 r JOIN ce e ON e.id_a = r.node OR e.id_b = r.node
+)
+SELECT node AS id, min(root) AS cluster_id FROM reach2 GROUP BY 1
+"""
+
+
+def _q_er_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cc import cluster_assignments
+    from spikex_spark.operators.ensemble import consensus_clusters
+    from spikex_spark.operators.hac import hac_clusters
+    from spikex_spark.operators.star import star_clusters
+    docs = _read(spark, sf_dir, "documents")
+    scored = _q_er_doc_pairs(spark, sf_dir).localCheckpoint()
+    matched = scored.where(F.col("score") >= 0.80).select("id_a", "id_b")
+    cc_lab = cluster_assignments(
+        matched.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")),
+        docs, id_col="doc_id")
+    star_lab = (star_clusters(matched, docs, id_col="doc_id")
+                .select("id", F.col("center_id").alias("cluster_id")))
+    hac_lab = hac_clusters(scored, docs, id_col="doc_id",
+                           rounds=3, min_score=0.80)
+    return consensus_clusters(matched, [cc_lab, star_lab, hac_lab],
+                              docs, id_col="doc_id", min_votes=2)
+
+
 def _q_er_hac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.hac import hac_clusters
     docs = _read(spark, sf_dir, "documents")
@@ -8992,6 +9072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_dbscan_clusters": _q_er_dbscan,
         "er_hac_clusters": _q_er_hac,
         "er_star_clusters": _q_er_star,
+        "er_consensus_clusters": _q_er_consensus,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -9223,6 +9304,7 @@ def oracle_sql() -> dict[str, str]:
         "er_dbscan_clusters": _SQL_ER_DBSCAN,
         "er_hac_clusters": _SQL_ER_HAC,
         "er_star_clusters": _SQL_ER_STAR,
+        "er_consensus_clusters": _SQL_ER_CONSENSUS,
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
