@@ -5442,6 +5442,87 @@ SELECT node AS id, min(root) AS cluster_id FROM reach2 GROUP BY 1
 """
 
 
+# Clusterer shoot-out: pairwise precision (restricted to the candidate
+# universe) / exact recall / F1 of four clusterers vs the prefix gold,
+# one row per method — the Hassanzadeh–Miller comparison table. Reuses
+# the consensus chain's label CTEs wholesale.
+def _shootout_method_sql(name: str, tbl: str, idc: str, c: str) -> str:
+    return f"""
+SELECT '{name}' AS method,
+  (SELECT count(*) FROM mp m
+     JOIN {tbl} x ON x.{idc} = m.id_a
+     JOIN {tbl} y ON y.{idc} = m.id_b
+   WHERE x.{c} = y.{c})::bigint AS pred_pairs,
+  (SELECT count(*) FROM mp m
+     JOIN gold g ON g.id_a = m.id_a AND g.id_b = m.id_b
+     JOIN {tbl} x ON x.{idc} = m.id_a
+     JOIN {tbl} y ON y.{idc} = m.id_b
+   WHERE x.{c} = y.{c})::bigint AS tp_restricted,
+  (SELECT count(*) FROM gold g
+     JOIN {tbl} x ON x.{idc} = g.id_a
+     JOIN {tbl} y ON y.{idc} = g.id_b
+   WHERE x.{c} = y.{c})::bigint AS gold_cov,
+  (SELECT count(*) FROM gold)::bigint AS n_gold"""
+
+
+def _sql_er_shootout() -> str:
+    # reuse everything up to the consensus result, then add gold + rows
+    prefix = _SQL_ER_CONSENSUS.rsplit(
+        "SELECT node AS id, min(root) AS cluster_id FROM reach2 GROUP BY 1",
+        1)[0].rstrip()
+    methods = "\nUNION ALL\n".join([
+        _shootout_method_sql("transitive", "cclab", "id", "cluster_id"),
+        _shootout_method_sql("star", "starall", "id", "center_id"),
+        _shootout_method_sql("hac", "lab3", "id", "cluster_id"),
+        _shootout_method_sql("consensus", "conlab", "id", "cluster_id"),
+    ])
+    return f"""{prefix},
+conlab AS MATERIALIZED (
+  SELECT node AS id, min(root) AS cluster_id FROM reach2 GROUP BY 1),
+gold AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_SQL_PREFIX_GOLD})),
+counts AS MATERIALIZED ({methods})
+SELECT method, pred_pairs, tp_restricted, gold_cov, n_gold,
+       precision, recall,
+       CASE WHEN precision + recall > 0
+            THEN round(2 * precision * recall / (precision + recall), 6)
+            ELSE 0.0 END AS f1
+FROM (
+  SELECT *,
+    CASE WHEN pred_pairs > 0
+         THEN round(tp_restricted::double / pred_pairs, 6)
+         ELSE 0.0 END AS precision,
+    CASE WHEN n_gold > 0
+         THEN round(gold_cov::double / n_gold, 6)
+         ELSE 0.0 END AS recall
+  FROM counts)
+"""
+
+
+def _q_er_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cc import cluster_assignments
+    from spikex_spark.operators.ensemble import consensus_clusters
+    from spikex_spark.operators.evaluation import clusterer_shootout
+    from spikex_spark.operators.hac import hac_clusters
+    from spikex_spark.operators.star import star_clusters
+    docs = _read(spark, sf_dir, "documents")
+    scored = _q_er_doc_pairs(spark, sf_dir).localCheckpoint()
+    matched = scored.where(F.col("score") >= 0.80).select("id_a", "id_b")
+    cc_lab = cluster_assignments(
+        matched.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")),
+        docs, id_col="doc_id")
+    star_lab = (star_clusters(matched, docs, id_col="doc_id")
+                .select("id", F.col("center_id").alias("cluster_id")))
+    hac_lab = hac_clusters(scored, docs, id_col="doc_id",
+                           rounds=3, min_score=0.80)
+    con_lab = consensus_clusters(matched, [cc_lab, star_lab, hac_lab],
+                                 docs, id_col="doc_id", min_votes=2)
+    return clusterer_shootout(matched, _prefix_gold(docs), {
+        "transitive": cc_lab, "star": star_lab,
+        "hac": hac_lab, "consensus": con_lab})
+
+
 def _q_er_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.cc import cluster_assignments
     from spikex_spark.operators.ensemble import consensus_clusters
@@ -9073,6 +9154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_hac_clusters": _q_er_hac,
         "er_star_clusters": _q_er_star,
         "er_consensus_clusters": _q_er_consensus,
+        "er_clusterer_shootout": _q_er_shootout,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -9305,6 +9387,7 @@ def oracle_sql() -> dict[str, str]:
         "er_hac_clusters": _SQL_ER_HAC,
         "er_star_clusters": _SQL_ER_STAR,
         "er_consensus_clusters": _SQL_ER_CONSENSUS,
+        "er_clusterer_shootout": _sql_er_shootout(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),

@@ -220,3 +220,54 @@ def ranking_auc(scored: DataFrame, score_col: str = "score",
                F.round((r2 - n_pos * (n_pos + 1))
                        / (F.lit(2.0) * n_pos * n_neg) * 2 - 1, 6))
          .alias("gini"))
+
+
+def clusterer_shootout(pairs: DataFrame, gold: DataFrame,
+                       labelings: "dict[str, DataFrame]") -> DataFrame:
+    """(method, pred_pairs, tp_restricted, gold_cov, n_gold, precision,
+    recall, f1) — one row per clustering method: pairwise quality vs the
+    labeled gold pairs, the Hassanzadeh–Miller clusterer-comparison
+    table as a single artifact.
+
+    Definitions (the blocked-evaluation convention): ``pred_pairs`` =
+    candidate pairs the method co-clusters (precision's denominator is
+    RESTRICTED to the candidate universe — co-clustered pairs outside it
+    are unobservable at scale and identical for every method);
+    ``recall`` is EXACT: a gold pair counts as found iff the method
+    co-labels its two ends, checked by direct label lookup — no pair
+    enumeration, so giant clusters cost nothing.  Counts are exact
+    int64; the three ratios are final rounded divisions.
+    """
+    spark = gold.sparkSession
+    mp = pairs.select("id_a", "id_b").distinct()
+    g = gold.select("id_a", "id_b").distinct()
+    n_gold = g.count()
+    rows = []
+    for name, lab in sorted(labelings.items()):
+        la = lab.select(F.col("id").alias("id_a"),
+                        F.col("cluster_id").alias("_la"))
+        lb = lab.select(F.col("id").alias("id_b"),
+                        F.col("cluster_id").alias("_lb"))
+        co = (mp.join(la, "id_a").join(lb, "id_b")
+              .where(F.col("_la") == F.col("_lb"))
+              .select("id_a", "id_b"))
+        pred = co.count()
+        tp = co.join(g, ["id_a", "id_b"], "semi").count()
+        cov = (g.join(la, "id_a").join(lb, "id_b")
+               .where(F.col("_la") == F.col("_lb")).count())
+        rows.append((name, pred, tp, cov, n_gold))
+    out = spark.createDataFrame(
+        rows, "method string, pred_pairs long, tp_restricted long,"
+              " gold_cov long, n_gold long")
+    p = F.when(F.col("pred_pairs") > 0,
+               F.round(F.col("tp_restricted") / F.col("pred_pairs"), 6)
+               ).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_gold") > 0,
+               F.round(F.col("gold_cov") / F.col("n_gold"), 6)
+               ).otherwise(F.lit(0.0))
+    return (out.withColumn("precision", p).withColumn("recall", r)
+            .withColumn("f1", F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                F.round(2 * F.col("precision") * F.col("recall")
+                        / (F.col("precision") + F.col("recall")), 6))
+                .otherwise(F.lit(0.0))))
