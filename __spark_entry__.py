@@ -5442,6 +5442,64 @@ SELECT node AS id, min(root) AS cluster_id FROM reach2 GROUP BY 1
 """
 
 
+# Committee-disagreement sampler: candidate pairs the three clusterers
+# SPLIT on (0 < votes < 3) with per-method co-label flags — the
+# query-by-committee active-learning draw (disagreement between
+# independent models marks the most informative pairs to label next).
+def _sql_er_disagreements() -> str:
+    prefix = _SQL_ER_CONSENSUS.rsplit(
+        "votes AS MATERIALIZED (", 1)[0].rstrip().rstrip(",")
+    return f"""{prefix},
+flags AS (
+  SELECT m.id_a, m.id_b,
+    CASE WHEN ca.cluster_id = cb.cluster_id THEN 1 ELSE 0 END
+      AS transitive,
+    CASE WHEN sa.center_id = sb.center_id THEN 1 ELSE 0 END AS star,
+    CASE WHEN ha.cluster_id = hb.cluster_id THEN 1 ELSE 0 END AS hac
+  FROM mp m
+  JOIN cclab ca ON ca.id = m.id_a JOIN cclab cb ON cb.id = m.id_b
+  JOIN starall sa ON sa.id = m.id_a JOIN starall sb ON sb.id = m.id_b
+  JOIN lab3 ha ON ha.id = m.id_a JOIN lab3 hb ON hb.id = m.id_b)
+SELECT id_a, id_b, transitive::int AS transitive, star::int AS star,
+       hac::int AS hac, (transitive + star + hac)::int AS votes
+FROM flags
+WHERE transitive + star + hac BETWEEN 1 AND 2
+"""
+
+
+def _q_er_disagreements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.cc import cluster_assignments
+    from spikex_spark.operators.hac import hac_clusters
+    from spikex_spark.operators.star import star_clusters
+    docs = _read(spark, sf_dir, "documents")
+    scored = _q_er_doc_pairs(spark, sf_dir).localCheckpoint()
+    matched = scored.where(F.col("score") >= 0.80).select("id_a", "id_b")
+    labs = {
+        "transitive": cluster_assignments(
+            matched.select(F.col("id_a").alias("src"),
+                           F.col("id_b").alias("dst")),
+            docs, id_col="doc_id"),
+        "star": (star_clusters(matched, docs, id_col="doc_id")
+                 .select("id", F.col("center_id").alias("cluster_id"))),
+        "hac": hac_clusters(scored, docs, id_col="doc_id",
+                            rounds=3, min_score=0.80),
+    }
+    out = matched
+    for name, lab in labs.items():
+        la = lab.select(F.col("id").alias("id_a"),
+                        F.col("cluster_id").alias(f"_a_{name}"))
+        lb = lab.select(F.col("id").alias("id_b"),
+                        F.col("cluster_id").alias(f"_b_{name}"))
+        out = (out.join(la, "id_a").join(lb, "id_b")
+               .withColumn(name, F.when(
+                   F.col(f"_a_{name}") == F.col(f"_b_{name}"), 1)
+                   .otherwise(0).cast("int")))
+    votes = (F.col("transitive") + F.col("star") + F.col("hac"))
+    return (out.select("id_a", "id_b", "transitive", "star", "hac",
+                       votes.cast("int").alias("votes"))
+            .where(F.col("votes").between(1, 2)))
+
+
 # Clusterer shoot-out: pairwise precision (restricted to the candidate
 # universe) / exact recall / F1 of four clusterers vs the prefix gold,
 # one row per method — the Hassanzadeh–Miller comparison table. Reuses
@@ -9155,6 +9213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_star_clusters": _q_er_star,
         "er_consensus_clusters": _q_er_consensus,
         "er_clusterer_shootout": _q_er_shootout,
+        "er_method_disagreements": _q_er_disagreements,
         "spans_drop_contained": _q_drop_contained,
         "dhop_neighbors": _q_dhop,
         "redirect_resolution": _q_redirects,
@@ -9388,6 +9447,7 @@ def oracle_sql() -> dict[str, str]:
         "er_star_clusters": _SQL_ER_STAR,
         "er_consensus_clusters": _SQL_ER_CONSENSUS,
         "er_clusterer_shootout": _sql_er_shootout(),
+        "er_method_disagreements": _sql_er_disagreements(),
         "spans_drop_contained": _SQL_DROP_CONTAINED,
         "dhop_neighbors": _SQL_DHOP,
         "redirect_resolution": _sql_redirects(),
