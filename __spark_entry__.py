@@ -9099,8 +9099,181 @@ def _q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_entity_ids(prev, nxt, id_col="doc_id")
 
 
+# --- temporal record linkage (Li et al., PVLDB 2011) --------------------
+# Records = documents with a DETERMINISTIC synthetic crawl day derived
+# from doc_id (md5-hex → bigint % 730: a two-year crawl window), the
+# repo's standard both-dialect derivation — the contract tables carry no
+# timestamp, and BASELINE.json's input_hint mandates warc_ts semantics.
+
+_SQL_TEMPORAL_RECS = """
+recs AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS val,
+         array_to_string(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+           ' ')[1:2], ' ') AS block_key,
+         (('0x' || substr(md5(doc_id::varchar), 1, 4))::bigint % 730)
+           AS crawl_day
+  FROM documents
+),
+capped AS (
+  SELECT doc_id, val, block_key, crawl_day FROM (
+    SELECT r.*, row_number() OVER (PARTITION BY block_key
+                                   ORDER BY doc_id) AS rn
+    FROM recs r) t WHERE rn <= 12
+)
+"""
+
+
+def _temporal_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, val, block_key, crawl_day) with hub keys capped at 12 —
+    same derivation as the SQL mirror ``_SQL_TEMPORAL_RECS``."""
+    from pyspark.sql import Window
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    recs = docs.select(
+        "doc_id",
+        norm.alias("val"),
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 2))
+        .alias("block_key"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % 730).alias("crawl_day"),
+    )
+    w = Window.partitionBy("block_key").orderBy("doc_id")
+    return (recs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 12).drop("_rn"))
+
+
+def _q_temporal_decay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed pair evidence (Li et al. agreement/disagreement
+    decay) over block-capped candidate pairs: same extracted value far
+    apart in crawl time is weak same-entity evidence, a conflicting
+    value far apart is a weak penalty. Int64 fixed-point linear decay —
+    zero shuffles beyond the blocking self-join."""
+    from spikex_spark.operators.temporal import decayed_pair_evidence
+    recs = _temporal_records(spark, sf_dir)
+    a = recs.select(F.col("doc_id").alias("id_a"),
+                    F.col("val").alias("val_a"),
+                    F.col("crawl_day").alias("day_a"), "block_key")
+    b = recs.select(F.col("doc_id").alias("id_b"),
+                    F.col("val").alias("val_b"),
+                    F.col("crawl_day").alias("day_b"), "block_key")
+    pairs = (a.join(b, "block_key").where(F.col("id_a") < F.col("id_b"))
+             .withColumn("agree", F.col("val_a") == F.col("val_b")))
+    return decayed_pair_evidence(
+        pairs, agree_life_days=365, dis_life_days=120,
+    ).select("id_a", "id_b", "delta_days", "agree",
+             "w_agree_fx", "w_dis_fx", "evidence_fx")
+
+
+_SQL_TEMPORAL_PAIRS = f"""
+WITH {_SQL_TEMPORAL_RECS}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       abs(a.crawl_day - b.crawl_day) AS delta_days,
+       (a.val = b.val) AS agree,
+       greatest(0, 10000 - (10000 * abs(a.crawl_day - b.crawl_day)) // 365)
+         AS w_agree_fx,
+       greatest(0, 10000 - (10000 * abs(a.crawl_day - b.crawl_day)) // 120)
+         AS w_dis_fx,
+       CASE WHEN a.val = b.val
+            THEN greatest(0, 10000
+                 - (10000 * abs(a.crawl_day - b.crawl_day)) // 365)
+            ELSE -greatest(0, 10000
+                 - (10000 * abs(a.crawl_day - b.crawl_day)) // 120)
+       END AS evidence_fx
+FROM capped a JOIN capped b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+"""
+
+
+def _q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity temporal profile (first/last seen, lifespan, version
+    count by value CHANGES in crawl order) — the evolution summary Li et
+    al. build before decayed matching, and the SCD audit view of a crawl
+    ledger. One window + one groupBy on the entity key."""
+    from spikex_spark.operators.temporal import entity_timeline
+    recs = _temporal_records(spark, sf_dir)
+    tl = entity_timeline(recs, entity_col="block_key",
+                         ts_day_col="crawl_day", value_col="val",
+                         id_col="doc_id")
+    return tl.where(F.col("n_records") >= 2).select(
+        "block_key", "n_records", "first_seen_day", "last_seen_day",
+        "lifespan_days", "n_versions", "n_distinct_values")
+
+
+_SQL_TEMPORAL_TIMELINE = f"""
+WITH {_SQL_TEMPORAL_RECS},
+stepped AS (
+  SELECT block_key, crawl_day, doc_id, val,
+         CASE WHEN lag(val) OVER w IS NULL THEN 1
+              WHEN lag(val) OVER w <> val THEN 1 ELSE 0 END AS chg
+  FROM capped
+  WINDOW w AS (PARTITION BY block_key ORDER BY crawl_day, doc_id)
+)
+SELECT block_key, count(*) AS n_records,
+       min(crawl_day) AS first_seen_day,
+       max(crawl_day) AS last_seen_day,
+       max(crawl_day) - min(crawl_day) AS lifespan_days,
+       sum(chg) AS n_versions,
+       count(DISTINCT val) AS n_distinct_values
+FROM stepped GROUP BY block_key HAVING count(*) >= 2
+"""
+
+
+def _q_temporal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-aware ER: connected components over the pairs whose DECAYED
+    evidence survives a fixed-point threshold (agreements within the
+    decay horizon), so stale agreements — same boilerplate re-crawled a
+    year apart — no longer weld entities the way time-blind transitive
+    closure does. Edges ride the blocking self-join; CC is the adaptive
+    large-star/small-star operator."""
+    from spikex_spark.operators.cc import cluster_assignments
+    from spikex_spark.operators.temporal import decayed_pair_evidence
+    recs = _temporal_records(spark, sf_dir)
+    a = recs.select(F.col("doc_id").alias("id_a"),
+                    F.col("val").alias("val_a"),
+                    F.col("crawl_day").alias("day_a"), "block_key")
+    b = recs.select(F.col("doc_id").alias("id_b"),
+                    F.col("val").alias("val_b"),
+                    F.col("crawl_day").alias("day_b"), "block_key")
+    pairs = (a.join(b, "block_key").where(F.col("id_a") < F.col("id_b"))
+             .withColumn("agree", F.col("val_a") == F.col("val_b")))
+    edges = (decayed_pair_evidence(pairs, agree_life_days=365,
+                                   dis_life_days=120)
+             .where(F.col("evidence_fx") >= 5000)
+             .select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    return cluster_assignments(
+        edges, recs.select(F.col("doc_id").alias("id")), id_col="id"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+_SQL_TEMPORAL_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_TEMPORAL_RECS},
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM capped a JOIN capped b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE a.val = b.val
+    AND greatest(0, 10000
+        - (10000 * abs(a.crawl_day - b.crawl_day)) // 365) >= 5000
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM capped
+  UNION
+  SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.root
+  FROM reach r JOIN edges e ON e.src = r.node OR e.dst = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "temporal_decay_pairs": _q_temporal_decay_pairs,
+        "temporal_clusters": _q_temporal_clusters,
+        "entity_timeline": _q_entity_timeline,
         "er_doc_clusters": _q_er_doc_clusters,
         "er_doc_clusters_incremental": _q_er_doc_clusters_incremental,
         "er_doc_pairs": _q_er_doc_pairs,
@@ -9304,6 +9477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "temporal_decay_pairs": _SQL_TEMPORAL_PAIRS,
+        "temporal_clusters": _SQL_TEMPORAL_CLUSTERS,
+        "entity_timeline": _SQL_TEMPORAL_TIMELINE,
         "er_doc_clusters": _SQL_ER_CLUSTERS,
         "er_doc_clusters_incremental": _SQL_ER_CLUSTERS,
         "er_doc_pairs": _SQL_ER_PAIRS,
