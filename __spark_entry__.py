@@ -2520,12 +2520,14 @@ _MENTION_TEXTS = [
 ]
 
 
-def _sql_link_commonness() -> str:
+def _sql_link_cands_ctes() -> str:
+    """Shared oracle CTE chain for the entity-linking queries: anchor
+    links → token-normalized aliases → commonness priors → mention
+    n-gram scan → ``cands(doc, mention, dst, prior_e6, rank)``."""
     tvals = ",\n    ".join(
         "({}, '{}')".format(i, t.replace("'", "''"))
         for i, t in _MENTION_TEXTS)
-    return f"""
-WITH {_sql_anchor_links()},
+    return f"""{_sql_anchor_links()},
 kl AS (SELECT src, dst, array_to_string(list_filter(
           regexp_split_to_array(anchor, '[^a-z0-9]+'), x -> x <> ''),
           ' ') AS mention
@@ -2547,24 +2549,94 @@ grams AS (
   SELECT DISTINCT doc, array_to_string(w[i:i + n - 1], ' ') AS mention
   FROM tt CROSS JOIN (VALUES (1), (2), (3)) g(n),
        unnest(range(1, len(w) - n + 2)) AS u(i)
-)
-SELECT g.doc, g.mention, p.dst, p.prior_e6,
-       (row_number() OVER (PARTITION BY g.doc, g.mention
-                           ORDER BY p.prior_e6 DESC, p.dst))::int AS rank
-FROM grams g JOIN pri p ON p.mention = g.mention
+),
+cands AS (
+  SELECT g.doc, g.mention, p.dst, p.prior_e6,
+         (row_number() OVER (PARTITION BY g.doc, g.mention
+                             ORDER BY p.prior_e6 DESC, p.dst))::int AS rank
+  FROM grams g JOIN pri p ON p.mention = g.mention
+)"""
+
+
+def _sql_link_commonness() -> str:
+    return f"""
+WITH {_sql_link_cands_ctes()}
+SELECT doc, mention, dst, prior_e6, rank FROM cands
 """
 
 
-def _q_link_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spikex_spark.operators.anchors import (commonness, extract_links,
-                                                link_by_commonness)
+# co-in-link Jaccard relatedness between link targets (exact-arithmetic
+# stand-in for Milne–Witten WLM) — shared by both relatedness queries
+_SQL_REL_CTES = """
+srcs AS (SELECT DISTINCT src, dst FROM lf),
+cpd AS (SELECT src, dst FROM srcs
+        QUALIFY row_number() OVER (PARTITION BY src ORDER BY dst) <= 200),
+sz AS (SELECT dst, count(*)::bigint AS n_in FROM cpd GROUP BY 1),
+com AS (SELECT a.dst AS dst_a, b.dst AS dst_b, count(*)::bigint AS n_common
+        FROM cpd a JOIN cpd b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2),
+rel AS (
+  SELECT dst_a, dst_b, n_common,
+         (sa.n_in + sb.n_in - n_common)::bigint AS n_union,
+         ((2 * n_common * 1000000 + (sa.n_in + sb.n_in - n_common))
+          // (2 * (sa.n_in + sb.n_in - n_common)))::bigint AS rel_e6
+  FROM com JOIN sz sa ON sa.dst = com.dst_a
+           JOIN sz sb ON sb.dst = com.dst_b
+)"""
+
+
+def _sql_target_relatedness() -> str:
+    return f"""
+WITH {_sql_anchor_links()},
+{_SQL_REL_CTES}
+SELECT dst_a, dst_b, n_common, n_union, rel_e6 FROM rel
+"""
+
+
+def _sql_link_rerank_context() -> str:
+    return f"""
+WITH {_sql_link_cands_ctes()},
+{_SQL_REL_CTES},
+rel2 AS (SELECT dst_a AS x, dst_b AS y, rel_e6 FROM rel
+         UNION ALL
+         SELECT dst_b AS x, dst_a AS y, rel_e6 FROM rel),
+ctx AS (SELECT doc, mention AS ctx_mention, dst AS ctx_dst
+        FROM cands WHERE rank = 1),
+scored AS (
+  SELECT c.doc, c.mention, c.dst, sum(r.rel_e6)::bigint AS ctx_e6
+  FROM cands c JOIN ctx ON ctx.doc = c.doc
+                       AND ctx.ctx_mention <> c.mention
+       JOIN rel2 r ON r.x = c.dst AND r.y = ctx.ctx_dst
+  GROUP BY 1, 2, 3
+)
+SELECT c.doc, c.mention, c.dst, c.prior_e6,
+       coalesce(s.ctx_e6, 0)::bigint AS ctx_e6,
+       (row_number() OVER (PARTITION BY c.doc, c.mention
+                           ORDER BY coalesce(s.ctx_e6, 0) DESC,
+                                    c.prior_e6 DESC, c.dst))::int AS rank
+FROM cands c LEFT JOIN scored s
+  ON s.doc = c.doc AND s.mention = c.mention AND s.dst = c.dst
+"""
+
+
+def _link_fixture_links(spark: SparkSession) -> DataFrame:
+    """Token-normalized (src, dst, anchor) link stream over the anchor
+    fixture — shared by the entity-linking and relatedness queries."""
+    from spikex_spark.operators.anchors import extract_links
     pages = spark.createDataFrame(
         [(u, h.encode()) for u, h in _ANCHOR_FIXTURE],
         "url string, html binary")
     norm = F.array_join(F.filter(
         F.split(F.col("anchor"), "[^a-z0-9]+"), lambda t: t != ""), " ")
-    links = (extract_links(pages).withColumn("anchor", norm)
-             .where(F.col("anchor") != ""))
+    return (extract_links(pages).withColumn("anchor", norm)
+            .where(F.col("anchor") != ""))
+
+
+def _link_cands(spark: SparkSession) -> DataFrame:
+    """(doc, mention, dst, prior_e6, rank) candidates over the fixture
+    — the Spark side of ``_sql_link_cands_ctes``."""
+    from spikex_spark.operators.anchors import commonness, link_by_commonness
+    links = _link_fixture_links(spark)
     pri = commonness(links)
     texts = spark.createDataFrame(_MENTION_TEXTS, "doc long, text string")
     w = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
@@ -2582,6 +2654,29 @@ def _q_link_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         mentions = mentions.unionByName(p)
     return link_by_commonness(mentions.distinct(), pri)
+
+
+def _q_link_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _link_cands(spark)
+
+
+def _q_target_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-in-link Jaccard relatedness between the fixture's link
+    targets — the exact-arithmetic WLM stand-in (anchors.py docstring);
+    hub sources capped at 200 targets before the co-citation join."""
+    from spikex_spark.operators.anchors import inlink_relatedness
+    return inlink_relatedness(_link_fixture_links(spark), cap_per_src=200)
+
+
+def _q_link_rerank_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware disambiguation: the commonness candidates re-ranked
+    by summed relatedness to the doc's other mentions' top targets
+    (Milne & Witten 2008 / GLOW local-context layer) — prior breaks
+    ctx ties, so the no-context docs keep the baseline order."""
+    from spikex_spark.operators.anchors import (inlink_relatedness,
+                                                rerank_by_context)
+    rel = inlink_relatedness(_link_fixture_links(spark), cap_per_src=200)
+    return rerank_by_context(_link_cands(spark), rel)
 
 
 # PII-scrub fixture: raw inputs shared; scrub + counts computed
@@ -9300,6 +9395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_aliases": _q_anchor_aliases,
         "alias_block_pairs": _q_alias_block_pairs,
         "link_by_commonness": _q_link_commonness,
+        "target_relatedness": _q_target_relatedness,
+        "link_rerank_context": _q_link_rerank_context,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "substring_dup_spans": _q_substring_spans,
@@ -9537,6 +9634,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_aliases": _sql_anchor_aliases(),
         "alias_block_pairs": _sql_alias_block_pairs(),
         "link_by_commonness": _sql_link_commonness(),
+        "target_relatedness": _sql_target_relatedness(),
+        "link_rerank_context": _sql_link_rerank_context(),
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
         "substring_dup_spans": _SQL_SUBSTR_SPANS,

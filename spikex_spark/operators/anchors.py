@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from .urls import canonical_url
 
 __all__ = ["extract_links", "anchor_aliases", "alias_block_pairs",
-           "commonness", "link_by_commonness"]
+           "commonness", "link_by_commonness", "inlink_relatedness",
+           "rerank_by_context"]
 
 _LINK_PAT = '(?is)<a[ \\t\\n\\x0b\\f\\r][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 _WS = "[ \\t\\n\\x0b\\f\\r]+"
@@ -210,5 +211,99 @@ def link_by_commonness(
                         F.col(mention_col).alias("mention"))
         .join(priors.withColumnRenamed("anchor", "mention"), "mention")
         .select("doc", "mention", "dst", "prior_e6")
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def inlink_relatedness(
+    links: DataFrame,
+    cap_per_src: int = 200,
+) -> DataFrame:
+    """(dst_a, dst_b, n_common, n_union, rel_e6) — co-in-link Jaccard
+    relatedness between link targets: two pages are related in
+    proportion to how many source pages link to BOTH.  This is the
+    exact-arithmetic stand-in for the Milne–Witten link-based measure
+    (WLM, CIKM 2008) used by every anchor-dictionary disambiguator
+    since (Ratinov et al., ACL 2011 use the same in-link-set overlap
+    family): WLM's normalized-google-distance needs ``log`` (float,
+    engine-dependent ulps), while Jaccard over the same in-link sets is
+    a pure integer ratio — ``rel_e6`` is half-up-rounded micro-units
+    via the ``(2·c·10⁶ + u) div (2·u)`` snap discipline.
+
+    Scale shape: the co-citation self-join is keyed on ``src``, so a
+    hub SOURCE (a page linking to thousands of targets) is the
+    quadratic bomb — capped at ``cap_per_src`` distinct targets per
+    source (deterministic by dst order) before the join, the same
+    posture as every blocking channel.  In-link sizes are one
+    map-side-combinable groupBy; the pair count is another.
+    """
+    srcs = links.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (srcs.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= cap_per_src).drop("_rn"))
+    sz = capped.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_in"))
+    a = capped.select("src", F.col("dst").alias("dst_a"))
+    b = capped.select("src", F.col("dst").alias("dst_b"))
+    common = (
+        a.join(b, "src").where(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("dst").alias("dst_a"), F.col("n_in").alias("_na"))
+    sb = sz.select(F.col("dst").alias("dst_b"), F.col("n_in").alias("_nb"))
+    out = (common.join(sa, "dst_a").join(sb, "dst_b")
+           .withColumn("n_union",
+                       (F.col("_na") + F.col("_nb") - F.col("n_common"))
+                       .cast("long")))
+    return out.select(
+        "dst_a", "dst_b", "n_common", "n_union",
+        F.expr("(2 * n_common * 1000000 + n_union) div (2 * n_union)")
+        .cast("long").alias("rel_e6"),
+    )
+
+
+def rerank_by_context(
+    candidates: DataFrame,
+    relatedness: DataFrame,
+) -> DataFrame:
+    """(doc, mention, dst, prior_e6, ctx_e6, rank) — context-aware
+    entity disambiguation: re-rank each mention's link candidates by
+    their summed relatedness to the document's OTHER mentions'
+    top-prior targets (the local-context layer of Milne & Witten 2008
+    and GLOW, stacked on the commonness baseline
+    :func:`link_by_commonness` — prior breaks ctx ties, dst breaks
+    both).  ``candidates`` is :func:`link_by_commonness` output;
+    ``relatedness`` is :func:`inlink_relatedness` output (undirected —
+    both orientations are expanded here).
+
+    Scale shape: the context table is rank-1 rows only (one per
+    (doc, mention)); the scoring join is candidate-stream × relatedness
+    on (dst, ctx_dst) — the relatedness table is anchor-dictionary
+    sized (targets², capped), broadcastable next to a corpus-scale
+    candidate stream; the final rank window is per (doc, mention).
+    """
+    ctx = (candidates.where(F.col("rank") == 1)
+           .select("doc", F.col("mention").alias("ctx_mention"),
+                   F.col("dst").alias("ctx_dst")))
+    rel2 = relatedness.select(
+        F.col("dst_a").alias("_x"), F.col("dst_b").alias("_y"), "rel_e6"
+    ).unionByName(relatedness.select(
+        F.col("dst_b").alias("_x"), F.col("dst_a").alias("_y"), "rel_e6"))
+    scored = (
+        candidates.select("doc", "mention", "dst")
+        .join(ctx, "doc")
+        .where(F.col("ctx_mention") != F.col("mention"))
+        .join(rel2, (F.col("dst") == F.col("_x"))
+              & (F.col("ctx_dst") == F.col("_y")))
+        .groupBy("doc", "mention", "dst")
+        .agg(F.sum("rel_e6").cast("long").alias("ctx_e6"))
+    )
+    w = Window.partitionBy("doc", "mention").orderBy(
+        F.col("ctx_e6").desc(), F.col("prior_e6").desc(), F.col("dst"))
+    return (
+        candidates.select("doc", "mention", "dst", "prior_e6")
+        .join(scored, ["doc", "mention", "dst"], "left")
+        .withColumn("ctx_e6", F.coalesce("ctx_e6", F.lit(0)).cast("long"))
         .withColumn("rank", F.row_number().over(w))
     )

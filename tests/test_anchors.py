@@ -183,3 +183,53 @@ def test_link_by_commonness_ranks(spark):
     assert got[(0, "acme", 2)] == "https://t.com/b"
     assert got[(1, "acme", 1)] == "https://t.com/a"
     assert not any(r["mention"] == "unknown" for r in rows)
+
+
+def test_inlink_relatedness_jaccard(spark):
+    from spikex_spark.operators.anchors import inlink_relatedness
+
+    # in-link sets: A←{s1,s2,s3}, B←{s2,s3}, C←{s3}
+    links = spark.createDataFrame(
+        [("s1", "A", "x"), ("s2", "A", "x"), ("s3", "A", "x"),
+         ("s2", "B", "x"), ("s3", "B", "x"), ("s3", "C", "x")],
+        "src string, dst string, anchor string")
+    got = {(r["dst_a"], r["dst_b"]): r
+           for r in inlink_relatedness(links).collect()}
+    # J(A,B)=2/3, J(A,C)=1/3, J(B,C)=1/2 — half-up e6 snaps
+    assert got[("A", "B")]["rel_e6"] == 666667
+    assert got[("A", "C")]["rel_e6"] == 333333
+    assert got[("B", "C")]["rel_e6"] == 500000
+    assert got[("A", "B")]["n_common"] == 2
+    assert got[("A", "B")]["n_union"] == 3
+
+
+def test_inlink_relatedness_src_cap(spark):
+    from spikex_spark.operators.anchors import inlink_relatedness
+
+    # a hub source linking to 5 targets is capped to its first 2 (by
+    # dst order) — only the (T0, T1) co-citation survives
+    links = spark.createDataFrame(
+        [("hub", f"T{i}", "x") for i in range(5)],
+        "src string, dst string, anchor string")
+    rows = inlink_relatedness(links, cap_per_src=2).collect()
+    assert {(r["dst_a"], r["dst_b"]) for r in rows} == {("T0", "T1")}
+
+
+def test_rerank_by_context_flips_prior(spark):
+    from spikex_spark.operators.anchors import rerank_by_context
+
+    # mention m1 in doc 0: candidate P wins on prior, but Q is related
+    # to the doc's unambiguous context target CTX — context must flip it
+    cands = spark.createDataFrame(
+        [(0, "m1", "P", 900000, 1), (0, "m1", "Q", 100000, 2),
+         (0, "m2", "CTX", 1000000, 1)],
+        "doc long, mention string, dst string, prior_e6 long, rank int")
+    rel = spark.createDataFrame(
+        [("CTX", "Q", 1, 2, 500000)],
+        "dst_a string, dst_b string, n_common long, n_union long,"
+        " rel_e6 long")
+    got = {(r["doc"], r["mention"], r["rank"]): (r["dst"], r["ctx_e6"])
+           for r in rerank_by_context(cands, rel).collect()}
+    assert got[(0, "m1", 1)] == ("Q", 500000)   # context wins
+    assert got[(0, "m1", 2)] == ("P", 0)
+    assert got[(0, "m2", 1)][0] == "CTX"        # no-context: prior order
