@@ -2766,6 +2766,54 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_docs(df, "id", "text")
 
 
+# Host-scoped boilerplate: "Cookie banner" is boilerplate on a.com
+# (repeated there) but CONTENT on b.com (appears once) — the case where
+# corpus-global counting over-fires and per-host counting must not.
+_HOSTLINE_FIXTURE = [
+    (0, "a.com", "Cookie banner\nStory alpha"),
+    (1, "a.com", "Cookie banner\nStory beta"),
+    (2, "b.com", "Cookie banner\nStory gamma"),
+    (3, "b.com", "Welcome to B\nStory delta"),
+    (4, "b.com", "Welcome to B\nStory epsilon"),
+    (5, "c.com", "Only content here"),
+]
+
+
+def _q_line_dedup_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import line_dedup_grouped
+    df = spark.createDataFrame(_HOSTLINE_FIXTURE,
+                               "id long, host string, text string")
+    return line_dedup_grouped(df, "id", "text", "host")
+
+
+def _sql_line_dedup_by_host() -> str:
+    def lit(t: str) -> str:
+        return " || chr(10) || ".join(
+            "'" + p.replace("'", "''") + "'" for p in t.split("\n"))
+
+    vals = ",\n    ".join(f"({i}, '{h}', {lit(t)})"
+                          for i, h, t in _HOSTLINE_FIXTURE)
+    return f"""
+WITH raw AS (SELECT * FROM (VALUES
+    {vals}
+  ) AS t(id, grp, text)),
+sp AS (SELECT id, grp, string_split(text, chr(10)) AS ln FROM raw),
+l AS (SELECT id, grp, unnest(range(1, len(ln) + 1)) AS posn,
+             unnest(ln) AS line
+      FROM sp),
+c AS (SELECT grp, line, count(*) AS n FROM l WHERE line <> ''
+      GROUP BY 1, 2),
+k AS (SELECT l.id, l.grp, l.posn, l.line,
+             (l.line = '' OR coalesce(c.n, 0) < 2) AS keep
+      FROM l LEFT JOIN c ON l.grp = c.grp AND l.line = c.line)
+SELECT id, grp AS "group", count(*)::bigint AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY posn), '') AS cleaned_text
+FROM k GROUP BY id, grp
+"""
+
+
 # exact substring dedup (Lee et al. 2022) — W=12-token windows, duplicated
 # iff the exact window text occurs at >=2 (doc,pos) positions corpus-wide
 _SUBSTR_W = 12
@@ -9399,6 +9447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rerank_context": _q_link_rerank_context,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
+        "line_dedup_by_host": _q_line_dedup_by_host,
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup": _q_substring_dedup,
         "decontaminate": _q_decontaminate,
@@ -9638,6 +9687,7 @@ def oracle_sql() -> dict[str, str]:
         "link_rerank_context": _sql_link_rerank_context(),
         "pii_scrub": _sql_pii_scrub(),
         "line_dedup": _sql_line_dedup(),
+        "line_dedup_by_host": _sql_line_dedup_by_host(),
         "substring_dup_spans": _SQL_SUBSTR_SPANS,
         "substring_dedup": _SQL_SUBSTR_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,

@@ -622,6 +622,50 @@ def line_dedup_docs(df: DataFrame, id_col: str, text_col: str,
                      "\n").alias("cleaned_text")))
 
 
+def line_dedup_grouped(df: DataFrame, id_col: str, text_col: str,
+                       group_col: str, min_dup: int = 2) -> DataFrame:
+    """Group-scoped boilerplate line removal — the per-host/per-shard
+    deployment of :func:`line_dedup_docs` (CCNet dedups per shard;
+    RefinedWeb discusses site-level templates): a nav bar repeated
+    across ONE site is boilerplate *there*, but the same line appearing
+    once on another host is that page's content — corpus-global
+    counting over-fires exactly on the highest-value shared phrases at
+    web scale. Hot lines are counted within ``group_col`` (the host),
+    so each group makes its own keep/drop decision.
+
+    Returns (id, group, n_lines, n_kept, cleaned_text).
+
+    Shape at scale: identical to the corpus-level operator with
+    (group, line) as the hot key — partial agg still collapses hot
+    lines map-side, and the join back is on the SAME compound key, so
+    the shuffle partitioning is reused (one exchange, not two). The
+    group column also bounds every count by the group's size: no
+    planet-wide hot key exists by construction.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("group"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (lines.where(F.col("line") != "")
+           .groupBy("group", "line").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= min_dup)
+           .select("group", "line", F.lit(True).alias("_hot")))
+    flagged = (lines.join(hot, ["group", "line"], "left")
+               .select("id", "group", "pos", "line",
+                       F.coalesce(~F.col("_hot"), F.lit(True)).alias("keep")))
+    return (flagged.groupBy("id", "group")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(
+                             F.array_sort(F.collect_list(
+                                 F.struct("pos", "line", "keep"))),
+                             lambda s: s["keep"]),
+                         lambda s: s["line"]),
+                     "\n").alias("cleaned_text")))
+
+
 def bloom_decontaminate(df: DataFrame, id_col: str, text_col: str,
                         bench_df: DataFrame, bench_text_col: str | None = None,
                         n: int = 13, m: int = 1 << 20,

@@ -249,3 +249,22 @@ def test_lsh_expected_recall_union_guard(spark):
         "id_a long, id_b long, i long, u long")
     out = lsh_expected_recall(pairs).collect()
     assert all(r["n_pairs"] == 1 for r in out)   # oversize union excluded
+
+
+def test_line_dedup_grouped_scopes_to_host(spark):
+    from spikex_spark.operators.dedup import line_dedup_grouped
+
+    rows = [
+        (0, "a.com", "Cookie banner\nStory alpha"),
+        (1, "a.com", "Cookie banner\nStory beta"),
+        (2, "b.com", "Cookie banner\nStory gamma"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, text string")
+    got = {r["id"]: r for r in
+           line_dedup_grouped(df, "id", "text", "host").collect()}
+    # repeated on a.com → dropped there; single occurrence on b.com → kept
+    assert got[0]["cleaned_text"] == "Story alpha"
+    assert got[1]["cleaned_text"] == "Story beta"
+    assert got[2]["cleaned_text"] == "Cookie banner\nStory gamma"
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (2, 1)
+    assert got[2]["n_kept"] == 2
