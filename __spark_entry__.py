@@ -9242,6 +9242,59 @@ def _q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_entity_ids(prev, nxt, id_col="doc_id")
 
 
+def _q_wl_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WL structural fingerprints over a deterministic synthetic link
+    graph (each doc links to 3 md5-derived targets mod 500): the
+    structure-only blocking channel — mirror/template candidates share
+    colors even when every URL and anchor differs."""
+    from spikex_spark.operators.graph import wl_fingerprints
+    docs = _read(spark, sf_dir, "documents")
+    parts = []
+    for k in (1, 2, 3):
+        parts.append(docs.select(
+            F.col("doc_id").alias("src"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f":{k}"))), 1, 4),
+                16, 10).cast("long") % 500).alias("dst")))
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]) \
+        .where(F.col("src") != F.col("dst"))
+    return wl_fingerprints(edges, rounds=2)
+
+
+_SQL_WL = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (('0x' || substr(md5(doc_id::varchar || ':' || k), 1, 4))::bigint
+          % 500) AS dst
+  FROM documents CROSS JOIN (VALUES (1), (2), (3)) g(k)
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)
+),
+l0 AS (SELECT src AS node, count(*)::bigint AS degree,
+              count(*)::varchar AS lab
+       FROM und GROUP BY 1),
+r1 AS (SELECT u.src AS node,
+              substr(md5(any_value(l.lab) || '|' ||
+                     string_agg(n.lab, ',' ORDER BY n.lab)), 1, 16) AS lab
+       FROM und u JOIN l0 l ON l.node = u.src
+                  JOIN l0 n ON n.node = u.dst
+       GROUP BY 1),
+r2 AS (SELECT u.src AS node,
+              substr(md5(any_value(l.lab) || '|' ||
+                     string_agg(n.lab, ',' ORDER BY n.lab)), 1, 16) AS lab
+       FROM und u JOIN r1 l ON l.node = u.src
+                  JOIN r1 n ON n.node = u.dst
+       GROUP BY 1)
+SELECT l0.node, l0.degree, r2.lab AS wl_label
+FROM l0 JOIN r2 ON r2.node = l0.node
+"""
+
+
 # --- temporal record linkage (Li et al., PVLDB 2011) --------------------
 # Records = documents with a DETERMINISTIC synthetic crawl day derived
 # from doc_id (md5-hex → bigint % 730: a two-year crawl window), the
@@ -9416,6 +9469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "temporal_decay_pairs": _q_temporal_decay_pairs,
         "temporal_clusters": _q_temporal_clusters,
+        "wl_fingerprints": _q_wl_fingerprints,
         "entity_timeline": _q_entity_timeline,
         "er_doc_clusters": _q_er_doc_clusters,
         "er_doc_clusters_incremental": _q_er_doc_clusters_incremental,
@@ -9625,6 +9679,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "temporal_decay_pairs": _SQL_TEMPORAL_PAIRS,
         "temporal_clusters": _SQL_TEMPORAL_CLUSTERS,
+        "wl_fingerprints": _SQL_WL,
         "entity_timeline": _SQL_TEMPORAL_TIMELINE,
         "er_doc_clusters": _SQL_ER_CLUSTERS,
         "er_doc_clusters_incremental": _SQL_ER_CLUSTERS,

@@ -345,3 +345,46 @@ def kcore_nodes(edges: DataFrame, k: int = 2, rounds: int = 6,
         e.select(F.col("d").alias("n")))
     return (sym.groupBy("n").agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= k).select(F.col("n").alias("node")))
+
+
+def wl_fingerprints(edges: DataFrame, rounds: int = 2,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, degree, wl_label) — Weisfeiler–Lehman structural
+    fingerprints: iterative neighborhood-label refinement (Weisfeiler &
+    Lehman 1968; the WL-subtree kernel of Shervashidze et al., JMLR
+    2011).  Round 0 labels every node with its degree; each round
+    relabels a node with ``md5(own || '|' || sorted neighbor labels)``,
+    so after R rounds two nodes share a label iff their radius-R
+    neighborhood trees are isomorphic (up to hash collision).
+
+    Web-ER use: WL colors are STRUCTURAL blocking keys — templated
+    mirror sites reproduce their link topology, so mirror candidates
+    share colors even when every URL and anchor differs (the
+    structure-only complement to the content and alias channels), and
+    color histograms fingerprint whole site subgraphs for graph-level
+    dedup.
+
+    Scale shape: one round = one equi-join (labels onto the edge list,
+    shuffled on node) + one groupBy(node) with a sorted-array agg —
+    both partitioned on the node key, so AQE reuses the exchange across
+    rounds; ``rounds`` is small and fixed (WL stabilizes in O(diameter)
+    rounds, 2–3 in practice).  The collected neighbor-label array is
+    bounded by max degree — the same hub-cap discipline as every other
+    channel applies upstream if hubs are unbounded.
+    """
+    und = undirected(edges, src, dst)  # both orientations, deduped
+    labels = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree"))
+    labels = labels.withColumn("lab", F.col("degree").cast("string"))
+    for _ in range(rounds):
+        nb = (und.join(labels.select(F.col("node").alias("dst"),
+                                     F.col("lab").alias("nlab")), "dst")
+              .groupBy(F.col("src").alias("node"))
+              .agg(F.array_join(F.array_sort(F.collect_list("nlab")), ",")
+                   .alias("njoin")))
+        labels = (labels.join(nb, "node")
+                  .select("node", "degree",
+                          F.substring(
+                              F.md5(F.concat_ws("|", "lab", "njoin")),
+                              1, 16).alias("lab")))
+    return labels.select("node", "degree", F.col("lab").alias("wl_label"))

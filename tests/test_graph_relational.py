@@ -101,3 +101,36 @@ def test_personalized_pagerank_no_seeds_in_graph(spark):
     s = spark.createDataFrame([("zz",)], "id string")
     rows = personalized_pagerank(e, s, iterations=2).collect()
     assert all(r["rank_scaled"] == 0 for r in rows)
+
+
+def test_wl_fingerprints_distinguish_structure(spark):
+    from spikex_spark.operators.graph import wl_fingerprints
+
+    # two disjoint components: a path a-b-c and a triangle x-y-z.
+    # path endpoints (a, c) are WL-equivalent; the middle (b) is not;
+    # triangle nodes are all equivalent to each other but distinct from
+    # every path node (degree-2 with different neighborhoods).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string")
+    got = {r["node"]: r for r in wl_fingerprints(edges, rounds=2).collect()}
+    assert got["a"]["wl_label"] == got["c"]["wl_label"]
+    assert got["a"]["wl_label"] != got["b"]["wl_label"]
+    tri = {got[n]["wl_label"] for n in "xyz"}
+    assert len(tri) == 1
+    assert tri.isdisjoint({got[n]["wl_label"] for n in "abc"})
+    assert got["b"]["degree"] == 2 and got["x"]["degree"] == 2
+
+
+def test_wl_rounds_refine(spark):
+    from spikex_spark.operators.graph import wl_fingerprints
+
+    # star center vs leaf: degree already separates them at round 0 and
+    # every round keeps them separated; all leaves stay identical
+    edges = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(4)], "src string, dst string")
+    got = {r["node"]: r["wl_label"]
+           for r in wl_fingerprints(edges, rounds=3).collect()}
+    leaves = {got[f"l{i}"] for i in range(4)}
+    assert len(leaves) == 1
+    assert got["c"] not in leaves
