@@ -9465,8 +9465,189 @@ FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# LLM training-data CURATION PIPELINE — the fused end-to-end showcase of the
+# data-pipeline operator family: quality gate → language gate → exact dedup →
+# near-dup cluster survivor → benchmark decontamination → LM sequence packing,
+# each stage the already-oracle-checked operator, composed into ONE plan.
+#
+# This is the job a 100-TB webtext corpus actually runs before training: the
+# per-stage scale shapes are unchanged by composition (quality/lang are
+# narrow maps; exact dedup one hash groupBy; the near-dup survivor rides the
+# flagship LSH→CC resolution; decontamination broadcast-semi-joins the small
+# benchmark gram set; packing is the two-phase range prefix scan) — the
+# composition itself adds only id-equi-joins between consecutive keep-sets,
+# each a skew-free join on the unique doc id.
+# ---------------------------------------------------------------------------
+
+_CURATION_MIN_QUALITY = 0.6
+_CURATION_MIN_TOKENS = 20
+_CURATION_LANG = "en"
+_CURATION_BLOCK = 256
+
+
+def _curation_stages(spark: SparkSession, sf_dir: str):
+    """(docs, [(stage_name, keep_ids_df), ...]) — the funnel's keep-sets in
+    gate order: raw → quality → language → exact_dedup → near_dup →
+    decontaminated. Each keep-set is a 1-column (id) DataFrame."""
+    from pyspark.sql import Window as W
+
+    from spikex_spark.operators.dedup import decontaminate, exact_duplicates
+    from spikex_spark.operators.textstats import language_id, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text")
+    g1 = q.where(
+        (F.col("quality") >= _CURATION_MIN_QUALITY)
+        & (F.col("n_tokens") >= _CURATION_MIN_TOKENS)
+    ).select("id")
+    lang = language_id(docs, "doc_id", "text")
+    g2 = g1.join(
+        lang.where(F.col("lang_guess") == _CURATION_LANG).select("id"), "id")
+    ex = exact_duplicates(docs, "doc_id", "text")
+    g3 = g2.join(
+        ex.where(F.col("id") == F.col("canonical_id")).select("id"), "id")
+    # near-dup survivor AMONG the remaining docs: cluster membership comes
+    # from the flagship corpus-wide resolution; the survivor (longest text,
+    # tie-break min id) is chosen among gate survivors so a cluster whose
+    # canonical copy failed an earlier gate still contributes its best
+    # remaining member instead of vanishing.
+    # the two expensive inputs (LSH→CC resolution; 13-gram decontamination)
+    # are checkpointed once — every funnel branch and the packer's two
+    # passes reuse the materialized few-hundred-row results instead of
+    # re-running their chains
+    clusters = _q_er_doc_clusters(spark, sf_dir).localCheckpoint()
+    sized = (g3.join(clusters.withColumnRenamed("doc_id", "id"), "id")
+             .join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"))
+    win = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("id"))
+    g4 = (sized.withColumn("_rn", F.row_number().over(win))
+          .where(F.col("_rn") == 1).select("id"))
+    bench = docs.where(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.where(F.col("doc_id") % _DECON_MOD != 0)
+    dec = decontaminate(train, "doc_id", "text", bench,
+                        n=_DECON_N).localCheckpoint()
+    g5 = g4.join(
+        dec.where(~F.col("contaminated")).select("id"), "id")
+    stages = [
+        ("raw", docs.select(F.col("doc_id").alias("id"))),
+        ("quality", g1), ("language", g2), ("exact_dedup", g3),
+        ("near_dup", g4), ("decontaminated", g5),
+    ]
+    return docs, stages
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-ready packed table: every curation gate applied, then
+    LM sequence packing over the survivors — (id, n_tokens, start_token,
+    block_id, block_offset) for fixed 256-token blocks."""
+    from spikex_spark.operators.corpus import pack_sequences
+
+    docs, stages = _curation_stages(spark, sf_dir)
+    keep = stages[-1][1].withColumnRenamed("id", "doc_id")
+    kept = docs.join(keep, "doc_id")
+    return pack_sequences(kept, "doc_id", "text",
+                          block_tokens=_CURATION_BLOCK)
+
+
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor accounting — the number the pipeline owner reads
+    first: docs and whitespace tokens remaining after each gate. Six scalar
+    aggregates unioned; the token count is the packer's tokenization so the
+    last row IS the training-set size."""
+    docs, stages = _curation_stages(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long").alias("n_tokens"))
+    outs = []
+    for i, (name, ids) in enumerate(stages):
+        outs.append(
+            ids.join(toks, "id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .select(F.lit(i).cast("int").alias("stage_idx"),
+                    F.lit(name).alias("stage"), "n_docs", "n_tokens"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_curation_stages() -> str:
+    """Shared CTE chain for the curation oracle — each stage CTE is the
+    component query's own oracle SQL nested as a subquery."""
+    return f"""
+q AS ({_sql_quality()}),
+l AS ({_sql_lang_id()}),
+ex AS ({_SQL_DEDUP_EXACT}),
+cl AS ({_SQL_ER_CLUSTERS}),
+dec AS ({_SQL_DECONTAMINATE}),
+g1 AS (SELECT id FROM q
+       WHERE quality >= {_CURATION_MIN_QUALITY}
+         AND n_tokens >= {_CURATION_MIN_TOKENS}),
+g2 AS (SELECT g1.id FROM g1 JOIN l USING (id)
+       WHERE l.lang_guess = '{_CURATION_LANG}'),
+g3 AS (SELECT g2.id FROM g2 JOIN ex USING (id)
+       WHERE ex.id = ex.canonical_id),
+g4 AS (SELECT id FROM (
+         SELECT g3.id,
+                row_number() OVER (PARTITION BY cl.cluster_id
+                                   ORDER BY d.n_chars DESC, g3.id) AS rn
+         FROM g3 JOIN cl ON cl.doc_id = g3.id
+              JOIN documents d ON d.doc_id = g3.id)
+       WHERE rn = 1),
+g5 AS (SELECT g4.id FROM g4 JOIN dec ON dec.id = g4.id
+       WHERE NOT dec.contaminated)
+"""
+
+
+def _sql_curation_pipeline() -> str:
+    return f"""
+WITH {_sql_curation_stages()},
+t AS (SELECT g5.id,
+             len(list_filter(string_split(d.text, ' '), x -> x <> ''))::bigint
+               AS n_tokens
+      FROM g5 JOIN documents d ON d.doc_id = g5.id),
+c AS (SELECT id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY id) - n_tokens)::bigint
+               AS start_token
+      FROM t)
+SELECT id, n_tokens, start_token,
+       start_token // {_CURATION_BLOCK} AS block_id,
+       start_token % {_CURATION_BLOCK} AS block_offset
+FROM c
+"""
+
+
+def _sql_curation_funnel() -> str:
+    rows = []
+    for i, (name, src) in enumerate([
+        ("raw", "tok"), ("quality", "g1 JOIN tok USING (id)"),
+        ("language", "g2 JOIN tok USING (id)"),
+        ("exact_dedup", "g3 JOIN tok USING (id)"),
+        ("near_dup", "g4 JOIN tok USING (id)"),
+        ("decontaminated", "g5 JOIN tok USING (id)"),
+    ]):
+        rows.append(
+            f"SELECT {i}::int AS stage_idx, '{name}' AS stage,"
+            f" count(*)::bigint AS n_docs,"
+            f" sum(tok.n_tokens)::bigint AS n_tokens FROM {src}")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {_sql_curation_stages()},
+tok AS (SELECT doc_id AS id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))::bigint
+                 AS n_tokens
+        FROM documents)
+{union}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "curation_pipeline": _q_curation_pipeline,
+        "curation_funnel": _q_curation_funnel,
         "temporal_decay_pairs": _q_temporal_decay_pairs,
         "temporal_clusters": _q_temporal_clusters,
         "wl_fingerprints": _q_wl_fingerprints,
@@ -9677,6 +9858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_pipeline": _sql_curation_pipeline(),
+        "curation_funnel": _sql_curation_funnel(),
         "temporal_decay_pairs": _SQL_TEMPORAL_PAIRS,
         "temporal_clusters": _SQL_TEMPORAL_CLUSTERS,
         "wl_fingerprints": _SQL_WL,
