@@ -9295,6 +9295,80 @@ FROM l0 JOIN r2 ON r2.node = l0.node
 """
 
 
+def _synthetic_link_edges(docs: DataFrame) -> DataFrame:
+    """The deterministic synthetic link graph shared by the structural
+    queries (wl_fingerprints, neighborhood_function): each doc links to 3
+    md5-derived targets mod 500."""
+    parts = []
+    for kk in (1, 2, 3):
+        parts.append(docs.select(
+            F.col("doc_id").alias("src"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f":{kk}"))), 1, 4),
+                16, 10).cast("long") % 500).alias("dst")))
+    return (parts[0].unionByName(parts[1]).unionByName(parts[2])
+            .where(F.col("src") != F.col("dst")))
+
+
+def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall-style neighborhood function N(t) over the synthetic link
+    graph — reachable (src, dst) pairs within t hops for t = 0..3 from
+    mergeable bottom-k sketches (integer-exact KMV estimator), the
+    effective-diameter curve of the crawl's link structure. Sub-k balls
+    are counted exactly; the oracle replays every merge round."""
+    from spikex_spark.operators.graph import neighborhood_function
+    docs = _read(spark, sf_dir, "documents")
+    return neighborhood_function(_synthetic_link_edges(docs),
+                                 rounds=3, k=32)
+
+
+def _sql_neighborhood_function() -> str:
+    k = 32
+    numer = (k - 1) * (1 << 48)
+    rounds = 3
+    merge = []
+    for t in range(1, rounds + 1):
+        merge.append(f"""
+s{t} AS (
+  SELECT node, (list_sort(list_distinct(flatten(list(sk)))))[1:{k}] AS sk
+  FROM (
+    SELECT node, sk FROM s{t - 1}
+    UNION ALL
+    SELECT u.src AS node, s.sk FROM und u JOIN s{t - 1} s ON s.node = u.dst
+  ) GROUP BY node
+)""")
+    stats = []
+    for t in range(0, rounds + 1):
+        stats.append(f"""
+SELECT {t}::int AS t, count(*)::bigint AS n_nodes,
+       sum(CASE WHEN len(sk) < {k} THEN len(sk)::bigint
+                ELSE {numer} // sk[{k}] END)::bigint AS reachable_pairs,
+       sum(CASE WHEN len(sk) >= {k} THEN 1 ELSE 0 END)::bigint
+         AS n_saturated
+FROM s{t}""")
+    return f"""
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (('0x' || substr(md5(doc_id::varchar || ':' || k), 1, 4))::bigint
+          % 500) AS dst
+  FROM documents CROSS JOIN (VALUES (1), (2), (3)) g(k)
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)
+),
+s0 AS (
+  SELECT src AS node,
+         [('0x' || substr(md5(src::varchar), 1, 12))::bigint] AS sk
+  FROM (SELECT DISTINCT src FROM und)
+),{",".join(merge)}
+{" UNION ALL ".join(stats)}
+"""
+
+
 # --- temporal record linkage (Li et al., PVLDB 2011) --------------------
 # Records = documents with a DETERMINISTIC synthetic crawl day derived
 # from doc_id (md5-hex → bigint % 730: a two-year crawl window), the
@@ -9648,6 +9722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curation_pipeline": _q_curation_pipeline,
         "curation_funnel": _q_curation_funnel,
+        "neighborhood_function": _q_neighborhood_function,
         "temporal_decay_pairs": _q_temporal_decay_pairs,
         "temporal_clusters": _q_temporal_clusters,
         "wl_fingerprints": _q_wl_fingerprints,
@@ -9860,6 +9935,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "curation_pipeline": _sql_curation_pipeline(),
         "curation_funnel": _sql_curation_funnel(),
+        "neighborhood_function": _sql_neighborhood_function(),
         "temporal_decay_pairs": _SQL_TEMPORAL_PAIRS,
         "temporal_clusters": _SQL_TEMPORAL_CLUSTERS,
         "wl_fingerprints": _SQL_WL,

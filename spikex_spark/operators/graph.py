@@ -388,3 +388,72 @@ def wl_fingerprints(edges: DataFrame, rounds: int = 2,
                               F.md5(F.concat_ws("|", "lab", "njoin")),
                               1, 16).alias("lab")))
     return labels.select("node", "degree", F.col("lab").alias("wl_label"))
+
+
+_NF_HASH_BITS = 48  # 12 hex chars: (k-1)·2^48 stays inside int64 for k ≤ 32
+
+
+def neighborhood_function(edges: DataFrame, rounds: int = 3, k: int = 32,
+                          src: str = "src", dst: str = "dst") -> DataFrame:
+    """(t, n_nodes, reachable_pairs, n_saturated) for t = 0..rounds — the
+    neighborhood function N(t) = Σ_v |ball(v, t)|: how many (source,
+    destination) pairs are within t hops, the curve behind effective-
+    diameter / average-distance estimates (HyperBall, Boldi & Vigna
+    2013 — here with BOTTOM-K/KMV sketches instead of HyperLogLog, the
+    same mergeable-sketch idea but with an integer-exact estimator:
+    ``(k-1)·2^48 // θ_k``, no harmonic float sum, so the oracle can
+    reproduce every bit; same trade made in sketch.kmv_distinct).
+
+    Per node, the sketch is the k smallest 48-bit md5 hashes of the node
+    ids reachable so far; one round merges each node's sketch with its
+    neighbors' (flatten → distinct → sort → first k). Balls smaller than
+    k are counted EXACTLY (the sketch holds the whole ball); larger
+    balls use the KMV estimate and are reported in ``n_saturated``.
+
+    Scale shape — the reason this exists next to d_hop_neighbors: exact
+    d-hop materialization shuffles O(Σ|ball|) rows, which explodes on a
+    web graph (balls reach the giant component within 3–4 hops).  Here
+    every round shuffles exactly O(E·k) hash values regardless of ball
+    size: one equi-join of fixed-width sketches onto the edge list +
+    one groupBy(node) merge, both partitioned on the node key.  k
+    trades accuracy for bytes; rounds is the max radius probed.
+    """
+    und = undirected(edges, src, dst)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    h = F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 12),
+               16, 10).cast("long")
+    sk = nodes.select("node", F.array(h).alias("sk"))
+
+    def _round_stats(sk_df: DataFrame, t: int) -> DataFrame:
+        # exact int64 division (`div`, not float floor-division): the
+        # oracle's `//` must match bit-for-bit
+        numer = (k - 1) * (1 << _NF_HASH_BITS)
+        est = F.when(
+            F.size("sk") < k, F.size("sk").cast("long")
+        ).otherwise(
+            F.expr(f"CAST({numer} AS BIGINT) div element_at(sk, {k})"))
+        sat = F.when(F.size("sk") >= k, F.lit(1)).otherwise(F.lit(0))
+        return sk_df.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(est).alias("reachable_pairs"),
+            F.sum(sat).cast("long").alias("n_saturated"),
+        ).select(F.lit(t).cast("int").alias("t"), "n_nodes",
+                 "reachable_pairs", "n_saturated")
+
+    out = _round_stats(sk, 0)
+    for t in range(1, rounds + 1):
+        nb = (und.join(sk.select(F.col("node").alias("dst"),
+                                 F.col("sk").alias("nsk")), "dst")
+              .select(F.col("src").alias("node"), F.col("nsk").alias("sk")))
+        merged = (sk.unionByName(nb)
+                  .groupBy("node")
+                  .agg(F.slice(
+                      F.array_sort(
+                          F.array_distinct(F.flatten(F.collect_list("sk")))),
+                      1, k).alias("sk")))
+        # barrier per round: each round's stats AND the next round read
+        # the merged sketches — materialize once instead of re-running
+        # the whole join chain per consumer
+        sk = merged.localCheckpoint()
+        out = out.unionByName(_round_stats(sk, t))
+    return out

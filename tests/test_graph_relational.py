@@ -134,3 +134,49 @@ def test_wl_rounds_refine(spark):
     leaves = {got[f"l{i}"] for i in range(4)}
     assert len(leaves) == 1
     assert got["c"] not in leaves
+
+
+def test_neighborhood_function_exact_when_k_covers_graph(spark):
+    """With k >= |V| every sketch holds its whole ball, so
+    reachable_pairs must equal the EXACT BFS pair counts."""
+    from spikex_spark.operators.graph import neighborhood_function
+
+    # path 0-1-2-3 plus an isolated triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long")
+    out = {r["t"]: r for r in
+           neighborhood_function(edges, rounds=3, k=64).collect()}
+    adj = {0: {1}, 1: {0, 2}, 2: {1, 3}, 3: {2},
+           10: {11, 12}, 11: {10, 12}, 12: {10, 11}}
+
+    def ball(v, t):
+        seen, frontier = {v}, {v}
+        for _ in range(t):
+            frontier = {u for w in frontier for u in adj[w]} - seen
+            seen |= frontier
+        return len(seen)
+
+    for t in range(4):
+        expect = sum(ball(v, t) for v in adj)
+        assert out[t]["reachable_pairs"] == expect, t
+        assert out[t]["n_nodes"] == 7
+        assert out[t]["n_saturated"] == 0
+
+
+def test_neighborhood_function_saturates_and_estimates(spark):
+    """k smaller than the ball: the estimator kicks in, is monotone-ish
+    and flags saturation; n_nodes stays the full node set."""
+    from spikex_spark.operators.graph import neighborhood_function
+
+    # star: hub 0 connected to 1..40 — every ball at t>=2 has 41 nodes
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 41)], "src long, dst long")
+    out = {r["t"]: r for r in
+           neighborhood_function(edges, rounds=2, k=8).collect()}
+    assert out[0]["n_saturated"] == 0
+    assert out[2]["n_saturated"] == 41  # all balls hold 41 >= k nodes
+    # KMV estimate of 41 from k=8 is rough but must be positive and
+    # within a loose factor
+    est_avg = out[2]["reachable_pairs"] / 41
+    assert 10 <= est_avg <= 164
