@@ -7369,6 +7369,45 @@ def _q_er_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nmi_metrics(pred, gold)
 
 
+# MUC (Vilain '95) — the link-based coreference metric, completing the
+# clustering-eval suite (pairwise F1 / B-cubed / ARI / NMI / MUC). All
+# counts exact int64 over the same contingency cells; recall counts the
+# links missing to re-join each gold cluster, precision the transpose.
+_SQL_ER_MUC = f"""
+WITH {_SQL_CLUSTEREVAL_CELLS},
+pp AS (SELECT p, sum(n)::BIGINT AS sz, count(*)::BIGINT AS k
+       FROM cells GROUP BY p),
+gg AS (SELECT g, sum(n)::BIGINT AS sz, count(*)::BIGINT AS k
+       FROM cells GROUP BY g),
+ps AS (SELECT sum(sz - k)::BIGINT AS p_num,
+              sum(sz - 1)::BIGINT AS p_den FROM pp),
+rs AS (SELECT sum(sz - k)::BIGINT AS r_num,
+              sum(sz - 1)::BIGINT AS r_den FROM gg),
+nn AS (SELECT sum(n)::BIGINT AS n_items FROM cells)
+SELECT n_items, p_num, p_den, r_num, r_den,
+  round(CASE WHEN p_den > 0 THEN p_num / p_den::DOUBLE
+        ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN r_den > 0 THEN r_num / r_den::DOUBLE
+        ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN p_num * r_den + r_num * p_den > 0
+        THEN 2.0 * p_num * r_num
+             / (p_num * r_den + r_num * p_den)::DOUBLE
+        ELSE 0.0 END, 6) AS f1
+FROM nn CROSS JOIN ps CROSS JOIN rs
+"""
+
+
+def _q_er_muc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.clustereval import muc_metrics
+    from spikex_spark.operators.dedup import exact_duplicates
+    docs = _read(spark, sf_dir, "documents")
+    pred = _q_er_doc_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("pred"))
+    gold = exact_duplicates(docs, "doc_id", "text").select(
+        "id", F.col("canonical_id").alias("gold"))
+    return muc_metrics(pred, gold)
+
+
 # Correlation clustering (serializable parallel KwikCluster) over the
 # same ≥0.80 edges as er_doc_clusters: pivot clusters are stars, so a
 # weak bridge cannot chain-merge two dense groups the way transitive CC
@@ -9884,6 +9923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_bcubed": _q_er_bcubed,
         "er_ari": _q_er_ari,
         "er_nmi": _q_er_nmi,
+        "er_muc": _q_er_muc,
         "er_correlation_clusters": _q_er_correlation_clusters,
         "canopy_assign": _q_canopy_assign,
         "er_v2_multichannel_clusters": _q_er_v2_clusters,
@@ -10140,6 +10180,7 @@ def oracle_sql() -> dict[str, str]:
         "er_bcubed": _SQL_ER_BCUBED,
         "er_ari": _SQL_ER_ARI,
         "er_nmi": _SQL_ER_NMI,
+        "er_muc": _SQL_ER_MUC,
         "er_correlation_clusters": _SQL_ER_CORR,
         "canopy_assign": _SQL_CANOPY,
         "er_v2_multichannel_clusters": _SQL_ER_V2,

@@ -208,3 +208,58 @@ def nmi_metrics(pred: DataFrame, gold: DataFrame, id_col: str = "id",
                * F.col("hv_scaled").cast("double"))))
     return out.select("n_items", "i_scaled", "hu_scaled", "hv_scaled",
                       F.round(nmi, 6).alias("nmi"))
+
+
+def muc_metrics(pred: DataFrame, gold: DataFrame, id_col: str = "id",
+                pred_col: str = "pred", gold_col: str = "gold") -> DataFrame:
+    """One row (n_items, p_num, p_den, r_num, r_den, precision, recall,
+    f1): MUC link-based score of ``pred`` against ``gold`` (Vilain et
+    al. '95) — the fourth leg of the clustering-eval suite beside
+    B-cubed, ARI and NMI, and the original coreference metric: recall
+    counts the links missing to re-join each gold cluster,
+    ``Σ_g (|g| − partitions(g)) / Σ_g (|g| − 1)``, precision is the
+    transpose over predicted clusters.
+
+    Over the contingency table both reduce to exact int64 counts —
+    ``partitions(g)`` is just the number of non-empty cells in gold
+    cluster g's row — so the only float ops are the two final divisions
+    and ``f1 = 2·p_num·r_num / (p_num·r_den + r_num·p_den)``, each a
+    single division of exact integers (bit-identical cross-engine).
+    Singleton clusters contribute 0 to numerator and denominator alike
+    (the MUC convention: a metric over links, blind to singletons); an
+    all-singleton side makes the ratio 0/0, reported as 0.0.
+
+    Scale shape: the same one item join + one cell groupBy + two tiny
+    rollups as ARI — never a pair or link materialization.
+    """
+    cells = _contingency(pred, gold, id_col, pred_col, gold_col)
+    per_p = cells.groupBy("p").agg(
+        F.sum("n_pg").alias("sz"), F.count("*").alias("k"))
+    per_g = cells.groupBy("g").agg(
+        F.sum("n_pg").alias("sz"), F.count("*").alias("k"))
+
+    def _sums(per: DataFrame, num: str, den: str) -> DataFrame:
+        return per.agg(
+            F.sum(F.col("sz") - F.col("k")).cast("long").alias(num),
+            F.sum(F.col("sz") - F.lit(1)).cast("long").alias(den))
+
+    ps = _sums(per_p, "p_num", "p_den")
+    rs = _sums(per_g, "r_num", "r_den")
+    nn = cells.agg(F.sum("n_pg").alias("n_items"))
+    out = nn.crossJoin(ps).crossJoin(rs)
+    prec = F.when(F.col("p_den") > 0,
+                  F.col("p_num") / F.col("p_den").cast("double"))\
+        .otherwise(F.lit(0.0))
+    rec = F.when(F.col("r_den") > 0,
+                 F.col("r_num") / F.col("r_den").cast("double"))\
+        .otherwise(F.lit(0.0))
+    f1_den = (F.col("p_num") * F.col("r_den")
+              + F.col("r_num") * F.col("p_den"))
+    f1 = F.when(f1_den > 0,
+                (2.0 * F.col("p_num") * F.col("r_num"))
+                / f1_den.cast("double")).otherwise(F.lit(0.0))
+    return out.select(
+        "n_items", "p_num", "p_den", "r_num", "r_den",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))

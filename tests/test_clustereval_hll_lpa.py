@@ -423,3 +423,29 @@ def test_nmi_identity_and_degenerate(spark):
     onep = spark.createDataFrame([(i, 9) for i in range(1, 7)],
                                  ["id", "pred"])
     assert nmi_metrics(onep, one).collect()[0]["nmi"] == 1.0
+
+
+def test_muc_hand_computed(spark):
+    from spikex_spark.operators.clustereval import muc_metrics
+    pred, gold = _pg(spark)
+    row = muc_metrics(pred, gold).collect()[0]
+    # gold x={1,2} split over {a}: 1 link kept; y={3,4,5} over {a,b}: 1;
+    # z singleton: 0 -> R = 2/3; precision mirrors (a spans x,y; b in y)
+    assert (row["r_num"], row["r_den"]) == (2, 3)
+    assert (row["p_num"], row["p_den"]) == (2, 3)
+    assert row["precision"] == round(2 / 3, 6)
+    assert row["recall"] == round(2 / 3, 6)
+    assert row["f1"] == round(2 / 3, 6)
+
+
+def test_muc_identity_and_degenerate(spark):
+    from spikex_spark.operators.clustereval import muc_metrics
+    pred, _ = _pg(spark)
+    row = muc_metrics(
+        pred, pred.withColumnRenamed("pred", "gold")).collect()[0]
+    assert (row["precision"], row["recall"], row["f1"]) == (1.0, 1.0, 1.0)
+    # MUC is blind to singletons: all-singleton sides are 0/0 -> 0.0
+    p = spark.createDataFrame([(i, i) for i in range(4)], ["id", "pred"])
+    g = spark.createDataFrame([(i, 0) for i in range(4)], ["id", "gold"])
+    row = muc_metrics(p, g).collect()[0]
+    assert (row["precision"], row["recall"], row["f1"]) == (0.0, 0.0, 0.0)
