@@ -3170,6 +3170,63 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.textstats import gopher_rules
+    return gopher_rules(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_gopher_quality() -> str:
+    """Oracle for the Gopher rule battery — every rule an integer
+    comparison, so the two engines' verdicts are bit-identical."""
+    from spikex_spark.operators.textstats import GOPHER_STOPS
+    hits = " + ".join(
+        f"list_contains(lw, '{w}')::INT" for w in GOPHER_STOPS)
+    return rf"""
+WITH b AS (
+  SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                t -> t <> '') AS w,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               l -> trim(l)), l -> l <> '') AS l,
+    text AS t
+  FROM documents
+),
+s AS (
+  SELECT id,
+    len(w)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(w, x -> length(x))), 0)::BIGINT
+      AS word_chars,
+    len(l)::BIGINT AS n_lines,
+    ((length(t) - length(replace(t, '#', '')))
+     + (length(t) - length(replace(t, '...', ''))) // 3
+     + (length(t) - length(replace(t, '…', ''))))::BIGINT AS n_symbols,
+    len(list_filter(l, x -> regexp_matches(x, '^[-*•]')))::BIGINT
+      AS n_bullet_lines,
+    len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))::BIGINT
+      AS n_ellipsis_lines,
+    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+      AS n_alpha_words,
+    ({hits})::INT AS stop_hits
+  FROM (SELECT id, w, l, t, list_transform(w, x -> lower(x)) AS lw FROM b)
+)
+SELECT *,
+  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words) AS passed
+FROM (
+  SELECT *,
+    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+    (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+      AS r_mean_word_len,
+    (10 * n_symbols <= n_words) AS r_symbol_ratio,
+    (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+    (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+    (10 * n_alpha_words >= 8 * n_words) AS r_alpha_words,
+    (stop_hits >= 2) AS r_stop_words
+  FROM s
+)
+"""
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import fingerprint
     return fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
@@ -9808,6 +9865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "quality_scores": _q_quality,
+        "gopher_quality": _q_gopher_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
         "lm_perplexity": _q_lm_perplexity,
@@ -10053,6 +10111,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK,
         "chunk_documents": _SQL_CHUNKS,
         "quality_scores": _sql_quality(),
+        "gopher_quality": _sql_gopher_quality(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,

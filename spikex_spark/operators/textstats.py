@@ -241,3 +241,89 @@ def hashed_embedding(df: DataFrame, id_col: str = "doc_id",
         F.transform(counts, lambda c: F.round(c / norm, 6))
     ).otherwise(F.transform(counts, lambda c: F.lit(0.0)))
     return df.select(F.col(id_col).alias("id"), emb.alias("emb"))
+
+
+# the 8 "stop words" of the Gopher rule-set (Rae et al. 2021 §A1.1);
+# distinct from the per-language STOPWORDS lists used by quality_score
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str,
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """(id, n_words, word_chars, n_lines, n_symbols, n_bullet_lines,
+    n_ellipsis_lines, n_alpha_words, stop_hits, r_word_count,
+    r_mean_word_len, r_symbol_ratio, r_bullet_lines, r_ellipsis_lines,
+    r_alpha_words, r_stop_words, passed): the published Gopher
+    quality-rule battery (Rae et al. 2021 §A1.1), fused into one
+    projection — the rule-based sibling of ``quality_score`` (heuristic
+    score) and ``repetition_stats`` (repetition legs of the same
+    appendix).
+
+    Rules, each an INTEGER comparison so both engines decide
+    identically (no float thresholds anywhere):
+
+    * word count in [min_words, max_words]
+    * mean word length in [3, 10]          → 3·n ≤ chars ≤ 10·n
+    * symbol-to-word ratio ('#' + '...' + '…') ≤ 0.1 → 10·sym ≤ n
+    * ≤ 90% of (non-blank) lines start with a bullet (-, *, •)
+    * ≤ 30% of lines end with an ellipsis
+    * ≥ 80% of words contain an alphabetic character
+    * ≥ 2 distinct Gopher stop words present
+
+    Scale shape: pure Catalyst, zero shuffles, zero UDFs — a map-only
+    stage that runs at scan speed; the verdict column drives the
+    curation gate the way the quality/language gates do.
+    """
+    txt = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(txt, "[ \t\n\x0b\f\r]+"),
+                 lambda t: t != "").alias("_w"),
+        F.filter(F.transform(F.split(txt, "\n"), lambda l: F.trim(l)),
+                 lambda l: l != "").alias("_l"),
+        txt.alias("_t"),
+    )
+    lw = F.transform(F.col("_w"), F.lower)
+    n_sym = (
+        (F.length("_t") - F.length(F.regexp_replace("_t", "#", "")))
+        + ((F.length("_t")
+            - F.length(F.regexp_replace("_t", r"\.\.\.", ""))) / F.lit(3))
+          .cast("long")
+        + (F.length("_t") - F.length(F.regexp_replace("_t", "…", "")))
+    ).cast("long")
+    stats = base.select(
+        "id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.aggregate("_w", F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).alias("word_chars"),
+        F.size("_l").cast("long").alias("n_lines"),
+        n_sym.alias("n_symbols"),
+        F.size(F.filter("_l", lambda l: l.rlike("^[-*•]")))
+        .cast("long").alias("n_bullet_lines"),
+        F.size(F.filter("_l", lambda l: l.rlike(r"(\.\.\.|…)$")))
+        .cast("long").alias("n_ellipsis_lines"),
+        F.size(F.filter("_w", lambda x: x.rlike("[A-Za-z]")))
+        .cast("long").alias("n_alpha_words"),
+        sum((F.array_contains(lw, w).cast("int") for w in GOPHER_STOPS),
+            F.lit(0)).cast("int").alias("stop_hits"),
+    )
+    n = F.col("n_words")
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_word_len": (F.lit(3) * n <= F.col("word_chars"))
+                           & (F.col("word_chars") <= F.lit(10) * n),
+        "r_symbol_ratio": F.lit(10) * F.col("n_symbols") <= n,
+        "r_bullet_lines": (F.lit(10) * F.col("n_bullet_lines")
+                           <= F.lit(9) * F.col("n_lines")),
+        "r_ellipsis_lines": (F.lit(10) * F.col("n_ellipsis_lines")
+                             <= F.lit(3) * F.col("n_lines")),
+        "r_alpha_words": (F.lit(10) * F.col("n_alpha_words")
+                          >= F.lit(8) * n),
+        "r_stop_words": F.col("stop_hits") >= 2,
+    }
+    out = stats.select(
+        "*", *[v.alias(k) for k, v in rules.items()])
+    passed = None
+    for k in rules:
+        passed = F.col(k) if passed is None else passed & F.col(k)
+    return out.select("*", passed.alias("passed"))

@@ -512,3 +512,45 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert set(s) == set(m)
     assert all(m[qid] >= s[qid] for qid in s)
     assert sum(m.values()) >= sum(s.values())
+
+
+def test_gopher_rules_verdicts(spark):
+    from spikex_spark.operators.textstats import gopher_rules
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog again with"] * 6)
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too short"),                            # word-count floor
+        (3, " ".join(["the of and that have with be to"] * 8)
+            + " " + "#" * 60),                       # symbol ratio + alpha ok
+        (4, "\n".join(["- " + good] + ["- b c"] * 9)),  # 100% bullet lines
+        (5, " ".join(["12345 67890"] * 40)
+            + " the of"),                            # no alpha words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["passed"]
+    assert not out[2]["r_word_count"] and not out[2]["passed"]
+    assert not out[3]["r_symbol_ratio"] and not out[3]["passed"]
+    assert not out[4]["r_bullet_lines"] and not out[4]["passed"]
+    assert not out[5]["r_alpha_words"] and not out[5]["passed"]
+    # rule arithmetic is integer-exact: doc 1 has 66 words, all alpha
+    assert out[1]["n_words"] == 66 and out[1]["n_alpha_words"] == 66
+    assert out[1]["stop_hits"] >= 2
+
+
+def test_gopher_rules_ellipsis_and_stops(spark):
+    from spikex_spark.operators.textstats import gopher_rules
+    base = "the of and words here keep going fine today right"
+    many = " ".join([base] * 6)
+    ell = "\n".join([many] + ["line one..." for _ in range(9)])
+    df = spark.createDataFrame(
+        [(1, ell), (2, " ".join(["zq xv wk"] * 20))],
+        ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           gopher_rules(df, "doc_id", "text").collect()}
+    # 9 of 10 non-blank lines end with '...' -> fails the 30% cap
+    assert not out[1]["r_ellipsis_lines"]
+    # no Gopher stop words at all -> fails the >=2 distinct rule
+    assert out[2]["stop_hits"] == 0 and not out[2]["r_stop_words"]
