@@ -2276,6 +2276,39 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.dedup import bag_jaccard_pairs
+    return bag_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        min_jaccard=0.5, max_df=100)
+
+
+_SQL_BAG_JACCARD = """
+WITH tok AS (
+  SELECT doc_id AS id, t.tok AS tok
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(tok)
+),
+tc AS (SELECT id, tok, count(*)::BIGINT AS c FROM tok GROUP BY id, tok),
+hub AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM tc GROUP BY tok)
+        WHERE df > 100),
+tcf AS (SELECT * FROM tc WHERE tok NOT IN (SELECT tok FROM hub)),
+tot AS (SELECT id, sum(c)::BIGINT AS total FROM tcf GROUP BY id),
+i AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sum(least(a.c, b.c))::BIGINT AS inter_w
+  FROM tcf a JOIN tcf b USING (tok)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter_w, ta.total AS total_a, tb.total AS total_b,
+  round(inter_w / (ta.total + tb.total - inter_w)::DOUBLE, 6)
+    AS bag_jaccard
+FROM i JOIN tot ta ON ta.id = i.id_a JOIN tot tb ON tb.id = i.id_b
+WHERE inter_w / (ta.total + tb.total - inter_w)::DOUBLE >= 0.5
+"""
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.dedup import containment_pairs
     return containment_pairs(
@@ -9840,6 +9873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "bag_jaccard_pairs": _q_bag_jaccard,
         "containment_pairs": _q_containment,
         "minhash_containment_est": _q_minhash_containment,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -10086,6 +10120,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _SQL_SIMHASH,
         "simhash_near_dups": _SQL_SIMHASH_PAIRS,
         "ngram_jaccard_pairs": _SQL_NGRAM_JACC,
+        "bag_jaccard_pairs": _SQL_BAG_JACCARD,
         "containment_pairs": _SQL_CONTAINMENT,
         "minhash_containment_est": _SQL_MINHASH_CONT,
         "minhash_near_dups": _SQL_MINHASH_NEAR,

@@ -804,3 +804,59 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
     # admit pairs at J in [t−5e-7, t) that never became candidates
     return (out.where(F.col("_j") >= threshold)
             .select("id_a", "id_b", F.round(F.col("_j"), 6).alias("jaccard")))
+
+
+def bag_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                      min_jaccard: float = 0.5,
+                      max_df: int = 1000) -> DataFrame:
+    """(id_a, id_b, inter_w, total_a, total_b, bag_jaccard): EXACT
+    multiset (weighted) Jaccard over token COUNTS —
+    ``Σ_t min(c_a,c_b) / Σ_t max(c_a,c_b)`` — the frequency-aware
+    sibling of set-based ``ngram_jaccard_pairs``: a page that repeats
+    one template sentence 50 times shares nearly all its DISTINCT
+    tokens with a page containing it once (set Jaccard high), but its
+    token BAG is dominated by the repeats (bag Jaccard low), so the
+    multiset view separates true near-dups from repetition artifacts.
+
+    Only ``Σ min`` over shared tokens is ever joined for —
+    ``Σ max = total_a + total_b − Σ min`` — so the pair computation is
+    one equi-join on token plus two broadcastable total lookups; all
+    accumulations are int64 counts, the single final division is the
+    only float (bit-identical cross-engine).
+
+    Skew guard (same recipe as the rare-gram profile): tokens whose
+    document frequency exceeds ``max_df`` are dropped from counts and
+    totals alike — the token self-join is quadratic per hub token, and
+    "the"/"and" class hubs would detonate it at corpus scale. Jaccard
+    stays exact w.r.t. the filtered vocabulary.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    tc = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+          .groupBy("id", "tok").agg(F.count("*").alias("c")))
+    hub = (tc.groupBy("tok").agg(F.count("*").alias("df"))
+           .where(F.col("df") > max_df).select("tok"))
+    tc = tc.join(F.broadcast(hub), "tok", "left_anti")
+    totals = tc.groupBy("id").agg(F.sum("c").alias("total"))
+    inter = (
+        tc.alias("a").join(tc.alias("b"), "tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("inter_w"))
+    )
+    out = (
+        inter
+        .join(totals.withColumnsRenamed({"id": "id_a", "total": "total_a"}),
+              "id_a")
+        .join(totals.withColumnsRenamed({"id": "id_b", "total": "total_b"}),
+              "id_b")
+        .withColumn(
+            "_bj",
+            F.col("inter_w")
+            / (F.col("total_a") + F.col("total_b") - F.col("inter_w"))
+            .cast("double"))
+        .where(F.col("_bj") >= min_jaccard)
+    )
+    return out.select(
+        "id_a", "id_b", "inter_w", "total_a", "total_b",
+        F.round(F.col("_bj"), 6).alias("bag_jaccard"))

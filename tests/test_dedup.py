@@ -268,3 +268,37 @@ def test_line_dedup_grouped_scopes_to_host(spark):
     assert got[2]["cleaned_text"] == "Cookie banner\nStory gamma"
     assert (got[0]["n_lines"], got[0]["n_kept"]) == (2, 1)
     assert got[2]["n_kept"] == 2
+
+
+def test_bag_jaccard_separates_repetition_from_near_dup(spark):
+    from spikex_spark.operators.dedup import bag_jaccard_pairs
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, base),
+        (2, base + " india"),              # true near-dup of 1
+        (3, ("alpha " * 50) + base),       # same vocab, repetition-skewed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r for r in bag_jaccard_pairs(
+        df, "doc_id", "text", min_jaccard=0.0, max_df=10).collect()}
+    # (1,2): 8 shared of 9-union tokens, all count 1 -> 8/9
+    assert out[(1, 2)]["bag_jaccard"] == round(8 / 9, 6)
+    # (1,3): set Jaccard would be 1.0, but the bag is 8/58 shared mass
+    assert out[(1, 3)]["inter_w"] == 8
+    assert out[(1, 3)]["total_b"] == 58          # 51x alpha + 7 others
+    assert out[(1, 3)]["bag_jaccard"] == round(8 / 58, 6)
+    # threshold filter keeps only the true near-dup at 0.5
+    kept = bag_jaccard_pairs(
+        df, "doc_id", "text", min_jaccard=0.5, max_df=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in kept} == {(1, 2)}
+
+
+def test_bag_jaccard_hub_guard_drops_common_tokens(spark):
+    from spikex_spark.operators.dedup import bag_jaccard_pairs
+    # 'common' appears in all 4 docs -> df=4 > max_df=3 -> guarded away,
+    # leaving no shared tokens between the two pairs
+    rows = [(i, f"common unique{i} word{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bag_jaccard_pairs(df, "doc_id", "text",
+                            min_jaccard=0.0, max_df=3).collect()
+    assert out == []
