@@ -5473,6 +5473,61 @@ def _q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_clusters(pairs, emb, id_col="vec_id", min_pts=3)
 
 
+def _q_silhouette_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal validity of the DBSCAN embedding clusters: per-cluster
+    mean silhouette over cosine distance, noise excluded, deterministic
+    20-point sample per cluster."""
+    from spikex_spark.operators.clustereval import silhouette_by_cluster
+    emb = _read(spark, sf_dir, "embeddings")
+    cl = (_q_dbscan_embeddings(spark, sf_dir)
+          .where(F.col("cluster_id") != -1)
+          .select("id", "cluster_id"))
+    return silhouette_by_cluster(
+        cl, emb.select(F.col("vec_id").alias("id"),
+                       F.col("embedding").cast("array<double>").alias("emb")),
+        sample_per_cluster=20)
+
+
+def _sql_silhouette_clusters() -> str:
+    cosab = ("CASE WHEN sqrt(list_dot_product(a.e, a.e))"
+             " * sqrt(list_dot_product(b.e, b.e)) = 0 THEN 0.0"
+             " ELSE list_dot_product(a.e, b.e)"
+             " / (sqrt(list_dot_product(a.e, a.e))"
+             " * sqrt(list_dot_product(b.e, b.e))) END")
+    return f"""
+WITH db AS ({_sql_dbscan()}),
+cl AS (SELECT id, cluster_id FROM db WHERE cluster_id <> -1),
+ve AS (SELECT vec_id AS id, list_transform(embedding, x -> x::double) AS e
+       FROM embeddings),
+pts AS (SELECT cl.id, cl.cluster_id AS cl, ve.e FROM cl JOIN ve USING (id)),
+samp AS (SELECT id, cl, e FROM (
+    SELECT *, row_number() OVER (PARTITION BY cl ORDER BY id) AS rn
+    FROM pts) WHERE rn <= 20),
+pair AS (
+  SELECT a.id AS ia, a.cl AS ca, b.cl AS cb,
+         round((1.0 - ({cosab})) * 10000)::BIGINT AS d
+  FROM samp a, samp b WHERE a.id <> b.id),
+per AS (SELECT ia, ca, cb, sum(d)::BIGINT AS sd, count(*)::BIGINT AS nd
+        FROM pair GROUP BY 1, 2, 3),
+own AS (SELECT ia, sd / nd::DOUBLE AS a_mean FROM per WHERE ca = cb),
+oth AS (SELECT ia, min(sd / nd::DOUBLE) AS b_mean FROM per
+        WHERE ca <> cb GROUP BY 1),
+s AS (
+  SELECT sp.cl,
+    round((CASE
+      WHEN own.a_mean IS NULL OR oth.b_mean IS NULL THEN 0.0
+      WHEN greatest(own.a_mean, oth.b_mean) = 0 THEN 0.0
+      ELSE (oth.b_mean - own.a_mean) / greatest(own.a_mean, oth.b_mean)
+    END) * 1000000)::BIGINT AS sm
+  FROM (SELECT id, cl FROM samp) sp
+  LEFT JOIN own ON own.ia = sp.id
+  LEFT JOIN oth ON oth.ia = sp.id)
+SELECT cl AS cluster_id, count(*)::BIGINT AS n_sampled,
+  round(sum(sm) / (count(*) * 1000000.0), 6) AS mean_silhouette
+FROM s GROUP BY 1
+"""
+
+
 # DBSCAN on the FLAGSHIP ER match graph (score >= 0.80 epsilon edges,
 # min_pts=3): the density alternative to transitive CC on the actual
 # linkage channel — thin chains between dense entities become noise or
@@ -9968,6 +10023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_incremental": _q_ann_ivf_topk_incremental,
         "embedding_near_dups": _q_cos_near_dups,
         "dbscan_embeddings": _q_dbscan_embeddings,
+        "silhouette_clusters": _q_silhouette_clusters,
         "er_dbscan_clusters": _q_er_dbscan,
         "er_hac_clusters": _q_er_hac,
         "er_star_clusters": _q_er_star,
@@ -10215,6 +10271,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_incremental": _sql_ann_ivf_incr(),
         "embedding_near_dups": _sql_cos_near(),
         "dbscan_embeddings": _sql_dbscan(),
+        "silhouette_clusters": _sql_silhouette_clusters(),
         "er_dbscan_clusters": _SQL_ER_DBSCAN,
         "er_hac_clusters": _SQL_ER_HAC,
         "er_star_clusters": _SQL_ER_STAR,

@@ -263,3 +263,84 @@ def muc_metrics(pred: DataFrame, gold: DataFrame, id_col: str = "id",
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"))
+
+
+# silhouette distance snapping: pairwise distances enter as 1e4-unit
+# int64 (matching the ANN oracles' round(cos, 4) convention), per-point
+# silhouettes re-snap to 1e6 before the per-cluster mean — float sums
+# are order-dependent, snapped-int sums are not.
+_SIL_DUNIT = 10**4
+_SIL_SCALE = 10**6
+
+
+def silhouette_by_cluster(clusters: DataFrame, vectors: DataFrame,
+                          id_col: str = "id",
+                          cluster_col: str = "cluster_id",
+                          vec_col: str = "emb",
+                          sample_per_cluster: int = 20) -> DataFrame:
+    """(cluster_id, n_sampled, mean_silhouette): mean silhouette
+    coefficient per cluster (Rousseeuw '87) over cosine distance —
+    the internal-validity companion to the external metrics (B-cubed /
+    ARI / NMI / MUC need a gold clustering; silhouette needs none).
+
+    Exact silhouette is O(N²); here each cluster contributes a
+    DETERMINISTIC sample (its ``sample_per_cluster`` smallest ids — no
+    RNG state), and a(i)/b(i) are computed over the sampled points, so
+    the pair stage is (Σ samples)² — bounded by clusters×sample², not
+    by corpus size. At 100 TB the sample table broadcasts and the
+    quadratic stage is a few thousand rows regardless of input rows.
+
+    Determinism: distances snap to 1e4-unit int64 on entry (the ANN
+    oracle convention), all accumulations are integer, each point's
+    silhouette re-snaps to 1e6 before the final mean — the NMI recipe.
+    Conventions: singleton-sample clusters score 0; a point with no
+    other cluster to compare against scores 0; max(a,b)=0 scores 0.
+    """
+    pts = (clusters.select(F.col(id_col).alias("id"),
+                           F.col(cluster_col).alias("cl"))
+           .join(vectors.select(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("e")), "id"))
+    from pyspark.sql import Window as W
+    win = W.partitionBy("cl").orderBy("id")
+    samp = (pts.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= sample_per_cluster)
+            .select("id", "cl", "e"))
+
+    a = samp.select(F.col("id").alias("ia"), F.col("cl").alias("ca"),
+                    F.col("e").alias("ea"))
+    b = samp.select(F.col("id").alias("ib"), F.col("cl").alias("cb"),
+                    F.col("e").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nrm = (F.sqrt(F.aggregate("ea", F.lit(0.0), lambda ac, v: ac + v * v))
+           * F.sqrt(F.aggregate("eb", F.lit(0.0), lambda ac, v: ac + v * v)))
+    cos = F.when(nrm == 0, F.lit(0.0)).otherwise(dot / nrm)
+    d_unit = F.round((F.lit(1.0) - cos) * _SIL_DUNIT, 0).cast("long")
+    pair = (a.crossJoin(b).where(F.col("ia") != F.col("ib"))
+            .select("ia", "ca", "cb", d_unit.alias("d")))
+
+    per = pair.groupBy("ia", "ca", "cb").agg(
+        F.sum("d").alias("sd"), F.count("*").alias("nd"))
+    own = per.where(F.col("ca") == F.col("cb")).select(
+        "ia", F.col("ca").alias("cl"),
+        (F.col("sd") / F.col("nd")).alias("a_mean"))
+    other = (per.where(F.col("ca") != F.col("cb"))
+             .select("ia", (F.col("sd") / F.col("nd")).alias("m"))
+             .groupBy("ia").agg(F.min("m").alias("b_mean")))
+
+    base = (samp.select("id", "cl")
+            .join(own.withColumnRenamed("ia", "id").drop("cl")
+                  .withColumnRenamed("a_mean", "a_mean"), "id", "left")
+            .join(other.withColumnRenamed("ia", "id"), "id", "left"))
+    s = (F.when(F.col("a_mean").isNull() | F.col("b_mean").isNull(),
+                F.lit(0.0))
+         .when(F.greatest("a_mean", "b_mean") == 0, F.lit(0.0))
+         .otherwise((F.col("b_mean") - F.col("a_mean"))
+                    / F.greatest("a_mean", "b_mean")))
+    s_micro = F.round(s * _SIL_SCALE, 0).cast("long")
+    return (base.select("cl", s_micro.alias("sm"))
+            .groupBy(F.col("cl").alias("cluster_id"))
+            .agg(F.count("*").alias("n_sampled"),
+                 F.round(F.sum("sm")
+                         / (F.count("*") * F.lit(float(_SIL_SCALE))),
+                         6).alias("mean_silhouette")))

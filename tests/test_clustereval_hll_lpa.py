@@ -449,3 +449,36 @@ def test_muc_identity_and_degenerate(spark):
     g = spark.createDataFrame([(i, 0) for i in range(4)], ["id", "gold"])
     row = muc_metrics(p, g).collect()[0]
     assert (row["precision"], row["recall"], row["f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_silhouette_tight_far_clusters(spark):
+    from spikex_spark.operators.clustereval import silhouette_by_cluster
+    cl = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 30)],
+        ["id", "cluster_id"])
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.05]),       # tight cluster 10
+         (3, [0.0, 1.0]), (4, [0.05, 1.0]),       # tight cluster 20, far
+         (5, [-1.0, -1.0])],                      # singleton cluster 30
+        ["id", "emb"])
+    out = {r["cluster_id"]: r for r in
+           silhouette_by_cluster(cl, vecs).collect()}
+    assert out[10]["n_sampled"] == 2 and out[20]["n_sampled"] == 2
+    # within-distance ~0.001, between ~1.0 -> silhouette near 1
+    assert out[10]["mean_silhouette"] > 0.9
+    assert out[20]["mean_silhouette"] > 0.9
+    # singleton sample: a(i) undefined -> 0 by convention
+    assert out[30]["mean_silhouette"] == 0.0
+
+
+def test_silhouette_overlapping_clusters_score_low(spark):
+    from pyspark.sql import functions as F
+    from spikex_spark.operators.clustereval import silhouette_by_cluster
+    # two interleaved "clusters" on the same direction: silhouette ~<= 0
+    cl = spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], ["id", "cluster_id"])
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i]) for i in range(6)], ["id", "emb"])
+    out = silhouette_by_cluster(cl, vecs).agg(
+        F.max("mean_silhouette").alias("mx")).collect()[0]
+    assert out["mx"] <= 0.05
