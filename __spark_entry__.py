@@ -2309,6 +2309,75 @@ WHERE inter_w / (ta.total + tb.total - inter_w)::DOUBLE >= 0.5
 """
 
 
+def _q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_docs, n_gopher_pass, n_dup_docs, mean_quality, mean_chars,
+    keep): the per-DOMAIN filtering step every web pipeline runs after
+    per-doc scoring (C4 blocklists / RefinedWeb domain curation): roll
+    the quality, Gopher-verdict and exact-duplicate signals up to the
+    host (``source``) and decide keep/drop per host with integer-exact
+    thresholds (≥60% Gopher pass AND ≤30% exact-dup rate).
+
+    Determinism: per-doc quality is already 1e-6-rounded, so it enters
+    the host sum as a snapped int64 (micro-quality); every other
+    aggregate is a count. Scale shape: three map-side-combined groupBys
+    joined on the host key — hosts number ~10^7 at crawl scale, far
+    under the doc count, and no text ever shuffles."""
+    from spikex_spark.operators.dedup import exact_duplicates
+    from spikex_spark.operators.textstats import gopher_rules, quality_score
+    docs = _read(spark, sf_dir, "documents")
+    hosts = docs.select(F.col("doc_id").alias("id"),
+                        F.col("source").alias("host"), "n_chars")
+    q = quality_score(docs, "doc_id", "text").select(
+        "id", F.round(F.col("quality") * 1_000_000, 0).cast("long")
+        .alias("q_micro"))
+    g = gopher_rules(docs, "doc_id", "text").select(
+        "id", F.col("passed").cast("int").alias("gp"))
+    d = exact_duplicates(docs, "doc_id", "text").select(
+        "id", (F.col("id") != F.col("canonical_id")).cast("int").alias("dup"))
+    per = (hosts.join(q, "id").join(g, "id").join(d, "id")
+           .groupBy("host")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("gp").cast("long").alias("n_gopher_pass"),
+                F.sum("dup").cast("long").alias("n_dup_docs"),
+                F.sum("q_micro").alias("qm"),
+                F.sum("n_chars").alias("cs")))
+    return per.select(
+        "host", "n_docs", "n_gopher_pass", "n_dup_docs",
+        F.round(F.col("qm") / (F.col("n_docs") * F.lit(1_000_000.0)), 6)
+        .alias("mean_quality"),
+        F.round(F.col("cs") / F.col("n_docs").cast("double"), 2)
+        .alias("mean_chars"),
+        ((F.lit(10) * F.col("n_gopher_pass") >= F.lit(6) * F.col("n_docs"))
+         & (F.lit(10) * F.col("n_dup_docs") <= F.lit(3) * F.col("n_docs")))
+        .alias("keep"))
+
+
+def _sql_host_quality_rollup() -> str:
+    return f"""
+WITH q AS ({_sql_quality()}),
+g AS ({_sql_gopher_quality()}),
+d AS ({_SQL_DEDUP_EXACT}),
+per AS (
+  SELECT doc.source AS host, count(*)::BIGINT AS n_docs,
+         sum((g.passed)::INT)::BIGINT AS n_gopher_pass,
+         sum((d.id <> d.canonical_id)::INT)::BIGINT AS n_dup_docs,
+         sum(round(q.quality * 1000000)::BIGINT)::BIGINT AS qm,
+         sum(doc.n_chars)::BIGINT AS cs
+  FROM documents doc
+  JOIN q ON q.id = doc.doc_id
+  JOIN g ON g.id = doc.doc_id
+  JOIN d ON d.id = doc.doc_id
+  GROUP BY 1
+)
+SELECT host, n_docs, n_gopher_pass, n_dup_docs,
+  round(qm / (n_docs * 1000000.0), 6) AS mean_quality,
+  round(cs / n_docs::DOUBLE, 2) AS mean_chars,
+  (10 * n_gopher_pass >= 6 * n_docs AND 10 * n_dup_docs <= 3 * n_docs)
+    AS keep
+FROM per
+"""
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.dedup import containment_pairs
     return containment_pairs(
@@ -9955,6 +10024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "quality_scores": _q_quality,
         "gopher_quality": _q_gopher_quality,
+        "host_quality_rollup": _q_host_quality_rollup,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
         "lm_perplexity": _q_lm_perplexity,
@@ -10203,6 +10273,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNKS,
         "quality_scores": _sql_quality(),
         "gopher_quality": _sql_gopher_quality(),
+        "host_quality_rollup": _sql_host_quality_rollup(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,

@@ -75,3 +75,16 @@ def test_packing_is_contiguous_over_survivors(spark, stages):
         assert r["block_offset"] == pos % e._CURATION_BLOCK
         assert r["n_tokens"] > 0
         pos += r["n_tokens"]
+
+
+def test_host_quality_rollup_verdicts(spark):
+    import __spark_entry__ as E
+    out = E.queries()["host_quality_rollup"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        # verdict is exactly the two integer threshold rules
+        expect = (10 * r["n_gopher_pass"] >= 6 * r["n_docs"]
+                  and 10 * r["n_dup_docs"] <= 3 * r["n_docs"])
+        assert r["keep"] == expect
+        assert 0 <= r["n_gopher_pass"] <= r["n_docs"]
+        assert 0 <= r["n_dup_docs"] < r["n_docs"]
