@@ -2309,6 +2309,57 @@ WHERE inter_w / (ta.total + tb.total - inter_w)::DOUBLE >= 0.5
 """
 
 
+def _q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.corpus import corpus_diversity
+    return corpus_diversity(_read(spark, sf_dir, "documents"),
+                            "doc_id", "text", "lang", sample_per_group=30)
+
+
+_SQL_CORPUS_DIVERSITY = """
+WITH samp AS (
+  SELECT id, grp,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM (SELECT doc_id AS id, lang AS grp, text,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents)
+  WHERE rn <= 30
+),
+tc AS (
+  SELECT id, grp, u.tok AS tok, count(*)::BIGINT AS c
+  FROM samp, UNNEST(t) AS u(tok) GROUP BY 1, 2, 3
+),
+tot AS (SELECT id, sum(c)::BIGINT AS total FROM tc GROUP BY 1),
+i AS (
+  SELECT a.grp, a.id AS id_a, b.id AS id_b,
+         sum(least(a.c, b.c))::BIGINT AS iw
+  FROM tc a JOIN tc b ON a.tok = b.tok AND a.grp = b.grp
+  WHERE a.id < b.id GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT x.grp, x.id AS id_a, y.id AS id_b
+  FROM samp x JOIN samp y ON x.grp = y.grp AND x.id < y.id
+),
+j AS (
+  SELECT p.grp,
+         round(coalesce(i.iw, 0)
+               / (ta.total + tb.total - coalesce(i.iw, 0))::DOUBLE
+               * 1000000)::BIGINT AS jm
+  FROM pairs p
+  LEFT JOIN i ON i.grp = p.grp AND i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN tot ta ON ta.id = p.id_a
+  JOIN tot tb ON tb.id = p.id_b
+),
+ns AS (SELECT grp, count(*)::BIGINT AS n_sampled FROM samp GROUP BY 1),
+per AS (SELECT grp, count(*)::BIGINT AS n_pairs, sum(jm)::BIGINT AS js
+        FROM j GROUP BY 1)
+SELECT per.grp AS "group", ns.n_sampled, per.n_pairs,
+  round(js / (n_pairs * 1000000.0), 6) AS mean_pairwise_jaccard,
+  round(1.0 - js / (n_pairs * 1000000.0), 6) AS diversity
+FROM per JOIN ns ON ns.grp = per.grp
+"""
+
+
 def _q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(host, n_docs, n_gopher_pass, n_dup_docs, mean_quality, mean_chars,
     keep): the per-DOMAIN filtering step every web pipeline runs after
@@ -10025,6 +10076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "gopher_quality": _q_gopher_quality,
         "host_quality_rollup": _q_host_quality_rollup,
+        "corpus_diversity": _q_corpus_diversity,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
         "lm_perplexity": _q_lm_perplexity,
@@ -10274,6 +10326,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _sql_quality(),
         "gopher_quality": _sql_gopher_quality(),
         "host_quality_rollup": _sql_host_quality_rollup(),
+        "corpus_diversity": _SQL_CORPUS_DIVERSITY,
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,

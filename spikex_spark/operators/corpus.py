@@ -456,3 +456,71 @@ def heaps_curve(df: DataFrame, id_col: str, text_col: str,
             F.sum("new_types").over(w).cast("long").alias("cum_types"),
         )
     )
+
+
+def corpus_diversity(df: DataFrame, id_col: str, text_col: str,
+                     group_col: str, sample_per_group: int = 30) -> DataFrame:
+    """(group, n_sampled, n_pairs, mean_pairwise_jaccard, diversity):
+    lexical diversity per corpus slice — 1 − mean pairwise multiset
+    (bag) Jaccard over a DETERMINISTIC sample of each group's
+    ``sample_per_group`` smallest ids. The cheap self-BLEU stand-in the
+    curation dashboards want: a slice whose pages all paraphrase one
+    template scores low diversity even when no pair crosses a dedup
+    threshold.
+
+    The pair stage is sample², never corpus² — at 100 TB the sampled
+    token-count table is a few thousand rows per group and broadcasts.
+    Determinism: per-pair Jaccard is one division of exact int64 token
+    counts, snapped to 1e6 before the group mean (the NMI recipe); the
+    sample is order-free (smallest ids, no RNG).
+    """
+    from pyspark.sql import Window as W
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    win = W.partitionBy("grp").orderBy("id")
+    samp = (df.select(F.col(id_col).alias("id"),
+                      F.col(group_col).alias("grp"), toks.alias("_t"))
+            .withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= sample_per_group))
+    tc = (samp.select("id", "grp", F.explode("_t").alias("tok"))
+          .groupBy("id", "grp", "tok").agg(F.count("*").alias("c")))
+    totals = tc.groupBy("id").agg(F.sum("c").alias("total"))
+    inter = (
+        tc.alias("a").join(tc.alias("b"),
+                           (F.col("a.tok") == F.col("b.tok"))
+                           & (F.col("a.grp") == F.col("b.grp")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.grp").alias("grp"),
+                 F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("iw"))
+    )
+    # all sampled pairs, including zero-overlap ones (their Jaccard is 0
+    # and must enter the mean) — build the pair frame from the sample
+    ids = samp.select("id", "grp")
+    pairs = (ids.alias("x").join(ids.alias("y"), "grp")
+             .where(F.col("x.id") < F.col("y.id"))
+             .select("grp", F.col("x.id").alias("id_a"),
+                     F.col("y.id").alias("id_b")))
+    j = (pairs.join(inter, ["grp", "id_a", "id_b"], "left")
+         .join(totals.withColumnsRenamed({"id": "id_a", "total": "ta"}),
+               "id_a")
+         .join(totals.withColumnsRenamed({"id": "id_b", "total": "tb"}),
+               "id_b")
+         .select(
+             "grp",
+             F.round(F.coalesce(F.col("iw"), F.lit(0))
+                     / (F.col("ta") + F.col("tb")
+                        - F.coalesce(F.col("iw"), F.lit(0)))
+                     .cast("double") * 1_000_000, 0)
+             .cast("long").alias("jm")))
+    n_s = samp.groupBy(F.col("grp")).agg(F.count("*").alias("n_sampled"))
+    per = j.groupBy("grp").agg(F.count("*").alias("n_pairs"),
+                               F.sum("jm").alias("js"))
+    return (per.join(n_s, "grp")
+            .select(F.col("grp").alias("group"), "n_sampled", "n_pairs",
+                    F.round(F.col("js") / (F.col("n_pairs")
+                                           * F.lit(1_000_000.0)), 6)
+                    .alias("mean_pairwise_jaccard"),
+                    F.round(F.lit(1.0) - F.col("js")
+                            / (F.col("n_pairs") * F.lit(1_000_000.0)), 6)
+                    .alias("diversity")))

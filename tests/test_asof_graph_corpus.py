@@ -485,3 +485,30 @@ def test_asof_bucketed_supports_tolerance(spark):
                              right_tie="event_id", bucket="minute",
                              tolerance_us=5_000_000).collect()[0]
     assert row["asof_value"] is None and row["asof_gap_us"] is None
+
+
+def test_corpus_diversity_orders_template_vs_distinct(spark):
+    from spikex_spark.operators.corpus import corpus_diversity
+    rows = (
+        # group 't': same template everywhere -> low diversity
+        [(i, "t", "the same exact template sentence here") for i in range(4)]
+        # group 'd': fully distinct vocabularies -> diversity 1.0
+        + [(10, "d", "alpha beta gamma"), (11, "d", "delta epsilon zeta"),
+           (12, "d", "eta theta iota")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    out = {r["group"]: r for r in corpus_diversity(
+        df, "doc_id", "text", "grp", sample_per_group=10).collect()}
+    assert out["t"]["n_pairs"] == 6 and out["t"]["diversity"] == 0.0
+    assert out["d"]["n_pairs"] == 3 and out["d"]["diversity"] == 1.0
+
+
+def test_corpus_diversity_sample_is_smallest_ids(spark):
+    from spikex_spark.operators.corpus import corpus_diversity
+    # ids 0,1 identical; id 999 distinct — with sample 2 only 0,1 enter
+    rows = [(0, "g", "aa bb cc"), (1, "g", "aa bb cc"),
+            (999, "g", "xx yy zz")]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    out = corpus_diversity(df, "doc_id", "text", "grp",
+                           sample_per_group=2).collect()[0]
+    assert out["n_sampled"] == 2 and out["mean_pairwise_jaccard"] == 1.0
