@@ -7634,6 +7634,52 @@ def _q_er_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nmi_metrics(pred, gold)
 
 
+# Per-cluster BFS depth from the canonical seed over the flagship match
+# edges — the cluster-wise chain-merge detector (depth>=3 = welded via
+# chains). The oracle mirrors the bounded BFS with a depth-capped
+# recursive CTE deduped per (cluster, node, d) level.
+_SQL_ER_CLUSTER_DEPTH = f"""
+WITH RECURSIVE s AS ({_SQL_SCORED}),
+cl AS ({_SQL_ER_CLUSTERS}),
+e0 AS (SELECT id_a, id_b FROM s
+       WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80 AND id_a <> id_b),
+sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+        UNION SELECT id_b, id_a FROM e0),
+bfs AS (
+  SELECT cluster_id AS cl, cluster_id AS node, 0 AS d
+  FROM (SELECT DISTINCT cluster_id FROM cl)
+  UNION
+  SELECT b.cl, sym.dst, b.d + 1
+  FROM bfs b JOIN sym ON sym.src = b.node
+  WHERE b.d < 6
+),
+md AS (SELECT cl, node, min(d) AS d FROM bfs GROUP BY 1, 2),
+-- restrict to true members (the seed's frontier cannot leave its
+-- component, but keep the membership join for explicitness)
+mem AS (SELECT md.cl, md.node, md.d FROM md
+        JOIN cl ON cl.doc_id = md.node AND cl.cluster_id = md.cl),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+          FROM cl GROUP BY 1)
+SELECT s.cluster_id, s.n_members,
+       max(mem.d)::INT AS depth,
+       (s.n_members - count(*))::BIGINT AS n_unreached
+FROM sizes s JOIN mem ON mem.cl = s.cluster_id
+GROUP BY s.cluster_id, s.n_members
+"""
+
+
+def _q_er_cluster_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.graph import cluster_bfs_depth
+    from spikex_spark.pipeline import doc_scored_pairs, resolve_documents
+    docs = _read(spark, sf_dir, "documents")
+    clusters = resolve_documents(docs, threshold=0.80).select(
+        F.col("doc_id").alias("id"), "cluster_id")
+    # default score_digits=6 — the SAME rounding resolve_documents
+    # thresholds on and the oracle's round(..., 6) edge rule mirrors
+    edges = doc_scored_pairs(docs).where(F.col("score") >= 0.80)
+    return cluster_bfs_depth(clusters, edges, max_depth=6)
+
+
 # MUC (Vilain '95) — the link-based coreference metric, completing the
 # clustering-eval suite (pairwise F1 / B-cubed / ARI / NMI / MUC). All
 # counts exact int64 over the same contingency cells; recall counts the
@@ -10194,6 +10240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_ari": _q_er_ari,
         "er_nmi": _q_er_nmi,
         "er_muc": _q_er_muc,
+        "er_cluster_depth": _q_er_cluster_depth,
         "er_correlation_clusters": _q_er_correlation_clusters,
         "canopy_assign": _q_canopy_assign,
         "er_v2_multichannel_clusters": _q_er_v2_clusters,
@@ -10456,6 +10503,7 @@ def oracle_sql() -> dict[str, str]:
         "er_ari": _SQL_ER_ARI,
         "er_nmi": _SQL_ER_NMI,
         "er_muc": _SQL_ER_MUC,
+        "er_cluster_depth": _SQL_ER_CLUSTER_DEPTH,
         "er_correlation_clusters": _SQL_ER_CORR,
         "canopy_assign": _SQL_CANOPY,
         "er_v2_multichannel_clusters": _SQL_ER_V2,

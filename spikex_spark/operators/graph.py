@@ -457,3 +457,60 @@ def neighborhood_function(edges: DataFrame, rounds: int = 3, k: int = 32,
         sk = merged.localCheckpoint()
         out = out.unionByName(_round_stats(sk, t))
     return out
+
+
+def cluster_bfs_depth(clusters: DataFrame, edges: DataFrame,
+                      id_col: str = "id", cluster_col: str = "cluster_id",
+                      a_col: str = "id_a", b_col: str = "id_b",
+                      max_depth: int = 6) -> DataFrame:
+    """(cluster_id, n_members, depth, n_unreached): per-cluster BFS
+    eccentricity of the canonical seed — the chain-merge detector. A
+    transitively-closed cluster whose members all match the canonical
+    directly has depth 1; depth ≥3 means members were welded in through
+    chains of pairwise matches and deserve QC review (the weak-bridge
+    pathology ``er_unsupported_edges`` flags edge-wise, measured here
+    cluster-wise).
+
+    Requires the min-id cluster convention (cluster_id IS a member id —
+    the engine's CC output contract). BFS runs ``max_depth`` frontier
+    ⋈ edges rounds restricted to within-cluster edges; unreached >0 can
+    only appear when ``max_depth`` truncates (every cluster is connected
+    by construction), so it doubles as the truncation flag.
+
+    Scale shape: each round is one join on the frontier key + an
+    anti-join against the visited set — the d-hop recipe with the same
+    per-round ``localCheckpoint`` plan-linearization; no pair or path
+    materialization (paths dedup to min-depth per node every round).
+    """
+    m = clusters.select(F.col(id_col).alias("node"),
+                        F.col(cluster_col).alias("cl"))
+    sym = undirected(edges.select(F.col(a_col).alias("src"),
+                                  F.col(b_col).alias("dst")))
+    e = (sym.join(m.withColumnsRenamed({"node": "src", "cl": "ca"}), "src")
+         .join(m.withColumnsRenamed({"node": "dst", "cl": "cb"}), "dst")
+         .where(F.col("ca") == F.col("cb"))
+         .select("src", "dst", F.col("ca").alias("cl"))
+         .localCheckpoint(eager=False))
+    dist = (m.where(F.col("node") == F.col("cl"))
+            .select("cl", "node", F.lit(0).alias("d")))
+    frontier = dist
+    for r in range(1, max_depth + 1):
+        nxt = (frontier.join(e, (frontier["node"] == e["src"])
+                             & (frontier["cl"] == e["cl"]))
+               .select(e["cl"].alias("cl"), F.col("dst").alias("node"),
+                       F.lit(r).alias("d"))
+               .distinct())
+        newly = (nxt.join(dist.select("cl", "node"), ["cl", "node"],
+                          "left_anti")
+                 .localCheckpoint(eager=False))
+        dist = dist.unionByName(newly).localCheckpoint(eager=False)
+        frontier = newly
+    sizes = m.groupBy(F.col("cl").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"))
+    reach = dist.groupBy(F.col("cl").alias("cluster_id")).agg(
+        F.max("d").alias("depth"), F.count("*").alias("n_reached"))
+    return (sizes.join(reach, "cluster_id")
+            .select("cluster_id", "n_members",
+                    F.col("depth").cast("int").alias("depth"),
+                    (F.col("n_members") - F.col("n_reached"))
+                    .cast("long").alias("n_unreached")))

@@ -180,3 +180,42 @@ def test_neighborhood_function_saturates_and_estimates(spark):
     # within a loose factor
     est_avg = out[2]["reachable_pairs"] / 41
     assert 10 <= est_avg <= 164
+
+
+def test_cluster_bfs_depth_chain_vs_star(spark):
+    from spikex_spark.operators.graph import cluster_bfs_depth
+    # cluster 1: star around canonical 1 -> depth 1
+    # cluster 10: chain 10-11-12-13 -> depth 3
+    # cluster 20: singleton -> depth 0
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),
+         (10, 10), (11, 10), (12, 10), (13, 10),
+         (20, 20)], ["id", "cluster_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (10, 11), (11, 12), (12, 13)],
+        ["id_a", "id_b"])
+    out = {r["cluster_id"]: r for r in
+           cluster_bfs_depth(cl, edges).collect()}
+    assert out[1]["depth"] == 1 and out[1]["n_unreached"] == 0
+    assert out[10]["depth"] == 3 and out[10]["n_unreached"] == 0
+    assert out[20]["depth"] == 0 and out[20]["n_unreached"] == 0
+
+
+def test_cluster_bfs_depth_cap_reports_unreached(spark):
+    from spikex_spark.operators.graph import cluster_bfs_depth
+    # chain of length 4 from the seed, capped at depth 2 -> 2 unreached
+    cl = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)], ["id", "cluster_id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    out = cluster_bfs_depth(cl, edges, max_depth=2).collect()[0]
+    assert out["depth"] == 2 and out["n_unreached"] == 2
+    # cross-cluster edges never leak: an edge to a foreign cluster is
+    # dropped by the within-cluster restriction
+    cl2 = spark.createDataFrame([(0, 0), (1, 0), (5, 5)],
+                                ["id", "cluster_id"])
+    e2 = spark.createDataFrame([(0, 1), (1, 5)], ["id_a", "id_b"])
+    rows = {r["cluster_id"]: r for r in
+            cluster_bfs_depth(cl2, e2).collect()}
+    assert rows[0]["depth"] == 1 and rows[0]["n_unreached"] == 0
+    assert rows[5]["depth"] == 0
