@@ -3856,6 +3856,41 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "doc_id", "text", k=5)
 
 
+def _q_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.retrieval import cluster_label_terms
+    docs = _read(spark, sf_dir, "documents")
+    clusters = _q_er_doc_clusters(spark, sf_dir)
+    return cluster_label_terms(docs, clusters, "doc_id", "text", k=5)
+
+
+def _sql_cluster_labels() -> str:
+    toks = _SQL_TOKENS_ALL.format(col="d.text")
+    return f"""
+WITH cl AS ({_SQL_ER_CLUSTERS}),
+kept AS (SELECT cluster_id AS cl FROM cl GROUP BY 1 HAVING count(*) >= 2),
+tc AS (
+  SELECT c.cluster_id AS cl, u.term, count(*)::BIGINT AS tf
+  FROM documents d
+  JOIN cl c ON c.doc_id = d.doc_id
+  JOIN kept k ON k.cl = c.cluster_id,
+  UNNEST({toks}) AS u(term)
+  GROUP BY 1, 2
+),
+ft AS (SELECT term, sum(tf)::BIGINT AS f_t FROM tc GROUP BY 1),
+av AS (SELECT sum(tf) / count(DISTINCT cl)::DOUBLE AS a FROM tc),
+scored AS (
+  SELECT tc.cl AS cluster_id, tc.term,
+         round(tc.tf * ln(1.0 + av.a / ft.f_t) * 10000000)::BIGINT AS w
+  FROM tc JOIN ft USING (term) CROSS JOIN av
+)
+SELECT cluster_id, term, round(w / 10000000.0, 6) AS score, rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY w DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 # ROLLUP corpus accounting: per-(lang, source), per-lang, and grand
 # total in ONE Expand+aggregate pass; '<all>' marks subtotal levels so
 # no grouping-id portability question arises.
@@ -10142,6 +10177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_trade_graph": _q_ppr,
         "triangle_counts": _q_triangles,
         "tfidf_top_terms": _q_tfidf,
+        "cluster_labels": _q_cluster_labels,
         "corpus_rollup": _q_corpus_rollup,
         "length_quantiles": _q_length_quantiles,
         "weighted_sample": _q_weighted_sample,
@@ -10393,6 +10429,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_trade_graph": _sql_ppr(),
         "triangle_counts": _SQL_TRIANGLES,
         "tfidf_top_terms": _SQL_TFIDF,
+        "cluster_labels": _sql_cluster_labels(),
         "corpus_rollup": _SQL_ROLLUP,
         "length_quantiles": _SQL_QUANTILES,
         "weighted_sample": _SQL_WSAMPLE,

@@ -170,3 +170,51 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("rank") <= k)
             .select("doc_id", "term",
                     (F.col("w") / F.lit(1e7)).alias("score"), "rank"))
+
+
+def cluster_label_terms(df: DataFrame, clusters: DataFrame,
+                        id_col: str, text_col: str,
+                        cluster_col: str = "cluster_id",
+                        k: int = 5, min_members: int = 2) -> DataFrame:
+    """(cluster_id, term, score, rank) — c-TF-IDF cluster labeling
+    (the BERTopic recipe): treat each cluster's concatenated members as
+    one pseudo-document and rank terms by
+    ``tf_{t,c} · ln(1 + A / f_t)`` where ``f_t`` is the term's total
+    count across all clustered docs and ``A`` the mean tokens per
+    cluster — the human-readable "what IS this entity/near-dup
+    cluster" layer on top of the ER output.
+
+    Clusters under ``min_members`` members are dropped (singletons
+    reduce to per-doc tf-idf, which ``tfidf_top_terms`` already
+    serves). Same determinism recipe as BM25/tf-idf: the ln factor is
+    1e7-snapped int64 before the tf product, ranks break ties on term
+    ascending. Scale: one explode with map-side combine (shuffles
+    carry counts, never text), stats are narrow roll-ups, top-k is one
+    window per cluster key.
+    """
+    kept = (clusters.groupBy(F.col(cluster_col).alias("cl"))
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= min_members).select("cl"))
+    mem = clusters.select(F.col(id_col).alias("id"),
+                          F.col(cluster_col).alias("cl")).join(kept, "cl")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    tc = (df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+          .join(mem, "id")
+          .select("cl", F.explode("_t").alias("term"))
+          .groupBy("cl", "term").agg(F.count("*").alias("tf")))
+    ft = tc.groupBy("term").agg(F.sum("tf").alias("f_t"))
+    avg = (tc.agg((F.sum("tf") / F.countDistinct("cl")).alias("a")))
+    w = F.round(
+        F.col("tf") * F.log(F.lit(1.0) + F.col("a") / F.col("f_t"))
+        * F.lit(1e7), 0).cast("long")
+    scored = (tc.join(ft, "term").crossJoin(F.broadcast(avg))
+              .select(F.col("cl").alias("cluster_id"), "term",
+                      w.alias("w")))
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("w").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("cluster_id", "term",
+                    F.round(F.col("w") / F.lit(1e7), 6).alias("score"),
+                    "rank"))

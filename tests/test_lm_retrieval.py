@@ -122,3 +122,32 @@ def test_corpus_queries_deterministic(spark, corpus):
                            n_tokens=2).orderBy("query_id").collect()
     assert [(r["query_id"], r["qtext"]) for r in got] == [
         (0, "apple banana"), (100, "banana cherry")]
+
+
+def test_cluster_label_terms_are_discriminative(spark):
+    from spikex_spark.operators.retrieval import cluster_label_terms
+    docs = spark.createDataFrame(
+        [(1, "zebra zebra zebra common"), (2, "zebra zebra common"),
+         (3, "quark quark quark common"), (4, "quark quark common"),
+         (5, "lonely singleton page")],
+        ["doc_id", "text"])
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        ["doc_id", "cluster_id"])
+    out = cluster_label_terms(docs, cl, "doc_id", "text", k=1)
+    top = {r["cluster_id"]: r["term"] for r in out.collect()}
+    # each cluster's top label is its own discriminative term, never the
+    # shared 'common'; singleton cluster 5 is dropped (min_members=2)
+    assert top == {1: "zebra", 3: "quark"}
+
+
+def test_cluster_label_rank_ties_break_on_term(spark):
+    from spikex_spark.operators.retrieval import cluster_label_terms
+    docs = spark.createDataFrame(
+        [(1, "beta alpha"), (2, "alpha beta")], ["doc_id", "text"])
+    cl = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "cluster_id"])
+    out = cluster_label_terms(docs, cl, "doc_id", "text", k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    # identical tf and f_t -> identical score; rank 1 must be 'alpha'
+    assert [r["term"] for r in ranked] == ["alpha", "beta"]
+    assert ranked[0]["score"] == ranked[1]["score"]
