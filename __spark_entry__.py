@@ -6854,6 +6854,50 @@ def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mention_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency+earliness prominence of each mention key per document,
+    over the flagship J5 mention table."""
+    from spikex_spark.operators.blocking import mention_salience
+    m = _q_mentions(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    dt = docs.select(
+        F.col("doc_id"),
+        F.size(F.filter(F.split(F.col("text"), "[ \t\n\x0b\f\r]+"),
+                        lambda t: t != "")).cast("long").alias("doc_tokens"))
+    return mention_salience(m, dt, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "key", "n_mentions", "first_start",
+        "salience", "rank")
+
+
+def _sql_mention_salience() -> str:
+    return f"""
+WITH m AS ({_sql_mentions()}),
+dt AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                    t -> t <> ''))::BIGINT AS doc_tokens
+  FROM documents
+),
+per AS (
+  SELECT doc_id, key, count(*)::BIGINT AS n_mentions,
+         min(start)::INT AS first_start
+  FROM m GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(n_mentions)::BIGINT AS doc_mentions
+        FROM per GROUP BY 1)
+SELECT doc_id, key, n_mentions, first_start, salience,
+  row_number() OVER (PARTITION BY doc_id
+                     ORDER BY salience DESC, key) AS rank
+FROM (
+  SELECT per.doc_id, per.key, per.n_mentions, per.first_start,
+    round(0.5 * (per.n_mentions / tot.doc_mentions::DOUBLE)
+          + 0.5 * (1.0 - (per.first_start - 1)
+                   / dt.doc_tokens::DOUBLE), 6) AS salience
+  FROM per JOIN tot USING (doc_id) JOIN dt USING (doc_id)
+)
+"""
+
+
 _ER_PAGES_BLOCK_CAP = 1000
 
 
@@ -10260,6 +10304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelings": _q_labelings,
         "phrases": _q_phrases,
         "mention_candidates": _q_mentions,
+        "mention_salience": _q_mention_salience,
         "mention_candidates_nested": _q_mentions_nested,
         "er_pages_pairs": _q_er_pages_pairs,
         "er_pages_clusters": _q_er_pages_clusters,
@@ -10524,6 +10569,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ball_clusters": _sql_ball_clusters(),
         "mention_candidates": _sql_mentions(),
+        "mention_salience": _sql_mention_salience(),
         "mention_candidates_nested": _sql_mentions_nested(),
         "er_pages_pairs": _sql_er_pages("pairs"),
         "er_pages_clusters": _sql_er_pages("clusters"),

@@ -696,3 +696,42 @@ def cap_blocks(blocks: DataFrame, key_col: str | list[str] = "block_key",
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def mention_salience(mentions_df: DataFrame, doc_tokens_df: DataFrame,
+                     id_col: str = "id", key_col: str = "key",
+                     start_col: str = "start") -> DataFrame:
+    """(id, key, n_mentions, first_start, salience, rank): per-document
+    entity prominence over a mention table — the re-ranking signal
+    entity linking wants beside commonness (global prior) and context
+    relatedness (semantic fit): how OFTEN and how EARLY the surface
+    occurs in THIS document.
+
+    ``salience = 0.5·(n_mentions / doc_mentions)
+               + 0.5·(1 − (first_start−1) / doc_tokens)`` — frequency
+    share plus earliness, each a single division of exact counts
+    (1-based starts; a key first mentioned at token 1 of the doc gets
+    the full earliness term). Ranks per doc break ties on key.
+
+    ``doc_tokens_df`` = (id, doc_tokens). Scale shape: one groupBy on
+    (id, key) with map-side combine + one per-doc window — no joins
+    beyond the broadcastable token-count lookup.
+    """
+    per = (mentions_df.groupBy(F.col(id_col).alias("id"),
+                               F.col(key_col).alias("key"))
+           .agg(F.count("*").alias("n_mentions"),
+                F.min(start_col).alias("first_start")))
+    tot = per.groupBy("id").agg(F.sum("n_mentions").alias("doc_mentions"))
+    sal = F.round(
+        F.lit(0.5) * (F.col("n_mentions")
+                      / F.col("doc_mentions").cast("double"))
+        + F.lit(0.5) * (F.lit(1.0) - (F.col("first_start") - F.lit(1))
+                        / F.col("doc_tokens").cast("double")), 6)
+    win = Window.partitionBy("id").orderBy(
+        F.col("salience").desc(), F.col("key").asc())
+    return (per.join(tot, "id")
+            .join(doc_tokens_df.select(F.col(id_col).alias("id"),
+                                       "doc_tokens"), "id")
+            .select("id", "key", "n_mentions", "first_start",
+                    sal.alias("salience"))
+            .withColumn("rank", F.row_number().over(win)))

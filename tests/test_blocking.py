@@ -274,3 +274,31 @@ def test_title_keys_local_parity(spark):
                 [{"title": t} for t in titles])).collect()}
     got = set(B.title_keys_local(titles))
     assert got == want
+
+
+def test_mention_salience_frequency_and_earliness(spark):
+    from spikex_spark.operators.blocking import mention_salience
+    # doc 1: 'acme' 2 mentions starting at token 1; 'zeta' once at token 9
+    m = spark.createDataFrame(
+        [(1, 1, "acme"), (1, 5, "acme"), (1, 9, "zeta")],
+        ["id", "start", "key"])
+    dt = spark.createDataFrame([(1, 10)], ["id", "doc_tokens"])
+    out = {r["key"]: r for r in mention_salience(m, dt).collect()}
+    # acme: 0.5*(2/3) + 0.5*(1 - 0/10) = 0.833333; rank 1
+    assert out["acme"]["salience"] == round(0.5 * (2 / 3) + 0.5, 6)
+    assert out["acme"]["rank"] == 1
+    # zeta: 0.5*(1/3) + 0.5*(1 - 8/10) = 0.266667
+    assert out["zeta"]["salience"] == round(0.5 / 3 + 0.5 * 0.2, 6)
+    assert out["zeta"]["rank"] == 2
+
+
+def test_mention_salience_tie_breaks_on_key(spark):
+    from spikex_spark.operators.blocking import mention_salience
+    m = spark.createDataFrame(
+        [(1, 3, "bbb"), (1, 3, "aaa")], ["id", "start", "key"])
+    # same counts, same start -> identical salience; 'aaa' must rank 1
+    dt = spark.createDataFrame([(1, 10)], ["id", "doc_tokens"])
+    out = sorted(mention_salience(m, dt).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["key"] for r in out] == ["aaa", "bbb"]
+    assert out[0]["salience"] == out[1]["salience"]
