@@ -2528,6 +2528,51 @@ def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_id", "url", "canonical_url", "is_kept")
 
 
+# Templated-URL fixture: product ids, hex sessions, calendar paths,
+# paginated facets — the infinite-URL-space shapes a crawl frontier must
+# collapse. Both engines apply the same 4-step masking order.
+_URL_TEMPLATE_FIXTURE = [
+    "https://shop.example.com/product/12345?ref=home",
+    "https://shop.example.com/product/67890?ref=mail",
+    "https://shop.example.com/product/67890?ref=mail#reviews",
+    "https://example.com/session/deadbeefcafe1234/cart",
+    "https://example.com/session/0123456789abcdef/cart",
+    "https://cal.example.org/2024/01/15",
+    "https://cal.example.org/2024/01/16",
+    "https://cal.example.org/2025/12/31",
+    "https://example.net/search?q=shoes&page=1",
+    "https://example.net/search?q=boots&page=2",
+    "https://example.net/about",
+]
+
+
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.operators.urls import url_path_templates
+    df = spark.createDataFrame([(u,) for u in _URL_TEMPLATE_FIXTURE],
+                               "url string")
+    return url_path_templates(df, "url")
+
+
+def _sql_url_templates() -> str:
+    vals = ", ".join(f"('{u}')" for u in _URL_TEMPLATE_FIXTURE)
+    return f"""
+WITH raw AS (SELECT * FROM (VALUES {vals}) AS t(url)),
+m AS (
+  SELECT url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(url, '#.*$', ''),
+          '=[^&#]*', '={{v}}', 'g'),
+        '[0-9a-f]{{8,}}', '{{h}}', 'g'),
+      '[0-9]+', '{{d}}', 'g') AS template
+  FROM raw
+)
+SELECT template, count(*)::BIGINT AS n_urls, min(url) AS example_url
+FROM m GROUP BY 1
+"""
+
+
 # Anchor-text alias rollup fixture: raw (url, html) pages shared; link
 # extraction, URL canonicalization (urls.canonical_url mirror) and the
 # per-target alias aggregation computed INDEPENDENTLY on both sides.
@@ -10180,6 +10225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "repetition_stats": _q_repetition,
         "url_canonical": _q_url_canonical,
+        "url_templates": _q_url_templates,
         "anchor_aliases": _q_anchor_aliases,
         "alias_block_pairs": _q_alias_block_pairs,
         "link_by_commonness": _q_link_commonness,
@@ -10433,6 +10479,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "repetition_stats": _SQL_REPETITION,
         "url_canonical": _sql_url_canonical(),
+        "url_templates": _sql_url_templates(),
         "anchor_aliases": _sql_anchor_aliases(),
         "alias_block_pairs": _sql_alias_block_pairs(),
         "link_by_commonness": _sql_link_commonness(),

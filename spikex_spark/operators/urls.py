@@ -77,3 +77,30 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str,
     if keep_col is not None:
         return flagged.withColumn(keep_col, F.col("_rn") == 1).drop("_rn")
     return flagged.where(F.col("_rn") == 1).drop("_rn")
+
+
+def url_path_templates(df: DataFrame, url_col: str) -> DataFrame:
+    """(template, n_urls, example_url): templated URL skeletons — the
+    crawl-ops view that exposes infinite URL spaces (calendars, session
+    ids, paginated facets) before they eat the frontier. Derivation,
+    applied in THIS order in both engines (digits are hex chars, so hex
+    collapses first):
+
+    1. strip the fragment (``#…``)
+    2. mask query values: ``=value`` → ``={v}`` (keys survive — the
+       key SET is the template; values are the infinite part)
+    3. collapse ≥8-char lowercase-hex runs → ``{h}`` (session/content
+       hashes)
+    4. collapse digit runs → ``{d}`` (ids, dates, page numbers)
+
+    Pure Catalyst string ops, one groupBy; example = min(url) for a
+    deterministic representative.
+    """
+    t = F.regexp_replace(F.col(url_col), "#.*$", "")
+    t = F.regexp_replace(t, "=[^&#]*", "={v}")
+    t = F.regexp_replace(t, "[0-9a-f]{8,}", "{h}")
+    t = F.regexp_replace(t, "[0-9]+", "{d}")
+    return (df.select(t.alias("template"), F.col(url_col).alias("u"))
+            .groupBy("template")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.min("u").alias("example_url")))

@@ -35,3 +35,22 @@ def test_top_k_by_combined_count(spark):
     nxt = ["x"] * 5 + ["y"] * 4 + ["z"] * 1
     got = _run(spark, prev, nxt, k=2)
     assert [r["key"] for r in got] == ["x", "y"]
+
+
+def test_url_path_templates_collapse(spark):
+    from spikex_spark.operators.urls import url_path_templates
+    urls = ["https://s.com/p/123?r=a", "https://s.com/p/456?r=b",
+            "https://s.com/p/123?r=a#frag",
+            "https://s.com/sess/aabbccdd1122/x",
+            "https://s.com/static/about"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r["template"]: r for r in
+           url_path_templates(df, "url").collect()}
+    # product pages collapse to one template (fragment stripped,
+    # query value masked, id digits collapsed)
+    assert out["https://s.com/p/{d}?r={v}"]["n_urls"] == 3
+    assert out["https://s.com/p/{d}?r={v}"]["example_url"] \
+        == "https://s.com/p/123?r=a"
+    # 12-char hex run -> {h}; static path untouched
+    assert "https://s.com/sess/{h}/x" in out
+    assert "https://s.com/static/about" in out
