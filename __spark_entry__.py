@@ -2139,6 +2139,25 @@ def _q_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# same per-process memo for the flagship SCORED-PAIRS chain (default
+# cfg, score_digits=6): ~14 linkage/QC/calibration queries start from
+# (id_a, id_b, jw, jacc, score) and shared one run already costs less
+# than the LSH+scoring chain they'd each re-execute.
+_DOC_PAIRS_MEMO: dict = {}
+
+
+def _doc_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spikex_spark.pipeline import doc_scored_pairs
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DOC_PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    docs = _read(spark, sf_dir, "documents")
+    out = doc_scored_pairs(docs).localCheckpoint()
+    _DOC_PAIRS_MEMO[key] = out
+    return out
+
+
 def _q_er_doc_clusters_incremental(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """The INCREMENTAL pipeline under the gate: docs split old/new, the old
@@ -4107,7 +4126,7 @@ def _q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.linkage import fs_score, fs_weights
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs)     # (id_a, id_b, jw, jacc, score)
+    scored = _doc_pairs_memo(spark, sf_dir)     # (id_a, id_b, jw, jacc, score)
     lab = scored.select(
         "id_a", "id_b",
         (F.col("score") >= 0.80).alias("match"),
@@ -4195,7 +4214,7 @@ def _q_linkage_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
     det = _prefix_gold(docs)
-    prob = (doc_scored_pairs(docs).where(F.col("score") >= 0.80)
+    prob = (_doc_pairs_memo(spark, sf_dir).where(F.col("score") >= 0.80)
             .select("id_a", "id_b"))
     return waterfall_pairs(det, prob)
 
@@ -4277,7 +4296,7 @@ def _q_fs_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 fs_weights_levels)
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs)
+    scored = _doc_pairs_memo(spark, sf_dir)
     lab = scored.select(
         "id_a", "id_b",
         (F.col("score") >= 0.80).alias("match"),
@@ -4360,7 +4379,7 @@ def _q_fs_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 tf_table)
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs)
+    scored = _doc_pairs_memo(spark, sf_dir)
     lang = docs.select("doc_id", "lang")
     pairs = (scored
              .join(lang.select(F.col("doc_id").alias("id_a"),
@@ -4512,7 +4531,7 @@ def _q_trans_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.erqc import transitivity_violations
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs)
+    scored = _doc_pairs_memo(spark, sf_dir)
     matched = scored.where(F.col("score") >= 0.80).select("id_a", "id_b")
     return transitivity_violations(matched, scored)
 
@@ -4540,7 +4559,7 @@ def _q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.erqc import score_calibration
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs)
+    scored = _doc_pairs_memo(spark, sf_dir)
     gold = _prefix_gold(docs)
     return score_calibration(scored, gold, bins=10)
 
@@ -4575,7 +4594,7 @@ def _q_mirror_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.erqc import group_linkage
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    matched = (doc_scored_pairs(docs).where(F.col("score") >= 0.80)
+    matched = (_doc_pairs_memo(spark, sf_dir).where(F.col("score") >= 0.80)
                .select("id_a", "id_b"))
     return group_linkage(matched, docs, id_col="doc_id",
                          group_col="source")
@@ -7345,7 +7364,7 @@ fw AS (
 def _em_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs)
+    scored = _doc_pairs_memo(spark, sf_dir)
     return scored.select(
         "id_a", "id_b",
         (F.col("jw") >= 0.9).alias("a_jw"),
@@ -7524,7 +7543,7 @@ def _q_er_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.erqc import threshold_sweep
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs).select("id_a", "id_b", "score")
+    scored = _doc_pairs_memo(spark, sf_dir).select("id_a", "id_b", "score")
     gold = _q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     return threshold_sweep(scored, gold, _SWEEP_THRESHOLDS)
 
@@ -7571,7 +7590,7 @@ def _q_er_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
     clusters = _q_er_doc_clusters(spark, sf_dir)
-    edges = (doc_scored_pairs(docs).select("id_a", "id_b", "score")
+    edges = (_doc_pairs_memo(spark, sf_dir).select("id_a", "id_b", "score")
              .where(F.col("score") >= 0.80))
     return cluster_cohesion(clusters, edges)
 
@@ -7815,7 +7834,7 @@ def _q_er_cluster_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), "cluster_id")
     # default score_digits=6 — the SAME rounding resolve_documents
     # thresholds on and the oracle's round(..., 6) edge rule mirrors
-    edges = doc_scored_pairs(docs).where(F.col("score") >= 0.80)
+    edges = _doc_pairs_memo(spark, sf_dir).where(F.col("score") >= 0.80)
     return cluster_bfs_depth(clusters, edges, max_depth=6)
 
 
@@ -7930,7 +7949,7 @@ def _q_er_correlation_clusters(spark: SparkSession,
     from spikex_spark.operators.corrclust import correlation_clusters
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    edges = (doc_scored_pairs(docs)
+    edges = (_doc_pairs_memo(spark, sf_dir)
              .where(F.col("score") >= 0.80)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     nodes = docs.select(F.col("doc_id").alias("id"))
@@ -8219,7 +8238,7 @@ def _q_canopy_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.corrclust import canopy_assign
     from spikex_spark.pipeline import doc_scored_pairs
     docs = _read(spark, sf_dir, "documents")
-    scored = doc_scored_pairs(docs)
+    scored = _doc_pairs_memo(spark, sf_dir)
     tight = (scored.where(F.col("score") >= 0.90)
              .select(F.col("id_a").alias("src"),
                      F.col("id_b").alias("dst")))
@@ -9034,7 +9053,7 @@ def _q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.pipeline import doc_scored_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    base = doc_scored_pairs(docs).select(
+    base = _doc_pairs_memo(spark, sf_dir).select(
         "id_a", "id_b",
         F.round("jw", 6).alias("jw"),
         F.round("jacc", 6).alias("jacc"))
