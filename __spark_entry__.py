@@ -4189,6 +4189,53 @@ def _prefix_gold(docs: DataFrame) -> DataFrame:
                     F.col("h2.id").alias("id_b")))
 
 
+def _q_er_f1_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-fold jackknife on the headline gold-pair F1 gate:
+    10 deterministic folds, each row = metrics with that fold removed."""
+    from spikex_spark.operators.evaluation import pair_metrics_jackknife
+    docs = _read(spark, sf_dir, "documents")
+    pred = _doc_pairs_memo(spark, sf_dir).where(F.col("score") >= 0.80)
+    return pair_metrics_jackknife(pred, _prefix_gold(docs), buckets=10)
+
+
+_SQL_ER_F1_JACKKNIFE = f"""
+WITH det AS ({_SQL_PREFIX_GOLD}),
+s AS ({_SQL_SCORED}),
+p AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM s WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80
+        AND id_a <> id_b),
+g AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM det WHERE id_a <> id_b),
+j AS (
+  SELECT ((coalesce(p.a, g.a) * 31 + coalesce(p.b, g.b)) % 10)::INT
+           AS bucket,
+         (p.a IS NOT NULL AND g.a IS NOT NULL)::BIGINT AS is_tp,
+         (p.a IS NOT NULL AND g.a IS NULL)::BIGINT AS is_fp,
+         (p.a IS NULL AND g.a IS NOT NULL)::BIGINT AS is_fn
+  FROM p FULL JOIN g ON p.a = g.a AND p.b = g.b
+),
+per AS (SELECT bucket, count(*)::BIGINT AS n_excluded,
+               sum(is_tp)::BIGINT AS b_tp, sum(is_fp)::BIGINT AS b_fp,
+               sum(is_fn)::BIGINT AS b_fn
+        FROM j GROUP BY 1),
+tot AS (SELECT sum(is_tp)::BIGINT AS t_tp, sum(is_fp)::BIGINT AS t_fp,
+               sum(is_fn)::BIGINT AS t_fn FROM j),
+c AS (SELECT bucket, n_excluded,
+             (t_tp - b_tp)::BIGINT AS tp, (t_fp - b_fp)::BIGINT AS fp,
+             (t_fn - b_fn)::BIGINT AS fn
+      FROM per CROSS JOIN tot)
+SELECT bucket, n_excluded, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE
+        ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE
+        ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN 2 * tp + fp + fn > 0
+        THEN (2 * tp) / (2 * tp + fp + fn)::DOUBLE
+        ELSE 0.0 END, 6) AS f1
+FROM c
+"""
+
+
 # The MDM match waterfall: exact-text deterministic links first, the
 # probabilistic (scored >= 0.80) channel only where the rule was silent.
 _SQL_WATERFALL = f"""
@@ -10427,6 +10474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_fused_lang": _q_truth_fused,
         "source_trust": _q_source_trust,
         "er_f1_by_lang": _q_f1_by_lang,
+        "er_f1_jackknife": _q_er_f1_jackknife,
         "er_knn_pruned_clusters": _q_knn_clusters,
         "er_run_diff": _q_run_diff,
         "er_refined_clusters": _q_refined_clusters,
@@ -10693,6 +10741,7 @@ def oracle_sql() -> dict[str, str]:
         "truth_fused_lang": _sql_truth_discovery("fused"),
         "source_trust": _sql_truth_discovery("trust"),
         "er_f1_by_lang": _SQL_F1_BY_LANG,
+        "er_f1_jackknife": _SQL_ER_F1_JACKKNIFE,
         "er_knn_pruned_clusters": _SQL_KNN_CLUSTERS,
         "er_run_diff": _SQL_RUN_DIFF,
         "er_refined_clusters": _SQL_REFINED_CLUSTERS,

@@ -271,3 +271,65 @@ def clusterer_shootout(pairs: DataFrame, gold: DataFrame,
                 F.round(2 * F.col("precision") * F.col("recall")
                         / (F.col("precision") + F.col("recall")), 6))
                 .otherwise(F.lit(0.0))))
+
+
+def pair_metrics_jackknife(pred: DataFrame, ref: DataFrame,
+                           id_a: str = "id_a", id_b: str = "id_b",
+                           buckets: int = 10) -> DataFrame:
+    """(bucket, n_excluded, tp, fp, fn, precision, recall, f1): delete-
+    one-bucket jackknife over the pairwise metrics — error bars for the
+    headline F1 gate. Pairs are assigned to ``buckets`` deterministic
+    folds by ``(a·31 + b) mod buckets`` (plain integer arithmetic — NOT
+    an engine hash, which would differ between Spark and the oracle);
+    row ``bucket=k`` reports the metrics with fold k REMOVED, so the
+    spread across rows is the metric's sensitivity to any tenth of the
+    evaluation pairs. A gate that demands min-over-folds F1 ≥ 0.99 is
+    robust to a lucky fold in a way the point estimate is not.
+
+    Same canonicalization/counting as ``pair_metrics``; the per-fold
+    counts are one groupBy over the outer-joined pair set, the
+    leave-one-out arithmetic is exact int64 subtraction from the fold
+    totals — the whole jackknife costs one extra tiny aggregate, not
+    ``buckets`` passes.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return (df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+    p = canon(pred).withColumn("_p", F.lit(1))
+    r = canon(ref).withColumn("_r", F.lit(1))
+    joined = p.join(r, ["a", "b"], "full_outer").select(
+        F.pmod(F.col("a") * 31 + F.col("b"), F.lit(buckets))
+        .cast("int").alias("bucket"),
+        (F.col("_p").isNotNull() & F.col("_r").isNotNull())
+        .cast("long").alias("is_tp"),
+        (F.col("_p").isNotNull() & F.col("_r").isNull())
+        .cast("long").alias("is_fp"),
+        (F.col("_p").isNull() & F.col("_r").isNotNull())
+        .cast("long").alias("is_fn"),
+    )
+    per = joined.groupBy("bucket").agg(
+        F.count("*").alias("n_excluded"),
+        F.sum("is_tp").alias("b_tp"), F.sum("is_fp").alias("b_fp"),
+        F.sum("is_fn").alias("b_fn"))
+    tot = joined.agg(F.sum("is_tp").alias("t_tp"),
+                     F.sum("is_fp").alias("t_fp"),
+                     F.sum("is_fn").alias("t_fn"))
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_excluded",
+        (F.col("t_tp") - F.col("b_tp")).alias("tp"),
+        (F.col("t_fp") - F.col("b_fp")).alias("fp"),
+        (F.col("t_fn") - F.col("b_fn")).alias("fn"))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(2 * tp + fp + fn > 0,
+                (2 * tp) / (2 * tp + fp + fn)).otherwise(F.lit(0.0))
+    return out.select(
+        "bucket", "n_excluded", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))

@@ -45,3 +45,32 @@ def test_orientation_and_duplicates_canonicalized(spark):
     ref = [(1, 2)]
     got = _run(spark, pred, ref, [(1, "en"), (2, "en")])
     assert got["en"]["tp"] == 1 and got["en"]["fp"] == 0
+
+
+def test_pair_metrics_jackknife_counts_and_loo(spark):
+    from spikex_spark.operators.evaluation import pair_metrics_jackknife
+    # gold = {(1,2),(3,4),(5,6)}; pred misses (5,6), adds (7,8)
+    gold = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], ["id_a", "id_b"])
+    pred = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8)], ["id_a", "id_b"])  # orientation-free
+    rows = pair_metrics_jackknife(pred, gold, buckets=2).collect()
+    # global tp=2 fp=1 fn=1; each row excludes its fold's pairs
+    by = {r["bucket"]: r for r in rows}
+    total_excluded = sum(r["n_excluded"] for r in rows)
+    assert total_excluded == 4                      # |union of pairs|
+    for b, r in by.items():
+        assert r["tp"] + r["fp"] >= 0
+        # leave-one-out counts complement to the global counts
+        assert (2 - r["tp"]) + (1 - r["fp"]) + (1 - r["fn"]) \
+            == r["n_excluded"]
+
+
+def test_pair_metrics_jackknife_perfect_pred_all_folds_f1_1(spark):
+    from spikex_spark.operators.evaluation import pair_metrics_jackknife
+    pairs = [(i, i + 100) for i in range(40)]
+    gold = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    rows = pair_metrics_jackknife(gold, gold, buckets=10).collect()
+    assert len(rows) >= 2
+    assert all(r["f1"] == 1.0 for r in rows)
+    assert all(r["fp"] == 0 and r["fn"] == 0 for r in rows)
