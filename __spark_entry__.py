@@ -7549,6 +7549,80 @@ def _q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_metrics(cand, gold, docs)
 
 
+def _q_lsh_band_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, n_candidates, n_verified, n_new, precision): REALIZED
+    quality of each LSH band — candidates generated, candidates that
+    verify at the 0.80 match threshold, and the band's MARGINAL pairs
+    (not already produced by a lower band). ``lsh_param_plan`` predicts
+    the (bands, rows) operating point from theory; this measures what
+    the corpus actually did with it — diminishing n_new across bands is
+    the signal to shed bands, low precision the signal to add rows.
+
+    Same capped buckets as the production pair join (cap=1000 per
+    band+bucket, deterministic by id); verification joins the memoized
+    scored-pairs chain instead of re-scoring."""
+    from pyspark.sql import Window as W
+
+    from spikex_spark.operators import blocking as B
+    docs = _read(spark, sf_dir, "documents")
+    sig = B.minhash_signatures(B.shingle_df(docs, "doc_id", "text", k=5), 16)
+    buckets = B.lsh_buckets(sig, bands=4, rows_per_band=4)
+    win = W.partitionBy("band", "bucket").orderBy("id")
+    capped = (buckets.withColumn("_rn", F.row_number().over(win))
+              .where(F.col("_rn") <= 1000).select("id", "band", "bucket"))
+    bp = (capped.alias("a")
+          .join(capped.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")))
+          .select(F.col("a.band").alias("band"),
+                  F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+          .distinct())
+    sv = (_doc_pairs_memo(spark, sf_dir).where(F.col("score") >= 0.80)
+          .select("id_a", "id_b", F.lit(1).alias("_v")))
+    firstb = bp.groupBy("id_a", "id_b").agg(F.min("band").alias("_fb"))
+    per = (bp.join(sv, ["id_a", "id_b"], "left")
+           .join(firstb, ["id_a", "id_b"])
+           .groupBy("band")
+           .agg(F.count("*").alias("n_candidates"),
+                F.sum(F.col("_v").isNotNull().cast("int")).cast("long")
+                .alias("n_verified"),
+                F.sum((F.col("_fb") == F.col("band")).cast("int"))
+                .cast("long").alias("n_new")))
+    return per.select(
+        "band", "n_candidates", "n_verified", "n_new",
+        F.round(F.col("n_verified") / F.col("n_candidates").cast("double"),
+                6).alias("precision"))
+
+
+_SQL_LSH_BAND_QUALITY = f"""
+WITH buckets0 AS ({_SQL_BUCKETS}),
+buckets AS ({_SQL_BUCKETS_CAPPED}),
+bp AS (
+  SELECT DISTINCT a.band, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+s AS ({_SQL_SCORED}),
+sv AS (SELECT id_a, id_b FROM s
+       WHERE round(0.5 * jw + 0.5 * jacc, 6) >= 0.80),
+firstb AS (SELECT id_a, id_b, min(band) AS fb FROM bp GROUP BY 1, 2),
+per AS (
+  SELECT bp.band,
+         count(*)::BIGINT AS n_candidates,
+         sum((sv.id_a IS NOT NULL)::INT)::BIGINT AS n_verified,
+         sum((f.fb = bp.band)::INT)::BIGINT AS n_new
+  FROM bp
+  LEFT JOIN sv ON sv.id_a = bp.id_a AND sv.id_b = bp.id_b
+  JOIN firstb f ON f.id_a = bp.id_a AND f.id_b = bp.id_b
+  GROUP BY 1
+)
+SELECT band, n_candidates, n_verified, n_new,
+  round(n_verified / n_candidates::DOUBLE, 6) AS precision
+FROM per
+"""
+
+
 _SWEEP_THRESHOLDS = [0.50, 0.55, 0.60, 0.65, 0.70,
                      0.75, 0.80, 0.85, 0.90, 0.95]
 
@@ -10366,6 +10440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_tfidf_scores": _q_soft_tfidf,
         "pprl_dice_pairs": _q_pprl_dice,
         "lsh_param_plan": _q_lsh_plan,
+        "lsh_band_quality": _q_lsh_band_quality,
         "score_calibration": _q_score_calibration,
         "er_transitivity_violations": _q_trans_violations,
         "progressive_er_recall": _q_progressive_recall,
@@ -10621,6 +10696,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_tfidf_scores": _SQL_SOFT_TFIDF,
         "pprl_dice_pairs": _SQL_PPRL,
         "lsh_param_plan": _SQL_LSH_PLAN,
+        "lsh_band_quality": _SQL_LSH_BAND_QUALITY,
         "score_calibration": _SQL_SCORE_CALIBRATION,
         "er_transitivity_violations": _SQL_TRANS_VIOLATIONS,
         "progressive_er_recall": _SQL_PROGRESSIVE,

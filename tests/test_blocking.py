@@ -302,3 +302,22 @@ def test_mention_salience_tie_breaks_on_key(spark):
                  key=lambda r: r["rank"])
     assert [r["key"] for r in out] == ["aaa", "bbb"]
     assert out[0]["salience"] == out[1]["salience"]
+
+
+def test_lsh_band_quality_invariants(spark):
+    import __spark_entry__ as E
+    rows = E.queries()["lsh_band_quality"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert {r["band"] for r in rows} <= {0, 1, 2, 3}
+    total_new = sum(r["n_new"] for r in rows)
+    # marginal contributions partition the distinct pair union
+    import pyspark.sql.functions as F
+    for r in rows:
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert 0 <= r["n_new"] <= r["n_candidates"]
+        assert abs(r["precision"]
+                   - round(r["n_verified"] / r["n_candidates"], 6)) < 1e-9
+    # band 0 by construction contributes all its pairs as new
+    b0 = next(r for r in rows if r["band"] == 0)
+    assert b0["n_new"] == b0["n_candidates"]
+    assert total_new >= b0["n_candidates"]
