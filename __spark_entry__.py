@@ -2344,6 +2344,69 @@ WHERE inter_w / (ta.total + tb.total - inter_w)::DOUBLE >= 0.5
 """
 
 
+def _q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs_raw, bytes_raw, n_docs_exact, bytes_exact,
+    n_docs_near, bytes_near, pct_bytes_saved): the dedup ROI report —
+    docs/bytes surviving exact dedup (canonical hash copy only) and
+    near-dup resolution (cluster canonical only, min-id rule), per
+    language. The number a pipeline owner quotes when the dedup stage's
+    compute bill is questioned. Pure rollups over the memoized
+    cluster/exact tables; bytes are exact int64 sums of n_chars."""
+    from spikex_spark.operators.dedup import exact_duplicates
+    docs = _read(spark, sf_dir, "documents")
+    ex = exact_duplicates(docs, "doc_id", "text").select(
+        "id", (F.col("id") == F.col("canonical_id")).alias("keep_ex"))
+    near = _q_er_doc_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep_near"))
+    base = (docs.select(F.col("doc_id").alias("id"), "lang", "n_chars")
+            .join(ex, "id").join(near, "id"))
+    agg = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs_raw"),
+        F.sum("n_chars").alias("bytes_raw"),
+        F.sum(F.when(F.col("keep_ex"), 1).otherwise(0)).cast("long")
+        .alias("n_docs_exact"),
+        F.sum(F.when(F.col("keep_ex"), F.col("n_chars")).otherwise(0))
+        .cast("long").alias("bytes_exact"),
+        F.sum(F.when(F.col("keep_near"), 1).otherwise(0)).cast("long")
+        .alias("n_docs_near"),
+        F.sum(F.when(F.col("keep_near"), F.col("n_chars")).otherwise(0))
+        .cast("long").alias("bytes_near"))
+    return agg.select(
+        "*",
+        F.round(F.lit(1.0) - F.col("bytes_near")
+                / F.col("bytes_raw").cast("double"), 6)
+        .alias("pct_bytes_saved"))
+
+
+_SQL_DEDUP_SAVINGS = f"""
+WITH ex AS ({_SQL_DEDUP_EXACT}),
+cl AS ({_SQL_ER_CLUSTERS}),
+base AS (
+  SELECT d.lang, d.n_chars,
+         (ex.id = ex.canonical_id) AS keep_ex,
+         (cl.doc_id = cl.cluster_id) AS keep_near
+  FROM documents d
+  JOIN ex ON ex.id = d.doc_id
+  JOIN cl ON cl.doc_id = d.doc_id
+),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS n_docs_raw,
+         sum(n_chars)::BIGINT AS bytes_raw,
+         sum(CASE WHEN keep_ex THEN 1 ELSE 0 END)::BIGINT AS n_docs_exact,
+         sum(CASE WHEN keep_ex THEN n_chars ELSE 0 END)::BIGINT
+           AS bytes_exact,
+         sum(CASE WHEN keep_near THEN 1 ELSE 0 END)::BIGINT AS n_docs_near,
+         sum(CASE WHEN keep_near THEN n_chars ELSE 0 END)::BIGINT
+           AS bytes_near
+  FROM base GROUP BY 1
+)
+SELECT *, round(1.0 - bytes_near / bytes_raw::DOUBLE, 6)
+  AS pct_bytes_saved
+FROM agg
+"""
+
+
 def _q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.corpus import corpus_diversity
     return corpus_diversity(_read(spark, sf_dir, "documents"),
@@ -10403,6 +10466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "host_quality_rollup": _q_host_quality_rollup,
         "corpus_diversity": _q_corpus_diversity,
+        "dedup_savings": _q_dedup_savings,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprint,
         "lm_perplexity": _q_lm_perplexity,
@@ -10659,6 +10723,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _sql_gopher_quality(),
         "host_quality_rollup": _sql_host_quality_rollup(),
         "corpus_diversity": _SQL_CORPUS_DIVERSITY,
+        "dedup_savings": _SQL_DEDUP_SAVINGS,
         "token_counts": _SQL_TOKEN_COUNTS,
         "fingerprints": _SQL_FINGERPRINT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,

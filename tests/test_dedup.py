@@ -302,3 +302,15 @@ def test_bag_jaccard_hub_guard_drops_common_tokens(spark):
     out = bag_jaccard_pairs(df, "doc_id", "text",
                             min_jaccard=0.0, max_df=3).collect()
     assert out == []
+
+
+def test_dedup_savings_monotone(spark):
+    import __spark_entry__ as E
+    rows = E.queries()["dedup_savings"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # near-dup resolution can only remove more than exact dedup
+        assert r["n_docs_near"] <= r["n_docs_exact"] <= r["n_docs_raw"]
+        assert r["bytes_near"] <= r["bytes_exact"] <= r["bytes_raw"]
+        assert 0.0 <= r["pct_bytes_saved"] < 1.0
