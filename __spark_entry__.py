@@ -3466,6 +3466,40 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_actual, lang_guess, n, frac_of_actual): confusion matrix of
+    the n-gram language-ID heuristic against the corpus's labeled lang
+    column — the standard eval table for a classifier the curation gate
+    depends on; frac is one exact division per cell."""
+    from spikex_spark.operators.textstats import language_id
+    docs = _read(spark, sf_dir, "documents")
+    g = language_id(docs, "doc_id", "text").select("id", "lang_guess")
+    j = (docs.select(F.col("doc_id").alias("id"),
+                     F.col("lang").alias("lang_actual"))
+         .join(g, "id"))
+    cells = j.groupBy("lang_actual", "lang_guess").agg(
+        F.count("*").alias("n"))
+    tot = j.groupBy("lang_actual").agg(F.count("*").alias("t"))
+    return (cells.join(tot, "lang_actual")
+            .select("lang_actual", "lang_guess", "n",
+                    F.round(F.col("n") / F.col("t").cast("double"), 6)
+                    .alias("frac_of_actual")))
+
+
+def _sql_lang_confusion() -> str:
+    return f"""
+WITH g AS ({_sql_lang_id()}),
+j AS (SELECT d.lang AS lang_actual, g.lang_guess
+      FROM documents d JOIN g ON g.id = d.doc_id),
+cells AS (SELECT lang_actual, lang_guess, count(*)::BIGINT AS n
+          FROM j GROUP BY 1, 2),
+tot AS (SELECT lang_actual, count(*)::BIGINT AS t FROM j GROUP BY 1)
+SELECT cells.lang_actual, cells.lang_guess, cells.n,
+       round(cells.n / tot.t::DOUBLE, 6) AS frac_of_actual
+FROM cells JOIN tot ON tot.lang_actual = cells.lang_actual
+"""
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import gopher_rules
     return gopher_rules(_read(spark, sf_dir, "documents"), "doc_id", "text")
@@ -10464,6 +10498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "quality_scores": _q_quality,
         "gopher_quality": _q_gopher_quality,
+        "lang_confusion": _q_lang_confusion,
         "host_quality_rollup": _q_host_quality_rollup,
         "corpus_diversity": _q_corpus_diversity,
         "dedup_savings": _q_dedup_savings,
@@ -10721,6 +10756,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNKS,
         "quality_scores": _sql_quality(),
         "gopher_quality": _sql_gopher_quality(),
+        "lang_confusion": _sql_lang_confusion(),
         "host_quality_rollup": _sql_host_quality_rollup(),
         "corpus_diversity": _SQL_CORPUS_DIVERSITY,
         "dedup_savings": _SQL_DEDUP_SAVINGS,
