@@ -3017,6 +3017,73 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(df, "id", "text")
 
 
+# per-host PII fixture: density varies by host so the rollup ranks —
+# the compliance report a crawl operator files before corpus release
+_PII_HOST_FIXTURE = [
+    (0, "leaky.example", "contact bob@leaky.example or sue@leaky.example"),
+    (1, "leaky.example", "call +1 (555) 123-4567 now"),
+    (2, "leaky.example", "server at 10.0.0.1 and 192.168.1.1"),
+    (3, "clean.example", "nothing sensitive here at all"),
+    (4, "clean.example", "still nothing to redact"),
+    (5, "mixed.example", "write a@b.io; otherwise plain text"),
+    (6, "mixed.example", "plain paragraph without identifiers"),
+]
+
+
+def _q_pii_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_docs, n_docs_with_pii, n_email, n_ipv4, n_phone,
+    frac_docs_with_pii): the per-host PII exposure report over the
+    scrub counts — which domains leak, at what density."""
+    from spikex_spark.operators.textstats import pii_scrub
+    df = spark.createDataFrame(_PII_HOST_FIXTURE,
+                               "id long, host string, text string")
+    c = pii_scrub(df, "id", "text")
+    j = df.select("id", "host").join(c.drop("scrubbed"), "id")
+    hit = (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    agg = j.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(hit.cast("int")).cast("long").alias("n_docs_with_pii"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"))
+    return agg.select(
+        "*", F.round(F.col("n_docs_with_pii")
+                     / F.col("n_docs").cast("double"), 6)
+        .alias("frac_docs_with_pii"))
+
+
+def _sql_pii_rollup() -> str:
+    vals = ",\n    ".join(
+        "({}, '{}', '{}')".format(i, h, t.replace("'", "''"))
+        for i, h, t in _PII_HOST_FIXTURE)
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    phone = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+    return f"""
+WITH raw AS (SELECT * FROM (VALUES
+    {vals}
+  ) AS t(id, host, text)),
+c AS (
+  SELECT id, host,
+         len(regexp_extract_all(text, '{email}'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '{ipv4}'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(text, '{phone}'))::BIGINT AS n_phone
+  FROM raw
+),
+agg AS (
+  SELECT host, count(*)::BIGINT AS n_docs,
+         sum((n_email + n_ipv4 + n_phone > 0)::INT)::BIGINT
+           AS n_docs_with_pii,
+         sum(n_email)::BIGINT AS n_email, sum(n_ipv4)::BIGINT AS n_ipv4,
+         sum(n_phone)::BIGINT AS n_phone
+  FROM c GROUP BY 1
+)
+SELECT *, round(n_docs_with_pii / n_docs::DOUBLE, 6)
+  AS frac_docs_with_pii
+FROM agg
+"""
+
+
 # corpus-level line-dedup fixture: shared boilerplate lines across docs,
 # unique body lines, empty lines as structure. Both sides compute the
 # hot-line set and the order-preserving reassembly independently.
@@ -10484,6 +10551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_relatedness": _q_target_relatedness,
         "link_rerank_context": _q_link_rerank_context,
         "pii_scrub": _q_pii_scrub,
+        "pii_rollup": _q_pii_rollup,
         "line_dedup": _q_line_dedup,
         "line_dedup_by_host": _q_line_dedup_by_host,
         "substring_dup_spans": _q_substring_spans,
@@ -10742,6 +10810,7 @@ def oracle_sql() -> dict[str, str]:
         "target_relatedness": _sql_target_relatedness(),
         "link_rerank_context": _sql_link_rerank_context(),
         "pii_scrub": _sql_pii_scrub(),
+        "pii_rollup": _sql_pii_rollup(),
         "line_dedup": _sql_line_dedup(),
         "line_dedup_by_host": _sql_line_dedup_by_host(),
         "substring_dup_spans": _SQL_SUBSTR_SPANS,
