@@ -4353,6 +4353,73 @@ def _prefix_gold(docs: DataFrame) -> DataFrame:
                     F.col("h2.id").alias("id_b")))
 
 
+_PREC_AT_K = [100, 250, 500, 1000]
+
+
+def _q_er_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_pairs, n_true, precision_at_k): clerical review budget —
+    among the top-k scored candidate pairs (score desc, ids as
+    deterministic tie-break), how many are gold-true. The curve a
+    review-queue owner reads to set the audit cutoff. One window over
+    the memoized scored pairs; counts exact, one division per row."""
+    from pyspark.sql import Window as W
+    docs = _read(spark, sf_dir, "documents")
+    gold = _prefix_gold(docs).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        F.lit(1).alias("_g"))
+    # top-maxK via sort+limit — Spark plans TakeOrderedAndProject
+    # (per-partition partial top-k, no global single-partition sort);
+    # the row_number window then ranks only the tiny surviving head
+    head = (_doc_pairs_memo(spark, sf_dir)
+            .select(F.least("id_a", "id_b").alias("a"),
+                    F.greatest("id_a", "id_b").alias("b"), "score")
+            .distinct()
+            .orderBy(F.col("score").desc(), "a", "b")
+            .limit(max(_PREC_AT_K)))
+    ranked = (head.withColumn("_rn", F.row_number().over(
+                  W.orderBy(F.col("score").desc(), "a", "b")))
+              .join(gold, ["a", "b"], "left")
+              .localCheckpoint(eager=False))
+    outs = []
+    for k in _PREC_AT_K:
+        outs.append(ranked.where(F.col("_rn") <= k).agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("_g").isNotNull().cast("int")).cast("long")
+            .alias("n_true")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "k", "n_pairs", "n_true",
+        F.round(F.col("n_true") / F.col("n_pairs").cast("double"), 6)
+        .alias("precision_at_k"))
+
+
+def _sql_er_precision_at_k() -> str:
+    rows = []
+    for k in _PREC_AT_K:
+        rows.append(
+            f"SELECT {k}::INT AS k, count(*)::BIGINT AS n_pairs,"
+            f" sum((g.a IS NOT NULL)::INT)::BIGINT AS n_true"
+            f" FROM ranked LEFT JOIN g ON g.a = ranked.a"
+            f" AND g.b = ranked.b WHERE rn <= {k}")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH s AS ({_SQL_SCORED}),
+p AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b,
+             round(0.5 * jw + 0.5 * jacc, 6) AS score FROM s),
+ranked AS (SELECT a, b, row_number() OVER
+             (ORDER BY score DESC, a, b) AS rn FROM p),
+g AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM ({_SQL_PREFIX_GOLD})),
+u AS ({union})
+SELECT k, n_pairs, n_true,
+  round(n_true / n_pairs::DOUBLE, 6) AS precision_at_k
+FROM u
+"""
+
+
 def _q_er_f1_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-one-fold jackknife on the headline gold-pair F1 gate:
     10 deterministic folds, each row = metrics with that fold removed."""
@@ -10717,6 +10784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_trust": _q_source_trust,
         "er_f1_by_lang": _q_f1_by_lang,
         "er_f1_jackknife": _q_er_f1_jackknife,
+        "er_precision_at_k": _q_er_precision_at_k,
         "er_knn_pruned_clusters": _q_knn_clusters,
         "er_run_diff": _q_run_diff,
         "er_refined_clusters": _q_refined_clusters,
@@ -10988,6 +11056,7 @@ def oracle_sql() -> dict[str, str]:
         "source_trust": _sql_truth_discovery("trust"),
         "er_f1_by_lang": _SQL_F1_BY_LANG,
         "er_f1_jackknife": _SQL_ER_F1_JACKKNIFE,
+        "er_precision_at_k": _sql_er_precision_at_k(),
         "er_knn_pruned_clusters": _SQL_KNN_CLUSTERS,
         "er_run_diff": _SQL_RUN_DIFF,
         "er_refined_clusters": _SQL_REFINED_CLUSTERS,
