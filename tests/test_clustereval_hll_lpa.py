@@ -482,3 +482,100 @@ def test_silhouette_overlapping_clusters_score_low(spark):
     out = silhouette_by_cluster(cl, vecs).agg(
         F.max("mean_silhouette").alias("mx")).collect()[0]
     assert out["mx"] <= 0.05
+
+
+def _muc_ref(pred: dict, gold: dict):
+    """Pure-Python MUC (Vilain '95) over id->cluster dicts."""
+    from collections import defaultdict
+
+    def side(part, other):
+        clusters = defaultdict(set)
+        for i, c in part.items():
+            clusters[c].add(i)
+        num = den = 0
+        for members in clusters.values():
+            num += len(members) - len({other[i] for i in members})
+            den += len(members) - 1
+        return num, den
+
+    p_num, p_den = side(pred, gold)
+    r_num, r_den = side(gold, pred)
+    prec = p_num / p_den if p_den else 0.0
+    rec = r_num / r_den if r_den else 0.0
+    f1 = (2 * p_num * r_num / (p_num * r_den + r_num * p_den)
+          if p_num * r_den + r_num * p_den else 0.0)
+    return round(prec, 6), round(rec, 6), round(f1, 6)
+
+
+def test_muc_matches_reference_on_random_clusterings(spark):
+    import random
+
+    from spikex_spark.operators.clustereval import muc_metrics
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 60
+        pred = {i: rng.randrange(8) for i in range(n)}
+        gold = {i: rng.randrange(6) for i in range(n)}
+        p = spark.createDataFrame(list(pred.items()), ["id", "pred"])
+        g = spark.createDataFrame(list(gold.items()), ["id", "gold"])
+        row = muc_metrics(p, g).collect()[0]
+        want = _muc_ref(pred, gold)
+        assert (row["precision"], row["recall"], row["f1"]) == want, seed
+
+
+def _silhouette_ref(cl: dict, vecs: dict):
+    """Pure-Python mean silhouette per cluster, cosine distance, full
+    pairwise (valid when every cluster fits the sample cap)."""
+    import math
+    from collections import defaultdict
+
+    def cos_d(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        c = 0.0 if na == 0 or nb == 0 else dot / (na * nb)
+        return round((1.0 - c) * 10**4) / 10**4   # operator's 1e4 snap
+
+    clusters = defaultdict(list)
+    for i, c in cl.items():
+        clusters[c].append(i)
+    out = {}
+    for c, members in clusters.items():
+        ss = []
+        for i in members:
+            if len(members) < 2:
+                ss.append(0.0)
+                continue
+            a = sum(cos_d(vecs[i], vecs[j])
+                    for j in members if j != i) / (len(members) - 1)
+            bs = [sum(cos_d(vecs[i], vecs[j]) for j in o) / len(o)
+                  for oc, o in clusters.items() if oc != c]
+            if not bs:
+                ss.append(0.0)
+                continue
+            b = min(bs)
+            m = max(a, b)
+            ss.append(0.0 if m == 0 else (b - a) / m)
+        out[c] = sum(ss) / len(ss)
+    return out
+
+
+def test_silhouette_matches_reference_on_random_data(spark):
+    import random
+
+    from spikex_spark.operators.clustereval import silhouette_by_cluster
+    for seed in (3, 42):
+        rng = random.Random(seed)
+        n, dim = 30, 6
+        cl = {i: rng.randrange(4) for i in range(n)}
+        vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)]
+                for i in range(n)}
+        cdf = spark.createDataFrame(list(cl.items()), ["id", "cluster_id"])
+        vdf = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], ["id", "emb"])
+        got = {r["cluster_id"]: r["mean_silhouette"] for r in
+               silhouette_by_cluster(cdf, vdf,
+                                     sample_per_cluster=n).collect()}
+        want = _silhouette_ref(cl, vecs)
+        for c in want:
+            assert abs(got[c] - want[c]) < 5e-3, (seed, c, got[c], want[c])
