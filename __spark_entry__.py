@@ -6766,6 +6766,101 @@ def _sql_stream_signature_dedup() -> str:
             f"SELECT DISTINCT md5({sig_concat}) AS sig FROM mh")
 
 
+def _q_stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel AT INGEST: the same quality/language gates the
+    batch pipeline applies (identical thresholds — the constants are
+    shared) evaluated map-side on a document STREAM, with MinHash
+    signature suppression as the stateful stage; drained availableNow
+    and rolled up at the sink into (stage_idx, stage, n). Counts are
+    micro-batch-order-free (the surviving ROW per signature depends on
+    arrival order; the signature SET and all gate counts do not), so the
+    oracle recomputes every stage in SQL."""
+    from pyspark.sql import types as T
+
+    from spikex_spark.operators.textstats import language_id, quality_score
+    from spikex_spark.streaming.stream import (
+        run_to_memory,
+        streaming_signature_dedup,
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir, "documents"))
+        .withColumn("ts", F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+                    + F.make_interval(secs=F.col("doc_id").cast("double")))
+    )
+    # gate evaluation chains as pure projections (the operators' `keep`
+    # pass-through; a streaming source cannot re-join itself) — no
+    # shuffle, no state; the only stateful stage is the signature dedup
+    q = quality_score(stream, "doc_id", "text", keep=("text", "ts"))
+    lg = language_id(q, "id", "text",
+                     keep=("text", "ts", "quality", "n_tokens"))
+    flagged = lg.select(
+        "id", "text", "ts",
+        ((F.col("quality") >= _CURATION_MIN_QUALITY)
+         & (F.col("n_tokens") >= _CURATION_MIN_TOKENS)).alias("q_ok"),
+        (F.col("lang_guess") == _CURATION_LANG).alias("l_ok"))
+    gates = run_to_memory(flagged.select("id", "q_ok", "l_ok"),
+                          "cur_gates")
+    surv = run_to_memory(
+        streaming_signature_dedup(
+            flagged.where(F.col("q_ok") & F.col("l_ok")),
+            ts_col="ts", id_col="id").select("sig"),
+        "cur_surv")
+    rows = [
+        gates.agg(F.lit(0).cast("int").alias("stage_idx"),
+                  F.lit("raw").alias("stage"),
+                  F.count("*").alias("n")),
+        gates.where("q_ok").agg(F.lit(1).cast("int").alias("stage_idx"),
+                                F.lit("quality").alias("stage"),
+                                F.count("*").alias("n")),
+        gates.where("q_ok and l_ok").agg(
+            F.lit(2).cast("int").alias("stage_idx"),
+            F.lit("language").alias("stage"), F.count("*").alias("n")),
+        surv.agg(F.lit(3).cast("int").alias("stage_idx"),
+                 F.lit("unique_signature").alias("stage"),
+                 F.count("*").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _sql_stream_curation_funnel() -> str:
+    sig_concat = " || '|' || ".join(f"mh{s}::varchar" for s in range(16))
+    return f"""
+WITH q AS ({_sql_quality()}),
+l AS ({_sql_lang_id()}),
+g AS (
+  SELECT d.doc_id AS id,
+         (q.quality >= {_CURATION_MIN_QUALITY}
+          AND q.n_tokens >= {_CURATION_MIN_TOKENS}) AS q_ok,
+         (l.lang_guess = '{_CURATION_LANG}') AS l_ok
+  FROM documents d JOIN q ON q.id = d.doc_id JOIN l ON l.id = d.doc_id
+),
+mh AS ({_SQL_MINHASH}),
+sigs AS (
+  SELECT DISTINCT md5({sig_concat}) AS sig
+  FROM mh JOIN g ON g.id = mh.doc_id
+  WHERE g.q_ok AND g.l_ok
+)
+SELECT 0::INT AS stage_idx, 'raw' AS stage, count(*)::BIGINT AS n FROM g
+UNION ALL
+SELECT 1::INT, 'quality', count(*)::BIGINT FROM g WHERE q_ok
+UNION ALL
+SELECT 2::INT, 'language', count(*)::BIGINT FROM g WHERE q_ok AND l_ok
+UNION ALL
+SELECT 3::INT, 'unique_signature', count(*)::BIGINT FROM sigs
+"""
+
+
 # Stream-stream interval self-join: clicks within 30 min before each
 # error, correlated live. The two-sided event-time range + watermarks
 # bound join state (see stream.stream_interval_join); drained in one
@@ -10727,6 +10822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "stream_static_enrich": _q_stream_static_enrich,
         "stream_signature_dedup": _q_stream_signature_dedup,
+        "stream_curation_funnel": _q_stream_curation_funnel,
         "stream_block_canonical": _q_stream_canonical,
         "media_features": _q_media_features,
         "warc_ingest": _q_warc_ingest,
@@ -11005,6 +11101,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join": _SQL_STREAM_IVJ,
         "stream_static_enrich": _SQL_STREAM_ENRICH,
         "stream_signature_dedup": _sql_stream_signature_dedup(),
+        "stream_curation_funnel": _sql_stream_curation_funnel(),
         "embedding_mean_per_label": (
             "SELECT label, i AS pos, round(avg(embedding[i]), 6) AS mean_val"
             " FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)"

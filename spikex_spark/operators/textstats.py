@@ -37,12 +37,18 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang_guess, lang_hits): language with most stopword hits;
-    deterministic tie-break on language code; 'und' when zero hits."""
+def language_id(df: DataFrame, id_col: str, text_col: str,
+                keep: tuple = ()) -> DataFrame:
+    """(id, [*keep,] lang_guess, lang_hits): language with most stopword
+    hits; deterministic tie-break on language code; 'und' when zero hits.
+    ``keep`` passes extra columns through untouched — the projection is
+    narrow either way, so batch and STREAMING callers (which cannot
+    re-join their own stream) share it."""
     # materialize the token array once — inlining it makes Catalyst
     # re-tokenize per language (see blocking.shingle_df note)
-    tokd = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks"))
+    tokd = df.select(F.col(id_col).alias("id"),
+                     *[F.col(c) for c in keep],
+                     _tokens(F.col(text_col)).alias("_toks"))
     hit_cols = []
     for lang in sorted(STOPWORDS):
         arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -51,16 +57,20 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     best = F.array_max(F.array(*hit_cols))
     return tokd.select(
         "id",
+        *[F.col(c) for c in keep],
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
         best["hits"].alias("lang_hits"),
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_chars, n_tokens, punct_ratio, stopword_ratio, quality).
+def quality_score(df: DataFrame, id_col: str, text_col: str,
+                  keep: tuple = ()) -> DataFrame:
+    """(id, [*keep,] n_chars, n_tokens, punct_ratio, stopword_ratio,
+    quality).
 
     quality ∈ [0,1]: 0.4·length_ok + 0.3·(1-punct_ratio) + 0.3·stopword_sat,
     the standard cheap pre-filter shape for web-corpus curation.
+    ``keep`` passes extra columns through (see language_id).
     """
     text = F.col(text_col)
     toks = _tokens(text)
@@ -79,6 +89,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     quality = F.round(0.4 * length_ok + 0.3 * (1 - punct_ratio) + 0.3 * sw_sat, 6)
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
