@@ -284,6 +284,12 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
     Scale shape: pure Catalyst, zero shuffles, zero UDFs — a map-only
     stage that runs at scan speed; the verdict column drives the
     curation gate the way the quality/language gates do.
+
+    Corpus note: the synthetic test corpus draws from a technical
+    vocabulary that contains at most ONE of the 8 Gopher stop words per
+    doc, so `r_stop_words` (and hence `passed`) is false corpus-wide
+    there — faithful application of the published thresholds, not a
+    bug; real webtext passes this rule at high rates.
     """
     txt = F.col(text_col)
     base = df.select(

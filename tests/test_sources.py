@@ -551,3 +551,35 @@ def test_warc_python_datasource_streaming(spark, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == 18                    # no reprocessing
     assert landed.select("url").distinct().count() == 18
+
+
+def test_run_pipeline_driver_subcommands(spark, tmp_path):
+    """The dist driver's compose functions run end-to-end on sf0.001 —
+    the same code spark-submit executes, imported directly."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline", "/root/repo/dist/run_pipeline.py")
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    out = str(tmp_path / "dedup")
+    rp.run_dedup(spark, src, out)
+    d = spark.read.parquet(out)
+    assert set(d.columns) == {"doc_id", "keep_exact", "keep_near"}
+    rows = d.collect()
+    assert rows and all(r["keep_exact"] or not r["keep_near"]
+                        for r in rows)  # near-keep implies exact-keep
+
+    out2 = str(tmp_path / "curate")
+    rp.run_curate(spark, src, out2, block_tokens=64)
+    c = spark.read.parquet(out2)
+    assert {"id", "n_tokens", "start_token", "block_id",
+            "block_offset"} <= set(c.columns)
+    assert c.count() > 0
+
+    out3 = str(tmp_path / "stats")
+    rp.run_stats(spark, src, out3)
+    s = spark.read.parquet(out3)
+    assert {"id", "quality", "lang_guess", "passed"} <= set(s.columns)
+    assert s.count() == spark.read.parquet(src).count()
