@@ -1214,7 +1214,7 @@ _SQL_DEDUP_EXACT = """
 WITH h AS (SELECT doc_id AS id, md5(text) AS text_hash FROM documents),
 canon AS (SELECT text_hash, min(id) AS canonical_id FROM h GROUP BY text_hash)
 SELECT h.id, canon.canonical_id, h.text_hash
-FROM h JOIN canon USING (text_hash)
+FROM h JOIN canon ON h.text_hash IS NOT DISTINCT FROM canon.text_hash
 """
 
 # ---------------------------------------------------------------------------

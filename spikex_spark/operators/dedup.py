@@ -42,13 +42,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, canonical_id, text_hash): groups of byte-identical texts.
 
     canonical = min id per hash. Rows with unique text keep themselves as
-    canonical — output covers ALL rows (dedup = filter id == canonical_id).
+    canonical — output covers ALL rows (dedup = filter id == canonical_id),
+    INCLUDING null-text rows: md5(NULL) is NULL, so the canonical join is
+    null-safe (a plain equi-join would silently drop every null-text doc
+    from the keep-list — all nulls form one group with the min id as
+    canonical, mirrored with IS NOT DISTINCT FROM in the oracle).
     """
     hashed = df.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash")
     )
-    canon = hashed.groupBy("text_hash").agg(F.min("id").alias("canonical_id"))
-    return hashed.join(canon, "text_hash").select("id", "canonical_id", "text_hash")
+    canon = (hashed.groupBy("text_hash")
+             .agg(F.min("id").alias("canonical_id"))
+             .withColumnRenamed("text_hash", "_th"))
+    return (hashed.join(
+        canon, F.col("text_hash").eqNullSafe(F.col("_th")))
+        .select("id", "canonical_id", "text_hash"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -314,3 +314,18 @@ def test_dedup_savings_monotone(spark):
         assert r["n_docs_near"] <= r["n_docs_exact"] <= r["n_docs_raw"]
         assert r["bytes_near"] <= r["bytes_exact"] <= r["bytes_raw"]
         assert 0.0 <= r["pct_bytes_saved"] < 1.0
+
+
+def test_exact_duplicates_covers_null_and_empty_text(spark):
+    from spikex_spark.operators.dedup import exact_duplicates
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           exact_duplicates(df, "doc_id", "text").collect()}
+    # the contract: output covers ALL rows — null-text docs form one
+    # group (a plain equi-join would silently drop them)
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[2]["canonical_id"] == 1
+    assert out[3]["canonical_id"] == 3 and out[4]["canonical_id"] == 3
+    assert out[5]["canonical_id"] == 5          # empty != null
