@@ -58,3 +58,34 @@ def test_mentions_and_extract_survive_nulls(spark):
                                 id_col="doc_id", text_col="text",
                                 raw_ws=True, nested=True).collect()
     assert {r["id"] for r in hits} == {1}
+
+
+def test_unicode_text_survives_core_operators(spark):
+    """CJK / RTL / emoji / combining-mark text must never crash an
+    operator. Semantics note pinned here too: the engine's tokenizer is
+    the reference's [a-z0-9] convention, so scriptio-continua text
+    yields ZERO tokens — such docs drop out of token-derived outputs
+    (simhash) but stay in every per-doc table."""
+    docs = spark.createDataFrame(
+        [(1, "普通的中文网页内容 没有空格分词", "zh", "s0", 15),
+         (2, "مرحبا بالعالم هذا نص عربي", "ar", "s0", 25),
+         (3, "emoji 😀🎉 mixed with text", "en", "s1", 24),
+         (4, "combining áé marks", "fr", "s1", 20),
+         (5, "normal english with the of and", "en", "s1", 30)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    from spikex_spark.extract import extract_native
+    from spikex_spark.operators.dedup import exact_duplicates, simhash
+    from spikex_spark.operators.textstats import (gopher_rules, language_id,
+                                                  pii_scrub, quality_score)
+    from spikex_spark.pipeline import resolve_documents
+    for op in (quality_score, language_id, pii_scrub, gopher_rules,
+               exact_duplicates):
+        assert len(op(docs, "doc_id", "text").collect()) == 5, op.__name__
+    assert len(extract_native(docs, "text", "ex").collect()) == 5
+    assert {r["doc_id"] for r in
+            resolve_documents(docs, threshold=0.80).collect()} \
+        == {1, 2, 3, 4, 5}
+    # token-less scripts drop from simhash (no [a-z0-9] tokens) — the
+    # documented tokenizer convention, not data loss in per-doc tables
+    assert {r["id"] for r in simhash(docs, "doc_id", "text").collect()} \
+        == {3, 4, 5}
