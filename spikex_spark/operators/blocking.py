@@ -481,19 +481,12 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFra
         F.col(id_col).alias("id"),
         F.array_join(_norm_tokens(F.col(text_col)), " ").alias("_norm"),
     )
-    norm = F.col("_norm")
-    sh = F.when(
-        F.length(norm) < k, F.array(norm)
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(norm) - k + 1),
-                lambda i: F.substring(norm, i, F.lit(k)),
-            )
-        )
-    )
+    # chunked shingle construction — see char_shingles_expr: the naive
+    # per-position substring is O(len²) per doc (8 min for ONE 500 KB page)
     return (
-        normed.select("id", F.explode(sh).alias("shingle"))
+        normed.select(
+            "id",
+            F.explode(char_shingles_expr(F.col("_norm"), k)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -532,20 +525,45 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs)
 
 
+_SHINGLE_CHUNK = 512
+
+
 def char_shingles_expr(norm: F.Column, k: int = 5) -> F.Column:
     """Distinct char k-shingle SET of a (pre-materialized!) normalized-text
     column as one expression — see shingle_df's note: the caller MUST bind
     the normalization into its own projection first, or Catalyst re-inlines
-    the chain per array element (O(len²))."""
+    the chain per array element (O(len²)).
+
+    CHUNKED construction: the naive ``transform(sequence(1, n),
+    i -> substring(norm, i, k))`` is O(n²) per doc — Spark's
+    ``UTF8String.substring`` scans from byte 0 to find the code-point
+    offset, so shingling ONE 500 KB page took ~8 minutes (measured;
+    sf-corpus docs are few hundred bytes, which hid it). Cutting the
+    text into ``_SHINGLE_CHUNK``-position chunks first (each carrying
+    k−1 lookahead bytes so no shingle is lost at a boundary) bounds
+    every inner substring scan by the chunk length:
+    O(n²/c + n·c) ≈ O(n·c) — the same 500 KB page shingles in ~1 s.
+    The produced array (order and content) is IDENTICAL to the naive
+    form, so signatures, buckets and every oracle stay bit-for-bit.
+    """
+    c = _SHINGLE_CHUNK
+    n_sh = F.length(norm) - k + 1
+    n_chunks = F.ceil(n_sh / F.lit(float(c))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.substring(norm, j * c + 1, F.lit(c + k - 1)),
+    )
     sh = F.when(
         F.length(norm) < k, F.array(norm)
     ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(norm) - k + 1),
-                lambda i: F.substring(norm, i, F.lit(k)),
-            )
-        )
+        F.array_distinct(F.flatten(F.transform(
+            chunks,
+            lambda s: F.transform(
+                F.sequence(F.lit(1),
+                           F.least(F.lit(c), F.length(s) - k + 1)),
+                lambda i: F.substring(s, i, F.lit(k)),
+            ),
+        )))
     )
     return F.filter(sh, lambda s: s != "")
 

@@ -321,3 +321,38 @@ def test_lsh_band_quality_invariants(spark):
     b0 = next(r for r in rows if r["band"] == 0)
     assert b0["n_new"] == b0["n_candidates"]
     assert total_new >= b0["n_candidates"]
+
+
+def test_chunked_shingles_equal_naive_and_scale_linearly(spark):
+    """The chunked char_shingles_expr must produce EXACTLY the naive
+    per-position construction's array (content and order) — signatures
+    and buckets depend on it bit-for-bit — including at boundary sizes
+    around the chunk length."""
+    import pyspark.sql.functions as F
+
+    from spikex_spark.operators.blocking import (_SHINGLE_CHUNK,
+                                                 char_shingles_expr)
+
+    def naive(norm, k=5):
+        sh = F.when(F.length(norm) < k, F.array(norm)).otherwise(
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.length(norm) - k + 1),
+                lambda i: F.substring(norm, i, F.lit(k)))))
+        return F.filter(sh, lambda s: s != "")
+
+    import random
+    rng = random.Random(5)
+    c = _SHINGLE_CHUNK
+    texts = ["", "ab", "abcd", "abcde",
+             "abcdef" * 100,
+             "".join(rng.choice("abc ") for _ in range(c - 1)),
+             "".join(rng.choice("abc ") for _ in range(c)),
+             "".join(rng.choice("abc ") for _ in range(c + 1)),
+             "".join(rng.choice("abcdefgh ") for _ in range(3 * c + 7))]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    rows = df.select(
+        "id", char_shingles_expr(F.col("t")).alias("got"),
+        naive(F.col("t")).alias("want")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["id"]
