@@ -144,11 +144,17 @@ def _rare_gram_profile(df: DataFrame, id_col: str, text_col: str,
     per-doc cardinalities, with the shared hub-gram skew guard: grams
     appearing in more than ``max_df`` documents are dropped from BOTH
     (the gram self-join is quadratic per hub gram)."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
-    )
-    grams = df.select(
+    # tokens materialize in their OWN projection: a lambda body that
+    # embeds the split/filter chain re-tokenizes the full text PER
+    # POSITION — O(len²) per doc on real-sized pages (the shingle_df
+    # trap; column refs are O(1) per element)
+    tokd = df.select(
         F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                 lambda t: t != "").alias("_toks"))
+    toks = F.col("_toks")
+    grams = tokd.select(
+        "id",
         F.explode(
             F.when(
                 F.size(toks) >= n,
@@ -466,6 +472,21 @@ def _token_windows(toks: F.Column, window: int) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _explode_windows(df: DataFrame, text_col: str, window: int,
+                     id_col: str | None = None) -> DataFrame:
+    """([id,] win): token windows exploded, with the token array bound
+    in its OWN projection first — passing ``_space_tokens(col)`` straight
+    into ``_token_windows`` embeds the split chain in the per-position
+    lambda, re-tokenizing the full text per window (O(len²) per doc on
+    real-sized pages; the shingle_df trap)."""
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    tokd = df.select(*cols, _space_tokens(text_col).alias("_toks"))
+    keep = ["id"] if id_col else []
+    return tokd.select(
+        *keep,
+        F.explode(_token_windows(F.col("_toks"), window)).alias("win"))
+
+
 def substring_dup_spans(df: DataFrame, id_col: str, text_col: str,
                         window: int = 12) -> DataFrame:
     """(id, span_start, span_end): maximal exact-duplicated token spans —
@@ -486,10 +507,13 @@ def substring_dup_spans(df: DataFrame, id_col: str, text_col: str,
     declared — the text recount touches only candidate rows. Span merge
     is a per-doc window function (docs are the partition key, no skew).
     """
-    toks = _space_tokens(text_col)
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_token_windows(toks, window)).alias("p", "win"),
+    # tokens in their own projection — an inlined token chain inside the
+    # window lambda re-splits the full text per position (O(len²)/doc)
+    tokd = df.select(F.col(id_col).alias("id"),
+                     _space_tokens(text_col).alias("_toks"))
+    wins = tokd.select(
+        "id",
+        F.posexplode(_token_windows(F.col("_toks"), window)).alias("p", "win"),
     ).select("id", (F.col("p") + 1).cast("long").alias("pos"),
              F.xxhash64("win").alias("h"), "win")
     # the explode feeds the hash count AND the join back — checkpoint so
@@ -574,12 +598,8 @@ def decontaminate(df: DataFrame, id_col: str, text_col: str,
     count: the 100-TB side never shuffles on the gram.
     """
     bcol = bench_text_col or text_col
-    bench_grams = (bench_df.select(
-        F.explode(_token_windows(_space_tokens(bcol), n)).alias("win"))
-        .distinct())
-    train = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_token_windows(_space_tokens(text_col), n)).alias("win"))
+    bench_grams = _explode_windows(bench_df, bcol, n).distinct()
+    train = _explode_windows(df, text_col, n, id_col=id_col)
     hits = (train.join(F.broadcast(bench_grams), "win", "left_semi")
             .groupBy("id").agg(F.count("*").alias("n_hit_windows")))
     ids = df.select(F.col(id_col).alias("id"))
@@ -706,15 +726,10 @@ def bloom_decontaminate(df: DataFrame, id_col: str, text_col: str,
                 _md5_60(F.concat(win, F.lit(":"), i.cast("string"))),
                 F.lit(m))))
 
-    bits = (bench_df.select(
-        F.explode(_token_windows(_space_tokens(bcol), n)).alias("win"))
-        .distinct()
+    bits = (_explode_windows(bench_df, bcol, n).distinct()
         .select(positions(F.col("win")).alias("pos"))
         .distinct())
-    grams = (df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_token_windows(_space_tokens(text_col), n)).alias("win"))
-        .distinct())
+    grams = _explode_windows(df, text_col, n, id_col=id_col).distinct()
     probe = grams.select("id", "win", positions(F.col("win")).alias("pos"))
     maybe = (probe.join(F.broadcast(bits), "pos", "left_semi")
              .groupBy("id", "win").agg(F.count("*").alias("hits"))
@@ -755,9 +770,13 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
     on the carried sorted sets (bounded by per-doc set size). Jaccard is
     one exact division, rounded to 6.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
-    )
+    # tokens bound in their own projection first — an inlined chain in
+    # the n-gram lambda re-tokenizes the text per position (O(len²)/doc)
+    tokd = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                 lambda t: t != "").alias("_toks"))
+    toks = F.col("_toks")
     if n > 1:
         units = F.when(
             F.size(toks) >= n,
@@ -768,8 +787,8 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str, text_col: str,
         ).otherwise(F.array(F.array_join(toks, " ")))
     else:
         units = toks
-    tok_rows = (df.select(F.col(id_col).alias("id"),
-                          F.explode(F.array_distinct(units)).alias("tok"))
+    tok_rows = (tokd.select("id",
+                            F.explode(F.array_distinct(units)).alias("tok"))
                 .where(F.col("tok") != ""))
     dfreq = tok_rows.groupBy("tok").agg(F.count("*").alias("dfreq"))
     per_doc = (tok_rows.join(dfreq, "tok")

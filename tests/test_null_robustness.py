@@ -89,3 +89,30 @@ def test_unicode_text_survives_core_operators(spark):
     # documented tokenizer convention, not data loss in per-doc tables
     assert {r["id"] for r in simhash(docs, "doc_id", "text").collect()} \
         == {3, 4, 5}
+
+
+def test_long_documents_stay_subquadratic(spark):
+    """Real web pages are 10–500 KB; the synth corpus's few-hundred-byte
+    docs once hid two O(len²)-per-doc traps (per-position substring
+    scans; token chains inlined into per-position lambdas). This guards
+    the fix: a corpus containing a ~250 KB doc must run the heavy
+    per-doc operators in interactive time. The bound is generous (box
+    noise) — the broken versions took 8+ MINUTES on this input."""
+    import random
+    import time
+
+    rng = random.Random(1)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    big = " ".join(rng.choice(words) for _ in range(40_000))
+    docs = spark.createDataFrame(
+        [(1, big, "en"), (2, big[: len(big) // 2], "en"),
+         (3, "short doc the of and", "en")],
+        "doc_id long, text string, lang string")
+    from spikex_spark.operators.blocking import shingle_df
+    from spikex_spark.operators.dedup import substring_dup_spans
+    from spikex_spark.pipeline import resolve_documents
+    t0 = time.time()
+    shingle_df(docs, "doc_id", "text", k=5).count()
+    substring_dup_spans(docs, "doc_id", "text").count()
+    resolve_documents(docs, threshold=0.80).count()
+    assert time.time() - t0 < 120, "long-doc path regressed to quadratic"
