@@ -116,3 +116,38 @@ def test_long_documents_stay_subquadratic(spark):
     substring_dup_spans(docs, "doc_id", "text").count()
     resolve_documents(docs, threshold=0.80).count()
     assert time.time() - t0 < 120, "long-doc path regressed to quadratic"
+
+
+def test_skew_bomb_is_capped(spark):
+    """Thousands of near-identical docs all land in the same LSH buckets
+    — the quadratic bucket bomb the per-bucket cap exists for. The pair
+    count must stay far below the uncapped C(n,2)·bands and the run
+    must stay interactive."""
+    import time
+
+    from spikex_spark.pipeline import doc_scored_pairs, resolve_documents
+    n = 1500
+    rows = [(i, "the quick brown fox jumps over the lazy dog again "
+                * 3 + f"tail{i % 7}", "en", "s0", 1) for i in range(n)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    t0 = time.time()
+    assert resolve_documents(docs, threshold=0.80).count() == n
+    pairs = doc_scored_pairs(docs).count()
+    assert 0 < pairs < n * (n - 1) // 2       # cap bit: not all-pairs
+    assert time.time() - t0 < 120
+
+
+def test_empty_corpus_runs_clean(spark):
+    from spikex_spark.operators.dedup import exact_duplicates
+    from spikex_spark.operators.textstats import gopher_rules, quality_score
+    from spikex_spark.pipeline import doc_scored_pairs, resolve_documents
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+    assert resolve_documents(empty, threshold=0.80).count() == 0
+    assert doc_scored_pairs(empty).count() == 0
+    assert quality_score(empty, "doc_id", "text").count() == 0
+    assert gopher_rules(empty, "doc_id", "text").count() == 0
+    assert exact_duplicates(empty, "doc_id", "text").count() == 0
