@@ -3533,6 +3533,51 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, chars, ws_tokens, subword_est, chars_per_ws_token,
+    chars_per_subword, subwords_per_ws_token): the per-language token
+    budget planning table — what a byte of each language costs in
+    tokens, the number every LLM-corpus sizing exercise starts from.
+    Exact int64 sums of the token_counts operator per language; the
+    three fertility ratios are single divisions."""
+    from spikex_spark.operators.textstats import token_counts
+    docs = _read(spark, sf_dir, "documents")
+    tc = token_counts(docs, "doc_id", "text")
+    j = docs.select(F.col("doc_id").alias("id"), "lang", "n_chars")\
+        .join(tc, "id")
+    agg = j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("subword_est").cast("long").alias("subword_est"))
+    return agg.select(
+        "*",
+        F.round(F.col("chars") / F.col("ws_tokens").cast("double"), 4)
+        .alias("chars_per_ws_token"),
+        F.round(F.col("chars") / F.col("subword_est").cast("double"), 4)
+        .alias("chars_per_subword"),
+        F.round(F.col("subword_est") / F.col("ws_tokens").cast("double"), 4)
+        .alias("subwords_per_ws_token"))
+
+
+_SQL_TOKENIZER_FERTILITY = f"""
+WITH tc AS ({_SQL_TOKEN_COUNTS}),
+agg AS (
+  SELECT d.lang, count(*)::BIGINT AS n_docs,
+         sum(d.n_chars)::BIGINT AS chars,
+         sum(tc.ws_tokens)::BIGINT AS ws_tokens,
+         sum(tc.subword_est)::BIGINT AS subword_est
+  FROM documents d JOIN tc ON tc.id = d.doc_id
+  GROUP BY 1
+)
+SELECT *,
+  round(chars / ws_tokens::DOUBLE, 4) AS chars_per_ws_token,
+  round(chars / subword_est::DOUBLE, 4) AS chars_per_subword,
+  round(subword_est / ws_tokens::DOUBLE, 4) AS subwords_per_ws_token
+FROM agg
+"""
+
+
 def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang_actual, lang_guess, n, frac_of_actual): confusion matrix of
     the n-gram language-ID heuristic against the corpus's labeled lang
@@ -10729,6 +10774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "gopher_quality": _q_gopher_quality,
         "lang_confusion": _q_lang_confusion,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "host_quality_rollup": _q_host_quality_rollup,
         "corpus_diversity": _q_corpus_diversity,
         "dedup_savings": _q_dedup_savings,
@@ -10990,6 +11036,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _sql_quality(),
         "gopher_quality": _sql_gopher_quality(),
         "lang_confusion": _sql_lang_confusion(),
+        "tokenizer_fertility": _SQL_TOKENIZER_FERTILITY,
         "host_quality_rollup": _sql_host_quality_rollup(),
         "corpus_diversity": _SQL_CORPUS_DIVERSITY,
         "dedup_savings": _SQL_DEDUP_SAVINGS,

@@ -554,3 +554,16 @@ def test_gopher_rules_ellipsis_and_stops(spark):
     assert not out[1]["r_ellipsis_lines"]
     # no Gopher stop words at all -> fails the >=2 distinct rule
     assert out[2]["stop_hits"] == 0 and not out[2]["r_stop_words"]
+
+
+def test_tokenizer_fertility_ratios(spark):
+    import __spark_entry__ as E
+    rows = E.queries()["tokenizer_fertility"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["ws_tokens"] > 0 and r["subword_est"] > 0
+        assert abs(r["chars_per_ws_token"]
+                   - round(r["chars"] / r["ws_tokens"], 4)) < 1e-9
+        # the chars/4 heuristic means >= ~1 subword per ws token
+        assert r["subwords_per_ws_token"] >= 1.0
