@@ -306,6 +306,117 @@ WHERE round(i::double / (ca.n_sh + cb.n_sh - i), 6) >= 0.7
 """
 
 
+def _q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_pairs, mean_sig_jaccard, mean_exact_jaccard, mae): realized
+    MinHash estimator quality on the capped LSH candidate pairs —
+    signature-agreement Jaccard (k/16) against the exact shingle
+    Jaccard, with the mean absolute error. The sketch-calibration
+    number that justifies trusting 16-hash signatures at ingest
+    (`stream_signature_dedup`) and in the containment estimator; the
+    simhash channel has `pair_metrics_simhash`, this closes the pair.
+    Per-pair quantities are exact rationals; sums snap to 1e6 int64
+    (the NMI recipe)."""
+    from pyspark.sql import Window as W
+
+    from spikex_spark.operators import blocking as B
+    docs = _read(spark, sf_dir, "documents")
+    sh = B.shingle_df(docs, "doc_id", "text", k=5).localCheckpoint(
+        eager=False)
+    sig = B.minhash_signatures(sh.withColumnRenamed("doc_id", "id")
+                               if "doc_id" in sh.columns else sh, 16)
+    buckets = B.lsh_buckets(sig, bands=4, rows_per_band=4)
+    win = W.partitionBy("band", "bucket").orderBy("id")
+    capped = (buckets.withColumn("_rn", F.row_number().over(win))
+              .where(F.col("_rn") <= 1000).select("id", "band", "bucket"))
+    cands = (capped.alias("a")
+             .join(capped.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b")).distinct())
+    counts = sh.groupBy(F.col("id").alias("did")).agg(
+        F.count("*").alias("n_sh"))
+    inter = (cands
+             .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+             .join(sh.select(F.col("id").alias("id_b"), "shingle"),
+                   ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+    agree = sum((F.col(f"a.mh{s}") == F.col(f"b.mh{s}")).cast("int")
+                for s in range(16))
+    sigp = (cands.join(sig.alias("a"),
+                       F.col("id_a") == F.col("a.id"))
+            .join(sig.alias("b"), F.col("id_b") == F.col("b.id"))
+            .select("id_a", "id_b", agree.alias("k")))
+    per = (sigp.join(inter, ["id_a", "id_b"], "left")
+           .join(counts.withColumnRenamed("did", "id_a")
+                 .withColumnRenamed("n_sh", "na"), "id_a")
+           .join(counts.withColumnRenamed("did", "id_b")
+                 .withColumnRenamed("n_sh", "nb"), "id_b")
+           .select(
+               "k",
+               (F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("na") + F.col("nb")
+                   - F.coalesce(F.col("i"), F.lit(0))).cast("double"))
+               .alias("jx")))
+    per = per.select(
+        "k", F.round(F.col("jx") * 1_000_000, 0).cast("long").alias("jm"),
+        F.round(F.abs(F.col("k") / F.lit(16.0) - F.col("jx"))
+                * 1_000_000, 0).cast("long").alias("em"))
+    return per.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("k") / (F.count("*") * F.lit(16.0)), 6)
+        .alias("mean_sig_jaccard"),
+        F.round(F.sum("jm") / (F.count("*") * F.lit(1_000_000.0)), 6)
+        .alias("mean_exact_jaccard"),
+        F.round(F.sum("em") / (F.count("*") * F.lit(1_000_000.0)), 6)
+        .alias("mae"))
+
+
+_SQL_MINHASH_EST_ERROR = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+mh AS ({_SQL_MINHASH}),
+buckets0 AS ({_SQL_BUCKETS}),
+buckets AS ({_SQL_BUCKETS_CAPPED}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT
+    ({" + ".join(f"(ma.mh{s} = mb.mh{s})::INT" for s in range(16))})
+      AS k,
+    coalesce(i.i, 0) / (ca.n_sh + cb.n_sh - coalesce(i.i, 0))::DOUBLE
+      AS jx
+  FROM cands c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN counts ca ON ca.doc_id = c.id_a
+  JOIN counts cb ON cb.doc_id = c.id_b
+),
+snapped AS (
+  SELECT k, round(jx * 1000000)::BIGINT AS jm,
+         round(abs(k / 16.0 - jx) * 1000000)::BIGINT AS em
+  FROM per
+)
+SELECT count(*)::BIGINT AS n_pairs,
+  round(sum(k) / (count(*) * 16.0), 6) AS mean_sig_jaccard,
+  round(sum(jm) / (count(*) * 1000000.0), 6) AS mean_exact_jaccard,
+  round(sum(em) / (count(*) * 1000000.0), 6) AS mae
+FROM snapped
+"""
+
+
 # Sketch-only containment estimate: signature-agreement Jaccard +
 # Broder's identity over exact shingle cardinalities — the estimate
 # runs on H-long signatures where the exact gram join cannot.
@@ -10748,6 +10859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment,
         "minhash_containment_est": _q_minhash_containment,
         "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_est_error": _q_minhash_est_error,
         "lang_id": _q_lang_id,
         "repetition_stats": _q_repetition,
         "url_canonical": _q_url_canonical,
@@ -11010,6 +11122,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _SQL_CONTAINMENT,
         "minhash_containment_est": _SQL_MINHASH_CONT,
         "minhash_near_dups": _SQL_MINHASH_NEAR,
+        "minhash_est_error": _SQL_MINHASH_EST_ERROR,
         "lang_id": _sql_lang_id(),
         "repetition_stats": _SQL_REPETITION,
         "url_canonical": _sql_url_canonical(),

@@ -329,3 +329,15 @@ def test_exact_duplicates_covers_null_and_empty_text(spark):
     assert out[2]["canonical_id"] == 1
     assert out[3]["canonical_id"] == 3 and out[4]["canonical_id"] == 3
     assert out[5]["canonical_id"] == 5          # empty != null
+
+
+def test_minhash_est_error_bounds(spark):
+    import __spark_entry__ as E
+    row = E.queries()["minhash_est_error"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_pairs"] > 0
+    # both means are Jaccards; MAE is bounded by 1 and, at 16 hashes on
+    # near-dup candidates, should be tight
+    assert 0.0 <= row["mean_sig_jaccard"] <= 1.0
+    assert 0.0 <= row["mean_exact_jaccard"] <= 1.0
+    assert 0.0 <= row["mae"] <= 0.5
