@@ -2879,7 +2879,8 @@ tops AS (SELECT dst, sum(n)::bigint AS n_links,
          FROM rk GROUP BY 1),
 srcs AS (SELECT dst, count(DISTINCT src)::bigint AS n_sources
          FROM lf GROUP BY 1)
-SELECT t.dst, t.n_links, s.n_sources, t.n_aliases, t.top_alias, t.aliases
+SELECT t.dst, t.n_links, s.n_sources, t.n_aliases, t.top_alias,
+       array_to_string(t.aliases, '|') AS aliases
 FROM tops t JOIN srcs s USING (dst)
 """
 
@@ -2906,7 +2907,11 @@ def _q_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.anchors import anchor_aliases
     rows = [(u, h.encode()) for u, h in _ANCHOR_FIXTURE]
     df = spark.createDataFrame(rows, "url string, html binary")
-    return anchor_aliases(df, "url", "html")
+    # Flatten the array<string> column per the contract convention
+    # (driver canonicalization sorts on all columns and cannot hash
+    # list cells) — same shape as group_collect_titles.
+    return anchor_aliases(df, "url", "html").withColumn(
+        "aliases", F.array_join("aliases", "|"))
 
 
 def _q_alias_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9965,7 +9970,7 @@ WITH ptag AS MATERIALIZED (
     UNION ALL
     SELECT id_a, id_b, 'suffix' AS channel FROM ({_SQL_SFX_PAIRS})))
 SELECT id_a, id_b,
-  list(channel ORDER BY channel) AS channels,
+  array_to_string(list(channel ORDER BY channel), '|') AS channels,
   count(*)::BIGINT AS n_channels
 FROM ptag GROUP BY id_a, id_b
 """
@@ -9993,7 +9998,11 @@ def _q_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix_blocking_keys(docs, key_len=16, min_suffix=8, max_block=50),
         key_col="suffix", id_col="id", payload_cols=())
         .select("id_a", "id_b"))
-    return pair_provenance({"lsh": lsh, "soundex": sdx, "suffix": sfx})
+    # Contract convention: flatten the array<string> column (driver
+    # canonicalization cannot sort/hash list cells).
+    return pair_provenance(
+        {"lsh": lsh, "soundex": sdx, "suffix": sfx}
+    ).withColumn("channels", F.array_join("channels", "|"))
 
 
 # Unsupported match edges: matches with ZERO common matched neighbors —
@@ -10042,13 +10051,30 @@ FROM (
           FROM documents)))
 """
 
+# Flattened contract variant: the driver canonicalizer cannot hash
+# list cells, so the contract query joins micro-fixed-point components
+# with '|'; _SQL_HASHED_EMB stays list-typed for the ANN CTE reuse.
+_SQL_HASHED_EMB_FLAT = f"""
+SELECT doc_id,
+  array_to_string(list_transform(emb, x -> round(x * 1000000)::BIGINT),
+                  '|') AS emb
+FROM ({_SQL_HASHED_EMB})
+"""
+
 
 def _q_hashed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spikex_spark.operators.textstats import hashed_embedding
 
     docs = _read(spark, sf_dir, "documents")
+    # Contract convention: no Array-typed output columns (the driver
+    # canonicalizer cannot hash list cells). Flatten the vector to a
+    # '|'-joined micro-fixed-point string — exact in both engines
+    # (values are already rounded to 6 decimals, so x*1e6 is integral
+    # up to float epsilon that round() removes on both sides).
+    fx = F.transform("emb", lambda x: F.round(x * F.lit(1e6))
+                     .cast("long").cast("string"))
     return hashed_embedding(docs, dim=16).select(
-        F.col("id").alias("doc_id"), "emb")
+        F.col("id").alias("doc_id"), F.array_join(fx, "|").alias("emb"))
 
 
 # Text → vector → top-k entirely in-engine: brute-force cosine search
@@ -10595,7 +10621,7 @@ SELECT block_key, count(*) AS n_records,
        min(crawl_day) AS first_seen_day,
        max(crawl_day) AS last_seen_day,
        max(crawl_day) - min(crawl_day) AS lifespan_days,
-       sum(chg) AS n_versions,
+       sum(chg)::bigint AS n_versions,
        count(DISTINCT val) AS n_distinct_values
 FROM stepped GROUP BY block_key HAVING count(*) >= 2
 """
@@ -11329,7 +11355,7 @@ def oracle_sql() -> dict[str, str]:
         "er_cluster_medoids": _SQL_MEDOIDS,
         "er_pair_provenance": _SQL_PAIR_PROVENANCE,
         "er_unsupported_edges": _SQL_UNSUPPORTED,
-        "hashed_embeddings": _SQL_HASHED_EMB,
+        "hashed_embeddings": _SQL_HASHED_EMB_FLAT,
         "hashed_ann_topk": _SQL_HASHED_ANN,
         "blocking_cost_plan": _SQL_BLOCKING_COST,
         "entities_table": _SQL_ENTITIES,

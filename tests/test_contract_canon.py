@@ -1,0 +1,83 @@
+"""Driver-canonicalization contract guards.
+
+The driver's correctness gate canonicalizes every query result with
+pandas (sort all columns, hash values via Arrow). Two type classes
+break that layer even when the VALUES are identical to the oracle's:
+
+1. Complex-typed (Array/Map/Struct) output columns — pandas
+   ``sort_values`` factorizes cells and dies with ``unhashable type:
+   'list'`` (round-4 driver red: ``anchor_aliases``).
+2. DuckDB aggregates that widen to HUGEINT/DECIMAL (``sum`` over
+   integers, integer arithmetic) — Arrow hashes decimal128 differently
+   from Spark's int64 even though ``fetchall`` collapses both to
+   Python int (round-4 driver red: ``entity_timeline``).
+
+These tests pin the whole 227-query surface against both classes so a
+driver sample can never find another instance.
+"""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_TABLES = ("region nation customer supplier part orders lineitem events "
+           "documents embeddings").split()
+
+_PORTABLE_SIMPLE = {
+    "boolean", "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz", "binary",
+}
+
+
+def test_no_complex_typed_output_columns(spark):
+    """Every ``queries()`` entry must return only scalar-typed columns
+    (the ``array_join(..., '|')`` convention for list-like outputs).
+    Schema-only: building the DataFrame triggers analysis (and, for the
+    cluster queries, their CC-at-build jobs) but nothing is collected.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF_DIR)
+        bad = [f"{f.name}:{f.dataType.simpleString()}"
+               for f in df.schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        unknown = [f"{f.name}:{f.dataType.simpleString()}"
+                   for f in df.schema.fields
+                   if f.dataType.simpleString() not in _PORTABLE_SIMPLE
+                   and not isinstance(f.dataType,
+                                      (ArrayType, MapType, StructType))]
+        if bad or unknown:
+            offenders[name] = bad + unknown
+    assert not offenders, f"non-portable output columns: {offenders}"
+
+
+def test_no_hugeint_or_complex_in_any_oracle():
+    """DESCRIBE every oracle SQL under DuckDB (no execution) and reject
+    HUGEINT / INT128 / DECIMAL / list / struct / map output columns —
+    each would hash differently from Spark in the driver's Arrow layer
+    even with identical values. The fix is always ``::bigint`` on the
+    aggregate or ``array_to_string(..., '|')`` on the list."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        hz = []
+        for r in rows:
+            u = r[1].upper()
+            if ("HUGEINT" in u or "INT128" in u or "DECIMAL" in u
+                    or "[]" in u or "STRUCT" in u or "MAP(" in u):
+                hz.append(f"{r[0]}:{r[1]}")
+        if hz:
+            offenders[name] = hz
+    assert not offenders, f"driver-hash-unsafe oracle columns: {offenders}"

@@ -35,6 +35,30 @@ def _canon_val(v):
     return str(v)
 
 
+def _dtype_hazards(con, sql: str, sdf) -> list[str]:
+    """Driver-canon hazard scan: the driver hashes via Arrow/pandas, so
+    types this repo's fetchall-based compare collapses silently still
+    break the real gate. Flag (a) DuckDB HUGEINT/DECIMAL output columns
+    (uncast sum()/arithmetic widens; Arrow hashes decimal128 unlike
+    Spark's int64) and (b) complex-typed (list/struct/map) columns on
+    either side (pandas sort_values dies on list cells). DESCRIBE only
+    — nothing is executed."""
+    hazards = []
+    for r in con.execute(f"DESCRIBE {sql}").fetchall():
+        cname, ctype = r[0], r[1]
+        u = ctype.upper()
+        if "HUGEINT" in u or "INT128" in u or "DECIMAL" in u:
+            hazards.append(f"duck:{cname}:{ctype}")
+        if "[]" in u or "STRUCT" in u or "MAP(" in u:
+            hazards.append(f"duck:{cname}:{ctype}")
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType,
+                                   DecimalType)):
+            hazards.append(f"spark:{f.name}:{f.dataType.simpleString()}")
+    return hazards
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -73,18 +97,20 @@ def main() -> int:
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
         t_duck = time.time() - t0
+        hazards = _dtype_hazards(con, sql, sdf)
         ok_cols = sorted(scols) == sorted(dcols)
         ok_rows = len(srows) == len(drows)
         ok_hash = (
             ok_cols and ok_rows
             and _hash_rows(scols, srows) == _hash_rows(dcols, drows)
         )
-        status = "OK" if ok_hash else "FAIL"
-        if not ok_hash:
+        status = "OK" if ok_hash and not hazards else "FAIL"
+        if not ok_hash or hazards:
             failures += 1
         print(f"{name:24s} rows={len(srows):7d}/{len(drows):<7d} "
               f"cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'} "
-              f"spark={t_spark:5.1f}s duck={t_duck:5.1f}s  {status}")
+              f"spark={t_spark:5.1f}s duck={t_duck:5.1f}s  {status}"
+              + (f"  HAZARD {hazards}" if hazards else ""))
         if not ok_hash and ok_cols and ok_rows:
             # print first differing rows for debugging
             order = sorted(range(len(scols)), key=lambda i: scols[i])
