@@ -67,24 +67,46 @@ def main() -> None:
     qs["er_doc_clusters"](spark, warm_sf).write.format("noop").mode("overwrite").save()
     qs["extract_normalize"](spark, sf_dir).count()
 
+    # min-of-N per query (default 3): this is a shared box, and a single
+    # rep records whoever else was on it — round 4's committed artifact
+    # was a contended-window outlier (68.8s vs 43.5s quiet). The min of
+    # back-to-back reps converges on the engine's own cost. The
+    # per-process result memos are cleared before EVERY rep so repeats
+    # re-execute the full compute chain instead of replaying a
+    # localCheckpoint.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def _clear_memos() -> None:
+        entrymod._DOC_CLUSTERS_MEMO.clear()
+        entrymod._DOC_PAIRS_MEMO.clear()
+
+    def _min_of(run) -> float:
+        best = None
+        for _ in range(reps):
+            _clear_memos()
+            t0 = time.time()
+            run()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     total = 0.0
     # the er_pages blocks stage is a bucketed LEDGER WRITE shared by both
     # er_pages queries (on a cluster: the Iceberg stage snapshot). Time it
     # as its own line so er_pages_clusters reports the compute leg only —
     # round-over-round comparisons otherwise charge the write to whichever
     # er_pages query runs first
-    t0 = time.time()
-    entrymod._er_pages_blocks(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings["er_pages_blocks_write"] = round(time.time() - t0, 3)
+    timings["er_pages_blocks_write"] = _min_of(
+        lambda: entrymod._er_pages_blocks(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
     total += timings["er_pages_blocks_write"]
     for name in headline:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+        timings[name] = _min_of(
+            lambda: qs[name](spark, sf_dir)
+            .write.format("noop").mode("overwrite").save())
+        total += timings[name]
 
     er_secs = timings.get("er_doc_clusters", float("nan"))
 
@@ -131,6 +153,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": int(cpus),
+        "reps": reps,
+        "load_1m": round(os.getloadavg()[0], 2),
         "er_pages_per_sec": round(n_docs / er_secs, 2) if er_secs else None,
         "n_docs": n_docs,
         "gold_pair_f1": round(f1, 6),
