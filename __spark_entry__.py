@@ -1366,7 +1366,24 @@ _MATCHER_FIXTURES = [
     (-2, "about 2/3 of seven optimization experiments"),
     (-3, "scan join scan filter join performance"),
     (-4, "internationalization 12.3.4 ab1 ."),
+    # rows for the round-5 attribute additions: LIKE_URL/LIKE_EMAIL,
+    # IS_CURRENCY+LIKE_NUM sequencing, IS_ASCII(False), IS_QUOTE wrap,
+    # IS_BRACKET, NORM
+    (-5, "visit https://example.com or www.data.org/docs and email"
+         " bob@example.com now"),
+    (-6, 'she said " yes " and paid $ 42 plus ₹ 100 in ( full )'),
+    (-7, "the « café » is pure résumé territory"),
 ]
+
+
+def _sql_charclass(chars: set) -> str:
+    """Regex character class mirroring an engine char set, with SQL
+    single-quote doubling (the class lands inside a '…' literal)."""
+    body = "".join(sorted(chars))
+    for a, b in (("\\", "\\\\"), ("]", "\\]"), ("^", "\\^"), ("-", "\\-"),
+                 ("'", "''")):
+        body = body.replace(a, b)
+    return "[" + body + "]+"
 
 
 def _fixture_union_sql(fixtures: list[tuple[int, str]]) -> str:
@@ -1381,7 +1398,24 @@ def _fixture_union_sql(fixtures: list[tuple[int, str]]) -> str:
 # SCAN_JOIN [{LOWER scan},{OP ?},{LOWER join}]: greedy wildcard -> prefer the
 # 3-token span, else the 2-token span; leftmost-longest = min(start) per
 # (key, end). NUMBERED mirrors engine.like_num (strip commas + one dot /
-# fraction / number word); LONGWORD is LENGTH >= 9.
+# fraction / number word); LONGWORD is LENGTH >= 9. The round-5 legs
+# mirror the engine's derivations exactly: NORM = lower(text), LIKE_URL/
+# LIKE_EMAIL share the engine's RE2-compatible pattern strings,
+# IS_CURRENCY/IS_QUOTE/IS_BRACKET share its char sets (interpolated as
+# literal classes), IS_ASCII = (UTF-8 bytes == chars), IS_ALPHA = \\p{L}+.
+from spikex_spark.matcher.engine import (LIKE_EMAIL_PATTERN,  # noqa: E402
+                                         LIKE_URL_PATTERN, _BRACKETS,
+                                         _CURRENCY, _QUOTES)
+
+_CUR_CLS = _sql_charclass(_CURRENCY)
+_QUOTE_CLS = _sql_charclass(_QUOTES)
+_BRACKET_CLS = _sql_charclass(_BRACKETS)
+_SQL_LIKE_NUM = (
+    "(regexp_full_match(replace({tok}, ',', ''),"
+    " '([0-9]+\\.?[0-9]*|\\.[0-9]+)')"
+    " OR regexp_full_match({tok}, '[0-9]+/[0-9]+')"
+    f" OR list_contains({_NUM_WORDS_SQL}, lower({{tok}})))")
+
 _SQL_MATCHER = f"""
 WITH docs_plus AS (SELECT * FROM {_fixture_union_sql(_MATCHER_FIXTURES)}),
 toks AS (
@@ -1403,6 +1437,31 @@ raw AS (
      OR list_contains({_NUM_WORDS_SQL}, lower(t[i]))
   UNION ALL
   SELECT doc_id, 'LONGWORD', i - 1, i FROM pos WHERE length(t[i]) >= 9
+  UNION ALL
+  SELECT doc_id, 'NORMWORD', i - 1, i FROM pos
+  WHERE lower(t[i]) = 'performance'
+  UNION ALL
+  SELECT doc_id, 'URLTOK', i - 1, i FROM pos
+  WHERE regexp_full_match(t[i], '(?i)(?:{LIKE_URL_PATTERN})')
+  UNION ALL
+  SELECT doc_id, 'EMAILTOK', i - 1, i FROM pos
+  WHERE regexp_full_match(t[i], '{LIKE_EMAIL_PATTERN}')
+  UNION ALL
+  SELECT doc_id, 'MONEYBIT', i - 1, i + 1 FROM pos
+  WHERE i + 1 <= len(t) AND regexp_full_match(t[i], '{_CUR_CLS}')
+    AND {_SQL_LIKE_NUM.format(tok="t[i + 1]")}
+  UNION ALL
+  SELECT doc_id, 'NONASCII', i - 1, i FROM pos
+  WHERE strlen(t[i]) <> length(t[i])
+  UNION ALL
+  SELECT doc_id, 'QUOTEWRAP', i - 1, i + 2 FROM pos
+  WHERE i + 2 <= len(t)
+    AND regexp_full_match(t[i], '{_QUOTE_CLS}')
+    AND regexp_full_match(t[i + 1], '\\p{{L}}+')
+    AND regexp_full_match(t[i + 2], '{_QUOTE_CLS}')
+  UNION ALL
+  SELECT doc_id, 'BRACKETTOK', i - 1, i FROM pos
+  WHERE regexp_full_match(t[i], '{_BRACKET_CLS}')
 ),
 best AS (
   SELECT doc_id, key, min(start) AS start, "end"
@@ -6739,6 +6798,15 @@ def _q_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SCAN_JOIN": [[{"LOWER": "scan"}, {"OP": "?"}, {"LOWER": "join"}]],
         "NUMBERED": [[{"LIKE_NUM": True}]],
         "LONGWORD": [[{"LENGTH": {">=": 9}}]],
+        # round-5 attribute-parity additions (reference _schemas.py:120-207)
+        "NORMWORD": [[{"NORM": "performance"}]],
+        "URLTOK": [[{"LIKE_URL": True}]],
+        "EMAILTOK": [[{"LIKE_EMAIL": True}]],
+        "MONEYBIT": [[{"IS_CURRENCY": True}, {"LIKE_NUM": True}]],
+        "NONASCII": [[{"IS_ASCII": False}]],
+        "QUOTEWRAP": [[{"IS_QUOTE": True}, {"IS_ALPHA": True},
+                       {"IS_QUOTE": True}]],
+        "BRACKETTOK": [[{"IS_BRACKET": True}]],
     })
     return match_patterns(docs, spec).select(
         F.col("id").alias("doc_id"), "key", "start", "end", "surface"

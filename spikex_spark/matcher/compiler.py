@@ -5,10 +5,16 @@ patterns into per-attribute regexes at ``add()`` time (compile-once) and the
 pattern schema of ``matcher/_schemas.py``. We keep the same surface — a
 pattern is a list of token specs, each a dict of
 
-* attributes: ``ORTH``/``TEXT``, ``LOWER``, ``LEMMA``, ``POS``, ``TAG``,
-  ``DEP``, ``SHAPE``, ``LENGTH``, ``IS_ALPHA``/``IS_DIGIT``/``IS_LOWER``/
-  ``IS_UPPER``/``IS_TITLE``/``IS_PUNCT``/``IS_SPACE``, ``LIKE_NUM``,
-  ``REGEX`` (bare, over the token text), ``_`` (extension dict),
+* attributes (full reference schema, ``_schemas.py:83-207``):
+  ``ORTH``/``TEXT``, ``LOWER``, ``LEMMA``, ``NORM``, ``POS``, ``TAG``,
+  ``DEP``, ``SHAPE``, ``ENT_TYPE``, ``LENGTH``, the ``IS_*`` booleans
+  (``ALPHA ASCII DIGIT LOWER UPPER TITLE PUNCT SPACE BRACKET QUOTE
+  LEFT_PUNCT RIGHT_PUNCT CURRENCY STOP SENT_START``), ``SENT_START``
+  (alias of ``IS_SENT_START``), ``LIKE_NUM``/``LIKE_URL``/``LIKE_EMAIL``,
+  ``REGEX`` (bare, over the token text), ``_`` (extension dict).
+  Annotation-dependent attrs (``LEMMA POS TAG DEP ENT_TYPE NORM IS_STOP
+  IS_SENT_START``) are read from the token dicts when provided upstream;
+  text-derivable ones are computed in the engine,
 * values: literal, or predicate dict ``{IN, NOT_IN, REGEX, ==, !=, >=,
   <=, >, <}`` (spikex ``matcher.py:413-415, 496-573``),
 * ``OP``: ``!``(negated single), ``?``, ``1``/absent, ``+``, ``*``.
@@ -24,9 +30,20 @@ import re
 from dataclasses import dataclass, field
 
 TOKEN_ATTRS = {
-    "ORTH", "TEXT", "LOWER", "LEMMA", "POS", "TAG", "DEP", "SHAPE",
-    "LENGTH", "IS_ALPHA", "IS_DIGIT", "IS_LOWER", "IS_UPPER", "IS_TITLE",
-    "IS_PUNCT", "IS_SPACE", "IS_STOP", "LIKE_NUM", "REGEX", "_",
+    "ORTH", "TEXT", "LOWER", "LEMMA", "NORM", "POS", "TAG", "DEP", "SHAPE",
+    "ENT_TYPE", "LENGTH",
+    "IS_ALPHA", "IS_ASCII", "IS_DIGIT", "IS_LOWER", "IS_UPPER", "IS_TITLE",
+    "IS_PUNCT", "IS_SPACE", "IS_BRACKET", "IS_QUOTE", "IS_LEFT_PUNCT",
+    "IS_RIGHT_PUNCT", "IS_CURRENCY", "IS_STOP", "IS_SENT_START",
+    "SENT_START", "LIKE_NUM", "LIKE_URL", "LIKE_EMAIL", "REGEX", "_",
+}
+# reference _schemas.py:141-207: boolean_value attrs take a bare bool only
+# (no predicate dict) — flag dicts for these at validation time
+BOOL_ATTRS = {
+    "IS_ALPHA", "IS_ASCII", "IS_DIGIT", "IS_LOWER", "IS_UPPER", "IS_TITLE",
+    "IS_PUNCT", "IS_SPACE", "IS_BRACKET", "IS_QUOTE", "IS_LEFT_PUNCT",
+    "IS_RIGHT_PUNCT", "IS_CURRENCY", "IS_STOP", "IS_SENT_START",
+    "SENT_START", "LIKE_NUM", "LIKE_URL", "LIKE_EMAIL",
 }
 OPS = {"!", "?", "+", "*", "1"}
 PREDICATES = {"IN", "NOT_IN", "REGEX", "==", "!=", ">=", "<=", ">", "<"}
@@ -112,21 +129,38 @@ def validate_pattern(pattern: list[dict]) -> list[str]:
             elif ku == "_":
                 if not isinstance(v, dict):
                     errors.append(f"token {i}: '_' must be a dict")
+                else:
+                    for ext_name, ext_val in v.items():
+                        if not isinstance(ext_val, dict):
+                            continue
+                        for pk, pv in ext_val.items():
+                            if pk not in PREDICATES:
+                                errors.append(
+                                    f"token {i}: unknown predicate {pk!r} "
+                                    f"for extension {ext_name!r}")
+                            elif pk in ("IN", "NOT_IN") and not isinstance(
+                                    pv, (list, tuple)):
+                                errors.append(
+                                    f"token {i}: {pk} expects a list for "
+                                    f"extension {ext_name!r}")
             elif ku not in TOKEN_ATTRS:
                 errors.append(f"token {i}: unknown attr {k!r}")
             elif ku == "LENGTH":
-                if not isinstance(v, (int, dict)):
+                if isinstance(v, bool) or not isinstance(v, (int, dict)):
                     errors.append(f"token {i}: LENGTH expects int or predicate")
-            elif ku.startswith("IS_") or ku == "LIKE_NUM":
-                if not isinstance(v, (bool, dict)):
+            elif ku in BOOL_ATTRS:
+                if not isinstance(v, bool):
                     errors.append(f"token {i}: {ku} expects bool")
             else:
                 if not isinstance(v, (str, dict)):
                     errors.append(f"token {i}: {ku} expects str or predicate")
             if ku not in ("OP", "_") and isinstance(v, dict):
-                for pk in v:
+                for pk, pv in v.items():
                     if pk not in PREDICATES:
                         errors.append(f"token {i}: unknown predicate {pk!r}")
+                    elif pk in ("IN", "NOT_IN") and not isinstance(
+                            pv, (list, tuple)):
+                        errors.append(f"token {i}: {pk} expects a list")
     return errors
 
 
@@ -148,6 +182,8 @@ def compile_token_spec(spec: dict) -> TokenSpec:
             continue
         if ku == "TEXT":
             ku = "ORTH"
+        if ku == "SENT_START":  # schema alias (reference _schemas.py:192-199)
+            ku = "IS_SENT_START"
         if ku == "REGEX" and isinstance(v, str):
             # bare token-level REGEX searches the token text
             preds.append(Predicate("ORTH", "regex", re.compile(v)))

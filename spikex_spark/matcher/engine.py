@@ -34,6 +34,39 @@ _NUM_WORDS = {
 }
 
 
+# character classes for the IS_BRACKET/IS_QUOTE/IS_LEFT_PUNCT/
+# IS_RIGHT_PUNCT derivations (spaCy-style sets, re-expressed; reference
+# accepts these attrs via _schemas.py:141-190 and delegates the
+# definitions to the tokenizer's language data)
+_BRACKETS = set("()[]{}<>") | set("「」『』（）〔〕【】《》〈〉")
+_QUOTES = set("'\"`´‘’‚“”„»«‹›")
+_LEFT_PUNCT = set("([{<") | set("「『（〔【《〈") | set("“‘«‹„‚")
+_RIGHT_PUNCT = set(")]}>") | set("」』）〕】》〉") | set("”’»›")
+# explicit symbol set (spaCy-style language data, not unicodedata Sc) so
+# the SQL oracle can mirror it as a literal character class
+_CURRENCY = set("$¢£¤¥֏؋฿₠₡₢₣₤₥₦₧₨₩₪₫€₭₮₯₰₱₲₳₴₵₶₷₸₹₺₻₼₽₾₿﷼￠￡￥￦")
+
+# non-verbose, RE2-compatible pattern strings so the SQL oracles can
+# reuse them verbatim (regexp_full_match anchors; Python adds ^…$):
+# explicit scheme | www. prefix | bare domain with a common TLD
+LIKE_URL_PATTERN = (
+    r"(?:https?|ftp)://\S+"
+    r"|www\.\w[\w.-]*\.\w{2,}(?:/\S*)?"
+    r"|\w[\w.-]*\.(?:com|org|net|edu|gov|io|co|uk|de|fr|jp|cn|ru|br|in)"
+    r"(?:/\S*)?")
+LIKE_EMAIL_PATTERN = r"[\w.+-]+@[\w-]+(?:\.[\w-]+)+"
+_LIKE_URL_RX = re.compile(f"(?i)^(?:{LIKE_URL_PATTERN})$")
+_LIKE_EMAIL_RX = re.compile(f"^(?:{LIKE_EMAIL_PATTERN})$")
+
+
+def like_url(text: str) -> bool:
+    return bool(_LIKE_URL_RX.match(text))
+
+
+def like_email(text: str) -> bool:
+    return bool(_LIKE_EMAIL_RX.match(text))
+
+
 def word_shape(text: str) -> str:
     """spaCy-compatible shape: x/X/d classes, runs capped at 4."""
     out = []
@@ -96,8 +129,33 @@ def token_attr(tok: dict, attr: str):
         return bool(text) and text.isspace()
     if attr == "IS_STOP":
         return bool(tok.get("IS_STOP", False))
+    if attr == "IS_ASCII":
+        return text.isascii()
+    if attr == "IS_BRACKET":
+        return bool(text) and all(c in _BRACKETS for c in text)
+    if attr == "IS_QUOTE":
+        return bool(text) and all(c in _QUOTES for c in text)
+    if attr == "IS_LEFT_PUNCT":
+        return bool(text) and all(c in _LEFT_PUNCT for c in text)
+    if attr == "IS_RIGHT_PUNCT":
+        return bool(text) and all(c in _RIGHT_PUNCT for c in text)
+    if attr == "IS_CURRENCY":
+        return bool(text) and all(c in _CURRENCY for c in text)
+    if attr == "IS_SENT_START":
+        # annotation-dependent: read from the token dict (either spelling)
+        return bool(tok.get("SENT_START", tok.get("IS_SENT_START", False)))
+    if attr == "NORM":
+        # spaCy default norm is the lowercase form absent an exception
+        # table; annotated dicts may override via a NORM key (caught above)
+        return text.lower()
+    if attr == "ENT_TYPE":
+        return tok.get("ENT_TYPE", "")
     if attr == "LIKE_NUM":
         return like_num(text)
+    if attr == "LIKE_URL":
+        return like_url(text)
+    if attr == "LIKE_EMAIL":
+        return like_email(text)
     if attr == "REGEX":
         return text
     return tok.get(attr)

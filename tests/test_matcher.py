@@ -249,3 +249,116 @@ def test_match_patterns_stage(spark):
                 match_patterns(docs.where("doc_id = 1"), spec).collect()
                 if r["key"] == "JS"}
     assert {(k, s, e) for k, s, e in local} == spark_js
+
+
+# --- round-5 attribute parity -----------------------------------------------
+# reference _schemas.py:83-207 accepts NORM/ENT_TYPE/IS_ASCII/IS_BRACKET/
+# IS_QUOTE/IS_LEFT_PUNCT/IS_RIGHT_PUNCT/IS_CURRENCY/IS_SENT_START/
+# SENT_START/LIKE_URL/LIKE_EMAIL; validation table ported from
+# /root/reference/tests/matcher/test_pattern_validation.py:25-73 (error
+# counts re-derived for this validator's message granularity — the
+# reference's own counts vary by spacy version).
+
+REFERENCE_VALIDATION_TABLE = [
+    # bad patterns flagged in all cases
+    ([{"XX": "foo"}], 1),
+    ([{"IS_ALPHA": {"==": True}}, {"LIKE_NUM": None}], 2),
+    ([{"IS_PUNCT": True, "OP": "$"}], 1),
+    ([{"_": "foo"}], 1),
+    ('[{"TEXT": "foo"}, {"LOWER": "bar"}]', 1),
+    ([1, 2, 3], 3),
+    # bad patterns flagged outside of Matcher in the reference
+    ([{"_": {"foo": "bar", "baz": {"IN": "foo"}}}], 1),
+    ([{"LENGTH": "2", "TEXT": 2}, {"LOWER": "test"}], 2),
+    ([{"LENGTH": {"IN": [1, 2, "3"]}}, {"POS": {"IN": "VERB"}}], 1),
+    ([{"LENGTH": {"VALUE": 5}}], 1),
+    ([{"TEXT": {"VALUE": "foo"}}], 1),
+    ([{"IS_DIGIT": -1}], 1),
+    ([{"ORTH": -1}], 1),
+    # good patterns
+    ([{"TEXT": "foo"}, {"LOWER": "bar"}], 0),
+    ([{"LEMMA": {"IN": ["love", "like"]}}, {"POS": "DET", "OP": "?"}], 0),
+    ([{"LIKE_NUM": True, "LENGTH": {">=": 5}}], 0),
+    ([{"LENGTH": 2}], 0),
+    ([{"LOWER": {"REGEX": "^X", "NOT_IN": ["XXX", "XY"]}}], 0),
+    ([{"NORM": "a"}, {"POS": {"IN": ["NOUN"]}}], 0),
+    ([{"_": {"foo": {"NOT_IN": ["bar", "baz"]}, "a": 5, "b": {">": 10}}}],
+     0),
+    ([{"orth": "foo"}], 0),
+    ([{"IS_SENT_START": True}], 0),
+    ([{"SENT_START": True}], 0),
+]
+
+
+@pytest.mark.parametrize("pattern,n_errors", REFERENCE_VALIDATION_TABLE)
+def test_reference_validation_table(pattern, n_errors):
+    assert len(validate_pattern(pattern)) == n_errors
+
+
+def _match_keys(patterns, words, ext=None):
+    m = Matcher()
+    for key, plist in patterns.items():
+        m.add(key, plist)
+    doc = _doc(words)
+    if ext:
+        for tok, extra in zip(doc, ext):
+            tok.update(extra)
+    return [(k, s, e) for k, s, e in m(doc)]
+
+
+def test_is_ascii_and_negation():
+    got = _match_keys({"NA": [[{"IS_ASCII": False}]]},
+                      ["plain", "café", "naïve", "ok"])
+    assert got == [("NA", 1, 2), ("NA", 2, 3)]
+
+
+def test_bracket_quote_left_right_punct():
+    words = ["(", "a", ")", '"', "«", "»", "[", "]"]
+    assert [s for _, s, _ in _match_keys(
+        {"B": [[{"IS_BRACKET": True}]]}, words)] == [0, 2, 6, 7]
+    assert [s for _, s, _ in _match_keys(
+        {"Q": [[{"IS_QUOTE": True}]]}, words)] == [3, 4, 5]
+    assert [s for _, s, _ in _match_keys(
+        {"L": [[{"IS_LEFT_PUNCT": True}]]}, words)] == [0, 4, 6]
+    assert [s for _, s, _ in _match_keys(
+        {"R": [[{"IS_RIGHT_PUNCT": True}]]}, words)] == [2, 5, 7]
+
+
+def test_is_currency():
+    got = _match_keys({"C": [[{"IS_CURRENCY": True}]]},
+                      ["$", "42", "€", "EUR", "₹", "x$"])
+    assert [s for _, s, _ in got] == [0, 2, 4]
+
+
+def test_like_url_like_email():
+    words = ["see", "https://example.com", "www.data.org/docs",
+             "example.com", "bob@example.com", "not@url", "plain"]
+    assert [s for _, s, _ in _match_keys(
+        {"U": [[{"LIKE_URL": True}]]}, words)] == [1, 2, 3]
+    assert [s for _, s, _ in _match_keys(
+        {"E": [[{"LIKE_EMAIL": True}]]}, words)] == [4]
+
+
+def test_norm_defaults_to_lower_and_overrides():
+    # derived: NORM == lower(text)
+    assert _match_keys({"N": [[{"NORM": "apple"}]]},
+                       ["Apple", "APPLE", "pear"]) == [
+        ("N", 0, 1), ("N", 1, 2)]
+    # annotated token dicts override the derivation
+    got = _match_keys({"N": [[{"NORM": "usa"}]]},
+                      ["U.S.A.", "usa"],
+                      ext=[{"NORM": "usa"}, {}])
+    assert got == [("N", 0, 1), ("N", 1, 2)]
+
+
+def test_ent_type_and_sent_start_from_annotations():
+    got = _match_keys({"PER": [[{"ENT_TYPE": "PERSON"}]]},
+                      ["Alice", "runs"],
+                      ext=[{"ENT_TYPE": "PERSON"}, {}])
+    assert got == [("PER", 0, 1)]
+    # both schema spellings accepted; read from the token dict
+    for attr in ("IS_SENT_START", "SENT_START"):
+        got = _match_keys({"S": [[{attr: True}, {"IS_ALPHA": True}]]},
+                          ["Start", "here", "end"],
+                          ext=[{"SENT_START": True}, {}, {}])
+        assert got == [("S", 0, 2)]
