@@ -54,19 +54,49 @@ def clean_word(t: str) -> str:
 # observed WITHOUT a trailing period
 # ---------------------------------------------------------------------------
 
-def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame]:
-    """(lower_words, non_abbrs): (word, cnt) count tables from raw text."""
+def corpus_stats(docs: DataFrame, text_col: str = "text",
+                 min_count: int = 2,
+                 max_words: int | None = 1_000_000,
+                 ) -> tuple[DataFrame, DataFrame]:
+    """(lower_words, non_abbrs): (word, cnt) count tables from raw text.
+
+    Both tables are consumed ONLY through ``floor(log(1 + cnt))`` (the
+    ``w2lower_``/``w1abbr_`` features) and are broadcast-joined in
+    training and ``toPandas``-collected into the driver-side model — at
+    crawl scale an unpruned vocabulary is a driver/broadcast memory
+    bottleneck (round-4 verdict #5). Two bounds, part of the model:
+
+    * ``min_count=2`` is LOSSLESS: a word seen once yields
+      ``floor(log(2)) = 0``, identical to the absent-word default, so
+      dropping hapax legomena (≈half a Zipfian vocabulary) cannot change
+      any feature value, trained probability, or classification.
+    * ``max_words`` (deterministic top-N by ``cnt DESC, word``) is the
+      hard cap for 10^12-token corpora; the default 1M never binds at
+      test scale and bounds the driver dict at ~tens of MB. Words below
+      the cap lose at most their log-count bucket (they fall back to the
+      absent default), never correctness of the protocol.
+    """
     toks = docs.select(
         F.explode(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
         ).alias("tok")
     )
-    lower_words = (
+
+    def _bound(tbl: DataFrame) -> DataFrame:
+        out = tbl.where(F.col("cnt") >= min_count)
+        if max_words is not None:
+            # distributed top-K (TakeOrderedAndProject: per-partition
+            # heads then merge), NOT a single-partition window
+            out = out.orderBy(F.col("cnt").desc(), F.col("word")) \
+                     .limit(max_words)
+        return out
+
+    lower_words = _bound(
         toks.where(F.col("tok") == F.lower(F.col("tok")))
         .groupBy(F.col("tok").alias("word"))
         .agg(F.count("*").alias("cnt"))
     )
-    non_abbrs = (
+    non_abbrs = _bound(
         toks.where(~F.col("tok").endswith("."))
         .groupBy(F.col("tok").alias("word"))
         .agg(F.count("*").alias("cnt"))

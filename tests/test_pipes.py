@@ -7,6 +7,7 @@ table), test_sents.py (6-sentence fixture).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from spikex_spark.pipes.abbrs import (
     abbr_stage,
@@ -170,3 +171,47 @@ def test_nb_model_train_classify_and_split(spark):
     assert model.classify(pos[1], pos[2]) > model.classify(neg[1], neg[2])
     # NB layer reproduces the rules split on the clean text it was trained on
     assert split_sentences_nb(t2, model) == spans2
+
+
+def test_corpus_stats_prune_is_lossless_and_cap_binds(spark):
+    """Round-4 verdict #5: the driver-side NB vocabulary is bounded.
+
+    (a) min_count=2 is lossless by construction — a hapax word's
+    log-count bucket floor(log(2)) == 0 equals the absent-word default —
+    so the trained probability table is IDENTICAL with and without the
+    prune. (b) max_words is a deterministic top-N cap."""
+    from spikex_spark.pipes import nbmodel as NB
+    from spikex_spark.pipes.sents import split_sentences
+
+    t1 = ("The U.S. economy grew. Mr. Smith said so. rare unique words "
+          "appear once. the the the common common tokens repeat here.")
+    t2 = "Hello world. This is fine! the common repeat. Yes."
+    spans1, spans2 = split_sentences(t1), split_sentences(t2)
+    frag_rows = NB.gen_labeled_fragments([(t1, spans1), (t2, spans2)])
+    frags = spark.createDataFrame(frag_rows, ["frag_id", "w1", "w2", "label"])
+    docs = spark.createDataFrame([(t1,), (t2,)], ["text"])
+
+    def probs(lw, na):
+        rows = NB.nb_train(NB.nb_features(frags, lw, na)).collect()
+        return {(r["label"], r["feat"]): round(r["prob"], 12) for r in rows}
+
+    unpruned = probs(*NB.corpus_stats(docs, min_count=1, max_words=None))
+    pruned = probs(*NB.corpus_stats(docs))  # defaults: min_count=2, 1M cap
+    assert pruned == unpruned
+
+    # hapax words really were dropped from the broadcast tables
+    lw_raw, _ = NB.corpus_stats(docs, min_count=1, max_words=None)
+    lw_def, na_def = NB.corpus_stats(docs)
+    raw_words = {r["word"] for r in lw_raw.collect()}
+    kept = {r["word"] for r in lw_def.collect()}
+    assert kept < raw_words
+    assert all(r["cnt"] >= 2 for r in lw_def.collect())
+
+    # the cap binds deterministically: top-N by (cnt desc, word)
+    lw_cap, na_cap = NB.corpus_stats(docs, min_count=1, max_words=3)
+    assert lw_cap.count() == 3 and na_cap.count() == 3
+    got = [(r["word"], r["cnt"]) for r in
+           lw_cap.orderBy(F.desc("cnt"), "word").collect()]
+    want = sorted(((r["word"], r["cnt"]) for r in lw_raw.collect()),
+                  key=lambda x: (-x[1], x[0]))[:3]
+    assert got == want
