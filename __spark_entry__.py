@@ -1321,11 +1321,14 @@ SELECT query_id, neighbor_id, rank, cos FROM (
     return ",".join(parts[:-1]) + "," + parts[-1]
 
 
+# NULL text is self-canonical (each null-text doc keeps itself): left
+# join on non-null hashes + coalesce, mirroring exact_duplicates
 _SQL_DEDUP_EXACT = """
 WITH h AS (SELECT doc_id AS id, md5(text) AS text_hash FROM documents),
-canon AS (SELECT text_hash, min(id) AS canonical_id FROM h GROUP BY text_hash)
-SELECT h.id, canon.canonical_id, h.text_hash
-FROM h JOIN canon ON h.text_hash IS NOT DISTINCT FROM canon.text_hash
+canon AS (SELECT text_hash, min(id) AS canonical_id FROM h
+          WHERE text_hash IS NOT NULL GROUP BY text_hash)
+SELECT h.id, coalesce(canon.canonical_id, h.id) AS canonical_id, h.text_hash
+FROM h LEFT JOIN canon ON h.text_hash = canon.text_hash
 """
 
 # ---------------------------------------------------------------------------
@@ -3806,7 +3809,7 @@ WITH b AS (
     list_filter(list_transform(string_split(text, chr(10)),
                                l -> trim(l)), l -> l <> '') AS l,
     text AS t
-  FROM documents
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 ),
 s AS (
   SELECT id,
@@ -8331,13 +8334,7 @@ def _q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final single divisions are floating, so both engines agree bit-for-bit.
 _SQL_CLUSTEREVAL_CELLS = f"""
 pred AS (SELECT doc_id AS it, cluster_id AS p FROM ({_SQL_ER_CLUSTERS})),
-gold AS (
-  SELECT h.id AS it, min(h2.id) AS g
-  FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h
-  JOIN (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h2
-    ON h.text_hash = h2.text_hash
-  GROUP BY h.id
-),
+gold AS (SELECT id AS it, canonical_id AS g FROM ({_SQL_DEDUP_EXACT})),
 cells AS (
   SELECT p, g, count(*)::BIGINT AS n
   FROM pred JOIN gold USING (it) GROUP BY p, g

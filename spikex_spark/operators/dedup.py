@@ -43,20 +43,25 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     canonical = min id per hash. Rows with unique text keep themselves as
     canonical — output covers ALL rows (dedup = filter id == canonical_id),
-    INCLUDING null-text rows: md5(NULL) is NULL, so the canonical join is
-    null-safe (a plain equi-join would silently drop every null-text doc
-    from the keep-list — all nulls form one group with the min id as
-    canonical, mirrored with IS NOT DISTINCT FROM in the oracle).
+    INCLUDING null-text rows. NULL text is SELF-canonical: md5(NULL) is
+    NULL and a failed fetch is not a byte-identical duplicate of another
+    failed fetch, so each null-text doc keeps itself (left join on the
+    non-null hashes + coalesce to own id). This keeps the near-dup
+    pipeline's invariant keep_near ⊆ keep_exact on null-bearing corpora
+    — resolve_documents also leaves null-text docs as singleton clusters
+    (ADVICE r4) — and never drops null docs from a keep-list.
     """
     hashed = df.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash")
     )
-    canon = (hashed.groupBy("text_hash")
-             .agg(F.min("id").alias("canonical_id"))
+    canon = (hashed.where(F.col("text_hash").isNotNull())
+             .groupBy("text_hash")
+             .agg(F.min("id").alias("_cid"))
              .withColumnRenamed("text_hash", "_th"))
-    return (hashed.join(
-        canon, F.col("text_hash").eqNullSafe(F.col("_th")))
-        .select("id", "canonical_id", "text_hash"))
+    return (hashed.join(canon, F.col("text_hash") == F.col("_th"), "left")
+            .select("id",
+                    F.coalesce("_cid", F.col("id")).alias("canonical_id"),
+                    "text_hash"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

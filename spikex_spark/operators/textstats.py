@@ -291,7 +291,11 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
     there — faithful application of the published thresholds, not a
     bug; real webtext passes this rule at high rates.
     """
-    txt = F.col(text_col)
+    # NULL text is scored as empty text (all counts 0, passed false) so
+    # the stats columns stay non-null and the verdict is deterministic —
+    # and so Spark and the SQL oracle agree bit-for-bit on null-bearing
+    # corpora (F.aggregate over a null array would yield NULL word_chars)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col).alias("id"),
         F.filter(F.split(txt, "[ \t\n\x0b\f\r]+"),

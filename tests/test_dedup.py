@@ -323,12 +323,35 @@ def test_exact_duplicates_covers_null_and_empty_text(spark):
         "doc_id long, text string")
     out = {r["id"]: r for r in
            exact_duplicates(df, "doc_id", "text").collect()}
-    # the contract: output covers ALL rows — null-text docs form one
-    # group (a plain equi-join would silently drop them)
+    # the contract: output covers ALL rows, and null-text docs are
+    # SELF-canonical (ADVICE r4: a failed fetch is not a duplicate of
+    # another failed fetch, and resolve_documents leaves null docs as
+    # singleton clusters — keep_near ⊆ keep_exact must hold on
+    # null-bearing corpora too)
     assert set(out) == {1, 2, 3, 4, 5}
     assert out[2]["canonical_id"] == 1
-    assert out[3]["canonical_id"] == 3 and out[4]["canonical_id"] == 3
+    assert out[3]["canonical_id"] == 3 and out[4]["canonical_id"] == 4
     assert out[5]["canonical_id"] == 5          # empty != null
+
+
+def test_dedup_keep_near_subset_of_keep_exact_with_nulls(spark):
+    """The monotone invariant on a null-bearing corpus: every doc kept
+    by near-dup resolution is also kept by exact dedup."""
+    from spikex_spark.operators.dedup import exact_duplicates
+    from spikex_spark.pipeline import resolve_documents
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta common text"),
+         (2, "alpha beta gamma delta common text"),
+         (3, None), (4, None), (5, "")],
+        "doc_id long, text string")
+    keep_exact = {r["id"] for r in
+                  exact_duplicates(df, "doc_id", "text").collect()
+                  if r["id"] == r["canonical_id"]}
+    keep_near = {r["doc_id"] for r in
+                 resolve_documents(df, threshold=0.80).collect()
+                 if r["doc_id"] == r["cluster_id"]}
+    assert {3, 4} <= keep_exact            # null docs self-canonical
+    assert keep_near <= keep_exact
 
 
 def test_minhash_est_error_bounds(spark):

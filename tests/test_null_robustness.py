@@ -151,3 +151,32 @@ def test_empty_corpus_runs_clean(spark):
     assert quality_score(empty, "doc_id", "text").count() == 0
     assert gopher_rules(empty, "doc_id", "text").count() == 0
     assert exact_duplicates(empty, "doc_id", "text").count() == 0
+
+
+def test_gopher_null_text_scored_as_empty(spark, nulldocs):
+    """ADVICE r4: NULL text must produce zero counts and passed=false —
+    identically in Spark and the DuckDB oracle (F.aggregate over a null
+    token array would otherwise yield NULL word_chars while the oracle
+    coalesces to 0)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from spikex_spark.operators.textstats import gopher_rules
+
+    rows = {r["id"]: r for r in
+            gopher_rules(nulldocs, "doc_id", "text").collect()}
+    null_row = rows[2]
+    assert null_row["n_words"] == 0 and null_row["word_chars"] == 0
+    assert null_row["passed"] is False
+    assert all(v is not None for v in null_row.asDict().values())
+
+    # oracle agreement on the same null-bearing table
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(1, "normal text with the of and words here"),
+                     (2, None), (3, ""), (4, "   ")])
+    oracle = {r[0]: r for r in con.execute(
+        E.oracle_sql()["gopher_quality"]).fetchall()}
+    spark_vals = {i: tuple(rows[i]) for i in rows}
+    assert spark_vals == {i: tuple(oracle[i]) for i in oracle}
