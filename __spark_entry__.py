@@ -4661,7 +4661,8 @@ p AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
 g AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
       FROM det WHERE id_a <> id_b),
 j AS (
-  SELECT ((coalesce(p.a, g.a) * 31 + coalesce(p.b, g.b)) % 10)::INT
+  SELECT (((((coalesce(p.a, g.a) % 10) + 10) % 10) * 31
+           + (((coalesce(p.b, g.b) % 10) + 10) % 10)) % 10)::INT
            AS bucket,
          (p.a IS NOT NULL AND g.a IS NOT NULL)::BIGINT AS is_tp,
          (p.a IS NOT NULL AND g.a IS NULL)::BIGINT AS is_fp,
@@ -10756,10 +10757,12 @@ FROM reach GROUP BY node
 # each a skew-free join on the unique doc id.
 # ---------------------------------------------------------------------------
 
-_CURATION_MIN_QUALITY = 0.6
-_CURATION_MIN_TOKENS = 20
-_CURATION_LANG = "en"
-_CURATION_BLOCK = 256
+from spikex_spark.pipeline import (  # noqa: E402
+    CURATION_BLOCK as _CURATION_BLOCK,
+    CURATION_LANG as _CURATION_LANG,
+    CURATION_MIN_QUALITY as _CURATION_MIN_QUALITY,
+    CURATION_MIN_TOKENS as _CURATION_MIN_TOKENS,
+)
 
 
 def _curation_stages(spark: SparkSession, sf_dir: str):

@@ -279,8 +279,15 @@ def pair_metrics_jackknife(pred: DataFrame, ref: DataFrame,
     """(bucket, n_excluded, tp, fp, fn, precision, recall, f1): delete-
     one-bucket jackknife over the pairwise metrics — error bars for the
     headline F1 gate. Pairs are assigned to ``buckets`` deterministic
-    folds by ``(a·31 + b) mod buckets`` (plain integer arithmetic — NOT
-    an engine hash, which would differ between Spark and the oracle);
+    folds by ``((a mod B)·31 + (b mod B)) mod B`` with each residue
+    taken non-negative (plain integer arithmetic — NOT an engine hash,
+    which would differ between Spark and the oracle). The double-mod
+    construction is overflow-proof (terms bounded by 32·B, never the
+    raw id·31) and sign-portable: Spark ``pmod`` is always
+    non-negative while SQL ``%`` keeps the dividend's sign, so the
+    residues are forced non-negative on both sides before combining.
+    Ids must be integers — string ids would silently cast to NULL in
+    the arithmetic, so they are rejected with a TypeError up front;
     row ``bucket=k`` reports the metrics with fold k REMOVED, so the
     spread across rows is the metric's sensitivity to any tenth of the
     evaluation pairs. A gate that demands min-over-folds F1 ≥ 0.99 is
@@ -292,6 +299,18 @@ def pair_metrics_jackknife(pred: DataFrame, ref: DataFrame,
     totals — the whole jackknife costs one extra tiny aggregate, not
     ``buckets`` passes.
     """
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+    _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+    for df in (pred, ref):
+        for c in (id_a, id_b):
+            dt = df.schema[c].dataType
+            if not isinstance(dt, _INTEGRAL):
+                raise TypeError(
+                    f"pair_metrics_jackknife: id column {c!r} must be "
+                    f"integral for the deterministic fold arithmetic, "
+                    f"got {dt.simpleString()}")
+
     def canon(df: DataFrame) -> DataFrame:
         return (df.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),
@@ -301,9 +320,11 @@ def pair_metrics_jackknife(pred: DataFrame, ref: DataFrame,
 
     p = canon(pred).withColumn("_p", F.lit(1))
     r = canon(ref).withColumn("_r", F.lit(1))
+    fold = F.pmod(
+        F.pmod(F.col("a"), F.lit(buckets)) * 31
+        + F.pmod(F.col("b"), F.lit(buckets)), F.lit(buckets))
     joined = p.join(r, ["a", "b"], "full_outer").select(
-        F.pmod(F.col("a") * 31 + F.col("b"), F.lit(buckets))
-        .cast("int").alias("bucket"),
+        fold.cast("int").alias("bucket"),
         (F.col("_p").isNotNull() & F.col("_r").isNotNull())
         .cast("long").alias("is_tp"),
         (F.col("_p").isNotNull() & F.col("_r").isNull())

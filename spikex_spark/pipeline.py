@@ -28,6 +28,15 @@ from .operators import cc as CC
 from .operators import pairs as P
 from .operators import scoring as S
 
+# shared curation-gate thresholds — the single source of truth for the
+# batch funnel, the streaming funnel, and the spark-submit deployable
+# (dist/run_pipeline.py); keep the contract queries and the CLI in
+# lock-step (ADVICE r4: the deployable had silently drifted to 0.5/10)
+CURATION_MIN_QUALITY = 0.6
+CURATION_MIN_TOKENS = 20
+CURATION_LANG = "en"
+CURATION_BLOCK = 256
+
 # temp ledger dirs created by the DEFAULT (ephemeral-ledgered) stage runner;
 # removed at interpreter exit so repeated calls don't accumulate on disk
 _EPHEMERAL_LEDGERS: list[str] = []

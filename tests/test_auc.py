@@ -81,3 +81,50 @@ def test_logistic_contributions_reconstruct_logit(spark):
         z = sum(r["contrib_p12"] for r in v) / 1e12
         pm = math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6 + 0.5)
         assert pm == scores[pair]
+
+
+def test_jackknife_fold_hash_portable(spark):
+    """ADVICE r4: negative ids fold identically to the DuckDB mirror
+    (Spark pmod vs sign-keeping %), and string ids are rejected up
+    front instead of silently bucketing to NULL."""
+    import duckdb
+    import pytest as _pt
+
+    from spikex_spark.operators.evaluation import pair_metrics_jackknife
+
+    pred = spark.createDataFrame(
+        [(-5, 3), (-7, -2), (4, 9), (1, 8)], "id_a long, id_b long")
+    ref = spark.createDataFrame(
+        [(-5, 3), (4, 9), (2, 6)], "id_a long, id_b long")
+    rows = pair_metrics_jackknife(pred, ref, buckets=10).collect()
+    got = {(r["bucket"], r["tp"], r["fp"], r["fn"]) for r in rows}
+    assert all(b is not None and 0 <= b < 10 for b, *_ in got)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (a BIGINT, b BIGINT)")
+    con.execute("CREATE TABLE g (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)",
+                    [(-5, 3), (-7, -2), (4, 9), (1, 8)])
+    con.executemany("INSERT INTO g VALUES (?, ?)",
+                    [(-5, 3), (4, 9), (2, 6)])
+    oracle = con.execute("""
+      WITH j AS (
+        SELECT (((((coalesce(p.a, g.a) % 10) + 10) % 10) * 31
+                 + (((coalesce(p.b, g.b) % 10) + 10) % 10)) % 10)::INT
+                 AS bucket,
+               (p.a IS NOT NULL AND g.a IS NOT NULL)::BIGINT AS is_tp,
+               (p.a IS NOT NULL AND g.a IS NULL)::BIGINT AS is_fp,
+               (p.a IS NULL AND g.a IS NOT NULL)::BIGINT AS is_fn
+        FROM p FULL JOIN g ON p.a = g.a AND p.b = g.b),
+      per AS (SELECT bucket, sum(is_tp) AS btp, sum(is_fp) AS bfp,
+                     sum(is_fn) AS bfn FROM j GROUP BY 1),
+      tot AS (SELECT sum(is_tp) AS ttp, sum(is_fp) AS tfp,
+                     sum(is_fn) AS tfn FROM j)
+      SELECT bucket, (ttp - btp)::BIGINT, (tfp - bfp)::BIGINT,
+             (tfn - bfn)::BIGINT FROM per CROSS JOIN tot
+    """).fetchall()
+    assert got == {tuple(r) for r in oracle}
+
+    sp = spark.createDataFrame([("x", "y")], "id_a string, id_b string")
+    with _pt.raises(TypeError, match="integral"):
+        pair_metrics_jackknife(sp, sp, buckets=10)

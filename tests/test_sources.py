@@ -583,3 +583,43 @@ def test_run_pipeline_driver_subcommands(spark, tmp_path):
     s = spark.read.parquet(out3)
     assert {"id", "quality", "lang_guess", "passed"} <= set(s.columns)
     assert s.count() == spark.read.parquet(src).count()
+
+
+def test_run_pipeline_arg_validation(monkeypatch):
+    """ADVICE r4: extra positionals to no-arg subcommands must be a
+    usage error (not a TypeError crash), bad coercions a usage error,
+    and curate's defaults must equal the engine's shared curation
+    constants."""
+    import importlib.util
+    import inspect
+
+    import pytest as _pytest
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_argcheck", "/root/repo/dist/run_pipeline.py")
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    import sys as _sys
+    for argv in (["run_pipeline.py", "dedup", "a", "b", "3"],
+                 ["run_pipeline.py", "stats", "a", "b", "x"],
+                 ["run_pipeline.py", "er", "a", "b", "0.8", "extra"],
+                 ["run_pipeline.py", "er", "a", "b", "notafloat"],
+                 ["run_pipeline.py", "curate", "a"]):
+        monkeypatch.setattr(_sys, "argv", argv)
+        with _pytest.raises(SystemExit) as ei:
+            rp.main()
+        assert ei.value.code == 2, argv
+
+    # the deployable's curate defaults resolve to the shared constants
+    from spikex_spark.pipeline import (CURATION_BLOCK, CURATION_LANG,
+                                       CURATION_MIN_QUALITY,
+                                       CURATION_MIN_TOKENS)
+    sig = inspect.signature(rp.run_curate)
+    assert all(sig.parameters[p].default is None
+               for p in ("block_tokens", "min_quality", "min_tokens",
+                         "lang"))
+    src = inspect.getsource(rp.run_curate)
+    assert "CURATION_MIN_QUALITY" in src and "CURATION_MIN_TOKENS" in src
+    assert "CURATION_BLOCK" in src and "CURATION_LANG" in src
+    assert (CURATION_MIN_QUALITY, CURATION_MIN_TOKENS,
+            CURATION_LANG, CURATION_BLOCK) == (0.6, 20, "en", 256)
