@@ -192,7 +192,10 @@ def gen_pages_scaled(n: int = 100_000, seed: int = 42,
 
 def gen_pages_scaled_df(spark, n: int = 1_000_000, seed: int = 42,
                         pages_per_entity: int = 4, n_hub: int = 2000,
-                        n_boiler: int = 2000, partitions: int = 256):
+                        n_boiler: int = 2000, partitions: int = 256,
+                        long_every: int = 0,
+                        long_min_bytes: int = 10_000,
+                        long_max_bytes: int = 500_000):
     """Distributed scaling corpus: (pages_df, titles_df), built from
     ``spark.range`` + Catalyst expressions — NO driver-side row lists.
 
@@ -240,6 +243,27 @@ def gen_pages_scaled_df(spark, n: int = 1_000_000, seed: int = 42,
         .when(is_hub, F.concat(F.lit("Hub topic "), noise))
         .otherwise(F.concat(F.lit(_BOILERPLATE), F.lit(" "), pick(uid, 98)))
     )
+    if long_every:
+        # long-document mix (round-5 absolute-scale leg): roughly one in
+        # ``long_every`` pages gets its text extended to a hash-drawn
+        # 10-500 KB target by repeating a boilerplate sentence seeded
+        # with a per-doc word. Deterministic (pure uid/seed arithmetic),
+        # O(len) to build (one repeat()), and deliberately boilerplate-
+        # heavy: the long docs' near-identical shingle sets land in a
+        # shared LSH mega-bucket, exercising the per-bucket cap — the
+        # realistic shape of template pages on a crawl.
+        sentence = F.concat(
+            pick(uid, 97), F.lit(" "),
+            F.lit(" ".join(_FILLER[:10])), F.lit(". "))
+        tgt = (F.pmod(F.xxhash64(uid, F.lit(seed), F.lit(-3)),
+                      F.lit(long_max_bytes - long_min_bytes))
+               + F.lit(long_min_bytes))
+        reps = (tgt / F.length(sentence)).cast("int") + 1
+        is_long = F.pmod(F.xxhash64(uid, F.lit(seed), F.lit(-2)),
+                         F.lit(long_every)) == 0
+        text = F.when(is_long,
+                      F.concat(text, F.lit(" "), F.repeat(sentence, reps))
+                      ).otherwise(text)
     tag = (
         F.when(is_entity, F.format_string("e%d", F.pmod(e, F.lit(97))))
         .when(is_hub, F.lit("hub"))

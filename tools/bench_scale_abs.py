@@ -1,0 +1,160 @@
+"""Absolute-scale evidence run (round-5 verdict item 5).
+
+Runs the FLAGSHIP ``resolve_documents`` (default size-adaptive runner →
+ledgered/bucketed above the size threshold) over a ≥10M-page synthetic
+corpus with a 10–500 KB long-document mix, and over a 300k-page leg of
+the SAME shape, recording per-leg:
+
+* wall seconds (min of reps) and pages/sec,
+* Spark stage totals from the status REST API — shuffle read/write
+  bytes, input bytes, memory/disk spill (must stay ZERO), and
+  executorRunTime → per-page executor-ms.
+
+"Flat per-page executor-ms vs the 300k-page leg" is the 100×-scale
+evidence that no per-doc (O(len²) lambda) or driver-side bottleneck
+remains: if some stage were super-linear in corpus size or document
+length, the 33× bigger, long-doc-bearing corpus would pay MORE engine
+milliseconds per page, not the same.
+
+Each leg runs in its OWN subprocess (fresh JVM) at local[32].
+Corpus parquet lands on tmpfs (/dev/shm) — this sandbox's /tmp is one
+slow block device, a serialization point no multi-executor cluster has.
+
+Usage: python tools/bench_scale_abs.py [n_small n_big] [--keep-corpus]
+Prints one JSON object; merge into BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from spikex_spark.session import get_spark
+from pyspark.sql import functions as F
+
+size, reps = int(sys.argv[1]), int(sys.argv[2])
+spark = get_spark(master="local[32]", app_name=f"scale_abs_{{size}}",
+                  extra_conf={{"spark.ui.enabled": "true"}})
+
+
+def stage_totals():
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{{base}}/api/v1/applications"))
+    stages = json.load(urllib.request.urlopen(
+        f"{{base}}/api/v1/applications/{{apps[0]['id']}}/stages?status=complete"))
+    keys = ("shuffleWriteBytes", "shuffleReadBytes", "inputBytes",
+            "outputBytes", "memoryBytesSpilled", "diskBytesSpilled",
+            "executorRunTime", "executorCpuTime")
+    return {{k: sum(s.get(k, 0) or 0 for s in stages) for k in keys}}
+
+
+from spikex_spark import synth
+
+pq = f"/dev/shm/scale_abs_{{size}}"
+if not os.path.exists(pq + "/_SUCCESS"):
+    t0 = time.time()
+    pages, _ = synth.gen_pages_scaled_df(
+        spark, size, pages_per_entity=4, long_every=2000,
+        partitions=max(32, size // 40000))
+    # the flagship consumes (doc_id:int64, text); id = the uid embedded
+    # in the url (deterministic, unique)
+    docs = pages.select(
+        F.regexp_extract("url", "([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "text")
+    docs.write.mode("overwrite").parquet(pq)
+    print(json.dumps({{"corpus_build_sec": round(time.time() - t0, 1)}}),
+          flush=True)
+
+docs = spark.read.parquet(pq)
+n_docs = docs.count()
+long_docs = docs.where(F.length("text") >= 10_000).count()
+corpus_bytes = sum(
+    os.path.getsize(os.path.join(pq, f)) for f in os.listdir(pq))
+
+from spikex_spark.pipeline import resolve_documents
+
+results = []
+for rep in range(reps):
+    before = stage_totals()
+    t0 = time.time()
+    resolve_documents(docs, threshold=0.80) \
+        .write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    after = stage_totals()
+    delta = {{k: after[k] - before[k] for k in after}}
+    results.append({{"wall_sec": round(wall, 1), "stage_totals": delta}})
+    print(json.dumps({{"rep": rep, "wall_sec": round(wall, 1)}}), flush=True)
+
+best = min(results, key=lambda r: r["wall_sec"])
+out = {{
+    "n_docs": n_docs,
+    "n_long_docs": long_docs,
+    "corpus_parquet_bytes": corpus_bytes,
+    "reps": reps,
+    "wall_sec_min": best["wall_sec"],
+    "pages_per_sec": round(n_docs / best["wall_sec"], 1),
+    "stage_totals_best_rep": best["stage_totals"],
+    "executor_ms_per_page": round(
+        best["stage_totals"]["executorRunTime"] / n_docs, 4),
+    "shuffle_write_over_input": round(
+        best["stage_totals"]["shuffleWriteBytes"]
+        / max(1, best["stage_totals"]["inputBytes"]), 4),
+    "spill_bytes": best["stage_totals"]["memoryBytesSpilled"]
+    + best["stage_totals"]["diskBytesSpilled"],
+}}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
+def run_leg(size: int, reps: int) -> dict:
+    code = RUNNER.format(repo=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(size), str(reps)],
+        capture_output=True, text=True, timeout=7200)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"leg {size} produced no RESULT\nstdout:{proc.stdout[-2000:]}\n"
+        f"stderr:{proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_small = int(args[0]) if args else 300_000
+    n_big = int(args[1]) if len(args) > 1 else 10_000_000
+    legs = {}
+    legs[f"{n_small}"] = run_leg(n_small, reps=3)
+    print(json.dumps({f"{n_small}": legs[f"{n_small}"]}), flush=True)
+    # one rep at ≥10M: the leg runs ~1-2h and the headline evidence
+    # (executor-ms/page, spill=0) is robust to wall-clock contention;
+    # JVM/codegen warmup is noise at this scale
+    legs[f"{n_big}"] = run_leg(n_big, reps=1 if n_big >= 5_000_000 else 2)
+    small, big = legs[f"{n_small}"], legs[f"{n_big}"]
+    report = {
+        "workload": "resolve_documents default runner, local[32], "
+                    "long_every=2000 (10-500KB docs)",
+        "legs": legs,
+        "executor_ms_per_page_ratio_big_over_small": round(
+            big["executor_ms_per_page"] / small["executor_ms_per_page"], 3),
+        "load_1m": round(os.getloadavg()[0], 2),
+    }
+    print("FINAL " + json.dumps(report))
+    if "--keep-corpus" not in sys.argv:
+        for size in (n_small, n_big):
+            shutil.rmtree(f"/dev/shm/scale_abs_{size}", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
