@@ -618,11 +618,67 @@ _MP4_TOP_BOXES = {b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip",
 
 
 def detect_video_format(payload: bytes) -> "str | None":
-    """'mp4' when the payload leads with a plausible ISO-BMFF box, else
-    None (other containers stay opaque)."""
+    """'mp4' for a plausible ISO-BMFF box, 'mjpeg' for a concatenated
+    JPEG stream with ≥2 frames (the IP-camera/AVI-payload format — a
+    single JPEG is an image, not a video), else None (other containers
+    stay opaque)."""
     if payload is None or len(payload) < 8:
         return None
-    return "mp4" if bytes(payload[4:8]) in _MP4_TOP_BOXES else None
+    if bytes(payload[4:8]) in _MP4_TOP_BOXES:
+        return "mp4"
+    if bytes(payload[:3]) == b"\xff\xd8\xff":
+        try:
+            if len(split_mjpeg_frames(payload)) >= 2:
+                return "mjpeg"
+        except ValueError:
+            return None
+    return None
+
+
+def split_mjpeg_frames(payload: bytes) -> list:
+    """Split an MJPEG stream (concatenated baseline/progressive JPEGs)
+    into its frame byte strings by walking the REAL JPEG segment
+    structure — length-prefixed marker segments, entropy-coded scan data
+    skipped with FF00 byte-stuffing and RST0-7 awareness. A naive
+    ``payload.split(EOI)`` breaks on stuffed bytes and embedded EXIF
+    thumbnails; this walk cannot. Truncated/malformed streams raise
+    ValueError (same contract as decode_image)."""
+    buf = bytes(payload)
+    frames = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG frame at {pos} does not start with SOI")
+        start = pos
+        pos += 2
+        while True:
+            if pos + 2 > n:
+                raise ValueError("truncated MJPEG frame (no EOI)")
+            if buf[pos] != 0xFF:
+                raise ValueError(f"expected marker at {pos}")
+            marker = buf[pos + 1]
+            if marker == 0xD9:                      # EOI — frame complete
+                pos += 2
+                frames.append(buf[start:pos])
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2                            # stand-alone marker
+                continue
+            if pos + 4 > n:
+                raise ValueError("truncated MJPEG segment header")
+            (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+            if seglen < 2:
+                raise ValueError(f"bad segment length {seglen} at {pos}")
+            pos += 2 + seglen
+            if marker == 0xDA:                      # SOS: skip entropy data
+                while pos + 2 <= n:
+                    if buf[pos] != 0xFF or buf[pos + 1] == 0x00 \
+                            or 0xD0 <= buf[pos + 1] <= 0xD7:
+                        pos += 1
+                        continue
+                    break                           # real marker (EOI/next)
+    return frames
 
 
 def _mp4_boxes(buf: bytes, pos: int, end: int):
@@ -839,6 +895,15 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
                 dec = None
             if dec is not None:
                 return audio_features(*dec)
+        if kind is None or kind == "video":
+            # real video path: MJPEG streams decode their FIRST frame
+            # through the real JPEG decoder (the representative-frame
+            # embedding a curation pipeline uses); mp4/compressed codecs
+            # stay stub-gated below
+            if detect_video_format(payload) == "mjpeg":
+                from .jpeg import decode_jpeg
+                return image_features(
+                    decode_jpeg(split_mjpeg_frames(payload)[0]))
         if fake:
             return _fake_features(payload)
         raise NotImplementedError(
@@ -961,9 +1026,17 @@ def resample_audio_df(df: DataFrame, rate: int,
 
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   id_col: str = "media_id") -> DataFrame:
-    """(media_id, frame_idx, ts_ms, frame binary): frame sampling for video
-    rows — frame count derives from duration metadata (real), frame bytes
-    from the stub decoder."""
+    """(media_id, frame_idx, ts_ms, frame binary): frame sampling for
+    video rows at ``every_ms`` ticks across ``duration_ms``.
+
+    MJPEG payloads sample for REAL: the stream is split into its actual
+    JPEG frames (``split_mjpeg_frames``), frames are assumed uniformly
+    spaced over the duration (MJPEG carries no per-frame timing), and
+    each tick emits the JPEG bytes of the frame at that timestamp —
+    each one decodable by ``jpeg.decode_jpeg``. Other containers (mp4 /
+    compressed codecs) keep the deterministic fake frame under
+    ``SPIKEX_SPARK_FAKE_DECODE`` or raise — see COVERAGE.md for the
+    stub contract."""
     out_schema = (
         f"{id_col} {df.schema[id_col].dataType.simpleString()},"
         " frame_idx int, ts_ms int, frame binary"
@@ -972,20 +1045,29 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("frame sampling needs a codec")
             rows = {"_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for mid, dur, payload in zip(
                 pdf[id_col], pdf["duration_ms"], pdf["payload"]
             ):
                 n = max(int((dur or 0) // every_ms), 0)
+                mj = (split_mjpeg_frames(payload)
+                      if detect_video_format(payload) == "mjpeg" else None)
+                if mj is None and not fake:
+                    raise NotImplementedError(
+                        "frame sampling for non-MJPEG video needs a codec")
                 for i in range(n):
+                    ts = i * every_ms
+                    if mj is not None:
+                        # uniform spacing: tick ts -> source frame index
+                        j = min(len(mj) - 1, ts * len(mj) // max(dur, 1))
+                        frame = mj[j]
+                    else:
+                        frame = hashlib.md5(
+                            (payload or b"") + struct.pack("<i", i)).digest()
                     rows["_id"].append(mid)
                     rows["frame_idx"].append(i)
-                    rows["ts_ms"].append(i * every_ms)
-                    rows["frame"].append(
-                        hashlib.md5((payload or b"") + struct.pack("<i", i)).digest()
-                    )
+                    rows["ts_ms"].append(ts)
+                    rows["frame"].append(frame)
             out = pd.DataFrame(rows)
             out.columns = [id_col, "frame_idx", "ts_ms", "frame"]
             yield out
