@@ -129,3 +129,29 @@ def test_blocking_cost_singleton_only_channel(spark):
     keyed = spark.createDataFrame([("x",), ("y",)], "key string")
     r = blocking_cost({"solo": keyed}).collect()[0]
     assert r["pairs_uncapped"] == 0 and r["cap_savings"] == 0.0
+
+
+def test_scaled_corpus_long_doc_mix_deterministic(spark):
+    """gen_pages_scaled_df's round-5 long-document mix: deterministic,
+    hash-drawn 10-500KB lengths at ~1/long_every rate, and OFF by
+    default (existing callers' corpora unchanged)."""
+    from pyspark.sql import functions as F
+
+    from spikex_spark import synth
+
+    def build():
+        pages, _ = synth.gen_pages_scaled_df(
+            spark, 20_000, long_every=500, partitions=8)
+        return pages
+
+    stats = build().select(
+        F.count(F.when(F.length("text") >= 10_000, 1)).alias("n_long"),
+        F.max(F.length("text")).alias("mx")).collect()[0]
+    assert 20 <= stats["n_long"] <= 70          # ~40 expected at 1/500
+    assert 10_000 <= stats["mx"] <= 510_000
+    h = lambda df: df.select(F.sum(F.pmod(
+        F.xxhash64("url", "text"), F.lit(10**9)))).collect()[0][0]
+    assert h(build()) == h(build())             # bit-deterministic
+    # default long_every=0 leaves the corpus short-doc only
+    short, _ = synth.gen_pages_scaled_df(spark, 20_000, partitions=8)
+    assert short.select(F.max(F.length("text"))).collect()[0][0] < 10_000
