@@ -195,7 +195,8 @@ def gen_pages_scaled_df(spark, n: int = 1_000_000, seed: int = 42,
                         n_boiler: int = 2000, partitions: int = 256,
                         long_every: int = 0,
                         long_min_bytes: int = 10_000,
-                        long_max_bytes: int = 500_000):
+                        long_max_bytes: int = 500_000,
+                        vocab: "int | None" = None):
     """Distributed scaling corpus: (pages_df, titles_df), built from
     ``spark.range`` + Catalyst expressions — NO driver-side row lists.
 
@@ -216,8 +217,18 @@ def gen_pages_scaled_df(spark, n: int = 1_000_000, seed: int = 42,
 
     def pick(uid_col, slot):
         idx = F.pmod(F.xxhash64(uid_col, F.lit(seed), F.lit(slot)),
-                     F.lit(len(_FILLER)))
-        return F.element_at(filler, (idx + 1).cast("int"))
+                     F.lit(vocab or len(_FILLER)))
+        if not vocab or vocab <= len(_FILLER):
+            return F.element_at(filler, (idx + 1).cast("int"))
+        # open-vocabulary mode (multi-million-page runs): hash-drawn
+        # pseudo-words (base-36 of the slot hash). The 26-word filler
+        # list saturates the char-shingle universe at ~10^6+ pages —
+        # minhash signatures then collide corpus-wide and LSH buckets
+        # grow to thousands of capped mega-blocks, a pair/shuffle shape
+        # (~100 GB at 10M pages, OOM on this box) NO real Zipfian
+        # crawl exhibits; real webtext keeps the shingle space open.
+        return F.lower(F.conv((idx + F.lit(vocab)).cast("string"),
+                              10, 36))
 
     base = spark.range(0, n, 1, partitions).withColumnRenamed("id", "uid")
     uid = F.col("uid")

@@ -44,7 +44,13 @@ from pyspark.sql import functions as F
 
 size, reps = int(sys.argv[1]), int(sys.argv[2])
 spark = get_spark(master="local[32]", app_name=f"scale_abs_{{size}}",
-                  extra_conf={{"spark.ui.enabled": "true"}})
+                  extra_conf={{"spark.ui.enabled": "true",
+                               # reap shuffle files of finished stages:
+                               # with a 48g heap the driver GC (which
+                               # triggers ContextCleaner) can otherwise
+                               # lag the whole run, accumulating tens of
+                               # GB of dead blocks on tmpfs (= RAM here)
+                               "spark.cleaner.periodicGC.interval": "2min"}})
 
 
 def stage_totals():
@@ -64,8 +70,11 @@ from spikex_spark import synth
 pq = f"/dev/shm/scale_abs_{{size}}"
 if not os.path.exists(pq + "/_SUCCESS"):
     t0 = time.time()
+    # open vocabulary: the 26-word filler list saturates the shingle
+    # universe at multi-million-page scale (corpus-wide signature
+    # collisions no real crawl has) — see synth.gen_pages_scaled_df
     pages, _ = synth.gen_pages_scaled_df(
-        spark, size, pages_per_entity=4, long_every=2000,
+        spark, size, pages_per_entity=4, long_every=2000, vocab=200_000,
         partitions=max(32, size // 40000))
     # the flagship consumes (doc_id:int64, text); id = the uid embedded
     # in the url (deterministic, unique)
