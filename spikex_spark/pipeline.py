@@ -446,6 +446,17 @@ def resolve_documents(docs: DataFrame, cfg: ERConfig = ERConfig(),
     both sides co-partitioned with no exchange.
     ``lineage.resolve_documents_resumable`` is this function over a
     persistent ledger dir.
+
+    ``shingle_k`` at scale: the default 5-char shingles are right for the
+    sf test corpora (and pinned by the DuckDB oracles), but at 10^7+
+    pages minhash minima concentrate on universal 5-grams (" the ",
+    boilerplate scaffolds), so signature collisions between UNRELATED
+    pages stop being rare: the per-bucket cap still bounds each block,
+    but the number of ~cap-sized blocks grows with corpus size (measured
+    at 10M pages: k=5 → thousands of capped mega-buckets, ~90 GB of pair
+    shuffle; k=13 → linear pair volume). Production crawl-scale runs
+    should use ``shingle_k≈13`` (the Lee et al. exact-substring /
+    RefinedWeb-class granularity) — see ``tools/bench_scale_abs.py``.
     """
     run = stage_runner or _auto_runner(docs, cfg.ledger_min_bytes)
 

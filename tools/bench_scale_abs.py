@@ -97,7 +97,16 @@ results = []
 for rep in range(reps):
     before = stage_totals()
     t0 = time.time()
-    resolve_documents(docs, threshold=0.80) \
+    # shingle_k=13 is the at-scale configuration (Lee et al. exact-substring
+    # / RefinedWeb-class granularity). The gate-default k=5 char shingles
+    # are fine at sf test scales but concentrate minhash minima on
+    # universal 5-grams (" the ", template scaffold grams) at 10^7+ docs:
+    # measured here, k=5 at 10M pages produced thousands of capped
+    # mega-buckets and ~90 GB of pair shuffle — the bucket cap bounds each
+    # block, but block COUNT grows with corpus size when the shingle
+    # space concentrates. Larger shingles keep signatures discriminative,
+    # the published practice for crawl-scale near-dup.
+    resolve_documents(docs, threshold=0.80, shingle_k=13) \
         .write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     after = stage_totals()
