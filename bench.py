@@ -76,14 +76,23 @@ def main() -> None:
     # localCheckpoint.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    def _clear_memos() -> None:
+    def _clear_memos(blocks_ledger: bool = False) -> None:
         entrymod._DOC_CLUSTERS_MEMO.clear()
         entrymod._DOC_PAIRS_MEMO.clear()
+        if blocks_ledger:
+            # only for the blocks-WRITE line: every rep must pay the
+            # bucketed stage write, not replay the on-disk ledger. The
+            # consumer queries (er_pages_*) keep the warm ledger — reading
+            # the stage snapshot is their designed at-scale shape.
+            import shutil
+            for d in entrymod._ER_BLOCKS_LEDGER.values():
+                shutil.rmtree(d, ignore_errors=True)
+            entrymod._ER_BLOCKS_LEDGER.clear()
 
-    def _min_of(run) -> float:
+    def _min_of(run, blocks_ledger: bool = False) -> float:
         best = None
         for _ in range(reps):
-            _clear_memos()
+            _clear_memos(blocks_ledger)
             t0 = time.time()
             run()
             dt = time.time() - t0
@@ -98,7 +107,7 @@ def main() -> None:
     # er_pages query runs first
     timings["er_pages_blocks_write"] = _min_of(
         lambda: entrymod._er_pages_blocks(spark, sf_dir)
-        .write.format("noop").mode("overwrite").save())
+        .write.format("noop").mode("overwrite").save(), blocks_ledger=True)
     total += timings["er_pages_blocks_write"]
     for name in headline:
         if name not in qs:
