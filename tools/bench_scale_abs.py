@@ -43,7 +43,8 @@ from spikex_spark.session import get_spark
 from pyspark.sql import functions as F
 
 size, reps = int(sys.argv[1]), int(sys.argv[2])
-spark = get_spark(master="local[32]", app_name=f"scale_abs_{{size}}",
+master = sys.argv[3] if len(sys.argv) > 3 else "local[32]"
+spark = get_spark(master=master, app_name=f"scale_abs_{{size}}",
                   extra_conf={{"spark.ui.enabled": "true",
                                # reap shuffle files of finished stages:
                                # with a 48g heap the driver GC (which
@@ -135,10 +136,10 @@ print("RESULT " + json.dumps(out), flush=True)
 """
 
 
-def run_leg(size: int, reps: int) -> dict:
+def run_leg(size: int, reps: int, master: str = "local[32]") -> dict:
     code = RUNNER.format(repo=REPO)
     proc = subprocess.run(
-        [sys.executable, "-c", code, str(size), str(reps)],
+        [sys.executable, "-c", code, str(size), str(reps), master],
         capture_output=True, text=True, timeout=7200)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -148,8 +149,42 @@ def run_leg(size: int, reps: int) -> dict:
         f"stderr:{proc.stderr[-2000:]}")
 
 
+def two_level(size: int, n_low: int, n_high: int) -> None:
+    """North-rule N vs 4N evidence at ABSOLUTE scale: the same 10M-page
+    flagship job at local[n_low] and local[n_high], same corpus, fresh
+    JVM per level. Throughput at both + raw scaling efficiency
+    tp_high / (factor · tp_low)."""
+    low = run_leg(size, reps=1, master=f"local[{n_low}]")
+    print(json.dumps({f"local[{n_low}]": low}), flush=True)
+    high = run_leg(size, reps=1, master=f"local[{n_high}]")
+    factor = n_high / n_low
+    report = {
+        "workload": f"resolve_documents shingle_k=13, {size} pages, "
+                    f"local[{n_low}] vs local[{n_high}]",
+        "legs": {f"local[{n_low}]": low, f"local[{n_high}]": high},
+        "pages_per_sec": {f"local[{n_low}]": low["pages_per_sec"],
+                          f"local[{n_high}]": high["pages_per_sec"]},
+        "raw_scaling_efficiency": round(
+            high["pages_per_sec"] / (factor * low["pages_per_sec"]), 3),
+        "work_inflation": round(
+            high["executor_ms_per_page"] / low["executor_ms_per_page"], 3),
+        "load_1m": round(os.getloadavg()[0], 2),
+    }
+    report["engine_side_efficiency"] = round(
+        report["raw_scaling_efficiency"] * report["work_inflation"], 3)
+    print("FINAL " + json.dumps(report))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--two-level" in sys.argv:
+        size = int(args[0]) if args else 10_000_000
+        n_low = int(args[1]) if len(args) > 1 else 8
+        n_high = int(args[2]) if len(args) > 2 else 32
+        two_level(size, n_low, n_high)
+        if "--keep-corpus" not in sys.argv:
+            shutil.rmtree(f"/dev/shm/scale_abs_{size}", ignore_errors=True)
+        return
     n_small = int(args[0]) if args else 300_000
     n_big = int(args[1]) if len(args) > 1 else 10_000_000
     legs = {}
