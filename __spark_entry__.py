@@ -1788,31 +1788,31 @@ _MEDIA_GOLDEN = [
     (2, 7.103656880308185),
     (3, 1.5080810403804197),
     (4, 28.037594402484086),
-    (5, 4.669961039468499),
+    (5, 1.0710931761418618),
     (6, 1.3697931506229153),
     (7, 18.825898077387162),
     (8, 4.596623000681678),
     (9, 1.3314799251236942),
     (10, 7.139811888286931),
-    (11, 6.440215125141173),
+    (11, 1.5062199399507519),
     (12, 1.2134995477094872),
     (13, 51.70355255020172),
     (14, 4.024882664908705),
     (15, 1.451499223345538),
     (16, 3.9203120694610134),
-    (17, 2.8984420175465235),
+    (17, 1.1100278220799726),
     (18, 1.6387550335381975),
     (19, 18.720921211143143),
     (20, 6.290915093219452),
     (21, 1.6237192970227772),
     (22, 4.0080897452911755),
-    (23, 5.822763250685219),
+    (23, 1.5152665411429889),
     (24, 1.6322837258783054),
     (25, 51.62861869589003),
     (26, 5.7618010746943655),
     (27, 1.6239200315096498),
     (28, 66.92615833176592),
-    (29, 3.9703007971147395),
+    (29, 1.1538128507729148),
 ]
 
 

@@ -1087,8 +1087,10 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
     external library.
     Audio rows carry REAL WAV PCM payloads (deterministic two-tone sine
     mixes cycling sample rate 8k/11k/16k/22k, bit depth 8/16/32, and
-    mono/stereo) matching their duration_ms; video rows stay opaque blobs
-    for the stub/fake path (mp4 genuinely needs a codec library)."""
+    mono/stereo) matching their duration_ms; video rows alternate between
+    REAL MJPEG streams (2-4 concatenated JPEG frames — the real frame-
+    sampling/first-frame-features path) and opaque ISO-BMFF blobs for the
+    stub/fake path (mp4 genuinely needs a codec library)."""
     import random
     rng = random.Random(seed)
     kinds = ["image", "audio", "video"]
@@ -1126,12 +1128,30 @@ def gen_media(n: int = 20, seed: int = 42) -> list[dict]:
             sig = np.stack([wave * (0.9 ** c) for c in range(ach)], axis=1)
             payload = encode_wav(sig, arate, bits=(8, 16, 32)[(i // 3) % 3])
             mime = "audio/wav"
+        elif (i // 3) % 2 == 1:
+            # REAL MJPEG stream (round 5): 2-4 concatenated JPEG frames of
+            # deterministic gradients — the real video path end-to-end
+            # (split → per-tick frame sampling → first-frame features)
+            n_frames = 2 + (i % 3)
+            y, x = np.mgrid[0:height, 0:width]
+            frames = []
+            for fidx in range(n_frames):
+                img = np.stack(
+                    [(x * 2 + i + 11 * fidx) % 256,
+                     (y * 3 + 5 * fidx) % 256,
+                     (x + y + i * fidx) % 256], axis=-1).astype(np.uint8)
+                from .jpeg import encode_jpeg
+                frames.append(encode_jpeg(img, quality=90))
+            payload = b"".join(frames)
+            mime = "video/x-motion-jpeg"
         else:
             # real ISO-BMFF container (parsable moov/mvhd metadata); the
             # mdat bytes stay an opaque deterministic blob — no codec here
+            # brand cycles on (i // 6) so BOTH brands stay covered now that
+            # odd (i // 3) video slots carry MJPEG instead of mp4
             payload = encode_mp4_stub(
                 duration_ms, timescale=(600, 1000, 90000)[(i // 3) % 3],
-                n_tracks=1 + (i % 2), brand=(b"isom", b"mp42")[(i // 3) % 2],
+                n_tracks=1 + (i % 2), brand=(b"isom", b"mp42")[(i // 6) % 2],
                 mdat=hashlib.md5(f"media:{seed}:{i}".encode()).digest() * 4)
             mime = "video/mp4"
         rows.append({

@@ -1189,7 +1189,7 @@ def test_video_meta_df_real_and_null_paths(spark):
     rows = {r["media_id"]: r for r in media.collect()}
     assert len(got) == 18
     for mid, r in got.items():
-        if rows[mid]["kind"] == "video":
+        if rows[mid]["mime"] == "video/mp4":
             m = parse_mp4_meta(bytes(rows[mid]["payload"]))
             assert (r["brand"], r["duration_ms"], r["timescale"],
                     r["n_tracks"]) == (m["brand"], m["duration_ms"],
@@ -1197,6 +1197,8 @@ def test_video_meta_df_real_and_null_paths(spark):
             # container duration agrees with the metadata column
             assert r["duration_ms"] == rows[mid]["duration_ms"]
         else:
+            # non-ISO-BMFF rows (images, audio, MJPEG video) have no
+            # container metadata -> NULLs, never a crash
             assert r["brand"] is None and r["duration_ms"] is None
 
     # corrupt payload typed kind='video' raises; untyped falls to NULLs
