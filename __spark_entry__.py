@@ -1783,35 +1783,35 @@ SELECT * FROM (VALUES
 # their values pin the REAL stdlib WAV decode → audio_features; the video
 # rows pin the deterministic fake path mp4 uses (no codec lib here)
 _MEDIA_GOLDEN = [
-    (0, 0.8511317247764097),
-    (1, 6.780757480885042),
-    (2, 7.103656880308185),
-    (3, 1.5080810403804197),
-    (4, 28.037594402484086),
+    (0, 0.8511317307597477),
+    (1, 6.780757550163196),
+    (2, 7.1036569782392345),
+    (3, 1.5080810435479841),
+    (4, 28.03759442980694),
     (5, 1.0710931761418618),
-    (6, 1.3697931506229153),
-    (7, 18.825898077387162),
-    (8, 4.596623000681678),
-    (9, 1.3314799251236942),
-    (10, 7.139811888286931),
+    (6, 1.3697931714845453),
+    (7, 18.825898000664196),
+    (8, 6.381977756787732),
+    (9, 1.3314799422892536),
+    (10, 7.13981180620845),
     (11, 1.5062199399507519),
-    (12, 1.2134995477094872),
-    (13, 51.70355255020172),
-    (14, 4.024882664908705),
-    (15, 1.451499223345538),
-    (16, 3.9203120694610134),
+    (12, 1.2134995397841586),
+    (13, 51.70355253765988),
+    (14, 4.024882653436835),
+    (15, 1.451499237995554),
+    (16, 3.9203120602760593),
     (17, 1.1100278220799726),
-    (18, 1.6387550335381975),
-    (19, 18.720921211143143),
-    (20, 6.290915093219452),
-    (21, 1.6237192970227772),
-    (22, 4.0080897452911755),
+    (18, 1.6387550497757812),
+    (19, 18.720921118667004),
+    (20, 5.532433760984077),
+    (21, 1.6237193291994778),
+    (22, 4.008089708311715),
     (23, 1.5152665411429889),
-    (24, 1.6322837258783054),
-    (25, 51.62861869589003),
-    (26, 5.7618010746943655),
-    (27, 1.6239200315096498),
-    (28, 66.92615833176592),
+    (24, 1.6322837529634038),
+    (25, 51.62861870281125),
+    (26, 5.761800968677329),
+    (27, 1.6239200480136669),
+    (28, 66.92615838709597),
     (29, 1.1538128507729148),
 ]
 
@@ -1826,31 +1826,31 @@ _MEDIA_RESIZE_GOLDEN = [
     (2, 'cb7a0179ea1620c95ee6fedd93d0d57b'),
     (3, 'e6fe61ceffe946ee6341fe260f66a4ea'),
     (4, '9e20cb4eeff758de3c96b02e9bb2ff42'),
-    (5, 'a864ef45e3dea3062c6697867041e10c'),
+    (5, 'debdbe0325ee1dc3d3abaf2a72eff97a'),
     (6, '572e597c1eddbb327af2cd4cccafbf4b'),
     (7, 'd8155ee28a17326efb25295076b39a73'),
-    (8, '965e128eebb947e55ab3a3a881ef7abf'),
+    (8, 'a710f7cf90f31dadff70c4c35f3a36bf'),
     (9, '5f5434275ea11138ae2680dfc62d517d'),
     (10, '6c71864e834986a4b50c72cce9fd6706'),
-    (11, 'fccb6abf7f5e792aed3401866bcaaf3d'),
+    (11, '987bba1676f54c7291b7ea7e2b363ace'),
     (12, 'f6741f5845a51183d8f6d4d79411618c'),
     (13, 'bc40ed9d2514f2d10e984ec61cbd879b'),
     (14, '374928becce975ea18a1e8078bc7a075'),
     (15, 'ee74f83cc882be0f9eb761d4887454cd'),
     (16, '53d1412be7a2aacaeb1cbc707ef347d7'),
-    (17, '16499536fe475255850c97159879744c'),
+    (17, 'cc28fba6b0993d5d71a72a48c4437f22'),
     (18, 'eb4b4520ad86c4b1d5c675a9bc4d639d'),
     (19, '2d4464ab6f1d1dc346859fe42afe61bd'),
-    (20, 'ac050955f5a47fbeaa916289ee2f4af8'),
+    (20, '82c6701a657c90d32604dfd89c4591e0'),
     (21, '7caec505fbbb668bcc1c9c6414472d5e'),
     (22, 'd3d2da1801212cb6fe24933c91fa8efc'),
-    (23, '5ae4de5145dc17a1be347fa303623a6b'),
+    (23, 'bb4f19562857b89de83d6431a34b642f'),
     (24, '1b94fc91226a22d7cf879dac3eaec82c'),
     (25, '7cede250841b820ee004d8e89c11838f'),
     (26, '56883d6fea3a4cb3631ec8b7ef453a3e'),
     (27, '00511c9758c02c54375fa7a71f9938f4'),
     (28, 'cff9af7677816415d093e6332dde1d91'),
-    (29, 'adadbb19bbdf12775fca849fb733b7be'),
+    (29, '416adba2600e5c247d4844411a5e6657'),
 ]
 
 
@@ -1865,31 +1865,31 @@ _MEDIA_AUDIO_GOLDEN = [
     (2, 'baaea27ad0c17ac008e7be7d8f64c6c1'),
     (3, '6fe818ae5d90f82d1d14d3a3b0c661c3'),
     (4, '1a63488f130e529c090115e53e96ad76'),
-    (5, '969eb4445317e1292cd54d5ecb707ce1'),
+    (5, 'd3d498141ab57232b12954a96f34b391'),
     (6, 'ac09c30c24cb3790e14b8d873dec37e1'),
     (7, '65f566bd19d099d4fb1fd97ac3679c54'),
-    (8, '5b02cd197d793bc8062dc29c218b826d'),
+    (8, '016c796a34cb1a401b3b8023784f4128'),
     (9, '4b2066253360b1f03aba1714a04e4f69'),
     (10, '13def555f8134d2136c2c9af9f79d6d3'),
-    (11, '667e364f5399df7c3d8250ee0719569e'),
+    (11, 'a5fc67ea936a165a01e30d8ae0699e78'),
     (12, '77ed94c39d44ec9e3429d2d20c9d0c5f'),
     (13, 'e79f12122f83e11842e81ffc889a979c'),
     (14, 'e5ece585e420e7433f05b87017563999'),
     (15, '67907d0a9fd58d2aa61519109cb7925d'),
     (16, 'ba6081799bc6a87d2d08ccb6b2dd62f5'),
-    (17, 'f92509173f5caeac07f5d83f30ff80ff'),
+    (17, '6957db70a829b9bf5cd9d731c2a4d547'),
     (18, 'e2ca0e08c682f5a8d8aa41382a590835'),
     (19, '5e14f1a8604ccc322c3e1c1fb3a3a98c'),
-    (20, '41f77bb8e3bc0fa7d14c5a6b8132fcb6'),
+    (20, '88b99187269a398858a61a4a29dda87a'),
     (21, '62b03a9d84beef8604e8f87443c25c4a'),
     (22, '41c156262f3dda9209407ef8b8c9e426'),
-    (23, '65b37a7b1064b3804854a5c0b697f03f'),
+    (23, '1f5baf951317876a9ff633f369b30832'),
     (24, 'f09213e7ed56c9fea3950491e6739ae2'),
     (25, 'ea0d4c904ac722f75c4d4606a960fed1'),
     (26, 'b0b036fc034e1c10f26b61d91eb5b893'),
     (27, '8d4dbf81f6d468c409579bd257d3c206'),
     (28, '11e5b15dd46d2c3001bc1fcbbd7a2ff3'),
-    (29, 'ac806e5fd9628d01222ce121922c145f'),
+    (29, 'f26691cb6c3e8ab4406321422da5a202'),
 ]
 
 
@@ -1903,31 +1903,31 @@ _MEDIA_VIDEO_GOLDEN = [
     (2, 'isom', 1000, 600, 1),
     (3, None, None, None, None),
     (4, None, None, None, None),
-    (5, 'mp42', 4000, 1000, 2),
+    (5, None, None, None, None),
     (6, None, None, None, None),
     (7, None, None, None, None),
-    (8, 'isom', 3000, 90000, 1),
+    (8, 'mp42', 3000, 90000, 1),
     (9, None, None, None, None),
     (10, None, None, None, None),
-    (11, 'mp42', 2000, 600, 2),
+    (11, None, None, None, None),
     (12, None, None, None, None),
     (13, None, None, None, None),
     (14, 'isom', 1000, 1000, 1),
     (15, None, None, None, None),
     (16, None, None, None, None),
-    (17, 'mp42', 2000, 90000, 2),
+    (17, None, None, None, None),
     (18, None, None, None, None),
     (19, None, None, None, None),
-    (20, 'isom', 4000, 600, 1),
+    (20, 'mp42', 4000, 600, 1),
     (21, None, None, None, None),
     (22, None, None, None, None),
-    (23, 'mp42', 4000, 1000, 2),
+    (23, None, None, None, None),
     (24, None, None, None, None),
     (25, None, None, None, None),
     (26, 'isom', 4000, 90000, 1),
     (27, None, None, None, None),
     (28, None, None, None, None),
-    (29, 'mp42', 5000, 600, 2),
+    (29, None, None, None, None),
 ]
 
 
