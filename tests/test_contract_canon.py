@@ -81,3 +81,40 @@ def test_no_hugeint_or_complex_in_any_oracle():
         if hz:
             offenders[name] = hz
     assert not offenders, f"driver-hash-unsafe oracle columns: {offenders}"
+
+
+def test_driver_replica_arrow_canonicalization(spark):
+    """Replicates the DRIVER's canonicalization exactly — DuckDB fetched
+    via Arrow (hugeint→decimal128 would surface here), pandas sort on all
+    columns (list cells would crash here), stringified row hash — for the
+    queries in the round-4 red classes and their round-5 fixes. This is
+    the layer tools/verify_oracle.py's fetchall compare approximates; the
+    round-4 driver reds passed the local gate and failed the driver."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    def canon(df: pd.DataFrame) -> str:
+        df = df.reindex(sorted(df.columns), axis=1)
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        h = hashlib.sha256()
+        for row in df.itertuples(index=False):
+            h.update(repr(tuple(str(v) for v in row)).encode())
+        return h.hexdigest()[:16]
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    targets = ["entity_timeline", "anchor_aliases", "er_pair_provenance",
+               "hashed_embeddings", "group_collect_titles",
+               "er_f1_jackknife", "gopher_quality", "dedup_exact"]
+    for name in targets:
+        sdf = qs[name](spark, SF_DIR).toPandas()
+        ddf = con.execute(oracles[name]).fetch_arrow_table().to_pandas()
+        assert canon(sdf) == canon(ddf), name
