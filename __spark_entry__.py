@@ -1966,6 +1966,63 @@ def _q_media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_FRAMES_GOLDEN = [
+    (2, 0, 0, '75e5ac4cd229f0677eda712ca4d3aa1d'),
+    (5, 0, 0, '14397601a43077129dc1bef6c0f11e21'),
+    (5, 1, 1000, 'db3da933651fa15c1e0a095eb5c94983'),
+    (5, 2, 2000, 'a84b08cb45dca7ee62f432d6afc0c29a'),
+    (5, 3, 3000, '991b794f849195bf5bfd1da6b17f2a4f'),
+    (8, 0, 0, 'a85cb82629b5b2102c976da31ae56e82'),
+    (8, 1, 1000, '84e9a55cf6b12e24a5f47f875ad1d405'),
+    (8, 2, 2000, '876c8a8a486f89f59566526842161634'),
+    (11, 0, 0, '01ab1428527bcbf4589ae0e4d4e31cb0'),
+    (11, 1, 1000, 'c6d24ee3f790d9faf788338d048a790c'),
+    (14, 0, 0, 'cbc8e93149dd8883ca30ce29a7090f18'),
+    (17, 0, 0, '1426606405f2745ef2d7120093f67be6'),
+    (17, 1, 1000, '0706eedc9de1c7f69b7580a4e86dac3f'),
+    (20, 0, 0, '4ff66a12c01fbcf8cd18588936e478a7'),
+    (20, 1, 1000, 'bc5529a4383d4156db99ae9349b31a49'),
+    (20, 2, 2000, '4c42bdc0c4eeafdd5613e246d8d73f13'),
+    (20, 3, 3000, '5b960fbd4e5ff8aa6af41b5c00d26f5d'),
+    (23, 0, 0, 'dc0961fc204d8fa916d21a4e87675a93'),
+    (23, 1, 1000, 'b5e8b7c383e2c1038a1d5a2defdd0ce7'),
+    (23, 2, 2000, '9a43cac77bb7f2eff1bccc17426bc404'),
+    (23, 3, 3000, 'a6d2570d40251c576da8f1e37ae01a5b'),
+    (26, 0, 0, '7762abbb0b77311eb14fb759059383b8'),
+    (26, 1, 1000, '0c4ca62acd8c567ddfef6aa7e87aec48'),
+    (26, 2, 2000, 'e7f9eace6a06dca05c830f4a40f35065'),
+    (26, 3, 3000, '2806bb43c04590b4b455cd18aefbfe87'),
+    (29, 0, 0, '024340ac3aedf746aec893dd53e6549f'),
+    (29, 1, 1000, '024340ac3aedf746aec893dd53e6549f'),
+    (29, 2, 2000, '457267594201076640e5468756848b24'),
+    (29, 3, 3000, '590d6bc69d4ddfc3df0a5352ad46be9f'),
+    (29, 4, 4000, '5a6e2d34613c9d62e764bbfb754e9fa2'),
+]
+
+
+def _sql_media_frames() -> str:
+    vals = ", ".join(f"({i}, {fi}, {ts}, '{h}')"
+                     for i, fi, ts, h in _MEDIA_FRAMES_GOLDEN)
+    return ("SELECT media_id::bigint AS media_id, frame_idx::int AS"
+            " frame_idx, ts_ms::int AS ts_ms, h AS frame_md5"
+            " FROM (VALUES " + vals
+            + ") AS t(media_id, frame_idx, ts_ms, h)")
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tick video frame sampling under the gate: MJPEG rows emit
+    their REAL per-tick JPEG frame bytes (split_mjpeg_frames walks the
+    actual segment structure; ticks map to uniformly-spaced source
+    frames), mp4 rows the deterministic fake frame. Golden-pinned like
+    the other media decodes (DuckDB cannot decode JPEG)."""
+    from spikex_spark.multimodal import (MEDIA_SCHEMA, gen_media,
+                                         sample_frames)
+    media = spark.createDataFrame(gen_media(30), schema=MEDIA_SCHEMA)
+    return sample_frames(media.where("kind = 'video'"), every_ms=1000) \
+        .select("media_id", "frame_idx", "ts_ms",
+                F.md5("frame").alias("frame_md5"))
+
+
 def _sql_media_resize() -> str:
     vals = ", ".join(f"({i}, '{h}')" for i, h in _MEDIA_RESIZE_GOLDEN)
     return ("SELECT media_id, h AS resized_md5 FROM (VALUES " + vals
@@ -11083,6 +11140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_audio_resample": _q_media_audio_resample,
         "media_video_meta": _q_media_video_meta,
+        "media_frame_sampling": _q_media_frames,
         "embedding_mean_per_label": _q_embedding_mean,
         "ball_clusters": _q_ball_clusters,
         "labelings": _q_labelings,
@@ -11344,6 +11402,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_landing": _sql_warc_landing(),
         "media_audio_resample": _sql_media_audio_resample(),
         "media_video_meta": _sql_media_video_meta(),
+        "media_frame_sampling": _sql_media_frames(),
         "media_resize": _sql_media_resize(),
         "stream_windowed_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
