@@ -12,7 +12,7 @@ break that layer even when the VALUES are identical to the oracle's:
    from Spark's int64 even though ``fetchall`` collapses both to
    Python int (round-4 driver red: ``entity_timeline``).
 
-These tests pin the whole 227-query surface against both classes so a
+These tests pin the whole query surface (228 entries at round 5) against both classes so a
 driver sample can never find another instance.
 """
 
