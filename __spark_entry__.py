@@ -2406,7 +2406,7 @@ def _q_er_doc_clusters_incremental(spark: SparkSession,
     new = docs.where(F.col("doc_id") % 5 == 0)
     key = ("docs_inc", sf_dir)
     if key not in _ER_BLOCKS_LEDGER:   # setdefault would mkdtemp every call
-        _ER_BLOCKS_LEDGER[key] = tempfile.mkdtemp(prefix="docs_inc_ledger_")
+        _ER_BLOCKS_LEDGER[key] = tempfile.mkdtemp(prefix="docs_inc_ledger_", **_ledger_scratch())
     led = _ER_BLOCKS_LEDGER[key]
     resolve_documents_resumable(spark, old, f"{led}/old", fingerprint=sf_dir)
     return resolve_documents_incremental(spark, new, old, f"{led}/old",
@@ -6782,7 +6782,7 @@ def _q_ann_ivf_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = first_nlist_units(old, 8)
     key = ("ivf_inc", sf_dir)
     if key not in _ER_BLOCKS_LEDGER:   # setdefault would mkdtemp every call
-        _ER_BLOCKS_LEDGER[key] = tempfile.mkdtemp(prefix="ivf_inc_ledger_")
+        _ER_BLOCKS_LEDGER[key] = tempfile.mkdtemp(prefix="ivf_inc_ledger_", **_ledger_scratch())
     led = _ER_BLOCKS_LEDGER[key]
     ivf_assign_resumable(spark, old, units, f"{led}/old", fingerprint=sf_dir)
     assign = ivf_assign_incremental(spark, new, units, f"{led}/old",
@@ -7580,19 +7580,27 @@ def _q_ball_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 blocking join (n-gram explode ⋈ title keys + longest-match window)
-    over documents with the synth title dictionary."""
-    from spikex_spark.extract import extract_native
+    """J5 mention detection over documents with the synth title dictionary.
+
+    Strategy pick (guide §3.1 — choose the join deliberately): the
+    dictionary is a 45-title python list, far under
+    ``ERConfig.broadcast_keys_max``, so this runs the FUSED broadcast scan
+    (extract folded into one Arrow pass) exactly like ``_er_pages_blocks``
+    and ``_q_mentions_nested`` — output row-identical to the n-gram
+    explode ⋈ keys join path (pinned by
+    test_mentions_broadcast_raw_ws_fusion and the unchanged SQL oracle;
+    the join path itself stays exercised by the er_pages/mention oracle
+    family and the blocking pytest suite). Measured 6.8s → ~1s at sf1.0:
+    the join path exploded ~10M n-gram rows into a shuffle join plus a
+    longest-match window, all for a 45-entry dictionary.
+    """
     from spikex_spark.operators import blocking as B
     from spikex_spark.synth import gen_titles
-    docs = extract_native(_read(spark, sf_dir, "documents"), "text", "extracted")
-    titles = spark.createDataFrame(gen_titles())
-    extra = spark.createDataFrame(
-        [(k, k, "clean") for k in _EXTRA_MENTION_KEYS],
-        ["key", "title", "channel"],
-    )
-    keys = B.title_keys(titles).unionByName(extra)
-    return B.mentions(docs, keys, id_col="doc_id", text_col="extracted").select(
+    docs = _read(spark, sf_dir, "documents")
+    key_rows = B.title_keys_local([t["title"] for t in gen_titles()])
+    keys = sorted({k for _t, k, _c in key_rows} | set(_EXTRA_MENTION_KEYS))
+    return B.mentions_broadcast(docs, keys, id_col="doc_id", text_col="text",
+                                raw_ws=True).select(
         F.col("id").alias("doc_id"), "start", "n", "surface", "key"
     )
 
@@ -7668,6 +7676,23 @@ def _q_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ER_BLOCKS_LEDGER: dict = {}
 
 
+def _ledger_scratch() -> dict:
+    """kwargs for ``tempfile.mkdtemp`` pointing per-process ledgers at the
+    same fast scratch ``spark.local.dir`` uses (this sandbox's /tmp is the
+    slow bursty block device — the bucketed stage WRITE sat inside the
+    timed er_pages_blocks line; see pipeline._ephemeral_ledger_runner for
+    the identical local-mode reasoning). These dirs are per-process
+    (never resumed across runs), so tmpfs lifetime is exactly right."""
+    import os
+    scratch = os.environ.get(
+        "SPARK_LOCAL_DIRS", "/dev/shm/spark-local").split(",")[0]
+    try:
+        os.makedirs(scratch, exist_ok=True)
+        return {"dir": scratch}
+    except OSError:
+        return {}
+
+
 def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CAPPED blocks (min surface per doc+clean key, first
     ``_ER_PAGES_BLOCK_CAP`` ids per key) — the shared front half of the
@@ -7740,11 +7765,17 @@ def _er_pages_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT setdefault(mkdtemp()): Python evaluates the default eagerly, so
     # every repeat call would leak one orphaned temp dir
     if sf_dir not in _ER_BLOCKS_LEDGER:
-        _ER_BLOCKS_LEDGER[sf_dir] = tempfile.mkdtemp(prefix="er_pages_ledger_")
+        _ER_BLOCKS_LEDGER[sf_dir] = tempfile.mkdtemp(prefix="er_pages_ledger_", **_ledger_scratch())
     ledger = _ER_BLOCKS_LEDGER[sf_dir]
+    # lineage_counters=False: this ledger is per-process EPHEMERAL (mkdtemp,
+    # never resumed or audited), so the per-partition counter job — a full
+    # re-read + groupBy of the stage right after writing it — is pure serial
+    # overhead on the timed path; durable resumable ledgers
+    # (lineage.resolve_*_resumable) keep their counters on.
     return run_stage(spark, ledger, "20_blocks", build,
                      input_fingerprint=sf_dir, bucket_by=["block_key"],
-                     num_buckets=32, sort_by=["block_key", "surface", "id"])
+                     num_buckets=32, sort_by=["block_key", "surface", "id"],
+                     lineage_counters=False)
 
 
 def _er_pages_surface_scores(blocks_pairs_surfaces: DataFrame) -> DataFrame:

@@ -68,8 +68,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — 60-bit simhash over the distinct token set.
 
     bit b of simhash = 1 iff sum over tokens of (token_hash bit b ? +1 : -1)
-    > 0. Implemented as explode(tokens) × explode(bits) → groupBy — pure
-    Catalyst, portable to the DuckDB oracle bit-for-bit.
+    > 0. Implemented as explode(tokens) → ONE groupBy with 60 per-bit sum
+    aggregates — pure Catalyst (whole-stage codegen, map-side partial agg:
+    the shuffle carries one 60-column row per doc). Values are identical to
+    the earlier explode(tokens)×explode(bits) double-groupBy form, which
+    materialized |tokens|·60 rows (~135M at sf1.0) and paid a second
+    (id, bit) exchange; measured ~0.95s → ~0.77s warm for the signature
+    stage at sf1.0 — a modest win; the near-dup operator's cost lives in
+    its band join (see simhash_near_dups).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -83,22 +89,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("token"),
     )
     hashed = toks.select("id", _md5_60(F.col("token")).alias("h"))
-    bits = hashed.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(_HASH_BITS - 1))).alias("bit"),
-        "h",
-    ).select(
-        "id", "bit",
-        # shiftright() needs a literal in the Python API; SQL form takes a col
-        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
-    )
-    votes = bits.groupBy("id", "bit").agg(F.sum("v").alias("s"))
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+    votes = hashed.groupBy("id").agg(*[
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"s{b}")
+        for b in range(_HASH_BITS)
+    ])
+    bitsum = None
+    for b in range(_HASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+        bitsum = term if bitsum is None else bitsum + term
+    return votes.select("id", bitsum.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
@@ -128,18 +129,21 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                          F.col("simhash").alias("sh_a"))
     right = banded.select("band", "bval", F.col("id").alias("id_b"),
                           F.col("simhash").alias("sh_b"))
-    cands = (
+    # hamming filter BEFORE the distinct: filter commutes with distinct
+    # (hamming is a function of the pair), and applying it inside the
+    # band-join stage drops non-dup pairs map-side — the distinct then
+    # dedups only survivors, carried as 3 narrow columns instead of the
+    # two 8-byte signatures (measured: 294M pre-distinct band-join rows at
+    # sf1.0; the distinct is the dominant cost of this operator).
+    return (
         left.join(right, ["band", "bval"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    return (
-        cands.withColumn(
+        .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -339,8 +343,25 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
     ``bucket_cap`` bounds per-bucket membership (first ``cap`` ids) — a
     million-clone boilerplate page otherwise turns its bucket into a
-    quadratic pair bomb; deterministic and mirrored in the oracle."""
-    sh = B.shingle_df(df, id_col, text_col, k=k)
+    quadratic pair bomb; deterministic and mirrored in the oracle.
+
+    Verification shape: the shingle SET stays an ARRAY per doc and each
+    candidate pair is verified with one ``array_intersect`` — two joins of
+    |pairs| rows each. The previous per-shingle form (cands ⋈ exploded
+    shingles ⋈ exploded shingles → groupBy pair) materialized
+    |pairs|·|shingles/doc| intermediate rows: measured 1.96M candidate
+    pairs × ~295 shingles ≈ 580M rows through two joins and a giant
+    aggregate at sf1.0 — the whole query was 57s, ~50 of them here.
+    Shingles are packed to int64 when they fit 7 bytes (the normalized
+    alphabet is [a-z0-9 ], one byte per char, so hex() is an INJECTIVE
+    encoding and intersection counts are provably unchanged); longer
+    shingles intersect as strings.
+    """
+    # one materialization feeds BOTH the signature chain (exploded) and the
+    # per-pair verification arrays
+    arr = B.shingle_arrays(df, id_col, text_col, k=k).localCheckpoint(
+        eager=False)
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = B.minhash_signatures(sh, num_hashes=num_hashes)
     buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
     buckets = B.cap_blocks(buckets, key_col=["band", "bucket"], id_col="id",
@@ -354,19 +375,38 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         .select("id_a", "id_b")
         .distinct()
     )
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sh = sh.localCheckpoint(eager=False)
+    set_col = (
+        F.transform("shingles",
+                    lambda s: F.conv(F.hex(s), 16, 10).cast("long"))
+        if k <= 7 else F.col("shingles")
+    )
+    packed = arr.select("id", set_col.alias("sh_set"),
+                        F.size("shingles").alias("n_sh"))
+    # SHUFFLE_HASH on the array side: sort-merge would SORT the pair stream
+    # with 2.4KB arrays attached (measured ~2× this stage at sf1.0); the
+    # per-partition hash build is the doc-array slice (bounded, skew-free —
+    # ids are unique), never the pair stream. A broadcast measured ~1s
+    # faster at sf1.0 (120MB relation) but broadcasting per-doc payload
+    # arrays is the scale-unsafe shape — the corpus side must stay
+    # partitionable.
     inter = (
-        cands.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "shingle": "shingle_b"}), "id_b")
-        .where(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        cands.join(packed.select(F.col("id").alias("id_a"),
+                                 F.col("sh_set").alias("set_a"),
+                                 F.col("n_sh").alias("na"))
+                   .hint("shuffle_hash"), "id_a")
+        .join(packed.select(F.col("id").alias("id_b"),
+                            F.col("sh_set").alias("set_b"),
+                            F.col("n_sh").alias("nb"))
+              .hint("shuffle_hash"), "id_b")
+        .select("id_a", "id_b",
+                F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+                "na", "nb")
+        # the exploded form only produced pairs with ≥1 common shingle;
+        # keep that contract so min_jaccard=0.0 behaves identically
+        .where(F.col("inter") > 0)
     )
     return (
-        inter.join(counts.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
-        .join(counts.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter").cast("double")

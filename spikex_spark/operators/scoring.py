@@ -36,11 +36,38 @@ from ..textutils import jaro_winkler as _jw_py
 _NON_ALNUM = "[^a-z0-9]+"
 
 
-# NB: return type is a DataType object, not a DDL string — string parsing at
-# import time would require an active SparkSession.
-@pandas_udf(T.DoubleType())
-def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler (DuckDB-exact, see textutils.jaro_winkler)."""
+# per-worker embedded DuckDB connection for vectorized JW (guide: hand whole
+# Arrow batches to a native vectorized library instead of looping rows in
+# Python). Module-global so a reused python worker pays connect() once.
+_JW_DUCK_CON = None
+
+
+def _jw_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """One Arrow batch of Jaro-Winkler scores.
+
+    Fast path: DuckDB's native ``jaro_winkler_similarity`` over the whole
+    batch — the Python implementation (textutils.jaro_winkler) was
+    calibrated byte-exactly against it, so swapping the evaluator changes
+    nothing but speed (measured 150× on 10k×60-char batches; equality
+    re-verified on 20k adversarial pairs incl. NULL/empty/prefix cases by
+    test_scoring.py). NULL in → NULL out on both paths.
+    ``preserve_insertion_order`` (DuckDB default, set explicitly) pins the
+    projection to input row order. Falls back to the pure-Python loop if
+    duckdb is unavailable on the worker.
+    """
+    global _JW_DUCK_CON
+    if _JW_DUCK_CON is None:
+        try:
+            import duckdb
+
+            _JW_DUCK_CON = duckdb.connect()
+            _JW_DUCK_CON.execute("SET preserve_insertion_order=true")
+        except Exception:
+            _JW_DUCK_CON = False
+    if _JW_DUCK_CON is not False:
+        batch = pd.DataFrame({"a": a, "b": b})
+        return _JW_DUCK_CON.execute(
+            "SELECT jaro_winkler_similarity(a, b) AS s FROM batch").df()["s"]
     return pd.Series(
         [
             _jw_py(x, y) if x is not None and y is not None else None
@@ -48,6 +75,14 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         ],
         dtype="float64",
     )
+
+
+# NB: return type is a DataType object, not a DDL string — string parsing at
+# import time would require an active SparkSession.
+@pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler (DuckDB-exact, see textutils.jaro_winkler)."""
+    return _jw_batch(a, b)
 
 
 def jw_fast(na: Column, nb: Column) -> Column:

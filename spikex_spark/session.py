@@ -48,6 +48,13 @@ def get_spark(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS",
                        2 * ncores if ncores else DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # the JVM never creates java.io.tmpdir itself — make the default
+    # scratch path exist before launch (harmless if an env override
+    # points elsewhere)
+    try:
+        os.makedirs("/dev/shm/spark-local/jvmtmp", exist_ok=True)
+    except OSError:
+        pass
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -86,7 +93,17 @@ def get_spark(
         # stage); let the JIT compile huge generated methods
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:-DontCompileHugeMethods"),
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                # java.io.tmpdir on the fast scratch: TEMPORARY streaming
+                # checkpoints (offsets/commits/state, fsync'd per
+                # micro-batch) and other JVM scratch files otherwise land
+                # on this sandbox's slow bursty /tmp block device — on a
+                # real cluster this is the same fast local scratch as
+                # spark.local.dir. Durable checkpoints pass an explicit
+                # checkpointLocation and are unaffected.
+                "-XX:-DontCompileHugeMethods "
+                "-Djava.io.tmpdir=/dev/shm/spark-local/jvmtmp"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
