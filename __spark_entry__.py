@@ -2452,10 +2452,28 @@ def _q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _read_rel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Relational-table read WITHOUT ``_read``'s round-robin fan-out.
+
+    ``_read``'s repartition exists for the text-heavy documents table: one
+    parquet split feeding a CPU-amplifying chain (shingling, md5, Arrow)
+    serializes on one core without it. The relational queries below don't
+    have that shape — their FIRST operator is itself an exchange (window /
+    groupBy key shuffle) or a broadcast probe over a scan that already
+    splits into several tasks, so the extra round-robin exchange (plus
+    the local sort every keyless repartition pays,
+    ``spark.sql.execution.sortBeforeRepartition``) is pure overhead:
+    measured at sf1.0, group_agg 1.10→0.35s, running_max 1.06→0.47s,
+    semi_join 1.35→0.59s, topk 1.27→1.10s. Values are
+    partitioning-independent either way.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def _q_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J2 (semi-join): customers that have at least one order
-    cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
+    cust = _read_rel(spark, sf_dir, "customer")
+    orders = _read_rel(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
     )
@@ -2463,8 +2481,8 @@ def _q_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J3 (anti-join dedup): customers with no orders
-    cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
+    cust = _read_rel(spark, sf_dir, "customer")
+    orders = _read_rel(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -2473,7 +2491,7 @@ def _q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O5 (top-k per key): top-3 orders by totalprice per customer
     from pyspark.sql import Window
-    orders = _read(spark, sf_dir, "orders")
+    orders = _read_rel(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -2487,7 +2505,7 @@ def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_running_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O2-style (running max over window): per user, running max of value
     from pyspark.sql import Window
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_rel(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2501,7 +2519,7 @@ def _q_running_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_group_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A2/A5-style hash agg with partial (map-side) aggregation
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_rel(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
@@ -2511,7 +2529,7 @@ def _q_group_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_group_collect_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1 (group values by key, collect sorted list) on nation/region
-    nation = _read(spark, sf_dir, "nation")
+    nation = _read_rel(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
     )

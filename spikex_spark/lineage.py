@@ -416,10 +416,12 @@ def resolve_documents_incremental(spark: SparkSession, docs_new: DataFrame,
                   sort_by=["band", "bucket", "id"])
 
     def _pairs() -> DataFrame:
-        from .pipeline import DOC_BUCKET_CAP, bucket_pair_join
-        capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
-                              id_col="id", cap=DOC_BUCKET_CAP)
-        return bucket_pair_join(capped)
+        from .pipeline import DOC_BUCKET_CAP
+        # fused cap + pair enumeration — identical rows to the former
+        # cap_blocks + bucket_pair_join (capped_pair_explode docstring),
+        # so incremental == batch holds unchanged
+        return B.capped_pair_explode(buckets, key_col=["band", "bucket"],
+                                     id_col="id", cap=DOC_BUCKET_CAP)
 
     pairs = run("20_pairs", _pairs)
 

@@ -716,6 +716,49 @@ def cap_blocks(blocks: DataFrame, key_col: str | list[str] = "block_key",
     )
 
 
+def capped_pair_explode(blocks: DataFrame,
+                        key_col: str | list[str] = "block_key",
+                        id_col: str = "id", cap: int = 1000) -> DataFrame:
+    """(id_a, id_b) distinct pairs sharing ≥1 key, first ``cap`` members
+    per key — the FUSED form of ``cap_blocks`` + key self-join.
+
+    Row-identical to::
+
+        capped = cap_blocks(blocks, key_col, id_col, cap)
+        capped.self-join on key, id_a < id_b, distinct
+
+    but one exchange cheaper and sort-free: the cap window and the
+    member-list aggregation share the same hash partitioning (no second
+    exchange), and pair enumeration happens MAP-SIDE from the per-key
+    member array instead of a self-join that re-shuffles and re-sorts the
+    member table twice. The member array is bounded at ``cap`` rows
+    (≤ ~8KB per group) because it aggregates the POST-cap members — the
+    spill-safe window takes the unbounded pre-cap groups, never
+    collect_list. Pinned row-identical by test_r06_optimizations.
+    """
+    keys = key_col if isinstance(key_col, list) else [key_col]
+    capped = cap_blocks(blocks, key_col=keys, id_col=id_col, cap=cap)
+    # collect_list order is not guaranteed even after the window sort —
+    # sort_array restores it; ids are unique per key so the sorted array
+    # IS the row_number order the cap used
+    grouped = capped.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids"))
+    ids = F.col("_ids")
+    pairs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2),
+                    F.greatest(F.size(ids) - i - F.lit(1), F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def mention_salience(mentions_df: DataFrame, doc_tokens_df: DataFrame,
                      id_col: str = "id", key_col: str = "key",
                      start_col: str = "start") -> DataFrame:

@@ -364,17 +364,11 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = B.minhash_signatures(sh, num_hashes=num_hashes)
     buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
-    buckets = B.cap_blocks(buckets, key_col=["band", "bucket"], id_col="id",
-                           cap=bucket_cap)
-    buckets = buckets.localCheckpoint(eager=False)
-    cands = (
-        buckets.select("band", "bucket", F.col("id").alias("id_a"))
-        .join(buckets.select("band", "bucket", F.col("id").alias("id_b")),
-              ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # fused cap + map-side pair enumeration — one exchange, no self-join
+    # sorts, no checkpoint barrier (buckets has a single consumer now);
+    # row-identical to cap_blocks + self-join (capped_pair_explode doc)
+    cands = B.capped_pair_explode(buckets, key_col=["band", "bucket"],
+                                  id_col="id", cap=bucket_cap)
     set_col = (
         F.transform("shingles",
                     lambda s: F.conv(F.hex(s), 16, 10).cast("long"))

@@ -363,14 +363,14 @@ def doc_candidate_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
     sh = B.shingle_df(docs, id_col, text_col, k=shingle_k)
     sig = B.minhash_signatures(sh, num_hashes=num_hashes)
     buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
-    buckets = B.cap_blocks(buckets, key_col=["band", "bucket"], id_col="id",
-                           cap=bucket_cap)
-    # materialize once: the self-join otherwise recomputes the whole
-    # shingle→minhash chain for BOTH sides (no ReusedExchange across the
-    # aliased projections; measured 2× at sf0.1). At cluster scale this is
-    # the stage-ledger checkpoint (write to parquet/Iceberg, read back).
-    buckets = buckets.localCheckpoint()
-    return bucket_pair_join(buckets)
+    # FUSED cap + pair enumeration (capped_pair_explode): one exchange on
+    # (band, bucket) shared by the cap window and the member aggregation,
+    # pairs generated map-side — row-identical to cap_blocks + the
+    # bucket_pair_join self-join, which needed a checkpoint barrier just to
+    # stop the chain recomputing for both join sides (and still paid two
+    # join-side sorts).
+    return B.capped_pair_explode(buckets, key_col=["band", "bucket"],
+                                 id_col="id", cap=bucket_cap)
 
 
 def doc_scored_pairs(docs: DataFrame, cfg: ERConfig = ERConfig(),
@@ -471,18 +471,15 @@ def resolve_documents(docs: DataFrame, cfg: ERConfig = ERConfig(),
                   sort_by=["band", "bucket", "id"])
 
     def _pairs() -> DataFrame:
-        # SAME skew guard + join as doc_candidate_pairs (one shared cap —
-        # the ledgered/incremental equivalence proofs assume identical cap
-        # semantics). The checkpoint stops the in-plan runner recomputing
-        # the bucket chain for both sides of the self-join — but ONLY the
-        # in-plan runner: under a ledgered runner buckets is a bucketed
-        # table read, and localCheckpoint would DROP its outputPartitioning
-        # (run_stage docstring), re-introducing the self-join exchanges the
-        # bucketed write exists to eliminate.
-        capped = B.cap_blocks(buckets, key_col=["band", "bucket"],
-                              id_col="id", cap=DOC_BUCKET_CAP)
-        return bucket_pair_join(
-            capped.localCheckpoint() if run is run_inplan else capped)
+        # SAME skew guard + pair semantics as doc_candidate_pairs (one
+        # shared cap — the ledgered/incremental equivalence proofs assume
+        # identical cap semantics). capped_pair_explode reads buckets
+        # ONCE, so the in-plan runner needs no checkpoint barrier against
+        # double recompute, and under a ledgered runner the bucketed
+        # (band, bucket) table read feeds the cap window + member agg with
+        # no exchange at all.
+        return B.capped_pair_explode(buckets, key_col=["band", "bucket"],
+                                     id_col="id", cap=DOC_BUCKET_CAP)
 
     pairs = run("20_pairs", _pairs)
     scores = run("30_scores",

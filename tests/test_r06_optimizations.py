@@ -248,3 +248,27 @@ def test_quality_score_values_unchanged_reference(spark):
         assert r["n_chars"] == n_chars and r["n_tokens"] == len(toks)
         assert r["punct_ratio"] == pytest.approx(round(pr, 6), abs=1e-9)
         assert r["quality"] == pytest.approx(q, abs=1e-9)
+
+
+def test_capped_pair_explode_matches_self_join(spark):
+    """The fused cap+pair enumeration equals cap_blocks + key self-join."""
+    from spikex_spark.operators.blocking import cap_blocks, capped_pair_explode
+
+    rnd = random.Random(13)
+    rows = []
+    for b in range(40):
+        for m in rnd.sample(range(500), rnd.randint(1, 15)):
+            rows.append((b % 4, f"bk{b}", m))
+    df = spark.createDataFrame(rows, ["band", "bucket", "id"])
+    got = {(r["id_a"], r["id_b"]) for r in
+           capped_pair_explode(df, ["band", "bucket"], "id", cap=6).collect()}
+    capped = cap_blocks(df, ["band", "bucket"], "id", cap=6)
+    ref = (
+        capped.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(capped.select("band", "bucket", F.col("id").alias("id_b")),
+              ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    want = {(r["id_a"], r["id_b"]) for r in ref.collect()}
+    assert got == want and len(got) > 0
