@@ -627,12 +627,29 @@ def detect_video_format(payload: bytes) -> "str | None":
     if bytes(payload[4:8]) in _MP4_TOP_BOXES:
         return "mp4"
     if bytes(payload[:3]) == b"\xff\xd8\xff":
-        try:
-            if len(split_mjpeg_frames(payload)) >= 2:
-                return "mjpeg"
-        except ValueError:
-            return None
+        if _mjpeg_frames_or_none(payload) is not None:
+            return "mjpeg"
+        return None
     return None
+
+
+def _mjpeg_frames_or_none(payload: bytes) -> "list | None":
+    """The frames of a VALID ≥2-frame MJPEG stream, else None — one walk
+    shared by detection and decoding (callers previously split the same
+    payload once to detect and again to sample, ADVICE r5). Semantics
+    identical to detect_video_format's mjpeg arm: the WHOLE stream must
+    parse (trailing garbage → not mjpeg), a single JPEG is an image."""
+    if payload is None or len(payload) < 8:
+        return None
+    if bytes(payload[4:8]) in _MP4_TOP_BOXES:
+        return None                      # detect's mp4 arm wins first
+    if bytes(payload[:3]) != b"\xff\xd8\xff":
+        return None
+    try:
+        frames = split_mjpeg_frames(payload)
+    except ValueError:
+        return None
+    return frames if len(frames) >= 2 else None
 
 
 def split_mjpeg_frames(payload: bytes) -> list:
@@ -672,12 +689,25 @@ def split_mjpeg_frames(payload: bytes) -> list:
                 raise ValueError(f"bad segment length {seglen} at {pos}")
             pos += 2 + seglen
             if marker == 0xDA:                      # SOS: skip entropy data
-                while pos + 2 <= n:
-                    if buf[pos] != 0xFF or buf[pos + 1] == 0x00 \
-                            or 0xD0 <= buf[pos + 1] <= 0xD7:
-                        pos += 1
+                # jump between 0xFF candidates with bytes.find (C speed)
+                # instead of advancing one byte at a time in Python —
+                # entropy data is ~all the payload, and the old loop paid
+                # a Python iteration per byte (ADVICE r5). Stop conditions
+                # are identical: a 0xFF followed by neither a stuffed 00
+                # nor RST0-7 is the next real marker; running off the end
+                # leaves pos ≥ n-1 so the outer truncation check raises
+                # the same ValueError.
+                while True:
+                    nxt = buf.find(b"\xff", pos)
+                    if nxt < 0 or nxt + 2 > n:
+                        pos = n
+                        break
+                    m2 = buf[nxt + 1]
+                    if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:
+                        pos = nxt + 2               # stuffed byte / RSTn
                         continue
-                    break                           # real marker (EOI/next)
+                    pos = nxt                       # real marker (EOI/next)
+                    break
     return frames
 
 
@@ -900,10 +930,10 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
             # through the real JPEG decoder (the representative-frame
             # embedding a curation pipeline uses); mp4/compressed codecs
             # stay stub-gated below
-            if detect_video_format(payload) == "mjpeg":
+            mj = _mjpeg_frames_or_none(payload)   # one walk, not detect+split
+            if mj is not None:
                 from .jpeg import decode_jpeg
-                return image_features(
-                    decode_jpeg(split_mjpeg_frames(payload)[0]))
+                return image_features(decode_jpeg(mj[0]))
         if fake:
             return _fake_features(payload)
         raise NotImplementedError(
@@ -1050,8 +1080,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 pdf[id_col], pdf["duration_ms"], pdf["payload"]
             ):
                 n = max(int((dur or 0) // every_ms), 0)
-                mj = (split_mjpeg_frames(payload)
-                      if detect_video_format(payload) == "mjpeg" else None)
+                mj = _mjpeg_frames_or_none(payload)  # one walk, see helper
                 if mj is None and not fake:
                     raise NotImplementedError(
                         "frame sampling for non-MJPEG video needs a codec")

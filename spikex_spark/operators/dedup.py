@@ -357,11 +357,33 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     encoding and intersection counts are provably unchanged); longer
     shingles intersect as strings.
     """
-    # one materialization feeds BOTH the signature chain (exploded) and the
-    # per-pair verification arrays
-    arr = B.shingle_arrays(df, id_col, text_col, k=k).localCheckpoint(
-        eager=False)
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    # ONE materialization feeds BOTH the signature chain (exploded) and the
+    # per-pair verification arrays. For packable shingles (k ≤ 7) the
+    # checkpoint holds the PACKED long arrays (≈40% the bytes of the
+    # string arrays, and the pack transform runs once instead of once per
+    # verify side); the signature stream reconstructs each shingle's bytes
+    # losslessly — decode(unhex(conv(v,10,16))) inverts conv(hex(s),16,10)
+    # exactly (first byte ≥ 0x20 ⇒ no leading hex zero), so
+    # md5(reconstructed) ≡ md5(shingle) bit-for-bit and the oracle's
+    # signatures are untouched (pinned by the old-vs-new equivalence test).
+    arr = B.shingle_arrays(df, id_col, text_col, k=k)
+    if k <= 7:
+        packed = arr.select(
+            "id",
+            F.transform("shingles",
+                        lambda s: F.conv(F.hex(s), 16, 10).cast("long"))
+            .alias("sh_set"),
+            F.size("shingles").alias("n_sh"),
+        ).localCheckpoint(eager=False)
+        sh = packed.select("id", F.explode("sh_set").alias("v")).select(
+            "id",
+            F.decode(F.unhex(F.conv(F.col("v").cast("string"), 10, 16)),
+                     "UTF-8").alias("shingle"))
+    else:
+        arr = arr.localCheckpoint(eager=False)
+        packed = arr.select("id", F.col("shingles").alias("sh_set"),
+                            F.size("shingles").alias("n_sh"))
+        sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = B.minhash_signatures(sh, num_hashes=num_hashes)
     buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
     # fused cap + map-side pair enumeration — one exchange, no self-join
@@ -369,13 +391,6 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     # row-identical to cap_blocks + self-join (capped_pair_explode doc)
     cands = B.capped_pair_explode(buckets, key_col=["band", "bucket"],
                                   id_col="id", cap=bucket_cap)
-    set_col = (
-        F.transform("shingles",
-                    lambda s: F.conv(F.hex(s), 16, 10).cast("long"))
-        if k <= 7 else F.col("shingles")
-    )
-    packed = arr.select("id", set_col.alias("sh_set"),
-                        F.size("shingles").alias("n_sh"))
     # SHUFFLE_HASH on the array side: sort-merge would SORT the pair stream
     # with 2.4KB arrays attached (measured ~2× this stage at sf1.0); the
     # per-partition hash build is the doc-array slice (bounded, skew-free —

@@ -47,9 +47,11 @@ def _dtype_hazards(con, sql: str, sdf) -> list[str]:
     for r in con.execute(f"DESCRIBE {sql}").fetchall():
         cname, ctype = r[0], r[1]
         u = ctype.upper()
+        # elif: a DECIMAL[] column matches both checks — one hazard entry
+        # per column is enough (ADVICE r5)
         if "HUGEINT" in u or "INT128" in u or "DECIMAL" in u:
             hazards.append(f"duck:{cname}:{ctype}")
-        if "[]" in u or "STRUCT" in u or "MAP(" in u:
+        elif "[]" in u or "STRUCT" in u or "MAP(" in u:
             hazards.append(f"duck:{cname}:{ctype}")
     from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
     for f in sdf.schema.fields:
