@@ -375,10 +375,14 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             .alias("sh_set"),
             F.size("shingles").alias("n_sh"),
         ).localCheckpoint(eager=False)
+        # md5 accepts BINARY: unhex(conv(v)) IS the original shingle's
+        # UTF-8 bytes, so the signature chain skips the decode() pass —
+        # md5(bytes) ≡ md5(string) bit-for-bit (pinned by the old-vs-new
+        # equivalence test)
         sh = packed.select("id", F.explode("sh_set").alias("v")).select(
             "id",
-            F.decode(F.unhex(F.conv(F.col("v").cast("string"), 10, 16)),
-                     "UTF-8").alias("shingle"))
+            F.unhex(F.conv(F.col("v").cast("string"), 10, 16))
+            .alias("shingle"))
     else:
         arr = arr.localCheckpoint(eager=False)
         packed = arr.select("id", F.col("shingles").alias("sh_set"),
@@ -391,6 +395,27 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     # row-identical to cap_blocks + self-join (capped_pair_explode doc)
     cands = B.capped_pair_explode(buckets, key_col=["band", "bucket"],
                                   id_col="id", cap=bucket_cap)
+    # EXACT length prefilter (similarity-join size filter): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so a pair can only reach the (rounded)
+    # threshold when the size ratio does. Attaching the NARROW per-doc
+    # shingle counts first and filtering drops non-viable pairs BEFORE the
+    # 2.4 KB shingle arrays join the stream — the second heavy join's
+    # exchange carries only survivors. The 1e-6 slack covers round(j, 6)
+    # landing on the threshold from below (round-half-up ⇒ J ≥ t − 5e-7
+    # can still print ≥ t); no pair that could pass is dropped.
+    if min_jaccard > 0.0:
+        counts = packed.select("id", "n_sh")
+        cands = (
+            cands.join(counts.select(F.col("id").alias("id_a"),
+                                     F.col("n_sh").alias("na"))
+                       .hint("shuffle_hash"), "id_a")
+            .join(counts.select(F.col("id").alias("id_b"),
+                                F.col("n_sh").alias("nb"))
+                  .hint("shuffle_hash"), "id_b")
+            .where(F.least("na", "nb").cast("double")
+                   >= F.lit(min_jaccard - 1e-6) * F.greatest("na", "nb"))
+            .select("id_a", "id_b")
+        )
     # SHUFFLE_HASH on the array side: sort-merge would SORT the pair stream
     # with 2.4KB arrays attached (measured ~2× this stage at sf1.0); the
     # per-partition hash build is the doc-array slice (bounded, skew-free —
@@ -407,8 +432,16 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                             F.col("sh_set").alias("set_b"),
                             F.col("n_sh").alias("nb"))
               .hint("shuffle_hash"), "id_b")
+        # explode-of-one = generator barrier: without it Catalyst pushes
+        # the downstream jaccard/inter filters INTO the join condition and
+        # re-inlines array_intersect there — the committed r6 "after" plan
+        # evaluated the intersect FOUR times per pair (3× in the join
+        # condition + 1× in the projection); measured 13–26 s vs ~7 s
+        # single-eval for the verify stage at sf1.0-scale. Values are
+        # untouched — the filters still apply, just above the barrier.
         .select("id_a", "id_b",
-                F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+                F.explode(F.array(
+                    F.size(F.array_intersect("set_a", "set_b")))).alias("inter"),
                 "na", "nb")
         # the exploded form only produced pairs with ≥1 common shingle;
         # keep that contract so min_jaccard=0.0 behaves identically
