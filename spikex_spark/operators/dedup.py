@@ -129,12 +129,28 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                          F.col("simhash").alias("sh_a"))
     right = banded.select("band", "bval", F.col("id").alias("id_b"),
                           F.col("simhash").alias("sh_b"))
-    # hamming filter BEFORE the distinct: filter commutes with distinct
-    # (hamming is a function of the pair), and applying it inside the
-    # band-join stage drops non-dup pairs map-side — the distinct then
-    # dedups only survivors, carried as 3 narrow columns instead of the
-    # two 8-byte signatures (measured: 294M pre-distinct band-join rows at
-    # sf1.0; the distinct is the dominant cost of this operator).
+    # hamming filter INSIDE the band-join stage (it commutes with the old
+    # distinct — hamming is a function of the pair), then FIRST-MATCHING-
+    # BAND emission instead of a distinct: a pair matching in band b is
+    # kept only when NO band b' < b also matches, so each qualifying pair
+    # is emitted exactly once and the trailing distinct — a full exchange
+    # + hash aggregate over every surviving (pair, band) row (tens of
+    # millions at sf1.0; 294M pre-filter band-join rows) — disappears
+    # outright. The earlier-band check is pure bit arithmetic on the two
+    # signatures already present in the row (bands−1 comparisons), and
+    # the emitted set is provably identical: a pair sharing k bands was
+    # previously emitted k times and deduped; now the copy at its minimal
+    # matching band survives alone (pinned by
+    # test_simhash_first_band_emission_matches_distinct).
+    def _bv(c: F.Column, b: int) -> F.Column:
+        return F.shiftright(c, b * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    earlier_match = F.lit(False)
+    for bp in range(bands - 1):
+        earlier_match = earlier_match | (
+            (F.col("band") > bp)
+            & (_bv(F.col("sh_a"), bp) == _bv(F.col("sh_b"), bp))
+        )
     return (
         left.join(right, ["band", "bval"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -142,8 +158,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
+        .where(~earlier_match)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
 
 

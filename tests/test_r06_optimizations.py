@@ -272,3 +272,40 @@ def test_capped_pair_explode_matches_self_join(spark):
     )
     want = {(r["id_a"], r["id_b"]) for r in ref.collect()}
     assert got == want and len(got) > 0
+
+
+def test_simhash_first_band_emission_matches_distinct(spark):
+    """First-matching-band emission (no trailing distinct) emits each
+    qualifying pair EXACTLY once — multiset equals the old
+    distinct-deduped output, including under a hamming budget that makes
+    pairs match in several bands."""
+    from spikex_spark.operators.dedup import simhash_near_dups
+
+    rnd = random.Random(31)
+    words = [f"w{i}" for i in range(30)]
+    base = " ".join(rnd.choice(words) for _ in range(18))
+    rows = []
+    for i in range(120):
+        toks = base.split()
+        if i % 3 == 0 and rnd.random() < 0.8:  # heavy near-dup families:
+            toks[rnd.randrange(len(toks))] = rnd.choice(words)
+            rows.append((i, " ".join(toks)))
+        elif i % 3 == 1:
+            rows.append((i, base))             # exact dups → 0 hamming,
+        else:                                  # match in ALL 4 bands
+            rows.append((i, " ".join(rnd.choice(words)
+                                     for _ in range(rnd.randint(3, 22)))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = simhash_near_dups(docs, "doc_id", "text").collect()
+    # exactly-once: no duplicate (id_a, id_b) rows without any distinct
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)) and len(pairs) > 0
+    # and the trailing distinct is actually gone from the plan: the only
+    # aggregates left are the simhash signature groupBy's own
+    # (partial+final) — the pair-dedup aggregate above the join vanished
+    from spikex_spark.operators.dedup import simhash
+    plan = simhash_near_dups(docs, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    sig_plan = simhash(docs, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") == 2 * sig_plan.count("HashAggregate")
