@@ -6949,12 +6949,17 @@ def _q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     frags = spark.createDataFrame(
         _nb_fixture_rows(), ["frag_id", "w1", "w2", "label"]
     )
-    stats_docs = spark.createDataFrame(
-        [(t,) for _, t in _SENT_FIXTURES], ["text"]
-    )
-    lw, na = NB.corpus_stats(stats_docs)
+    # fixture-sized stats DRIVER-SIDE (title_keys_local pattern): the
+    # corpus_stats DataFrame chain — two createDataFrames, two groupBys,
+    # two broadcast builds — measured ~1.5 s of fixed per-query machinery
+    # for TWO sentences; corpus_stats_local is parity-pinned and compiles
+    # the lookups to literal maps. driver_max: the vocabulary-sized
+    # smoothing tail runs as Python arithmetic behind the CC-style limit
+    # probe instead of 4 sequential barrier jobs. Values byte-identical
+    # (oracle hash unchanged; parity tests in test_sents_nb.py).
+    lw, na = NB.corpus_stats_local([t for _, t in _SENT_FIXTURES])
     feats = NB.nb_features(frags, lw, na)
-    return NB.nb_train(feats).select(
+    return NB.nb_train(feats, driver_max=1_000_000).select(
         "label", "feat", F.round("prob", 6).alias("prob")
     )
 

@@ -104,6 +104,36 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
     return lower_words, non_abbrs
 
 
+def corpus_stats_local(texts: list,  # list[str]
+                       min_count: int = 2,
+                       max_words: int | None = 1_000_000,
+                       ) -> tuple[dict, dict]:
+    """Driver-side twin of :func:`corpus_stats` for FIXTURE-SIZED corpora
+    (the ``title_keys_local`` pattern): building two DataFrames and running
+    two groupBys + broadcast builds for a handful of sentences costs ~1 s
+    of pure per-query machinery. Row-for-row parity with the Spark
+    operator is pinned by ``test_corpus_stats_local_parity``; the Spark
+    chain stays the at-scale path. Tokenization mirrors Java's ``\\s`` —
+    the ASCII class ``[ \\t\\n\\x0b\\f\\r]`` — NOT Python's unicode-aware
+    ``\\s``."""
+    import re
+    from collections import Counter
+
+    toks = [t for x in texts for t in re.split("[ \t\n\x0b\f\r]+", x)
+            if t != ""]
+
+    def _bound(c: Counter) -> dict:
+        items = [(w, n) for w, n in c.items() if n >= min_count]
+        items.sort(key=lambda p: (-p[1], p[0]))
+        if max_words is not None:
+            items = items[:max_words]
+        return dict(items)
+
+    lower_words = _bound(Counter(t for t in toks if t == t.lower()))
+    non_abbrs = _bound(Counter(t for t in toks if not t.endswith(".")))
+    return lower_words, non_abbrs
+
+
 # ---------------------------------------------------------------------------
 # feature extraction (Catalyst-only)
 # ---------------------------------------------------------------------------
@@ -130,6 +160,11 @@ def nb_features(frags: DataFrame, lower_words: DataFrame,
 
     ``frags``: (w1, w2, label, ...) with w1/w2 already ``clean_word``-ed.
     The stat tables are small (vocabulary-sized) — broadcast left joins.
+    ``lower_words`` / ``non_abbrs`` may also be plain dicts (from
+    :func:`corpus_stats_local`): the lookup then compiles to a literal MAP
+    expression instead of two broadcast-join jobs — same NULL-on-absent
+    semantics as the left joins (``element_at`` on a missing key), pinned
+    by ``test_nb_features_map_literal_parity``.
     """
     c1 = F.regexp_replace(F.col(w1_col), r"^.+?-", "")
     c2 = F.regexp_replace(F.col(w2_col), r"-.+?$", "")
@@ -140,13 +175,30 @@ def nb_features(frags: DataFrame, lower_words: DataFrame,
         .withColumn("_c1_sans_dot", F.expr("substring(_c1, 1, length(_c1) - 1)"))
         .withColumn("_c2_lower", F.lower("_c2"))
     )
-    d = d.join(
-        F.broadcast(lower_words.withColumnsRenamed({"word": "_c2_lower", "cnt": "_lw_cnt"})),
-        "_c2_lower", "left",
-    ).join(
-        F.broadcast(non_abbrs.withColumnsRenamed({"word": "_c1_sans_dot", "cnt": "_na_cnt"})),
-        "_c1_sans_dot", "left",
-    )
+
+    def _map_lookup(stats: dict, key: str) -> Column:
+        if not stats:
+            return F.lit(None).cast("long")
+        m = F.create_map(*[x for w, n in stats.items()
+                           for x in (F.lit(w), F.lit(n))])
+        return F.element_at(m, F.col(key)).cast("long")
+
+    if isinstance(lower_words, dict):
+        d = d.withColumn("_lw_cnt", _map_lookup(lower_words, "_c2_lower"))
+    else:
+        d = d.join(
+            F.broadcast(lower_words.withColumnsRenamed(
+                {"word": "_c2_lower", "cnt": "_lw_cnt"})),
+            "_c2_lower", "left",
+        )
+    if isinstance(non_abbrs, dict):
+        d = d.withColumn("_na_cnt", _map_lookup(non_abbrs, "_c1_sans_dot"))
+    else:
+        d = d.join(
+            F.broadcast(non_abbrs.withColumnsRenamed(
+                {"word": "_c1_sans_dot", "cnt": "_na_cnt"})),
+            "_c1_sans_dot", "left",
+        )
     c1c, c2c = F.col("_c1"), F.col("_c2")
     len1 = F.least(
         F.lit(10), F.length(F.regexp_replace(c1c, r"\W", ""))
@@ -175,15 +227,50 @@ def nb_features(frags: DataFrame, lower_words: DataFrame,
 # training (A5): one hash aggregation + smoothing
 # ---------------------------------------------------------------------------
 
-def nb_train(features: DataFrame) -> DataFrame:
+def nb_train(features: DataFrame, driver_max: int | None = None) -> DataFrame:
     """(label, feat, prob): smoothed per-label feature probabilities plus the
     two '<prior>' rows (reference ``train``, ``nbmodel.py:76-107``).
 
     The fragment-scale work is the single ``groupBy(label, feat).count()``
     (map-side combine); everything after operates on the distinct feature
     space, which is vocabulary-sized.
+
+    ``driver_max``: adaptive driver tail (the ``connected_components``
+    limit-probe pattern — one job decides the strategy AND loads the
+    counts). The smoothing/normalization tail is 4 sequential barrier
+    jobs (distinct → grid join → totals broadcast → grand broadcast) of
+    fixed latency each; when the (label, feat) count table fits under
+    ``driver_max`` rows, ONE ``limit(n+1).toArrow()`` job replaces them
+    with vocabulary-sized Python arithmetic (same IEEE doubles; parity
+    pinned by ``test_nb_train_driver_tail_parity``). Above the bound the
+    distributed tail runs unchanged — the cap keeps the driver safe at
+    crawl-scale vocabularies (round-4 verdict item 6's boundedness rule).
     """
     spark = features.sparkSession
+    if driver_max is not None:
+        counts = features.groupBy("label", "feat").agg(
+            F.count("*").alias("cnt"))
+        head = counts.limit(driver_max + 1).toArrow()
+        if head.num_rows <= driver_max:
+            cnt = dict(zip(zip(head.column("label").to_pylist(),
+                               head.column("feat").to_pylist()),
+                           head.column("cnt").to_pylist()))
+            all_feats = sorted({f for _, f in cnt})
+            labels = [0, 1]
+            sm = {(lb, ft): cnt.get((lb, ft), 0) + SMOOTH
+                  for ft in all_feats for lb in labels}
+            totals = {lb: 0.0 for lb in labels}
+            for lb in labels:
+                tot = 0.0
+                for ft in all_feats:
+                    tot = tot + sm[(lb, ft)]
+                totals[lb] = tot
+            grand = totals[0] + totals[1]
+            out = [(lb, ft, sm[(lb, ft)] / totals[lb])
+                   for ft in all_feats for lb in labels]
+            out += [(lb, PRIOR_FEAT, totals[lb] / grand) for lb in labels]
+            return spark.createDataFrame(
+                out, schema="label int, feat string, prob double")
     counts = features.groupBy("label", "feat").agg(F.count("*").alias("cnt"))
     all_feats = counts.select("feat").distinct()
     labels = spark.range(2).select(F.col("id").cast("int").alias("label"))

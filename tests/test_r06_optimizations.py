@@ -309,3 +309,66 @@ def test_simhash_first_band_emission_matches_distinct(spark):
     sig_plan = simhash(docs, "doc_id", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("HashAggregate") == 2 * sig_plan.count("HashAggregate")
+
+
+def test_corpus_stats_local_parity(spark):
+    """corpus_stats_local ≡ corpus_stats row-for-row, incl. the Java-\\s
+    (ASCII-only) tokenizer split, hapax pruning, dotted-word filter, and
+    the deterministic top-N bound."""
+    from spikex_spark.pipes import nbmodel as NB
+    texts = ["The cat sat. The cat ran.", "dogs dogs Dogs  bark.\tbark",
+             "x.\ny. x. mixed CASE case case", "", "one-token",
+             "trailing.  trailing. trailing"]
+    lw_d, na_d = NB.corpus_stats_local(texts, min_count=2, max_words=4)
+    lw_s, na_s = NB.corpus_stats(
+        spark.createDataFrame([(t,) for t in texts], ["text"]),
+        min_count=2, max_words=4)
+    assert lw_d == {r["word"]: r["cnt"] for r in lw_s.collect()}
+    assert na_d == {r["word"]: r["cnt"] for r in na_s.collect()}
+
+
+def test_nb_features_map_literal_parity(spark):
+    """nb_features over dict stats (literal-map lookup) ≡ the broadcast
+    left-join form, including absent keys → NULL counts and empty stats."""
+    from spikex_spark.pipes import nbmodel as NB
+    frags = spark.createDataFrame(
+        [(1, "Dr.", "Smith", 1), (2, "etc.", "went", 0),
+         (3, "co-op.", "re-run", 1), (4, "A.", "B", 0)],
+        ["frag_id", "w1", "w2", "label"])
+    lw = {"smith": 3, "went": 9}
+    na = {"Dr": 2, "co-op": 7}
+    lw_df = spark.createDataFrame(list(lw.items()), ["word", "cnt"])
+    na_df = spark.createDataFrame(list(na.items()), ["word", "cnt"])
+    a = sorted((r["label"], r["feat"])
+               for r in NB.nb_features(frags, lw, na).collect())
+    b = sorted((r["label"], r["feat"])
+               for r in NB.nb_features(frags, lw_df, na_df).collect())
+    assert a == b and len(a) > 0
+    # empty dict stats == empty DataFrame stats
+    e_df = spark.createDataFrame([], "word string, cnt long")
+    a2 = sorted((r["label"], r["feat"])
+                for r in NB.nb_features(frags, {}, {}).collect())
+    b2 = sorted((r["label"], r["feat"])
+                for r in NB.nb_features(frags, e_df, e_df).collect())
+    assert a2 == b2
+
+
+def test_nb_train_driver_tail_parity(spark):
+    """nb_train(driver_max=...) ≡ the distributed tail after round(·, 6)
+    (the precision every consumer applies), and falls back above the
+    bound."""
+    from pyspark.sql import functions as F
+    from spikex_spark.pipes import nbmodel as NB
+    frags = spark.createDataFrame(
+        [(i, f"w{i % 7}.", f"V{i % 5}", i % 2) for i in range(40)],
+        ["frag_id", "w1", "w2", "label"])
+    feats = NB.nb_features(frags, {}, {})
+    a = {(r["label"], r["feat"]): round(r["prob"], 6)
+         for r in NB.nb_train(feats).collect()}
+    b = {(r["label"], r["feat"]): round(r["prob"], 6)
+         for r in NB.nb_train(feats, driver_max=1_000_000).collect()}
+    assert a == b and len(a) > 2
+    # above the bound: falls back to the distributed tail, same values
+    c = {(r["label"], r["feat"]): round(r["prob"], 6)
+         for r in NB.nb_train(feats, driver_max=2).collect()}
+    assert a == c
