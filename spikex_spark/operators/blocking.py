@@ -718,7 +718,9 @@ def cap_blocks(blocks: DataFrame, key_col: str | list[str] = "block_key",
 
 def capped_pair_explode(blocks: DataFrame,
                         key_col: str | list[str] = "block_key",
-                        id_col: str = "id", cap: int = 1000) -> DataFrame:
+                        id_col: str = "id", cap: int = 1000,
+                        carry: list[str] | None = None,
+                        pair_filter=None) -> DataFrame:
     """(id_a, id_b) distinct pairs sharing ≥1 key, first ``cap`` members
     per key — the FUSED form of ``cap_blocks`` + key self-join.
 
@@ -735,9 +737,44 @@ def capped_pair_explode(blocks: DataFrame,
     (≤ ~8KB per group) because it aggregates the POST-cap members — the
     spill-safe window takes the unbounded pre-cap groups, never
     collect_list. Pinned row-identical by test_r06_optimizations.
+
+    ``carry``: extra NARROW per-member columns (e.g. a shingle count) to
+    ride the member structs; pairs then emerge as
+    (id_a, id_b, <c>_a..., <c>_b...) with no per-side join needed
+    downstream. The distinct gains only functionally-dependent columns
+    (each <c> is a function of its id), so the pair set is unchanged.
+    ``pair_filter``: optional predicate over the emitted pair struct
+    (fields id_a/id_b/<c>_a/<c>_b), applied INSIDE the enumeration —
+    i.e. before the distinct, which a pair-function predicate commutes
+    with. Both pinned by test_capped_pair_explode_carry_matches.
     """
     keys = key_col if isinstance(key_col, list) else [key_col]
     capped = cap_blocks(blocks, key_col=keys, id_col=id_col, cap=cap)
+    if carry:
+        # struct members sort by leading id (unique per key) — same
+        # enumeration order as the plain-id path
+        grouped = capped.groupBy(*keys).agg(
+            F.sort_array(F.collect_list(F.struct(id_col, *carry)))
+            .alias("_ids"))
+        ids = F.col("_ids")
+
+        def _mk(x, y):
+            fields = [x[id_col].alias("id_a"), y[id_col].alias("id_b")]
+            for c in carry:
+                fields += [x[c].alias(f"{c}_a"), y[c].alias(f"{c}_b")]
+            return F.struct(*fields)
+
+        def _inner(x, i):
+            sliced = F.slice(ids, i + F.lit(2),
+                             F.greatest(F.size(ids) - i - F.lit(1), F.lit(0)))
+            inner = F.transform(sliced, lambda y: _mk(x, y))
+            return F.filter(inner, pair_filter) if pair_filter else inner
+
+        pairs = F.flatten(F.transform(ids, _inner))
+        out_cols = ["p.id_a", "p.id_b"] + [f"p.{c}_{s}"
+                                           for c in carry for s in ("a", "b")]
+        return (grouped.select(F.explode(pairs).alias("p"))
+                .select(*out_cols).distinct())
     # collect_list order is not guaranteed even after the window sort —
     # sort_array restores it; ids are unique per key so the sorted array
     # IS the row_number order the cap used

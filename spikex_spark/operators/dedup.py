@@ -406,32 +406,28 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = B.minhash_signatures(sh, num_hashes=num_hashes)
     buckets = B.lsh_buckets(sig, bands=bands, rows_per_band=num_hashes // bands)
-    # fused cap + map-side pair enumeration — one exchange, no self-join
-    # sorts, no checkpoint barrier (buckets has a single consumer now);
-    # row-identical to cap_blocks + self-join (capped_pair_explode doc)
-    cands = B.capped_pair_explode(buckets, key_col=["band", "bucket"],
-                                  id_col="id", cap=bucket_cap)
-    # EXACT length prefilter (similarity-join size filter): J(A,B) ≤
+    # fused cap + map-side pair enumeration (capped_pair_explode) with the
+    # per-doc shingle COUNT riding the member structs (one narrow
+    # shuffle_hash join onto the 4-rows-per-doc bucket table), and the
+    # EXACT length prefilter applied INSIDE the enumeration: J(A,B) ≤
     # min(|A|,|B|)/max(|A|,|B|), so a pair can only reach the (rounded)
-    # threshold when the size ratio does. Attaching the NARROW per-doc
-    # shingle counts first and filtering drops non-viable pairs BEFORE the
-    # 2.4 KB shingle arrays join the stream — the second heavy join's
-    # exchange carries only survivors. The 1e-6 slack covers round(j, 6)
-    # landing on the threshold from below (round-half-up ⇒ J ≥ t − 5e-7
-    # can still print ≥ t); no pair that could pass is dropped.
+    # threshold when the size ratio does — non-viable pairs die before the
+    # distinct and never meet the 2.4 KB shingle arrays. The 1e-6 slack
+    # covers round(j, 6) landing on the threshold from below
+    # (round-half-up ⇒ J ≥ t − 5e-7 can still print ≥ t); no pair that
+    # could pass is dropped. Measured vs the join-then-filter form at
+    # sf1.0-scale: 5.6 → 4.9 s for the whole query, same rows.
+    buckets_n = buckets.join(packed.select("id", "n_sh")
+                             .hint("shuffle_hash"), "id")
+    ratio = None
     if min_jaccard > 0.0:
-        counts = packed.select("id", "n_sh")
-        cands = (
-            cands.join(counts.select(F.col("id").alias("id_a"),
-                                     F.col("n_sh").alias("na"))
-                       .hint("shuffle_hash"), "id_a")
-            .join(counts.select(F.col("id").alias("id_b"),
-                                F.col("n_sh").alias("nb"))
-                  .hint("shuffle_hash"), "id_b")
-            .where(F.least("na", "nb").cast("double")
-                   >= F.lit(min_jaccard - 1e-6) * F.greatest("na", "nb"))
-            .select("id_a", "id_b")
-        )
+        t = min_jaccard - 1e-6
+        ratio = (lambda p: F.least(p["n_sh_a"], p["n_sh_b"]).cast("double")
+                 >= F.lit(t) * F.greatest(p["n_sh_a"], p["n_sh_b"]))
+    cands = B.capped_pair_explode(buckets_n, key_col=["band", "bucket"],
+                                  id_col="id", cap=bucket_cap,
+                                  carry=["n_sh"], pair_filter=ratio) \
+        .withColumnsRenamed({"n_sh_a": "na", "n_sh_b": "nb"})
     # SHUFFLE_HASH on the array side: sort-merge would SORT the pair stream
     # with 2.4KB arrays attached (measured ~2× this stage at sf1.0); the
     # per-partition hash build is the doc-array slice (bounded, skew-free —
@@ -441,12 +437,10 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     # partitionable.
     inter = (
         cands.join(packed.select(F.col("id").alias("id_a"),
-                                 F.col("sh_set").alias("set_a"),
-                                 F.col("n_sh").alias("na"))
+                                 F.col("sh_set").alias("set_a"))
                    .hint("shuffle_hash"), "id_a")
         .join(packed.select(F.col("id").alias("id_b"),
-                            F.col("sh_set").alias("set_b"),
-                            F.col("n_sh").alias("nb"))
+                            F.col("sh_set").alias("set_b"))
               .hint("shuffle_hash"), "id_b")
         # explode-of-one = generator barrier: without it Catalyst pushes
         # the downstream jaccard/inter filters INTO the join condition and

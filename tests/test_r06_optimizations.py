@@ -372,3 +372,38 @@ def test_nb_train_driver_tail_parity(spark):
     c = {(r["label"], r["feat"]): round(r["prob"], 6)
          for r in NB.nb_train(feats, driver_max=2).collect()}
     assert a == c
+
+
+def test_capped_pair_explode_carry_matches(spark):
+    """carry/pair_filter path ≡ plain capped_pair_explode + per-side count
+    joins + the same filter applied after — including cap interaction and
+    multi-bucket dedup."""
+    from spikex_spark.operators import blocking as B
+
+    rnd = random.Random(17)
+    rows = [(f"k{rnd.randrange(6)}", i, rnd.randint(1, 50))
+            for i in range(200)]
+    blocks = spark.createDataFrame(rows, ["block_key", "id", "n"])
+    flt = (lambda p: F.least(p["n_a"], p["n_b"]).cast("double")
+           >= F.lit(0.5) * F.greatest(p["n_a"], p["n_b"]))
+    got = sorted(tuple(r) for r in B.capped_pair_explode(
+        blocks, key_col="block_key", id_col="id", cap=7,
+        carry=["n"], pair_filter=flt).collect())
+
+    plain = B.capped_pair_explode(
+        blocks.select("block_key", "id"), key_col="block_key",
+        id_col="id", cap=7)
+    nn = blocks.select("id", "n").distinct()
+    want = sorted(tuple(r) for r in (
+        plain.join(nn.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(nn.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .where(F.least("n_a", "n_b").cast("double")
+               >= F.lit(0.5) * F.greatest("n_a", "n_b"))
+        .select("id_a", "id_b", "n_a", "n_b")).collect())
+    assert got == want and len(got) > 0
+    # carry without filter, and the no-carry path, still agree on pairs
+    got2 = sorted((r["id_a"], r["id_b"]) for r in B.capped_pair_explode(
+        blocks, key_col="block_key", id_col="id", cap=7,
+        carry=["n"]).collect())
+    want2 = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
+    assert got2 == want2
