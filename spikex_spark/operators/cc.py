@@ -250,10 +250,19 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def cluster_assignments(edges: DataFrame, all_ids: DataFrame,
-                        id_col: str = "id") -> DataFrame:
-    """(id, cluster_id) for EVERY id — singletons get their own id."""
+                        id_col: str = "id",
+                        ids_unique: bool = False) -> DataFrame:
+    """(id, cluster_id) for EVERY id — singletons get their own id.
+
+    ``ids_unique``: skip the defensive ``distinct()`` (one exchange +
+    aggregate over the full id set) when the caller passes a primary-key
+    column — e.g. ``resolve_documents``' doc_id contract. Values are
+    identical by definition for unique inputs; block-membership callers
+    (ids repeated per block) keep the default."""
     comp = connected_components(edges)
-    ids = all_ids.select(F.col(id_col).alias("id")).distinct()
+    ids = all_ids.select(F.col(id_col).alias("id"))
+    if not ids_unique:
+        ids = ids.distinct()
     return ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("cluster_id")
     )

@@ -489,8 +489,10 @@ def resolve_documents(docs: DataFrame, cfg: ERConfig = ERConfig(),
         edges = scores.where(F.col("score") >= threshold).select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
+        # ids_unique: doc_id is this operator's identity contract — skip
+        # the defensive distinct's exchange over the whole corpus
         assign = CC.cluster_assignments(
-            edges, docs.select(F.col(id_col).alias("id")))
+            edges, docs.select(F.col(id_col).alias("id")), ids_unique=True)
         return assign.select(F.col("id").alias(id_col), "cluster_id")
 
     return run("40_clusters", _clusters)
