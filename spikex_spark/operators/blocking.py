@@ -486,7 +486,7 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFra
     return (
         normed.select(
             "id",
-            F.explode(char_shingles_expr(F.col("_norm"), k)).alias("shingle"))
+            F.explode(char_shingles_expr("_norm", k)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -512,14 +512,18 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hashes supported")
+    # SQL-string construction (one py4j round-trip per expression instead
+    # of ~5 per Column op — this chain is built inside every timed rep of
+    # four headline queries); F.expr parses to the identical Catalyst
+    # nodes, so plans and values are untouched (oracle-pinned)
     hashed = shingles.select(
         "id",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
-        .cast("long").alias("_h"),
+        F.expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)")
+        .alias("_h"),
     )
     aggs = [
-        F.min(F.pmod(F.lit(MINHASH_A[s]) * F.col("_h") + F.lit(MINHASH_B[s]),
-                     F.lit(MINHASH_P))).alias(f"mh{s}")
+        F.expr(f"min(pmod({MINHASH_A[s]} * _h + {MINHASH_B[s]},"
+               f" {MINHASH_P}))").alias(f"mh{s}")
         for s in range(num_hashes)
     ]
     return hashed.groupBy("id").agg(*aggs)
@@ -528,11 +532,13 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
 _SHINGLE_CHUNK = 512
 
 
-def char_shingles_expr(norm: F.Column, k: int = 5) -> F.Column:
+def char_shingles_expr(norm: F.Column | str, k: int = 5) -> F.Column:
     """Distinct char k-shingle SET of a (pre-materialized!) normalized-text
     column as one expression — see shingle_df's note: the caller MUST bind
     the normalization into its own projection first, or Catalyst re-inlines
-    the chain per array element (O(len²)).
+    the chain per array element (O(len²)). Pass the column NAME (str) for
+    the cheap SQL-string construction path; a Column builds the identical
+    tree via the Python API.
 
     CHUNKED construction: the naive ``transform(sequence(1, n),
     i -> substring(norm, i, k))`` is O(n²) per doc — Spark's
@@ -546,6 +552,26 @@ def char_shingles_expr(norm: F.Column, k: int = 5) -> F.Column:
     The produced array (order and content) is IDENTICAL to the naive
     form, so signatures, buckets and every oracle stay bit-for-bit.
     """
+    if isinstance(norm, str):
+        # SQL-string fast path (pass the column NAME): ONE py4j round-trip
+        # for the whole chunked-shingle expression instead of ~40 Column/
+        # lambda construction calls — built inside every timed rep of four
+        # headline queries. The text mirrors the Column form node-for-node
+        # (note 512.0D: a bare SQL decimal literal would parse as
+        # DECIMAL(4,1) where F.lit(512.0) is a DOUBLE — the D suffix keeps
+        # the division double); values oracle-pinned + equivalence-tested.
+        c = _SHINGLE_CHUNK
+        nm = f"`{norm}`"
+        return F.expr(
+            f"filter(CASE WHEN length({nm}) < {k} THEN array({nm}) "
+            f"ELSE array_distinct(flatten(transform("
+            f"transform(sequence(0, cast(ceil((length({nm}) - {k} + 1)"
+            f" / {c}.0D) as int) - 1),"
+            f" j -> substring({nm}, j * {c} + 1, {c + k - 1})),"
+            f" s -> transform(sequence(1, least({c}, length(s) - {k} + 1)),"
+            f" i -> substring(s, i, {k})))))"
+            f" END, s -> s != '')"
+        )
     c = _SHINGLE_CHUNK
     n_sh = F.length(norm) - k + 1
     n_chunks = F.ceil(n_sh / F.lit(float(c))).cast("int")
@@ -584,7 +610,7 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.array_join(_norm_tokens(F.col(text_col)), " ").alias("_norm"),
     )
-    arr = char_shingles_expr(F.col("_norm"), k)
+    arr = char_shingles_expr("_norm", k)
     # explode-of-one-element = generator barrier: without it Catalyst pushes
     # the size() filter through the projection, re-inlining the whole HOF
     # shingle chain into the Filter — measured 40× slower at sf0.1
@@ -658,20 +684,18 @@ def lsh_buckets(signatures: DataFrame, bands: int = 4,
     Output: (id, band, bucket) — a narrow projection + explode, no shuffle.
     Docs sharing any bucket are near-dup candidates.
     """
+    # SQL-string construction — see minhash_signatures' note; identical
+    # Catalyst nodes, ONE py4j round-trip for the whole banding expression
     entries = []
     for b in range(bands):
-        parts = [
-            F.concat(F.lit(f"{s}="), F.col(f"mh{s}").cast("string"))
+        parts = ", ".join(
+            f"concat('{s}=', cast(mh{s} as string))"
             for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
-            )
         )
+        entries.append(f"struct({b} as band,"
+                       f" md5(concat_ws('|', {parts})) as bucket)")
     return signatures.select(
-        "id", F.explode(F.array(*entries)).alias("bb")
+        "id", F.expr(f"explode(array({', '.join(entries)}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 

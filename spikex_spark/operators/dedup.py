@@ -89,17 +89,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("token"),
     )
     hashed = toks.select("id", _md5_60(F.col("token")).alias("h"))
+    # expression trees built as SQL strings (ONE py4j round-trip each
+    # instead of ~5 per Column op): the 60 aggregates + 60-term bitsum
+    # cost ~550 py4j calls (~0.3 s of driver-side CONSTRUCTION inside
+    # every timed rep) in Column form; F.expr parses to the identical
+    # Catalyst nodes, so plans and values are untouched (oracle-pinned)
     votes = hashed.groupBy("id").agg(*[
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        .alias(f"s{b}")
+        F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1)").alias(f"s{b}")
         for b in range(_HASH_BITS)
     ])
-    bitsum = None
-    for b in range(_HASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        bitsum = term if bitsum is None else bitsum + term
-    return votes.select("id", bitsum.alias("simhash"))
+    bitsum = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_HASH_BITS)
+    )
+    return votes.select("id", F.expr(bitsum).alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,

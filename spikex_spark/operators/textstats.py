@@ -49,17 +49,23 @@ def language_id(df: DataFrame, id_col: str, text_col: str,
     tokd = df.select(F.col(id_col).alias("id"),
                      *[F.col(c) for c in keep],
                      _tokens(F.col(text_col)).alias("_toks"))
-    hit_cols = []
-    for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hits = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t)))
-        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*hit_cols))
-    return tokd.select(
+    # SQL-string construction (one selectExpr round-trip instead of ~250
+    # py4j calls for 10 langs x filter-lambda structs — ~0.15 s of
+    # driver-side build per timed rep); parses to the identical Catalyst
+    # nodes, values oracle-pinned
+    structs = ", ".join(
+        "struct(size(filter(_toks, t -> array_contains(array("
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "), t))) as hits, "
+        + f"'{lang}' as lang)"
+        for lang in sorted(STOPWORDS)
+    )
+    best = f"array_max(array({structs}))"
+    return tokd.selectExpr(
         "id",
-        *[F.col(c) for c in keep],
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
-        best["hits"].alias("lang_hits"),
+        *[f"`{c}`" for c in keep],
+        f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END"
+        " as lang_guess",
+        f"{best}.hits as lang_hits",
     )
 
 

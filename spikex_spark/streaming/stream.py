@@ -278,7 +278,7 @@ def streaming_signature_dedup(stream: DataFrame, ts_col: str = "warc_ts",
     )
     shingled = normed.select(
         id_col, ts_col, text_col,
-        char_shingles_expr(F.col("_norm"), k=5).alias("_sh"),
+        char_shingles_expr("_norm", k=5).alias("_sh"),
     )
     sigged = shingled.select(
         id_col, ts_col, text_col,

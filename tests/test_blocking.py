@@ -356,3 +356,34 @@ def test_chunked_shingles_equal_naive_and_scale_linearly(spark):
         naive(F.col("t")).alias("want")).collect()
     for r in rows:
         assert r["got"] == r["want"], r["id"]
+
+
+def test_char_shingles_sql_path_equals_column_path(spark):
+    """The SQL-string construction path (pass the column NAME) must produce
+    EXACTLY the Column-API path's array — content and order — on empties,
+    sub-k texts, chunk-boundary lengths and non-ASCII codepoints. The SQL
+    text's 512.0D double suffix is load-bearing: a bare decimal literal
+    would make the chunk-count division decimal-typed."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from spikex_spark.operators.blocking import (_SHINGLE_CHUNK,
+                                                 char_shingles_expr)
+
+    rng = random.Random(7)
+    c = _SHINGLE_CHUNK
+    texts = ["", "ab", "abcd", "abcde", "héllo wörld ünïcode",
+             "abcdef" * 100,
+             "".join(rng.choice("abc ") for _ in range(c - 1)),
+             "".join(rng.choice("abc ") for _ in range(c)),
+             "".join(rng.choice("abc ") for _ in range(c + 1)),
+             "".join(rng.choice("abcdefgh ") for _ in range(3 * c + 7))]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    for k in (2, 5, 7, 13):
+        rows = df.select(
+            "id", char_shingles_expr("t", k).alias("got"),
+            char_shingles_expr(F.col("t"), k).alias("want")).collect()
+        for r in rows:
+            assert r["got"] == r["want"], (k, r["id"])
