@@ -732,9 +732,14 @@ def cap_blocks(blocks: DataFrame, key_col: str | list[str] = "block_key",
     """Deterministically keep the first ``cap`` members per key (by id).
     ``key_col`` may be a list for compound keys (e.g. LSH (band, bucket))."""
     keys = key_col if isinstance(key_col, list) else [key_col]
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    # SQL-string construction (see minhash_signatures' note) — identical
+    # WindowExpression (row_number's frame and asc-nulls-first order are
+    # the defaults both ways)
+    part = ", ".join(f"`{k}`" for k in keys)
+    rn = F.expr(f"row_number() OVER (PARTITION BY {part}"
+                f" ORDER BY `{id_col}`)")
     return (
-        blocks.withColumn("_rn", F.row_number().over(w))
+        blocks.withColumn("_rn", rn)
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
@@ -801,20 +806,18 @@ def capped_pair_explode(blocks: DataFrame,
                 .select(*out_cols).distinct())
     # collect_list order is not guaranteed even after the window sort —
     # sort_array restores it; ids are unique per key so the sorted array
-    # IS the row_number order the cap used
+    # IS the row_number order the cap used. SQL-string construction (see
+    # minhash_signatures' note); identical Catalyst trees, pinned
+    # row-identical to the self-join by test_r06_optimizations.
     grouped = capped.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(id_col)).alias("_ids"))
-    ids = F.col("_ids")
-    pairs = F.flatten(F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + F.lit(2),
-                    F.greatest(F.size(ids) - i - F.lit(1), F.lit(0))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    ))
+        F.expr(f"sort_array(collect_list(`{id_col}`))").alias("_ids"))
+    pairs = F.expr(
+        "explode(flatten(transform(_ids,"
+        " (x, i) -> transform("
+        "slice(_ids, i + 2, greatest(size(_ids) - i - 1, 0)),"
+        " y -> struct(x as id_a, y as id_b)))))")
     return (
-        grouped.select(F.explode(pairs).alias("p"))
+        grouped.select(pairs.alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
